@@ -1,0 +1,130 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.state.{Merge, Upserts}
+import graft.state.Merge.MergeCols
+
+/** Graph traversals and the cascading temporal expiration
+  * (SURVEY.md §2.C7-C11).
+  *
+  * All ops are equi-joins over the vertex/edge snapshot tables — at scale
+  * they shuffle on the join key; the edge tables should be persisted
+  * partitioned/bucketed on those keys so repeated traversals avoid
+  * re-shuffling.
+  */
+object GraphOps {
+
+  /** C9 — incoming edges: parents of each asset.
+    * Reference: inventory/inventory.go:499-524.
+    */
+  def parents(parentOf: DataFrame, assets: DataFrame): DataFrame =
+    parentOf.alias("e")
+      .join(assets.alias("a"), col("e.child_id") === col("a.id"))
+
+  /** C10 — outgoing edges: children of each asset.
+    * Reference: inventory/inventory.go:574-599.
+    */
+  def children(parentOf: DataFrame, assets: DataFrame): DataFrame =
+    parentOf.alias("e")
+      .join(assets.alias("a"), col("e.parent_id") === col("a.id"))
+
+  /** C11 — owners-of-asset expansion: owns edge joined to team vertex.
+    * Reference: inventory/inventory.go:603-628; main_test.go:503-519.
+    */
+  def owners(owns: DataFrame, teams: DataFrame): DataFrame =
+    owns.alias("o")
+      .join(teams.alias("tm"), col("o.team_id") === col("tm.id"))
+
+  /** C7 — per-asset active-owner quantifier: does ANY active owns edge
+    * (end_time null) of a team OTHER than the tombstoning team exist?
+    * Reference: main.go:299-323.
+    *
+    * @param tombstones (asset_id, team_id) pairs being expired
+    * @return tombstone rows + `other_active` boolean
+    */
+  def otherActiveOwnerExists(owns: DataFrame, tombstones: DataFrame): DataFrame = {
+    val active = owns.filter(col("end_time").isNull)
+      .select(col("asset_id"), col("team_id").as("owner_team"))
+    tombstones.alias("tb")
+      .join(active.alias("ac"),
+        col("tb.asset_id") === col("ac.asset_id") &&
+          col("tb.team_id") =!= col("ac.owner_team"),
+        "left_outer")
+      .groupBy(col("tb.asset_id").as("asset_id"), col("tb.team_id").as("team_id"))
+      .agg(max(col("ac.owner_team").isNotNull).as("other_active"))
+  }
+
+  /** Snapshot bundle threaded through the cascade. */
+  final case class State(assets: DataFrame, teams: DataFrame,
+                         owns: DataFrame, parentOf: DataFrame)
+
+  /** C8 — cascading expiration for a batch of tombstones
+    * (reference: main.go:270-364). Semantics, in order (SURVEY.md §7.4):
+    *
+    *  1. tombstones for a nonexistent asset OR nonexistent team are silent
+    *     no-ops (main.go:276-279, 289-292);
+    *  2. the tombstoning team's owns edge gets end_time = now, start_time
+    *     preserved;
+    *  3. the active-owner quantifier is evaluated AFTER all owns updates of
+    *     the batch (set-at-a-time equivalent of sequential processing);
+    *  4. assets with no remaining active owner get last_seen = expiration
+    *     = now;
+    *  5. every not-yet-expired parent_of edge touching an expired asset —
+    *     both directions — gets first_seen kept, last_seen = expiration =
+    *     now; edges with expiration <= now are skipped (main.go:338-340).
+    *
+    * @param tombstones (asset_type, asset_identifier, team_identifier)
+    */
+  def expireCascade(st: State, tombstones: DataFrame, now: Column): State = {
+    // 1. resolve asset + team; drop no-ops
+    val resolved = tombstones.alias("tb")
+      .join(st.assets.alias("a"),
+        col("tb.asset_type") === col("a.type") &&
+          col("tb.asset_identifier") === col("a.identifier"), "inner")
+      .join(st.teams.alias("tm"),
+        col("tb.team_identifier") === col("tm.identifier"), "inner")
+      .select(col("a.id").as("asset_id"), col("tm.id").as("team_id"))
+      .distinct()
+
+    // 2. expire this team's owns edges
+    val owns2 = Upserts.expireOwns(st.owns, resolved, now)
+
+    // 3. quantifier over the POST-update owns state
+    val quant = otherActiveOwnerExists(owns2, resolved)
+
+    // 4. expire assets with no other active owner
+    val deadAssets = quant.filter(!col("other_active")).select("asset_id").distinct()
+    val assets2 = Merge.merge(
+      st.assets,
+      deadAssets.withColumnRenamed("asset_id", "id"),
+      Seq("id"),
+      Map(
+        "last_seen" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
+        "expiration" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
+        "type" -> ((c: MergeCols) => c.existing),
+        "identifier" -> ((c: MergeCols) => c.existing),
+        "first_seen" -> ((c: MergeCols) => c.existing)))
+
+    // 5. expire surviving parent_of edges in BOTH directions, skipping
+    //    already-expired edges (expiration <= now)
+    // Two equi-semi-joins unioned instead of one OR-join: an OR predicate
+    // would force a nested-loop join; two hash semi-joins stay shuffle/
+    // broadcast hash joins at any scale.
+    val deadIds = deadAssets.withColumnRenamed("asset_id", "dead_id")
+    val live = st.parentOf.filter(col("expiration") > now)
+    val asParent = live.join(deadIds, live("parent_id") === deadIds("dead_id"), "left_semi")
+    val asChild = live.join(deadIds, live("child_id") === deadIds("dead_id"), "left_semi")
+    val touched = asParent.unionByName(asChild)
+      .select("parent_id", "child_id")
+      .distinct()
+      .withColumn("__expire", lit(true))
+    val parentOf2 = Merge.merge(st.parentOf, touched, Seq("parent_id", "child_id"), Map(
+      "last_seen" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
+      "expiration" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
+      "id" -> ((c: MergeCols) => c.existing),
+      "first_seen" -> ((c: MergeCols) => c.existing)))
+
+    State(assets2, st.teams, owns2, parentOf2)
+  }
+}

@@ -1,0 +1,595 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.decode.Decode
+import graft.graph.GraphOps
+import graft.normalize.Normalize
+import graft.state.Merge
+import graft.state.Merge.MergeCols
+import graft.temporal.Temporal
+
+/** Operator-exercising queries from SURVEY.md §2 (B/C/D) with DuckDB
+  * oracles. Money/value sums go through DECIMAL so results are exact and
+  * order-independent (double summation order would differ between engines).
+  */
+object CoreQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  // -- headline aggregation (bench): TPC-H Q1 shape -------------------------
+  val q1_agg: QueryDef = QueryDef(
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // -- headline join report (bench): 3-way join + agg -----------------------
+  val q_orders_report: QueryDef = QueryDef(
+    """SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, ym
+      |ORDER BY n_name, ym""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("n_name"), col("ym"))
+  }
+
+  // -- A1: full source scan --------------------------------------------------
+  val q_source_scan: QueryDef = QueryDef(
+    """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id,
+      |  max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  // -- B1: header/metadata projection (JSON props stand-in) -----------------
+  val q_meta_extract: QueryDef = QueryDef(
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  // -- B2: semver gate -------------------------------------------------------
+  val q_version_gate: QueryDef = QueryDef(
+    """SELECT version, count(*) AS cnt FROM (
+      |  SELECT CASE WHEN event_type = 'click'
+      |    THEN 'v0.' || CAST(user_id % 5 AS VARCHAR)
+      |    ELSE 'v' || CAST(event_id % 2 AS VARCHAR) || '.' ||
+      |         CAST(user_id % 5 AS VARCHAR) || '.' ||
+      |         CAST(event_id % 7 AS VARCHAR) END AS version
+      |  FROM events) t
+      |WHERE regexp_extract(version, '^v?(\d+)\.', 1) <> ''
+      |  AND CAST(regexp_extract(version, '^v?(\d+)\.', 1) AS INT) = 0
+      |  AND len(string_split(version, '.')) >= 3
+      |GROUP BY version ORDER BY version""".stripMargin) { (s, dir) =>
+    val versions = Tables.events(s, dir).select(
+      when(col("event_type") === "click",
+        concat(lit("v0."), (col("user_id") % 5).cast("string")))
+        .otherwise(concat(
+          lit("v"), (col("event_id") % 2).cast("string"), lit("."),
+          (col("user_id") % 5).cast("string"), lit("."),
+          (col("event_id") % 7).cast("string"))).as("version"))
+    versions.filter(Decode.supportedVersion(col("version")))
+      .groupBy(col("version")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("version"))
+  }
+
+  // -- B3: JSON decode with fixed schema ------------------------------------
+  val q_json_decode: QueryDef = QueryDef(
+    """SELECT k, count(*) AS cnt, min(event_id) AS min_id FROM (
+      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events) t
+      |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"))
+      .orderBy(col("k"))
+  }
+
+  // -- B4: message-key parse -------------------------------------------------
+  val q_key_parse: QueryDef = QueryDef(
+    """SELECT split_part(key, '/', 1) AS team_id,
+      |  split_part(key, '/', 2) AS asset_id, event_id
+      |FROM (SELECT CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR) AS key,
+      |        event_id FROM events) t
+      |WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val keyed = Tables.events(s, dir)
+      .select(concat(col("user_id").cast("string"), lit("/"), col("event_id").cast("string")).as("key"),
+        col("event_id"))
+      .filter(col("event_id") < 200)
+    val parts = split(col("key"), "/")
+    keyed.select(parts.getItem(0).as("team_id"), parts.getItem(1).as("asset_id"), col("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // -- B5: tombstone branch --------------------------------------------------
+  val q_tombstone_split: QueryDef = QueryDef(
+    """SELECT is_nil, count(*) AS cnt, min(ts) AS min_ts, max(ts) AS max_ts
+      |FROM (SELECT event_type = 'error' AS is_nil, ts FROM events) t
+      |GROUP BY is_nil ORDER BY is_nil""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select((col("event_type") === "error").as("is_nil"), col("ts"))
+      .groupBy(col("is_nil"))
+      .agg(count(lit(1)).as("cnt"), min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy(col("is_nil"))
+  }
+
+  // -- B6: AWS account normalization ----------------------------------------
+  val q_regex_normalize: QueryDef = QueryDef(
+    """SELECT normalized, count(*) AS cnt FROM (
+      |  SELECT CASE
+      |    WHEN regexp_matches(raw, '^arn:aws:iam::[0-9]{12}:root$') THEN raw
+      |    WHEN regexp_matches(raw, '^[0-9]{12}$') THEN 'arn:aws:iam::' || raw || ':root'
+      |    END AS normalized
+      |  FROM (SELECT CASE
+      |      WHEN event_type = 'purchase' THEN 'arn:aws:iam::' || lpad(CAST(user_id AS VARCHAR), 12, '0') || ':root'
+      |      WHEN event_type = 'click' THEN 'not-an-account'
+      |      ELSE lpad(CAST(user_id AS VARCHAR), 12, '0') END AS raw
+      |    FROM events) r) t
+      |GROUP BY normalized ORDER BY normalized NULLS FIRST""".stripMargin) { (s, dir) =>
+    val raw = Tables.events(s, dir).select(
+      when(col("event_type") === "purchase",
+        concat(lit("arn:aws:iam::"), lpad(col("user_id").cast("string"), 12, "0"), lit(":root")))
+        .when(col("event_type") === "click", lit("not-an-account"))
+        .otherwise(lpad(col("user_id").cast("string"), 12, "0")).as("raw"))
+    raw.select(Normalize.normalizeAwsAccountId(col("raw")).as("normalized"))
+      .groupBy(col("normalized")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("normalized").asc_nulls_first)
+  }
+
+  // -- B7: annotation explode + filter --------------------------------------
+  val q_array_explode_filter: QueryDef = QueryDef(
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(p_type, ' ')) AS token FROM part) t
+      |WHERE token LIKE 'B%' GROUP BY token ORDER BY token""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(explode(split(col("p_type"), " ")).as("token"))
+      .filter(col("token").startsWith("B"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("token"))
+  }
+
+  // -- B9: RFC3339 time formatting ------------------------------------------
+  val q_time_format: QueryDef = QueryDef(
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt,
+      |  min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS min_rfc3339
+      |FROM orders GROUP BY ym ORDER BY ym""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("cnt"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("min_rfc3339"))
+      .orderBy(col("ym"))
+  }
+
+  // -- G: Rolfp-style bitfield parse ----------------------------------------
+  val q_rolfp_parse: QueryDef = QueryDef(
+    """SELECT r, o, count(*) AS cnt FROM (
+      |  SELECT CAST(regexp_extract(s, 'R:(\d)', 1) AS INT) AS r,
+      |         CAST(regexp_extract(s, 'O:(\d)', 1) AS INT) AS o
+      |  FROM (SELECT 'R:' || CAST(event_id % 2 AS VARCHAR) || '/O:' ||
+      |          CAST(user_id % 2 AS VARCHAR) AS s FROM events) x) t
+      |GROUP BY r, o ORDER BY r, o""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(concat(lit("R:"), (col("event_id") % 2).cast("string"),
+        lit("/O:"), (col("user_id") % 2).cast("string")).as("s"))
+      .select(
+        regexp_extract(col("s"), "R:(\\d)", 1).cast("int").as("r"),
+        regexp_extract(col("s"), "O:(\\d)", 1).cast("int").as("o"))
+      .groupBy(col("r"), col("o")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("r"), col("o"))
+  }
+
+  // -- C1: point-lookup as left outer equi-join ------------------------------
+  val q_lookup_join: QueryDef = QueryDef(
+    """SELECT count(*) AS n, count(p.p_partkey) AS n_matched,
+      |  sum(p.p_size) AS sum_size
+      |FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 100 = 0) u
+      |LEFT JOIN part p ON u.l_partkey = p.p_partkey""".stripMargin) { (s, dir) =>
+    val u = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_partkey")).distinct()
+    u.join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("p_partkey")).as("n_matched"),
+        sum(col("p_size")).as("sum_size"))
+  }
+
+  // -- C2: upsert as aggregation over the event log --------------------------
+  val q_upsert_agg: QueryDef = QueryDef(
+    """SELECT event_type AS type, 'u' || CAST(user_id AS VARCHAR) AS identifier,
+      |  min(ts) AS first_seen, max(ts) AS last_seen, count(*) AS n_updates
+      |FROM events GROUP BY type, identifier
+      |ORDER BY type, identifier""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("type"),
+        concat(lit("u"), col("user_id").cast("string")).as("identifier"))
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"),
+        count(lit(1)).as("n_updates"))
+      .orderBy(col("type"), col("identifier"))
+  }
+
+  // -- C2 (merge form): full-outer MERGE of a compacted update batch ---------
+  val q_merge_full: QueryDef = QueryDef(
+    """WITH target AS (
+      |  SELECT event_type AS type, 'u' || CAST(user_id AS VARCHAR) AS identifier,
+      |    min(ts) AS first_seen, max(ts) AS last_seen
+      |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1, 2),
+      |updates AS (
+      |  SELECT event_type AS type, 'u' || CAST(user_id AS VARCHAR) AS identifier,
+      |    max(ts) AS ts
+      |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2)
+      |SELECT coalesce(u.type, t.type) AS type,
+      |  coalesce(u.identifier, t.identifier) AS identifier,
+      |  least(coalesce(t.first_seen, u.ts), coalesce(u.ts, t.first_seen)) AS first_seen,
+      |  greatest(coalesce(t.last_seen, u.ts), coalesce(u.ts, t.last_seen)) AS last_seen
+      |FROM target t FULL OUTER JOIN updates u
+      |  ON t.type = u.type AND t.identifier = u.identifier
+      |ORDER BY type, identifier""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .withColumn("identifier", concat(lit("u"), col("user_id").cast("string")))
+    val target = ev.filter(col("event_id") % 3 =!= 0)
+      .groupBy(col("event_type").as("type"), col("identifier"))
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+    val updates = ev.filter(col("event_id") % 3 === 0)
+      .groupBy(col("event_type").as("type"), col("identifier"))
+      .agg(max("ts").as("ts"))
+    Merge.merge(target, updates, Seq("type", "identifier"), Map(
+      "first_seen" -> ((c: MergeCols) => least(c.existing, c.update)),
+      "last_seen" -> ((c: MergeCols) => greatest(c.existing, c.update))))
+      .select("type", "identifier", "first_seen", "last_seen")
+      .orderBy(col("type"), col("identifier"))
+  }
+
+  // -- C3: team upsert — last-writer name wins -------------------------------
+  val q_team_upsert: QueryDef = QueryDef(
+    """SELECT 'u' || CAST(user_id AS VARCHAR) AS identifier,
+      |  max_by(event_type, event_id) AS name
+      |FROM events GROUP BY identifier ORDER BY identifier""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(concat(lit("u"), col("user_id").cast("string")).as("identifier"))
+      .agg(max_by(col("event_type"), col("event_id")).as("name"))
+      .orderBy(col("identifier"))
+  }
+
+  // -- C4: owns-edge upsert preserving original start_time -------------------
+  val q_edge_upsert_coalesce: QueryDef = QueryDef(
+    """WITH existing AS (
+      |  SELECT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
+      |    'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id, min(ts) AS start_time
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |updates AS (
+      |  SELECT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
+      |    'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id, max(ts) AS new_start
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT u.team_id, u.asset_id,
+      |  coalesce(e.start_time, u.new_start) AS start_time
+      |FROM updates u LEFT JOIN existing e
+      |  ON u.team_id = e.team_id AND u.asset_id = e.asset_id
+      |ORDER BY team_id, asset_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(
+      concat(lit("T"), (col("user_id") % 7).cast("string")).as("team_id"),
+      concat(lit("a"), (col("user_id") % 50).cast("string")).as("asset_id"),
+      col("event_type"), col("ts"))
+    val existing = ev.filter(col("event_type") === "purchase")
+      .groupBy("team_id", "asset_id").agg(min("ts").as("start_time"))
+    val updates = ev.filter(col("event_type") === "signup")
+      .groupBy("team_id", "asset_id").agg(max("ts").as("new_start"))
+    updates.alias("u")
+      .join(existing.alias("e"), Seq("team_id", "asset_id"), "left_outer")
+      .select(col("team_id"), col("asset_id"),
+        coalesce(col("e.start_time"), col("u.new_start")).as("start_time"))
+      .orderBy(col("team_id"), col("asset_id"))
+  }
+
+  // -- C5: parent_of upsert — min(first_seen) / max(last_seen) ---------------
+  val q_parent_upsert: QueryDef = QueryDef(
+    """SELECT 'P' || CAST(user_id % 10 AS VARCHAR) AS parent_id,
+      |  'u' || CAST(user_id AS VARCHAR) AS child_id,
+      |  min(ts) AS first_seen, max(ts) AS last_seen
+      |FROM events GROUP BY 1, 2 ORDER BY parent_id, child_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        concat(lit("P"), (col("user_id") % 10).cast("string")).as("parent_id"),
+        concat(lit("u"), col("user_id").cast("string")).as("child_id"))
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+      .orderBy(col("parent_id"), col("child_id"))
+  }
+
+  // -- C6: duplicate-key detection -------------------------------------------
+  val q_dup_detect: QueryDef = QueryDef(
+    """SELECT o_custkey AS key, count(*) AS cnt FROM orders
+      |GROUP BY o_custkey HAVING count(*) > 1 ORDER BY key""".stripMargin) { (s, dir) =>
+    Merge.duplicateKeys(
+      Tables.orders(s, dir).select(col("o_custkey").as("key")), Seq("key"))
+      .orderBy(col("key"))
+  }
+
+  // -- C7: active-owner quantifier -------------------------------------------
+  val q_active_owner_exists: QueryDef = QueryDef(
+    s"""WITH owns AS (${Synth.ownsSql}),
+       |tb AS (SELECT DISTINCT asset_id, team_id FROM owns WHERE team_id = 'T3')
+       |SELECT tb.asset_id, tb.team_id,
+       |  max(ac.team_id IS NOT NULL) AS other_active
+       |FROM tb LEFT JOIN (SELECT * FROM owns WHERE end_time IS NULL) ac
+       |  ON tb.asset_id = ac.asset_id AND ac.team_id <> tb.team_id
+       |GROUP BY tb.asset_id, tb.team_id
+       |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    val owns = Synth.owns(s, dir)
+    val tb = owns.filter(col("team_id") === "T3").select("asset_id", "team_id").distinct()
+    GraphOps.otherActiveOwnerExists(owns, tb).orderBy(col("asset_id"))
+  }
+
+  // -- C9/C10/C11: 1-hop traversals ------------------------------------------
+  val q_parents_join: QueryDef = QueryDef(
+    s"""${Synth.withAllSql}
+       |SELECT e.parent_id, e.child_id, a.first_seen AS child_first_seen
+       |FROM parent_of e JOIN assets a ON e.child_id = a.id
+       |ORDER BY parent_id, child_id""".stripMargin) { (s, dir) =>
+    GraphOps.parents(Synth.parentOf(s, dir), Synth.assets(s, dir))
+      .select(col("e.parent_id"), col("e.child_id"),
+        col("a.first_seen").as("child_first_seen"))
+      .orderBy(col("parent_id"), col("child_id"))
+  }
+
+  val q_children_join: QueryDef = QueryDef(
+    s"""${Synth.withAllSql}
+       |SELECT e.parent_id, e.child_id, a.last_seen AS parent_last_seen
+       |FROM parent_of e JOIN assets a ON e.parent_id = a.id
+       |ORDER BY parent_id, child_id""".stripMargin) { (s, dir) =>
+    GraphOps.children(Synth.parentOf(s, dir), Synth.assets(s, dir))
+      .select(col("e.parent_id"), col("e.child_id"),
+        col("a.last_seen").as("parent_last_seen"))
+      .orderBy(col("parent_id"), col("child_id"))
+  }
+
+  val q_owners_join: QueryDef = QueryDef(
+    s"""${Synth.withAllSql}
+       |SELECT o.asset_id, o.team_id, t.identifier AS team_identifier,
+       |  o.start_time, o.end_time
+       |FROM owns o JOIN teams t ON o.team_id = t.id
+       |ORDER BY asset_id, team_id""".stripMargin) { (s, dir) =>
+    GraphOps.owners(Synth.owns(s, dir), Synth.teams(s, dir))
+      .select(col("o.asset_id"), col("o.team_id"),
+        col("tm.identifier").as("team_identifier"),
+        col("o.start_time"), col("o.end_time"))
+      .orderBy(col("asset_id"), col("team_id"))
+  }
+
+  // -- C8: cascading expiration — final asset state --------------------------
+  private val cascadeCtes: String =
+    s"""${Synth.withAllSql},
+       |resolved AS (
+       |  SELECT DISTINCT a.id AS asset_id, tm.id AS team_id
+       |  FROM tomb tb
+       |  JOIN assets a ON tb.asset_type = a.type AND tb.asset_identifier = a.identifier
+       |  JOIN teams tm ON tb.team_identifier = tm.identifier),
+       |owns2 AS (
+       |  SELECT o.team_id, o.asset_id, o.start_time,
+       |    CASE WHEN r.asset_id IS NOT NULL THEN ${Synth.NowSql}
+       |         ELSE o.end_time END AS end_time
+       |  FROM owns o LEFT JOIN resolved r
+       |    ON o.team_id = r.team_id AND o.asset_id = r.asset_id),
+       |quant AS (
+       |  SELECT r.asset_id, r.team_id, max(ac.team_id IS NOT NULL) AS other_active
+       |  FROM resolved r LEFT JOIN (SELECT * FROM owns2 WHERE end_time IS NULL) ac
+       |    ON r.asset_id = ac.asset_id AND ac.team_id <> r.team_id
+       |  GROUP BY r.asset_id, r.team_id),
+       |dead AS (SELECT DISTINCT asset_id FROM quant WHERE NOT other_active)""".stripMargin
+
+  val q_expire_cascade: QueryDef = QueryDef(
+    s"""$cascadeCtes
+       |SELECT a.id, a.first_seen,
+       |  CASE WHEN d.asset_id IS NOT NULL THEN ${Synth.NowSql} ELSE a.last_seen END AS last_seen,
+       |  CASE WHEN d.asset_id IS NOT NULL THEN ${Synth.NowSql} ELSE a.expiration END AS expiration
+       |FROM assets a LEFT JOIN dead d ON a.id = d.asset_id
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val st = GraphOps.State(Synth.assets(s, dir), Synth.teams(s, dir),
+      Synth.owns(s, dir), Synth.parentOf(s, dir))
+    val now = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    GraphOps.expireCascade(st, Synth.tombstones(s, dir), now).assets
+      .select("id", "first_seen", "last_seen", "expiration")
+      .orderBy(col("id"))
+  }
+
+  val q_expire_cascade_edges: QueryDef = QueryDef(
+    s"""$cascadeCtes
+       |SELECT e.parent_id, e.child_id, e.first_seen,
+       |  CASE WHEN t.parent_id IS NOT NULL THEN ${Synth.NowSql} ELSE e.last_seen END AS last_seen,
+       |  CASE WHEN t.parent_id IS NOT NULL THEN ${Synth.NowSql} ELSE e.expiration END AS expiration
+       |FROM parent_of e LEFT JOIN (
+       |  SELECT DISTINCT parent_id, child_id FROM parent_of p
+       |  WHERE p.expiration > ${Synth.NowSql}
+       |    AND (p.parent_id IN (SELECT asset_id FROM dead)
+       |      OR p.child_id IN (SELECT asset_id FROM dead))) t
+       |  ON e.parent_id = t.parent_id AND e.child_id = t.child_id
+       |ORDER BY parent_id, child_id""".stripMargin) { (s, dir) =>
+    val st = GraphOps.State(Synth.assets(s, dir), Synth.teams(s, dir),
+      Synth.owns(s, dir), Synth.parentOf(s, dir))
+    val now = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    GraphOps.expireCascade(st, Synth.tombstones(s, dir), now).parentOf
+      .select("parent_id", "child_id", "first_seen", "last_seen", "expiration")
+      .orderBy(col("parent_id"), col("child_id"))
+  }
+
+  // -- A4: sink write + readback ---------------------------------------------
+  val q_sink_snapshot: QueryDef = QueryDef(
+    """SELECT event_type AS type, count(*) AS cnt,
+      |  min(ts) AS first_seen, max(ts) AS last_seen
+      |FROM events GROUP BY type ORDER BY type""".stripMargin) { (s, dir) =>
+    val snap = Tables.events(s, dir)
+      .groupBy(col("event_type").as("type"))
+      .agg(count(lit(1)).as("cnt"), min("ts").as("first_seen"), max("ts").as("last_seen"))
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_snapshot"
+    snap.write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy(col("type"))
+  }
+
+  // -- D1: pagination --------------------------------------------------------
+  val q_pagination: QueryDef = QueryDef(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 100 OFFSET 300""".stripMargin) { (s, dir) =>
+    Temporal.paginate(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq(col("o_orderkey")), page = 3, size = 100)
+  }
+
+  // -- D2: valid-at / as-of filter -------------------------------------------
+  val q_validat_asof: QueryDef = QueryDef(
+    """WITH assets AS (
+      |  SELECT 'a' || CAST(user_id AS VARCHAR) AS id, min(ts) AS first_seen,
+      |    CASE WHEN max(value) < 100 THEN max(ts)
+      |         ELSE TIMESTAMP '9999-12-12 23:59:59' END AS expiration
+      |  FROM events GROUP BY user_id)
+      |SELECT id, first_seen, expiration FROM assets
+      |WHERE first_seen <= TIMESTAMP '2024-03-01 00:00:00'
+      |  AND expiration > TIMESTAMP '2024-03-01 00:00:00'
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val at = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    Tables.events(s, dir)
+      .groupBy(concat(lit("a"), col("user_id").cast("string")).as("id"))
+      .agg(min("ts").as("first_seen"),
+        when(max("value") < 100, max("ts"))
+          .otherwise(lit(graft.schema.Schemas.Unexpired)).as("expiration"))
+      .filter(Temporal.validAt(col("first_seen"), col("expiration"), at))
+      .orderBy(col("id"))
+  }
+
+  // -- D3: last-writer-wins compaction ---------------------------------------
+  val q_lastwriter_window: QueryDef = QueryDef(
+    """SELECT user_id, max_by(event_id, event_id) AS event_id,
+      |  max_by(ts, event_id) AS ts, max_by(event_type, event_id) AS event_type,
+      |  max_by(value, event_id) AS value, max_by(props, event_id) AS props
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Temporal.lastWriterPerKey(Tables.events(s, dir), Seq("user_id"), "event_id")
+      .orderBy(col("user_id"))
+  }
+
+  // -- D4: top-k per group ---------------------------------------------------
+  val q_topk_per_group: QueryDef = QueryDef(
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    Temporal.topKPerGroup(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // -- E6: tumbling window ---------------------------------------------------
+  val q_window_tumbling: QueryDef = QueryDef(
+    """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(dec)).as("total"))
+      .select(col("w.start").as("window_start"), col("cnt"), col("total"))
+      .orderBy(col("window_start"))
+  }
+
+  // -- E6: session window (30-min gap), gaps-and-islands form ----------------
+  val q_session_window: QueryDef = QueryDef(
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, min(ts) AS session_start,
+      |  max(ts) AS session_end, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800, 1).otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q1_agg" -> q1_agg,
+    "q_orders_report" -> q_orders_report,
+    "q_source_scan" -> q_source_scan,
+    "q_meta_extract" -> q_meta_extract,
+    "q_version_gate" -> q_version_gate,
+    "q_json_decode" -> q_json_decode,
+    "q_key_parse" -> q_key_parse,
+    "q_tombstone_split" -> q_tombstone_split,
+    "q_regex_normalize" -> q_regex_normalize,
+    "q_array_explode_filter" -> q_array_explode_filter,
+    "q_time_format" -> q_time_format,
+    "q_rolfp_parse" -> q_rolfp_parse,
+    "q_lookup_join" -> q_lookup_join,
+    "q_upsert_agg" -> q_upsert_agg,
+    "q_merge_full" -> q_merge_full,
+    "q_team_upsert" -> q_team_upsert,
+    "q_edge_upsert_coalesce" -> q_edge_upsert_coalesce,
+    "q_parent_upsert" -> q_parent_upsert,
+    "q_dup_detect" -> q_dup_detect,
+    "q_active_owner_exists" -> q_active_owner_exists,
+    "q_parents_join" -> q_parents_join,
+    "q_children_join" -> q_children_join,
+    "q_owners_join" -> q_owners_join,
+    "q_expire_cascade" -> q_expire_cascade,
+    "q_expire_cascade_edges" -> q_expire_cascade_edges,
+    "q_sink_snapshot" -> q_sink_snapshot,
+    "q_pagination" -> q_pagination,
+    "q_validat_asof" -> q_validat_asof,
+    "q_lastwriter_window" -> q_lastwriter_window,
+    "q_topk_per_group" -> q_topk_per_group,
+    "q_window_tumbling" -> q_window_tumbling,
+    "q_session_window" -> q_session_window)
+}

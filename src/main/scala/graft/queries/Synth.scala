@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic graph-snapshot tables synthesized from the `events`
+  * testdata table, used by the graph/state operator queries
+  * (SURVEY.md §2.C) and their DuckDB oracles.
+  *
+  * Spark builders and SQL CTE snippets are defined SIDE BY SIDE and must
+  * stay semantically identical — the oracle hash-compare depends on it.
+  *
+  * Mapping: user → asset ('a<user_id%50>'), team ('T<user_id%7>');
+  * an owns edge is ended iff the (team, asset) group's max event value
+  * < 100; parent edges link 'a<user_id%10>' → 'a<user_id%50>';
+  * `error` events act as tombstones.
+  */
+object Synth {
+
+  val UnexpiredSql = "TIMESTAMP '9999-12-12 23:59:59'"
+  val NowSql = "TIMESTAMP '2024-06-01 00:00:00'"
+
+  // --- SQL CTE bodies (DuckDB) -------------------------------------------
+
+  val assetsSql: String =
+    """SELECT 'a' || CAST(user_id % 50 AS VARCHAR) AS id, 'T' AS type,
+      |  'a' || CAST(user_id % 50 AS VARCHAR) AS identifier,
+      |  min(ts) AS first_seen, max(ts) AS last_seen,
+      |  TIMESTAMP '9999-12-12 23:59:59' AS expiration
+      |FROM events GROUP BY user_id % 50""".stripMargin
+
+  val teamsSql: String =
+    """SELECT DISTINCT 'T' || CAST(user_id % 7 AS VARCHAR) AS id,
+      |  'T' || CAST(user_id % 7 AS VARCHAR) AS identifier
+      |FROM events""".stripMargin
+
+  val ownsSql: String =
+    """SELECT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
+      |  'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id,
+      |  min(ts) AS start_time,
+      |  CASE WHEN max(value) < 100 THEN max(ts) END AS end_time
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val parentOfSql: String =
+    """SELECT 'a' || CAST(user_id % 10 AS VARCHAR) AS parent_id,
+      |  'a' || CAST(user_id % 50 AS VARCHAR) AS child_id,
+      |  min(ts) AS first_seen, max(ts) AS last_seen,
+      |  TIMESTAMP '9999-12-12 23:59:59' AS expiration
+      |FROM events WHERE user_id % 10 <> user_id % 50 GROUP BY 1, 2""".stripMargin
+
+  val tombSql: String =
+    """SELECT DISTINCT 'T' AS asset_type,
+      |  'a' || CAST(user_id % 50 AS VARCHAR) AS asset_identifier,
+      |  'T' || CAST(user_id % 7 AS VARCHAR) AS team_identifier
+      |FROM events WHERE event_type = 'error'""".stripMargin
+
+  /** WITH-clause prelude declaring all five synthesized tables. */
+  val withAllSql: String =
+    s"""WITH assets AS ($assetsSql),
+       |teams AS ($teamsSql),
+       |owns AS ($ownsSql),
+       |parent_of AS ($parentOfSql),
+       |tomb AS ($tombSql)""".stripMargin
+
+  // --- Spark builders (must mirror the SQL above) --------------------------
+
+  private def aId = concat(lit("a"), (col("user_id") % 50).cast("string"))
+  private def tId = concat(lit("T"), (col("user_id") % 7).cast("string"))
+
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 50).as("k"))
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+      .select(
+        concat(lit("a"), col("k").cast("string")).as("id"),
+        lit("T").as("type"),
+        concat(lit("a"), col("k").cast("string")).as("identifier"),
+        col("first_seen"), col("last_seen"),
+        lit(graft.schema.Schemas.Unexpired).as("expiration"))
+
+  def teams(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(tId.as("id"), tId.as("identifier"))
+      .distinct()
+
+  def owns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(tId.as("team_id"), aId.as("asset_id"))
+      .agg(min("ts").as("start_time"),
+        when(max("value") < 100, max("ts")).as("end_time"))
+
+  def parentOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 10 =!= col("user_id") % 50)
+      .groupBy(
+        concat(lit("a"), (col("user_id") % 10).cast("string")).as("parent_id"),
+        aId.as("child_id"))
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+      .withColumn("expiration", lit(graft.schema.Schemas.Unexpired))
+
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(lit("T").as("asset_type"), aId.as("asset_identifier"),
+        tId.as("team_identifier"))
+      .distinct()
+}

@@ -1,0 +1,69 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordering operators (SURVEY.md §2.D). */
+object Temporal {
+
+  /** D1 — pagination. The reference exposes page/size on every list
+    * endpoint (inventory/inventory.go:117-120); size == 0 disables.
+    *
+    * Implemented with row_number over a total order — unlike LIMIT/OFFSET
+    * this form pushes a single window sort and works for arbitrary pages
+    * without re-scanning (the classic deep-offset trap).
+    * `orderCols` must be a total order (include a unique key) for
+    * deterministic pages.
+    */
+  def paginate(df: DataFrame, orderCols: Seq[Column], page: Int, size: Int): DataFrame = {
+    if (size == 0) df.orderBy(orderCols: _*)
+    else {
+      val w = Window.orderBy(orderCols: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > page.toLong * size && col("__rn") <= (page.toLong + 1) * size)
+        .drop("__rn")
+    }
+  }
+
+  /** D2 — valid-at (as-of) temporal predicate: alive at instant `at`.
+    * Reference: inventory/inventory.go:173-193 (`valid_at` query param);
+    * semantics proven by inventory_test.go:291-298 (first_seen <= T <
+    * expiration).
+    */
+  def validAt(first_seen: Column, expiration: Column, at: Column): Column =
+    first_seen <= at && expiration > at
+
+  /** D3 — per-key last-writer-wins compaction of an event batch: keep each
+    * key's latest event by `seq` (Kafka offset). Recovers the per-partition
+    * ordering guarantee the reference relies on (stream/kafka/kafka.go:76)
+    * inside a set-oriented micro-batch.
+    *
+    * Uses max_by-style aggregation (single shuffle, partial aggregation
+    * map-side) rather than a window sort — cheaper at scale.
+    */
+  def lastWriterPerKey(df: DataFrame, key: Seq[String], seq: String): DataFrame = {
+    val payload = struct(df.columns.filterNot(key.contains).map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(max_by(payload, col(seq)).as("__last"))
+      .select(key.map(col) ++
+        df.columns.filterNot(key.contains).map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** D3 variant — per-key sequence numbers (1-based, by `seq` ascending),
+    * used to split a batch into single-event-per-key epochs for faithful
+    * sequential replay.
+    */
+  def withPerKeySeq(df: DataFrame, key: Seq[String], seq: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(seq))
+    df.withColumn("__epoch", row_number().over(w))
+  }
+
+  /** D4 — top-k per group, e.g. "latest N assets per team".
+    * `order` must totally order rows within a group for determinism.
+    */
+  def topKPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}
