@@ -18,13 +18,19 @@ import graft.temporal.Temporal
 object CoreQueries {
 
   private val dec = DecimalType(18, 2)
+  // Aggregate outputs are cast to ONE explicit decimal type on BOTH the
+  // Spark and DuckDB side: Spark widens sum(DECIMAL(18,2)) to (28,2) while
+  // DuckDB widens to (38,2), which hash-mismatches even when every value is
+  // identical (VERDICT r1 #3).
+  private val sumDec = DecimalType(38, 2)
+  private val mulDec = DecimalType(38, 4)
 
   // -- headline aggregation (bench): TPC-H Q1 shape -------------------------
   val q1_agg: QueryDef = QueryDef(
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -33,9 +39,9 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("sum_disc_price"),
+        sum(col("l_quantity").cast(dec)).cast(sumDec).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(sumDec).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).cast(mulDec).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -43,7 +49,7 @@ object CoreQueries {
   // -- headline join report (bench): 3-way join + agg -----------------------
   val q_orders_report: QueryDef = QueryDef(
     """SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -57,7 +63,7 @@ object CoreQueries {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
       .agg(
-        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("revenue"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).cast(mulDec).as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("n_name"), col("ym"))
   }
@@ -219,7 +225,7 @@ object CoreQueries {
   // -- C1: point-lookup as left outer equi-join ------------------------------
   val q_lookup_join: QueryDef = QueryDef(
     """SELECT count(*) AS n, count(p.p_partkey) AS n_matched,
-      |  sum(p.p_size) AS sum_size
+      |  CAST(sum(p.p_size) AS BIGINT) AS sum_size
       |FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey % 100 = 0) u
       |LEFT JOIN part p ON u.l_partkey = p.p_partkey""".stripMargin) { (s, dir) =>
     val u = Tables.lineitem(s, dir)
@@ -266,9 +272,14 @@ object CoreQueries {
     val target = ev.filter(col("event_id") % 3 =!= 0)
       .groupBy(col("event_type").as("type"), col("identifier"))
       .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
+    // the update batch must present its values under the TARGET column
+    // names — Merge resolves per target column, and an absent update
+    // column reads as null (target always wins).
     val updates = ev.filter(col("event_id") % 3 === 0)
       .groupBy(col("event_type").as("type"), col("identifier"))
       .agg(max("ts").as("ts"))
+      .select(col("type"), col("identifier"),
+        col("ts").as("first_seen"), col("ts").as("last_seen"))
     Merge.merge(target, updates, Seq("type", "identifier"), Map(
       "first_seen" -> ((c: MergeCols) => least(c.existing, c.update)),
       "last_seen" -> ((c: MergeCols) => greatest(c.existing, c.update))))
@@ -301,7 +312,7 @@ object CoreQueries {
       |  coalesce(e.start_time, u.new_start) AS start_time
       |FROM updates u LEFT JOIN existing e
       |  ON u.team_id = e.team_id AND u.asset_id = e.asset_id
-      |ORDER BY team_id, asset_id""".stripMargin) { (s, dir) =>
+      |ORDER BY u.team_id, u.asset_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir).select(
       concat(lit("T"), (col("user_id") % 7).cast("string")).as("team_id"),
       concat(lit("a"), (col("user_id") % 50).cast("string")).as("asset_id"),
@@ -349,7 +360,7 @@ object CoreQueries {
        |FROM tb LEFT JOIN (SELECT * FROM owns WHERE end_time IS NULL) ac
        |  ON tb.asset_id = ac.asset_id AND ac.team_id <> tb.team_id
        |GROUP BY tb.asset_id, tb.team_id
-       |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+       |ORDER BY tb.asset_id""".stripMargin) { (s, dir) =>
     val owns = Synth.owns(s, dir)
     val tb = owns.filter(col("team_id") === "T3").select("asset_id", "team_id").distinct()
     GraphOps.otherActiveOwnerExists(owns, tb).orderBy(col("asset_id"))
@@ -438,7 +449,7 @@ object CoreQueries {
        |    AND (p.parent_id IN (SELECT asset_id FROM dead)
        |      OR p.child_id IN (SELECT asset_id FROM dead))) t
        |  ON e.parent_id = t.parent_id AND e.child_id = t.child_id
-       |ORDER BY parent_id, child_id""".stripMargin) { (s, dir) =>
+       |ORDER BY e.parent_id, e.child_id""".stripMargin) { (s, dir) =>
     val st = GraphOps.State(Synth.assets(s, dir), Synth.teams(s, dir),
       Synth.owns(s, dir), Synth.parentOf(s, dir))
     val now = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
@@ -537,8 +548,8 @@ object CoreQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, min(ts) AS session_start,
       |  max(ts) AS session_end, count(*) AS n_events
