@@ -46,22 +46,36 @@ object Decode {
 
   // --- B3: JSON payload decode (reference: vulcan/vulcan.go:104-107) -------
 
-  /** Decode the JSON payload with the fixed schema. Malformed JSON yields a
-    * null struct; `strict` mode callers assert the quarantine set is empty
-    * (the reference halts the stream — SURVEY.md §7.4).
+  /** Decode the JSON payload with the fixed schema. PERMISSIVE from_json
+    * yields an all-null struct (NOT a null struct) for malformed JSON, so
+    * malformed-ness is detected via a corrupt-record field in one parse:
+    * `json_ok` is false iff the value was present but unparseable. `strict`
+    * mode callers assert the quarantine set is empty (the reference halts
+    * the stream — SURVEY.md §7.4).
     */
+  private val corruptField = "_corrupt_record"
+  private val payloadSchemaWithCorrupt =
+    Schemas.assetPayloadSchema.add(corruptField, org.apache.spark.sql.types.StringType)
+
   def withPayload(env: DataFrame): DataFrame =
-    env.withColumn("payload", from_json(col("value"), Schemas.assetPayloadSchema))
+    env
+      .withColumn("payload", from_json(col("value"), payloadSchemaWithCorrupt,
+        Map("columnNameOfCorruptRecord" -> corruptField)))
+      .withColumn("json_ok",
+        col("value").isNull || col("payload").getField(corruptField).isNull)
 
   // --- B4: message-key parse (reference: vulcan/vulcan.go:127-133) ---------
 
-  /** `"<teamID>/<assetID>"` → (team_id, asset_id); exactly two segments. */
+  /** `"<teamID>/<assetID>"` → (team_id, asset_id); exactly two segments.
+    * `get()` (not `getItem`) tolerates short arrays under ANSI mode —
+    * `getItem(1)` on a slash-less key throws INVALID_ARRAY_INDEX.
+    */
   def withParsedKey(env: DataFrame): DataFrame = {
     val parts = split(col("key"), "/")
     env
       .withColumn("key_valid", size(parts) === 2)
-      .withColumn("team_id", parts.getItem(0))
-      .withColumn("asset_id", parts.getItem(1))
+      .withColumn("team_id", get(parts, lit(0)))
+      .withColumn("asset_id", get(parts, lit(1)))
   }
 
   // --- B5: tombstone branch (reference: vulcan/vulcan.go:99-119) -----------
@@ -79,6 +93,6 @@ object Decode {
     staged.withColumn(
       "valid",
       metadataComplete && supportedVersion(col("version")) && col("key_valid") &&
-        (col("is_nil") || col("payload").isNotNull))
+        (col("is_nil") || col("json_ok")))
   }
 }

@@ -74,9 +74,12 @@ object GraphOps {
     *     both directions — gets first_seen kept, last_seen = expiration =
     *     now; edges with expiration <= now are skipped (main.go:338-340).
     *
-    * @param tombstones (asset_type, asset_identifier, team_identifier)
+    * @param tombstones (asset_type, asset_identifier, team_identifier, ts)
+    *                   — `ts` is each tombstone's processing time (the
+    *                   set-at-a-time analog of the reference's per-event
+    *                   `time.Now()`)
     */
-  def expireCascade(st: State, tombstones: DataFrame, now: Column): State = {
+  def expireCascade(st: State, tombstones: DataFrame): State = {
     // 1. resolve asset + team; drop no-ops
     val resolved = tombstones.alias("tb")
       .join(st.assets.alias("a"),
@@ -84,47 +87,66 @@ object GraphOps {
           col("tb.asset_identifier") === col("a.identifier"), "inner")
       .join(st.teams.alias("tm"),
         col("tb.team_identifier") === col("tm.identifier"), "inner")
-      .select(col("a.id").as("asset_id"), col("tm.id").as("team_id"))
-      .distinct()
+      .select(col("a.id").as("asset_id"), col("tm.id").as("team_id"), col("tb.ts").as("ts"))
+      .groupBy(col("asset_id"), col("team_id"))
+      .agg(max("ts").as("ts"))
 
-    // 2. expire this team's owns edges
-    val owns2 = Upserts.expireOwns(st.owns, resolved, now)
+    // 2. expire this team's owns edges (update-only; end_time = that
+    //    tombstone's ts)
+    val owns2 = Upserts.expireOwns(st.owns, resolved)
 
     // 3. quantifier over the POST-update owns state
-    val quant = otherActiveOwnerExists(owns2, resolved)
+    val quant = otherActiveOwnerExists(owns2, resolved.select("asset_id", "team_id"))
 
-    // 4. expire assets with no other active owner
-    val deadAssets = quant.filter(!col("other_active")).select("asset_id").distinct()
-    val assets2 = Merge.merge(
+    // 4. expire assets with no other active owner. Death time = the LAST
+    //    tombstone's ts for that asset (sequentially, the earlier ones
+    //    left another owner active).
+    val deadAssets = quant.filter(!col("other_active"))
+      .join(resolved, Seq("asset_id", "team_id"))
+      .groupBy(col("asset_id"))
+      .agg(max("ts").as("death_ts"))
+    // update-only: dead assets always resolve to existing rows, and an
+    // accidental insert would create a phantom vertex
+    val assets2 = Merge.mergeUpdateOnly(
       st.assets,
-      deadAssets.withColumnRenamed("asset_id", "id"),
+      deadAssets.select(col("asset_id").as("id"),
+        col("death_ts").as("last_seen"), col("death_ts").as("expiration")),
       Seq("id"),
       Map(
-        "last_seen" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
-        "expiration" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
+        "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
+        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
         "type" -> ((c: MergeCols) => c.existing),
         "identifier" -> ((c: MergeCols) => c.existing),
         "first_seen" -> ((c: MergeCols) => c.existing)))
 
-    // 5. expire surviving parent_of edges in BOTH directions, skipping
-    //    already-expired edges (expiration <= now)
-    // Two equi-semi-joins unioned instead of one OR-join: an OR predicate
-    // would force a nested-loop join; two hash semi-joins stay shuffle/
+    // 5. expire not-yet-expired parent_of edges in BOTH directions,
+    //    skipping edges with expiration <= the death time (main.go:338-340).
+    //    Sequentially the FIRST death touching an edge expires it; a later
+    //    death sees expiration <= now and skips → min(death_ts) wins.
+    // Two equi-joins unioned instead of one OR-join: an OR predicate
+    // would force a nested-loop join; two hash joins stay shuffle/
     // broadcast hash joins at any scale.
-    val deadIds = deadAssets.withColumnRenamed("asset_id", "dead_id")
-    val live = st.parentOf.filter(col("expiration") > now)
-    val asParent = live.join(deadIds, live("parent_id") === deadIds("dead_id"), "left_semi")
-    val asChild = live.join(deadIds, live("child_id") === deadIds("dead_id"), "left_semi")
+    val asParent = st.parentOf.alias("e")
+      .join(deadAssets.alias("d"), col("e.parent_id") === col("d.asset_id"))
+    val asChild = st.parentOf.alias("e")
+      .join(deadAssets.alias("d"), col("e.child_id") === col("d.asset_id"))
     val touched = asParent.unionByName(asChild)
-      .select("parent_id", "child_id")
-      .distinct()
-      .withColumn("__expire", lit(true))
-    val parentOf2 = Merge.merge(st.parentOf, touched, Seq("parent_id", "child_id"), Map(
-      "last_seen" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
-      "expiration" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing)),
-      "id" -> ((c: MergeCols) => c.existing),
-      "first_seen" -> ((c: MergeCols) => c.existing)))
+      .filter(col("e.expiration") > col("d.death_ts"))
+      .groupBy(col("e.parent_id").as("parent_id"), col("e.child_id").as("child_id"))
+      .agg(min(col("d.death_ts")).as("exp_ts"))
+    val parentOf2 = Merge.mergeUpdateOnly(st.parentOf,
+      touched.select(col("parent_id"), col("child_id"),
+        col("exp_ts").as("last_seen"), col("exp_ts").as("expiration")),
+      Seq("parent_id", "child_id"), Map(
+        "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
+        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
+        "id" -> ((c: MergeCols) => c.existing),
+        "first_seen" -> ((c: MergeCols) => c.existing)))
 
     State(assets2, st.teams, owns2, parentOf2)
   }
+
+  /** Back-compat form: every tombstone processed at one instant `now`. */
+  def expireCascade(st: State, tombstones: DataFrame, now: Column): State =
+    expireCascade(st, tombstones.withColumn("ts", now))
 }

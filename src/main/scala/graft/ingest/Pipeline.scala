@@ -7,7 +7,7 @@ import graft.graph.GraphOps
 import graft.graph.GraphOps.State
 import graft.normalize.Normalize
 import graft.schema.Schemas
-import graft.state.Upserts
+import graft.state.{Merge, Upserts}
 import graft.temporal.Temporal
 
 /** The full ingestion pipeline: envelope log → temporal-property-graph
@@ -17,11 +17,17 @@ import graft.temporal.Temporal
   * (cmd/graph-vulcan-assets/main.go:19-20, §3.1) with per-micro-batch
   * joins + merges: the whole batch becomes ~4 MERGEs regardless of size.
   *
-  * Sequencing: the reference relies on Kafka per-partition order. A batch
-  * is split into per-key "epochs" (row_number over offset per key) and
-  * epochs are applied in order — within an epoch each key appears at most
-  * once, so set-at-a-time application is order-faithful
-  * (tombstone → re-create sequences replay correctly; SURVEY.md §7.4).
+  * Sequencing: the reference relies on Kafka per-partition order. Only the
+  * order AROUND TOMBSTONES is state-relevant — a run of refreshes for one
+  * key folds into a single aggregated upsert — so a batch is split into
+  * tombstone-segment epochs ([[Temporal.withSegmentEpoch]]): epoch count is
+  * 2 * max-tombstones-per-key + 1, O(1) for realistic streams regardless
+  * of per-key event skew (the round-1 design ran one epoch per EVENT —
+  * a 10k-event hot key meant 10k sequential Spark jobs).
+  *
+  * Processing time: the reference stamps `time.Now()` per event; replay
+  * stamps each event `baseEpochSecs + offset` seconds — deterministic and
+  * strictly increasing in input order.
   */
 object Pipeline {
 
@@ -36,16 +42,20 @@ object Pipeline {
     owns = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.ownsSchema),
     parentOf = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.parentOfSchema))
 
-  /** Refresh path (reference: main.go:116-141) for a deduplicated batch of
-    * non-tombstone decoded events. One upsert per snapshot table.
+  /** Refresh path (reference: main.go:116-141) for a batch of decoded
+    * non-tombstone events carrying per-event `proc_ts` + `offset`. The
+    * batch may hold MANY events per key (one tombstone-free segment);
+    * upsert inputs are aggregated per merge key, so state application
+    * stays one MERGE per table.
     */
-  def refresh(st: State, batch: DataFrame, now: Column, cfg: Config): State = {
+  def refresh(st: State, batch: DataFrame, cfg: Config): State = {
     val b = batch.select(
       col("payload.AssetType").as("type"),
       col("payload.Identifier").as("identifier"),
       col("payload.Team.Id").as("team_identifier"),
       col("payload.Team.Name").as("team_name"),
       col("payload.Annotations").as("annotations"),
+      col("proc_ts"),
       col("offset"))
 
     // AWS-account parents derived from matching annotations
@@ -53,31 +63,36 @@ object Pipeline {
     val aws = Normalize.matchingAnnotations(b, "annotations", cfg.awsAccountAnnotationKey)
       .withColumn("aws_arn", Normalize.normalizeAwsAccountId(col("annotation_value")))
       .filter(col("aws_arn").isNotNull)
-      .select(col("type"), col("identifier"), col("aws_arn"))
+      .select(col("type"), col("identifier"), col("aws_arn"), col("proc_ts"))
 
-    val assetUpdates = b.select(col("type"), col("identifier"))
-      .unionByName(aws.select(lit("AWSAccount").as("type"), col("aws_arn").as("identifier")))
-      .distinct()
-      .withColumn("ts", now)
+    val assetUpdates = b.select(col("type"), col("identifier"), col("proc_ts"))
+      .unionByName(aws.select(lit("AWSAccount").as("type"),
+        col("aws_arn").as("identifier"), col("proc_ts")))
+      .groupBy(col("type"), col("identifier"))
+      .agg(min("proc_ts").as("first_seen"), max("proc_ts").as("last_seen"))
       .withColumn("expiration", lit(Schemas.Unexpired))
 
-    // several keys may carry the same team in one epoch — last writer
+    // several events may carry the same team in one epoch — last writer
     // (by offset) provides the name, like sequential processing would
     val teamUpdates = b.groupBy(col("team_identifier").as("identifier"))
       .agg(max_by(col("team_name"), col("offset")).as("name"))
 
+    // owns start_time = first event of that (team, asset) pair in this
+    // segment; upsertOwns preserves an older existing start anyway
     val ownsUpdates = b.select(
         col("team_identifier").as("team_id"),
-        Upserts.assetId(col("type"), col("identifier")).as("asset_id"))
-      .distinct()
-      .withColumn("start_time", now)
+        Upserts.assetId(col("type"), col("identifier")).as("asset_id"),
+        col("proc_ts"))
+      .groupBy(col("team_id"), col("asset_id"))
+      .agg(min("proc_ts").as("start_time"))
       .withColumn("end_time", lit(null).cast("timestamp"))
 
     val parentUpdates = aws.select(
         concat(lit("AWSAccount/"), col("aws_arn")).as("parent_id"),
-        Upserts.assetId(col("type"), col("identifier")).as("child_id"))
-      .distinct()
-      .withColumn("ts", now)
+        Upserts.assetId(col("type"), col("identifier")).as("child_id"),
+        col("proc_ts"))
+      .groupBy(col("parent_id"), col("child_id"))
+      .agg(min("proc_ts").as("first_seen"), max("proc_ts").as("last_seen"))
       .withColumn("expiration", lit(Schemas.Unexpired))
 
     State(
@@ -87,29 +102,49 @@ object Pipeline {
       parentOf = Upserts.upsertParentOf(st.parentOf, parentUpdates))
   }
 
-  /** Expire path (reference: main.go:270-364) for a batch of tombstones. */
-  def expire(st: State, tombstones: DataFrame, now: Column): State = {
+  /** Expire path (reference: main.go:270-364) for a batch of tombstones
+    * carrying per-event `proc_ts`.
+    */
+  def expire(st: State, tombstones: DataFrame): State = {
     val tb = tombstones.select(
       col("asset_type"),
       col("identifier").as("asset_identifier"),
-      col("team_id").as("team_identifier"))
-    GraphOps.expireCascade(st, tb, now)
+      col("team_id").as("team_identifier"),
+      col("proc_ts").as("ts"))
+    GraphOps.expireCascade(st, tb)
   }
 
-  /** Apply one epoch (each key at most once): refreshes first, then the
-    * expire cascade over the post-refresh state.
+  /** Apply one epoch: refreshes first, then the expire cascade over the
+    * post-refresh state. (Segment epochs are refresh-only or
+    * tombstone-only, but mixed batches — e.g. a whole micro-batch with no
+    * per-key conflicts — work too.)
     */
-  def applyEpoch(st: State, epoch: DataFrame, now: Column, cfg: Config): State = {
-    val refreshed = refresh(st, epoch.filter(!col("is_nil")), now, cfg)
-    expire(refreshed, epoch.filter(col("is_nil")), now)
+  def applyEpoch(st: State, epoch: DataFrame, cfg: Config): State = {
+    val refreshed = refresh(st, epoch.filter(!col("is_nil")), cfg)
+    expire(refreshed, epoch.filter(col("is_nil")))
+  }
+
+  /** C6 duplicate-key guard (reference hard-errors on >1 lookup match,
+    * main.go:151-166, 280-282): assert the snapshot tables hold at most
+    * one row per natural key.
+    */
+  def assertNoDuplicates(st: State): Unit = {
+    def check(df: DataFrame, keys: Seq[String], what: String): Unit = {
+      val dups = Merge.duplicateKeys(df, keys).limit(1).collect()
+      require(dups.isEmpty, s"duplicate $what key: ${dups.mkString(",")}")
+    }
+    check(st.assets, Seq("type", "identifier"), "asset")
+    check(st.teams, Seq("identifier"), "team")
+    check(st.owns, Seq("team_id", "asset_id"), "owns")
+    check(st.parentOf, Seq("parent_id", "child_id"), "parent_of")
   }
 
   /** Batch replay: decode an envelope log (with an `offset` column giving
     * total input order) and fold it into snapshot state.
     *
-    * @param baseEpochSecs processing-time stamp of epoch 1; each later
-    *        epoch advances by one second (the set-at-a-time analog of the
-    *        reference's per-event `time.Now()`).
+    * @param baseEpochSecs processing-time base; event at `offset` o is
+    *        stamped baseEpochSecs + o seconds (the deterministic analog of
+    *        the reference's per-event `time.Now()`).
     */
   def replay(
       spark: SparkSession,
@@ -121,7 +156,9 @@ object Pipeline {
       val bad = decoded.filter(!col("valid")).count()
       require(bad == 0, s"strict mode: $bad undecodable/unsupported messages")
     }
-    val events = Temporal.withPerKeySeq(decoded.filter(col("valid")), Seq("key"), "offset")
+    val events = Temporal.withSegmentEpoch(
+        decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
+      .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
       .persist()
     try {
       val maxEpoch = events.agg(max(col("__epoch"))).collect()(0)
@@ -129,8 +166,7 @@ object Pipeline {
       var st = emptyState(spark)
       var e = 1
       while (e <= maxEpoch) {
-        val now = to_timestamp(lit(baseEpochSecs + e - 1))
-        st = applyEpoch(st, events.filter(col("__epoch") === e), now, cfg)
+        st = applyEpoch(st, events.filter(col("__epoch") === e), cfg)
         // truncate lineage: each epoch's state feeds the next
         st = State(
           st.assets.localCheckpoint(true),
@@ -139,6 +175,7 @@ object Pipeline {
           st.parentOf.localCheckpoint(true))
         e += 1
       }
+      if (cfg.strict) assertNoDuplicates(st)
       st
     } finally events.unpersist()
   }

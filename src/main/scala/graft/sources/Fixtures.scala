@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.schema.Schemas
+
+/** A3 — fixture-driven mock source (reference:
+  * stream/streamtest/streamtest.go:14-82): a JSON-array file of stream
+  * envelopes replayable through the batch pipeline or a MemoryStream.
+  *
+  * Each fixture record carries an explicit `offset` (total input order) —
+  * the batch analog of a Kafka partition offset; file order is NOT relied
+  * on (a multi-partition read would not preserve it).
+  */
+object Fixtures {
+
+  /** Envelope + explicit offset. */
+  val fixtureSchema: StructType = StructType(
+    StructField("offset", LongType) +: Schemas.envelopeSchema.fields.toSeq)
+
+  /** Load a JSON-array fixture file with the fixed envelope schema (never
+    * inferred — mirrors the reference's compile-time fixture schema).
+    */
+  def loadJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(fixtureSchema).option("multiLine", "true").json(path)
+}

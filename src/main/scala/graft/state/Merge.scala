@@ -34,12 +34,20 @@ object Merge {
     * @param resolve per non-key output column name, the resolution
     *                expression. Defaults (when absent from the map):
     *                matched → keep existing; not matched → take update.
+    * @param insertUnmatched when true (default), update rows with no
+    *                matching target row are INSERTED; when false the merge
+    *                is update-only — unmatched update rows are dropped
+    *                (e.g. expiring an edge that doesn't exist is a no-op,
+    *                reference main.go:306-317). Update-only uses a LEFT
+    *                OUTER join (cheaper than full-outer: the updates side
+    *                never expands the output).
     */
   def merge(
       target: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
-      resolve: Map[String, MergeCols => Column] = Map.empty): DataFrame = {
+      resolve: Map[String, MergeCols => Column] = Map.empty,
+      insertUnmatched: Boolean = true): DataFrame = {
     val t = target.alias("t")
     val u = updates.alias("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
@@ -47,7 +55,9 @@ object Merge {
     // payload columns are null → join on a non-null marker column.
     val tm = t.withColumn("__t_present", lit(true)).alias("t")
     val um = u.withColumn("__u_present", lit(true)).alias("u")
-    val joined = tm.join(um, cond, "full_outer")
+    val joined =
+      if (insertUnmatched) tm.join(um, cond, "full_outer")
+      else tm.join(um, cond, "left_outer")
     val matched = col("t.__t_present").isNotNull && col("u.__u_present").isNotNull
     val updateOnly = col("t.__t_present").isNull
 
@@ -63,6 +73,14 @@ object Merge {
     }
     joined.select(keyCols ++ otherCols: _*)
   }
+
+  /** Update-only MERGE: unmatched update rows are silently dropped. */
+  def mergeUpdateOnly(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      resolve: Map[String, MergeCols => Column] = Map.empty): DataFrame =
+    merge(target, updates, keys, resolve, insertUnmatched = false)
 
   /** C6 duplicate-key guard: keys appearing more than once in `df`.
     * The reference hard-errors on >1 match (main.go:151-166); callers

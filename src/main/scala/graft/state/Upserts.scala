@@ -20,16 +20,15 @@ object Upserts {
 
   /** C2 — asset upsert (reference: main.go:145-167, inventory_test.go:376-425).
     *
-    * `updates`: (type, identifier, ts TIMESTAMP, expiration TIMESTAMP),
-    * unique per (type, identifier).
+    * `updates`: (type, identifier, first_seen, last_seen, expiration),
+    * unique per (type, identifier) — callers applying a multi-event batch
+    * pre-aggregate min/max event times per key.
     * Matched: first_seen kept (min), last_seen advanced (max), expiration
-    * replaced. Not matched: insert with first_seen = last_seen = ts.
+    * replaced. Not matched: insert as given.
     */
   def upsertAssets(assets: DataFrame, updates: DataFrame): DataFrame = {
     val u = updates
       .withColumn("id", assetId(col("type"), col("identifier")))
-      .withColumn("first_seen", col("ts"))
-      .withColumn("last_seen", col("ts"))
       .select("id", "type", "identifier", "first_seen", "last_seen", "expiration")
     Merge.merge(assets, u, Seq("type", "identifier"), Map(
       "id" -> ((c: MergeCols) => coalesce(c.existing, c.update)),
@@ -70,27 +69,41 @@ object Upserts {
         when(c.matched, c.update).otherwise(coalesce(c.existing, c.update)))))
   }
 
-  /** Expire a set of owns edges: end_time := now, start_time preserved
-    * (reference: main.go:306-317). `toExpire`: (team_id, asset_id).
+  /** Expire a set of owns edges: end_time := per-row expire time,
+    * start_time preserved (reference: main.go:306-317).
+    * `toExpire`: (team_id, asset_id, ts) — ts is that tombstone's
+    * processing time.
+    *
+    * UPDATE-ONLY: a tombstone whose (team, asset) owns edge doesn't exist
+    * must be a no-op — the reference only iterates EXISTING owner edges
+    * (main.go:306-317). An insert here would create a phantom row with
+    * null start/end_time, i.e. a phantom ACTIVE edge that flips the C7
+    * quantifier and wrongly keeps the asset alive.
     */
-  def expireOwns(owns: DataFrame, toExpire: DataFrame, now: Column): DataFrame = {
-    val u = toExpire.select("team_id", "asset_id").withColumn("__expire", lit(true))
-    Merge.merge(owns, u, Seq("team_id", "asset_id"), Map(
-      "end_time" -> ((c: MergeCols) => when(c.matched, now).otherwise(c.existing))))
+  def expireOwns(owns: DataFrame, toExpire: DataFrame): DataFrame = {
+    val u = toExpire.select(col("team_id"), col("asset_id"),
+      col("ts").as("end_time"))
+    Merge.mergeUpdateOnly(owns, u, Seq("team_id", "asset_id"), Map(
+      "end_time" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing))))
   }
+
+  /** Back-compat form: expire all `toExpire` (team_id, asset_id) edges at
+    * one instant.
+    */
+  def expireOwns(owns: DataFrame, toExpire: DataFrame, now: Column): DataFrame =
+    expireOwns(owns, toExpire.withColumn("ts", now))
 
   /** C5 — parent_of edge upsert: first_seen kept / last_seen advanced,
     * expiration replaced (reference: main.go:223-243, inventory.go:528-570,
     * inventory_test.go:578-647).
     *
-    * `updates`: (parent_id, child_id, ts, expiration) unique per
-    * (parent_id, child_id).
+    * `updates`: (parent_id, child_id, first_seen, last_seen, expiration)
+    * unique per (parent_id, child_id) — pre-aggregated like
+    * [[upsertAssets]].
     */
   def upsertParentOf(parentOf: DataFrame, updates: DataFrame): DataFrame = {
     val u = updates
       .withColumn("id", concat_ws("~", col("parent_id"), col("child_id")))
-      .withColumn("first_seen", col("ts"))
-      .withColumn("last_seen", col("ts"))
       .select("id", "parent_id", "child_id", "first_seen", "last_seen", "expiration")
     Merge.merge(parentOf, u, Seq("parent_id", "child_id"), Map(
       "id" -> ((c: MergeCols) => coalesce(c.existing, c.update)),

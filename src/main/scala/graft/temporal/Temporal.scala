@@ -59,6 +59,27 @@ object Temporal {
     df.withColumn("__epoch", row_number().over(w))
   }
 
+  /** D3 compacted variant — tombstone-segment epochs. Per-key ordering only
+    * matters around tombstones: a run of refreshes for one key with no
+    * tombstone in between can be applied in a single set-at-a-time batch
+    * (the upserts aggregate per key). So the epoch number is:
+    *
+    *   refresh in segment k (k tombstones before it) → epoch 2k+1
+    *   (k+1)-th tombstone                            → epoch 2k+2
+    *
+    * Max epoch = 2 * max-tombstones-per-key + 1 — O(1) for realistic
+    * streams regardless of per-key event skew (a key with 10k refreshes
+    * and one tombstone yields 3 epochs, not 10k).
+    */
+  def withSegmentEpoch(df: DataFrame, key: Seq[String], seq: String, isNil: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(seq))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tombsBefore = coalesce(
+      sum(when(col(isNil), 1L).otherwise(0L)).over(w), lit(0L))
+    df.withColumn("__epoch",
+      (tombsBefore * 2 + when(col(isNil), 2).otherwise(1)).cast("int"))
+  }
+
   /** D4 — top-k per group, e.g. "latest N assets per team".
     * `order` must totally order rows within a group for determinism.
     */
