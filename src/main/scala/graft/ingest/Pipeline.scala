@@ -139,18 +139,21 @@ object Pipeline {
     check(st.parentOf, Seq("parent_id", "child_id"), "parent_of")
   }
 
-  /** Batch replay: decode an envelope log (with an `offset` column giving
-    * total input order) and fold it into snapshot state.
+  /** Fold an envelope batch (with an `offset` column giving total input
+    * order) into an existing snapshot state. Shared by batch [[replay]]
+    * and the streaming foreachBatch sink
+    * ([[graft.streaming.StreamIngest]]).
     *
     * @param baseEpochSecs processing-time base; event at `offset` o is
     *        stamped baseEpochSecs + o seconds (the deterministic analog of
     *        the reference's per-event `time.Now()`).
     */
-  def replay(
+  def fold(
       spark: SparkSession,
+      st0: State,
       envelopes: DataFrame,
-      cfg: Config = Config(),
-      baseEpochSecs: Long = 1704067200L /* 2024-01-01T00:00:00Z */): State = {
+      cfg: Config,
+      baseEpochSecs: Long): State = {
     val decoded = Decode.decode(envelopes)
     if (cfg.strict) {
       val bad = decoded.filter(!col("valid")).count()
@@ -163,7 +166,7 @@ object Pipeline {
     try {
       val maxEpoch = events.agg(max(col("__epoch"))).collect()(0)
         .getAs[Any](0) match { case null => 0; case n: Int => n }
-      var st = emptyState(spark)
+      var st = st0
       var e = 1
       while (e <= maxEpoch) {
         st = applyEpoch(st, events.filter(col("__epoch") === e), cfg)
@@ -179,4 +182,12 @@ object Pipeline {
       st
     } finally events.unpersist()
   }
+
+  /** Batch replay from empty state. */
+  def replay(
+      spark: SparkSession,
+      envelopes: DataFrame,
+      cfg: Config = Config(),
+      baseEpochSecs: Long = 1704067200L /* 2024-01-01T00:00:00Z */): State =
+    fold(spark, emptyState(spark), envelopes, cfg, baseEpochSecs)
 }

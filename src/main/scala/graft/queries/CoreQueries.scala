@@ -466,7 +466,10 @@ object CoreQueries {
     val snap = Tables.events(s, dir)
       .groupBy(col("event_type").as("type"))
       .agg(count(lit(1)).as("cnt"), min("ts").as("first_seen"), max("ts").as("last_seen"))
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_snapshot"
+    // per-run-unique path: concurrent/bench invocations must not clobber
+    // each other, and the bench number should predominantly measure the
+    // write+readback, not contend on one directory
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_${java.util.UUID.randomUUID()}"
     snap.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy(col("type"))
   }

@@ -10,21 +10,29 @@ object Temporal {
   /** D1 — pagination. The reference exposes page/size on every list
     * endpoint (inventory/inventory.go:117-120); size == 0 disables.
     *
-    * Implemented with row_number over a total order — unlike LIMIT/OFFSET
-    * this form pushes a single window sort and works for arbitrary pages
-    * without re-scanning (the classic deep-offset trap).
+    * ORDER BY + LIMIT + OFFSET: Spark plans this as a top-K
+    * (TakeOrderedAndProject with offset) — each partition keeps only its
+    * local top (page+1)*size rows, so nothing like a global sort or a
+    * single-partition window ever runs (a `Window.orderBy` with no
+    * partitionBy funnels the WHOLE table through one task — the round-1
+    * implementation, a scale-killer). Deep pages degrade as O(page*size)
+    * per-partition state — for deep scans use key-set pagination:
+    * `WHERE key > last_seen ORDER BY key LIMIT size` ([[paginateAfter]]).
+    *
     * `orderCols` must be a total order (include a unique key) for
     * deterministic pages.
     */
   def paginate(df: DataFrame, orderCols: Seq[Column], page: Int, size: Int): DataFrame = {
     if (size == 0) df.orderBy(orderCols: _*)
-    else {
-      val w = Window.orderBy(orderCols: _*)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > page.toLong * size && col("__rn") <= (page.toLong + 1) * size)
-        .drop("__rn")
-    }
+    else df.orderBy(orderCols: _*).offset(page * size).limit(size)
   }
+
+  /** D1 (scale path) — key-set pagination: the page after `lastSeen` in
+    * `keyCol` order. O(size) regardless of depth; the predicate pushes
+    * into the scan.
+    */
+  def paginateAfter(df: DataFrame, keyCol: Column, lastSeen: Column, size: Int): DataFrame =
+    df.filter(keyCol > lastSeen).orderBy(keyCol).limit(size)
 
   /** D2 — valid-at (as-of) temporal predicate: alive at instant `at`.
     * Reference: inventory/inventory.go:173-193 (`valid_at` query param);
