@@ -76,21 +76,26 @@ object ExtQueries {
   }
 
   // -- document fingerprint: min-hash of word 5-gram shingles ---------------
+  // Per-row expressions only — the round-1 explode+groupBy shape shuffled
+  // 5-10x the corpus to recompute a value each row already owns; this form
+  // is a single codegen'd projection with zero shuffle. Docs with <5 tokens
+  // keep a row (null fingerprint, 0 shingles) rather than vanishing.
   val q_doc_fingerprint: QueryDef = QueryDef(
-    """SELECT doc_id, min(md5(sh)) AS fingerprint,
-      |  count(DISTINCT sh) AS n_shingles
+    """SELECT doc_id,
+      |  list_min(list_transform(sh, s -> md5(s))) AS fingerprint,
+      |  len(list_distinct(sh)) AS n_shingles
       |FROM (
-      |  SELECT doc_id, unnest(list_transform(
-      |    generate_series(1, greatest(len(w) - 4, 0)),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+      |    ELSE CAST([] AS VARCHAR[]) END AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x) t
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 5)
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 5)).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh"))).as("fingerprint"),
-        countDistinct(col("sh")).as("n_shingles"))
+        array_min(transform(sh, s => md5(s))).as("fingerprint"),
+        size(array_distinct(sh)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
 
@@ -113,5 +118,6 @@ object ExtQueries {
     "q_quality_score" -> q_quality_score,
     "q_lang_id" -> q_lang_id,
     "q_doc_fingerprint" -> q_doc_fingerprint,
-    "q_binary_meta" -> q_binary_meta)
+    "q_binary_meta" -> q_binary_meta) ++
+    Dedup.all ++ Similarity.all ++ Multimodal.all
 }

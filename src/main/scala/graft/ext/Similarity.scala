@@ -1,0 +1,138 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two plans:
+  *  - q_similarity_topk — exact brute-force cosine top-k: a tiny query set
+  *    broadcast against one linear scan of the corpus. The right baseline
+  *    at any scale when the query set is small (BroadcastNestedLoopJoin —
+  *    no shuffle of the big side, no cartesian blow-up).
+  *  - q_similarity_ann — LSH (random-hyperplane / sign) bucketing: each
+  *    vector gets a 4-bit bucket from the signs of 4 fixed pseudo-random
+  *    hyperplanes; candidates are bucket-mates only. At 100 TB this is the
+  *    scale path: the bucket join shuffles on a small int key and each
+  *    task compares only its bucket, ~1/16 of the all-pairs work per
+  *    query (tune bits per dataset size).
+  *
+  * Floating-point contract with the DuckDB oracle: every dot product is a
+  * strict LEFT FOLD over float→double casts — `aggregate(zip_with(...))`
+  * here, `list_reduce(list_transform(...))` there — so both engines add in
+  * the same order and produce bit-identical doubles; cosines are rounded
+  * to 6 decimals for output.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NQueries = 5
+  private val TopK = 3
+  private val Planes = 4
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** DuckDB fragment for the same sequential-fold dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  // -- exact brute-force cosine top-k ---------------------------------------
+  val q_similarity_topk: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT query_id, vec_id, ${duckDot("qv", "v")} / (qn * nrm) AS cos
+       |  FROM q, e WHERE query_id <> vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, round(cos, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // -- LSH random-hyperplane bucketed ANN -----------------------------------
+  /** Hyperplane weights are md5-derived integers, reproducible in SQL:
+    * w[j][i] = CAST('0x' || substr(md5('hp<j>|<i>'), 1, 4) AS INT) - 32768.
+    * Precomputed here as literals so Spark rows pay ZERO per-row md5 cost
+    * (the oracle recomputes them in a tiny 4-row CTE).
+    */
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def plane(j: Int): Seq[Double] =
+    (1 to Dim).map(i => Integer.parseInt(md5hex(s"hp$j|$i").substring(0, 4), 16) - 32768.0)
+
+  /** Sign-bit bucket of a vector: bit j set iff dot(v, plane_j) > 0. */
+  private def bucketOf(v: Column): Column =
+    (0 until Planes).map { j =>
+      val w = typedlit(plane(j))
+      when(aggregate(zip_with(v, w, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val q_similarity_ann: QueryDef = QueryDef(
+    s"""WITH hp AS (SELECT j, list_transform(range(1, $Dim + 1),
+       |    i -> CAST('0x' || substr(md5('hp' || j || '|' || i), 1, 4) AS INT) - 32768) AS w
+       |  FROM (SELECT unnest(range($Planes)) AS j)),
+       |e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |bk AS (SELECT e.vec_id, CAST(sum(CASE WHEN
+       |      list_reduce(list_transform(range(1, $Dim + 1), i -> CAST(e.v[i] AS DOUBLE) * hp.w[i]), (x, y) -> x + y) > 0
+       |    THEN 1 << hp.j ELSE 0 END) AS INT) AS bucket
+       |  FROM e, hp GROUP BY e.vec_id),
+       |eb AS (SELECT e.vec_id, v, nrm, bucket FROM e JOIN bk USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM eb WHERE vec_id < $NQueries),
+       |s AS (SELECT query_id, eb.vec_id, ${duckDot("qv", "v")} / (qn * nrm) AS cos
+       |  FROM q JOIN eb USING (bucket) WHERE query_id <> eb.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, round(cos, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    e.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_similarity_topk" -> q_similarity_topk,
+    "q_similarity_ann" -> q_similarity_ann)
+}

@@ -38,4 +38,30 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct character n-grams of `text`, 1-indexed, same guard. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Seeded 60-bit hash, bit-identical to the DuckDB oracle expression
+    * `CAST('0x' || substr(md5(seed || '|' || x), 1, 15) AS BIGINT)`:
+    * 15 hex chars = 60 bits, so the value never overflows a signed long
+    * on either engine.
+    */
+  def hash60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 15), 16, 10).cast("long")
+
+  /** 16-bit hash (first 4 md5 hex chars), same cross-engine contract. */
+  def hash16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+
+  /** One minhash component: min over the shingle set of the seeded hash.
+    * Per-row, zero shuffle; NULL for an empty shingle set.
+    */
+  def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => hash60(s, seed)))
 }
