@@ -1,5 +1,7 @@
 package graft.ext
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -9,95 +11,147 @@ import graft.queries.QueryDef
   * MinHash+LSH band-join candidate pairs, SimHash fingerprints, and char
   * n-gram Jaccard — the standard large-scale dedup toolkit.
   *
-  * Scale design: signatures/fingerprints are pure per-row projections
-  * (zero shuffle, whole-stage codegen). Pair generation shuffles only
-  * (band_key → doc ids), i.e. O(corpus * bands) small rows — never the
-  * O(n²) all-pairs space — and exact Jaccard verification touches only
-  * the LSH candidates. All hashes share a bit-exact md5-hex contract with
-  * the DuckDB oracle (see [[TextAnalysis.hash60]]).
+  * Scale design:
+  *  - signatures are pure per-row projections (zero shuffle, codegen'd);
+  *  - each shingle is md5'd ONCE; the k minhash components come from k
+  *    universal (linear) hashes over that 60-bit base hash — arithmetic
+  *    only, so k grows for free (the round-2 first cut ran k separate
+  *    md5 passes and spent 20+ s/5k docs just hashing);
+  *  - pair generation shuffles only (band_key → doc_id) — never the
+  *    O(n²) all-pairs space — and exact Jaccard verification touches only
+  *    LSH candidates;
+  *  - outputs are integer counts (inter/union), immune to float-repr
+  *    drift in the oracle compare.
+  *
+  * Universal-hash constants are derived from md5 in Scala and interpolated
+  * into BOTH the Column expressions and the oracle SQL, so the two engines
+  * cannot drift. All arithmetic stays below 2^53 — safe in every engine's
+  * 64-bit integers: a,b < 2^20, h-halves < 2^30, so a*h1 + b*h2 + c < 2^52.
   */
 object Dedup {
 
-  /** Number of signature components exposed by q_minhash_sig. */
-  private val SigK = 8
-  /** LSH parameters for q_minhash_lsh_pairs: Bands bands of R rows each
-    * over a k = Bands*R signature. b=8, r=2 → catches ~90% of pairs at
-    * J=0.5 and ~99.9% at J=0.8 while keeping false candidates rare.
+  private val M = 1L << 30
+  private val Mask = M - 1 // h & Mask = low 30 bits
+
+  private def md5hexLocal(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** a_k, b_k in [1, 2^20), c_k in [0, 2^30) — fixed, md5-derived. */
+  private def coef(tag: String, k: Int, hexLen: Int, floor: Long): Long =
+    (java.lang.Long.parseLong(md5hexLocal(s"$tag$k").substring(0, hexLen), 16)
+      % ((1L << (4 * hexLen)) - floor)) + floor
+  private val A = (0 until 16).map(k => coef("a", k, 5, 1))
+  private val B = (0 until 16).map(k => coef("b", k, 5, 1))
+  private val C = (0 until 16).map(k => coef("c", k, 7, 0) % M)
+
+  /** 60-bit base hash of a shingle (one md5 per element — see above). */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Minhash component k over a pre-hashed array `hs`. */
+  private def mhComponent(hs: Column, k: Int): Column =
+    array_min(transform(hs, h =>
+      (lit(A(k)) * shiftright(h, 30) + lit(B(k)) * h.bitwiseAND(lit(Mask)) + lit(C(k))) % M))
+
+  /** The same component in DuckDB SQL over a column named `hs`. */
+  private def duckMh(k: Int): String =
+    s"list_min(list_transform(hs, h -> (${A(k)}*(h >> 30) + ${B(k)}*(h & $Mask) + ${C(k)}) % $M))"
+
+  private val duckBaseHash =
+    "list_transform(%s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
+
+  /** Shared DuckDB fragment: distinct word 3-gram shingles (`fs`) + base
+    * hashes (`hs`).
     */
-  private val Bands = 8
-  private val R = 2
+  private val wordShingleSql =
+    s"""SELECT doc_id, fs, ${duckBaseHash.format("fs")} AS hs FROM (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS fs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
-  /** Shared DuckDB fragment: distinct word 3-gram shingle sets. */
-  private val shingleSql =
-    """SELECT doc_id, list_distinct(
-      |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-      |    ELSE CAST([] AS VARCHAR[]) END) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
-
-  private def duckMinhash(seed: Int): String =
-    s"list_min(list_transform(sh, x -> CAST('0x' || substr(md5('$seed|' || x), 1, 15) AS BIGINT)))"
-
-  /** Distinct word 3-gram shingle set (Spark side). */
-  private def shingleSet: Column =
-    array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+  /** Distinct word 3-gram shingle set + base-hash array (Spark side). */
+  private def wordShingleDocs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
+      .withColumn("hs", transform(col("fs"), x => baseHash(x)))
 
   // -- k-component MinHash signature, one scalar column per component -------
   val q_minhash_sig: QueryDef = QueryDef(
-    s"""SELECT doc_id, ${(0 until SigK).map(k => duckMinhash(k) + s" AS mh$k").mkString(", ")}
-       |FROM ($shingleSql)
+    s"""SELECT doc_id, ${(0 until 8).map(k => duckMh(k) + s" AS mh$k").mkString(", ")}
+       |FROM ($wordShingleSql)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id") +: shingleSet.as("sh") +: Nil: _*)
+    wordShingleDocs(Tables.documents(s, dir))
       .select(col("doc_id") +:
-        (0 until SigK).map(k => TextAnalysis.minhash(col("sh"), k).as(s"mh$k")): _*)
+        (0 until 8).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
       .orderBy(col("doc_id"))
   }
 
-  // -- MinHash + LSH banding: candidate pairs + exact Jaccard verify --------
-  // Pipeline: per-row k=16 signature → explode into 8 band keys (r=2) →
-  // self-equi-join on (band, band_key) → DISTINCT candidate pairs → join
-  // shingle sets back → integer Jaccard (inter, union counts — integers so
-  // the oracle hash can never drift on float repr) → keep J >= 0.5.
-  val q_minhash_lsh_pairs: QueryDef = QueryDef(
-    s"""WITH d AS ($shingleSql),
-       |sig AS (SELECT doc_id, sh,
-       |  ${(0 until Bands * R).map(k => duckMinhash(k) + s" AS mh$k").mkString(", ")} FROM d),
-       |bands AS (SELECT doc_id, b.band,
-       |  CASE ${(0 until Bands).map(b => s"WHEN b.band = $b THEN mh${R * b} || '|' || mh${R * b + 1}").mkString(" ")} END AS bkey
-       |  FROM sig, (SELECT unnest(range($Bands)) AS band) b),
-       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |j AS (SELECT doc_a, doc_b,
-       |    len(list_intersect(da.sh, db.sh)) AS inter,
-       |    len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS uni
-       |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id)
-       |SELECT doc_a, doc_b, inter, uni FROM j
-       |WHERE inter * 2 >= uni
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
-    val sig = docs.select(col("doc_id") +: col("sh") +:
-      (0 until Bands * R).map(k => TextAnalysis.minhash(col("sh"), k).as(s"mh$k")): _*)
-    val bands = sig.select(col("doc_id"),
-        explode(array((0 until Bands).map(b => struct(
+  /** Build LSH candidate pairs + integer-Jaccard verification, shared by
+    * the word-shingle and char-gram queries.
+    *
+    * @param docs   (doc_id, fs: feature set, hs: base hashes)
+    * @param bands  number of LSH bands
+    * @param r      minhash components per band
+    */
+  private def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
+    // The (doc_id, fs, hs) frame is referenced 4x below (band self-join +
+    // two verify joins); without persisting, Spark recomputes the whole
+    // shingle+md5 pipeline per reference — measured 4x cost at sf0.1. A
+    // production dedup pipeline materializes its signature table for the
+    // same reason; MEMORY_AND_DISK spills instead of OOMing at scale.
+    val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = docs.select(col("doc_id") +: col("fs") +:
+      (0 until bands * r).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
+    val bandRows = sig.select(col("doc_id"),
+        explode(array((0 until bands).map(b => struct(
           lit(b).as("band"),
-          concat(col(s"mh${R * b}").cast("string"), lit("|"),
-            col(s"mh${R * b + 1}").cast("string")).as("bkey"))): _*)).as("bk"))
+          (0 until r).map(i => col(s"mh${r * b + i}").cast("string"))
+            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pairs = bands.as("a").join(bands.as("b"),
+    val pairs = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("fs").as("fs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("fs").as("fs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("fs_a"), col("fs_b"))))
+      .withColumn("uni", size(col("fs_a")) + size(col("fs_b")) - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The same pipeline as DuckDB SQL. `dSql` must yield (doc_id, fs, hs). */
+  private def duckLshJaccard(dSql: String, bands: Int, r: Int): String =
+    s"""WITH d AS ($dSql),
+       |sig AS (SELECT doc_id, fs,
+       |  ${(0 until bands * r).map(k => duckMh(k) + s" AS mh$k").mkString(", ")} FROM d),
+       |bands AS (SELECT doc_id, b.band,
+       |  CASE ${(0 until bands).map(b =>
+            s"WHEN b.band = $b THEN " + (0 until r).map(i => s"mh${r * b + i}")
+              .mkString(" || '|' || ")).mkString(" ")} END AS bkey
+       |  FROM sig, (SELECT unnest(range($bands)) AS band) b),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(da.fs, db.fs)) AS inter,
+       |    len(da.fs) + len(db.fs) - len(list_intersect(da.fs, db.fs)) AS uni
+       |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, inter, uni FROM j
+       |WHERE inter * 2 >= uni
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- MinHash + LSH banding over word shingles -----------------------------
+  // 8 bands × r=2 over a k=16 signature: recall ~90% at J=0.5, ~99.9% at
+  // J=0.8; measured 1,180 candidate pairs on the 5,000-doc sf0.1 corpus.
+  val q_minhash_lsh_pairs: QueryDef = QueryDef(
+    duckLshJaccard(wordShingleSql, bands = 8, r = 2)) { (s, dir) =>
+    lshJaccardPairs(wordShingleDocs(Tables.documents(s, dir)), bands = 8, r = 2)
   }
 
   // -- 16-bit SimHash fingerprint -------------------------------------------
@@ -124,41 +178,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  // -- char 3-gram Jaccard near-dup -----------------------------------------
-  // Candidates: docs whose 4-component char-gram minhash signatures agree
-  // EXACTLY (a single high-precision LSH band) — near-identical docs only,
-  // complementing the recall-oriented word-shingle LSH above.
+  // -- char 5-gram Jaccard near-dup -----------------------------------------
+  // Character grams catch near-identical byte-level edits that word
+  // shingling smooths over. 5-grams (not 3): on a small-vocabulary corpus
+  // 3-gram sets of unrelated docs overlap heavily (measured random-pair
+  // J≈0.5 → 150 s of all-pairs verification at sf0.1); 5-grams put random
+  // pairs at J≈0.17 vs planted near-dups at J≥0.8. 2 bands × r=4 keeps
+  // candidates ~10k at sf0.1 with high precision.
+  private val charGramSql =
+    s"""SELECT doc_id, fs, ${duckBaseHash.format("fs")} AS hs FROM (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(text) >= 5 THEN list_transform(range(1, len(text) - 3),
+       |      i -> substr(text, CAST(i AS INT), 5))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS fs
+       |  FROM documents)""".stripMargin
+
   val q_ngram_jaccard: QueryDef = QueryDef(
-    s"""WITH d AS (SELECT doc_id, list_distinct(
-       |    CASE WHEN len(text) >= 3 THEN list_transform(range(1, len(text) - 1),
-       |      i -> substr(text, CAST(i AS INT), 3))
-       |    ELSE CAST([] AS VARCHAR[]) END) AS g
-       |  FROM documents),
-       |k AS (SELECT doc_id, g,
-       |  ${(0 until 4).map(s0 => s"list_min(list_transform(g, x -> CAST('0x' || substr(md5('${s0 + 100}|' || x), 1, 15) AS BIGINT)))").mkString(" || '|' || ")} AS bkey
-       |  FROM d),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.g, b.g)) AS inter,
-       |    len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
-       |  FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, inter, uni FROM p
-       |WHERE inter * 2 >= uni
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 3).as("g"))
-    // concat (not concat_ws): propagates NULL for an empty gram set,
-    // matching the oracle's `||` semantics
-    val keyed = grams.select(col("doc_id"), col("g"),
-      (0 until 4).map(s0 => TextAnalysis.minhash(col("g"), s0 + 100).cast("string"))
-        .reduce((a, b) => concat(a, lit("|"), b)).as("bkey"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
-        (size(col("a.g")) + size(col("b.g")) -
-          size(array_intersect(col("a.g"), col("b.g")))).as("uni"))
-      .filter(col("inter") * 2 >= col("uni"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    duckLshJaccard(charGramSql, bands = 2, r = 4)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
+      .withColumn("hs", transform(col("fs"), x => baseHash(x)))
+    lshJaccardPairs(docs, bands = 2, r = 4)
   }
 
   val all: Map[String, QueryDef] = Map(

@@ -22,6 +22,38 @@ import graft.schema.Schemas
   */
 object StreamIngest {
 
+  /** A2/E5 — consumer construction: connection, SASL/SCRAM auth (the
+    * reference wires SCRAM-SHA-256 over SASL_SSL from env config,
+    * main.go:45-56) and backpressure. The reference's 100 ms poll loop
+    * (kafka.go:76-83) maps to a trigger interval + `maxOffsetsPerTrigger`
+    * bounding each micro-batch; offset management is replaced wholesale by
+    * the checkpoint WAL, so `enable.auto.*` knobs have no analog.
+    */
+  final case class KafkaSourceConfig(
+      servers: String,
+      topic: String,
+      /** e.g. Some("SASL_SSL") */
+      securityProtocol: Option[String] = None,
+      /** e.g. Some("SCRAM-SHA-256") */
+      saslMechanism: Option[String] = None,
+      /** full JAAS line carrying username/password when auth is on */
+      saslJaasConfig: Option[String] = None,
+      /** E5 backpressure: cap rows per micro-batch */
+      maxOffsetsPerTrigger: Option[Long] = None,
+      startingOffsets: String = "earliest") {
+
+    def options: Map[String, String] =
+      Map(
+        "kafka.bootstrap.servers" -> servers,
+        "subscribe" -> topic,
+        "includeHeaders" -> "true",
+        "startingOffsets" -> startingOffsets) ++
+        securityProtocol.map("kafka.security.protocol" -> _) ++
+        saslMechanism.map("kafka.sasl.mechanism" -> _) ++
+        saslJaasConfig.map("kafka.sasl.jaas.config" -> _) ++
+        maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+  }
+
   /** Kafka envelope source (A1/A2). Not exercised in tests (no broker in
     * the build environment) — the mapping is the documented contract:
     * key/value arrive as binary (null value = tombstone), headers as
@@ -29,13 +61,10 @@ object StreamIngest {
     * the total order within a partition (reference relies on exactly this,
     * kafka.go:76).
     */
-  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("includeHeaders", "true")
-      .option("startingOffsets", "earliest")
+  def kafkaSource(spark: SparkSession, cfg: KafkaSourceConfig): DataFrame =
+    cfg.options.foldLeft(spark.readStream.format("kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
       .load()
       .select(
         col("key").cast("string").as("key"),
@@ -44,6 +73,48 @@ object StreamIngest {
           h.getField("key").as("key"),
           h.getField("value").cast("string").as("value"))).as("metadata"),
         col("offset"))
+
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    kafkaSource(spark, KafkaSourceConfig(servers, topic))
+
+  // -- A5/E4: sink status/error mapping + retry -----------------------------
+  // The reference maps HTTP statuses to typed errors (ErrAlreadyExists /
+  // ErrNotFound / InvalidStatusError, inventory.go:34-43) and its run loop
+  // retries the whole stream after RETRY_DURATION (main.go:71-91). Here the
+  // sink is a filesystem write: transient IO failures retry with backoff
+  // inside the batch (then fail the batch → Spark restarts it from the
+  // checkpoint); semantic violations (duplicate natural keys in strict
+  // mode) must NOT retry — they would fail identically forever.
+
+  /** Fatal sink-side state violation — retrying cannot help. */
+  final class InvalidStateException(msg: String) extends RuntimeException(msg)
+
+  /** True for failures worth retrying in place (IO-ish), false for
+    * semantic errors ([[InvalidStateException]], IllegalArgumentException
+    * from strict-mode `require`).
+    */
+  def isRetryable(e: Throwable): Boolean = e match {
+    case _: InvalidStateException => false
+    case _: IllegalArgumentException => false
+    case _ => true
+  }
+
+  /** Retry `f` up to `attempts` times with linear backoff, rethrowing the
+    * first non-retryable or final failure.
+    */
+  def retrying[A](attempts: Int, backoffMs: Long = 100)(f: => A): A = {
+    var n = 0
+    while (true) {
+      n += 1
+      try return f
+      catch {
+        case e: Throwable if n < attempts && isRetryable(e) =>
+          Thread.sleep(backoffMs * n)
+        case e: Throwable => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Start the ingestion query over any streaming envelope frame
     * (kafkaSource, or a MemoryStream in tests).
@@ -75,7 +146,9 @@ object StreamIngest {
     val prev = loadLatestState(spark, statePath, maxVersion = batchId - 1)
       .getOrElse(Pipeline.emptyState(spark))
     val next = Pipeline.fold(spark, prev, batch, cfg, baseEpochSecs)
-    writeState(next, s"$statePath/v$batchId")
+    // transient write failures retry in place; anything still failing
+    // aborts the batch and Spark redelivers it from the checkpoint (E4)
+    retrying(attempts = 3)(writeState(next, s"$statePath/v$batchId"))
   }
 
   def writeState(st: State, dir: String): Unit = {

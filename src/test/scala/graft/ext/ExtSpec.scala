@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Unit coverage for the LLM-pipeline extension operators (the DuckDB
+  * oracle gate covers full-output equality; these pin the semantics that
+  * the oracle can't see — guards, determinism, scale-shape invariants).
+  */
+class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("shingles/charNgrams guard short inputs (no descending sequence)") {
+    val df = Seq("a b", "a b c d e f", "ab").toDF("text")
+      .select(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 5).as("sh"),
+        TextAnalysis.charNgrams(col("text"), 3).as("g"))
+    val rows = df.collect()
+    rows(0).getSeq[String](0) shouldBe empty // 2 tokens < 5
+    rows(1).getSeq[String](0) shouldBe Seq("a b c d e", "b c d e f")
+    rows(2).getSeq[String](1) shouldBe empty // 2 chars < 3
+  }
+
+  test("hash60 matches the JVM md5 the oracle contract specifies") {
+    // CAST('0x' || substr(md5('7|abc'), 1, 15) AS BIGINT)
+    val expect = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("7|abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val got = Seq("abc").toDF("s")
+      .select(TextAnalysis.hash60(col("s"), 7)).collect()(0).getLong(0)
+    got shouldBe expect
+  }
+
+  test("minhash is NULL on an empty shingle set, stable otherwise") {
+    val df = Seq(Seq.empty[String], Seq("x", "y"), Seq("y", "x")).toDF("sh")
+      .select(TextAnalysis.minhash(col("sh"), 0).as("mh"))
+    val rows = df.collect()
+    rows(0).isNullAt(0) shouldBe true
+    rows(1).getLong(0) shouldBe rows(2).getLong(0) // set semantics: order-free
+  }
+
+  test("LSH pairs are verified near-dups: J >= 0.5 by integer counts") {
+    val pairs = Dedup.q_minhash_lsh_pairs.fn(spark, sf).collect()
+    pairs should not be empty
+    pairs.foreach { r =>
+      val (inter, uni) = (r.getAs[Int]("inter"), r.getAs[Int]("uni"))
+      inter * 2 should be >= uni
+      r.getAs[Long]("doc_a") should be < r.getAs[Long]("doc_b")
+    }
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val fp = Dedup.q_simhash.fn(spark, sf)
+    val pair = Dedup.q_minhash_lsh_pairs.fn(spark, sf).limit(1).collect()(0)
+    val h = fp.filter(col("doc_id").isin(pair.getAs[Long]("doc_a"), pair.getAs[Long]("doc_b")))
+      .collect().map(_.getAs[Long]("simhash"))
+    java.lang.Long.bitCount(h(0) ^ h(1)) should be <= 6 // of 16 bits
+  }
+
+  test("brute-force cosine top-k: k rows per query, ranked, |cos| <= 1") {
+    val rows = Similarity.q_similarity_topk.fn(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      g.map(_.getAs[Int]("rnk")).sorted shouldBe (1 to g.length)
+      g.length should be <= 3
+    }
+    rows.foreach(r => math.abs(r.getAs[Double]("cosine")) should be <= 1.0)
+  }
+
+  test("ANN results are a subset-quality approximation of brute force") {
+    val exact = Similarity.q_similarity_topk.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = Similarity.q_similarity_ann.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // same-bucket neighbors that brute force also ranked top-3 must agree;
+    // recall is approximate by design, but SOME overlap is expected on
+    // clustered embeddings
+    (exact intersect ann) should not be empty
+  }
+
+  test("fake media decoder is deterministic and bounded") {
+    val dec = new Multimodal.FakeMediaDecoder()
+    val d = Multimodal.MediaDoc(1L, "text/plain", "hello".getBytes("UTF-8"))
+    val f1 = dec.decode(d)
+    val f2 = dec.decode(d) // same decoder instance reused — md.reset() works
+    f1 shouldBe f2
+    f1.width should (be >= 16 and be <= 655)
+    f1.height should (be >= 16 and be <= 495)
+    f1.n_frames should (be >= 1 and be <= 30)
+  }
+
+  test("frame sampling emits every 2nd frame, bounded by n_frames") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaDocs(spark, sf))
+      .collect().map(f => f.doc_id -> f.n_frames).toMap
+    val frames = Multimodal.q_frame_sample.fn(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    frames.foreach { case (id, g) =>
+      g.length shouldBe (feats(id) + 1) / 2
+      g.map(_.getAs[Int]("frame_id")).foreach(f => f % 2 shouldBe 0)
+    }
+  }
+}
