@@ -483,6 +483,16 @@ object CoreQueries {
       Seq(col("o_orderkey")), page = 3, size = 100)
   }
 
+  // -- D1 (scale path): key-set pagination -----------------------------------
+  // O(size) at any depth; the key predicate pushes into the parquet scan.
+  val q_pagination_keyset: QueryDef = QueryDef(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey > 3000 ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    Temporal.paginateAfter(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      col("o_orderkey"), lit(3000), size = 100)
+  }
+
   // -- D2: valid-at / as-of filter -------------------------------------------
   val q_validat_asof: QueryDef = QueryDef(
     """WITH assets AS (
@@ -601,6 +611,7 @@ object CoreQueries {
     "q_expire_cascade_edges" -> q_expire_cascade_edges,
     "q_sink_snapshot" -> q_sink_snapshot,
     "q_pagination" -> q_pagination,
+    "q_pagination_keyset" -> q_pagination_keyset,
     "q_validat_asof" -> q_validat_asof,
     "q_lastwriter_window" -> q_lastwriter_window,
     "q_topk_per_group" -> q_topk_per_group,

