@@ -132,7 +132,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // -- LSH-bucketed k-NN self-join ------------------------------------------
+  // EVERY vector gets its nearest bucket-mate — the similarity-join shape
+  // embedding-cosine near-dedup reduces to (threshold the output by
+  // cosine >= τ; this testdata has no planted embedding dups — max
+  // pairwise cosine 0.60 — so the query emits the full NN join rather
+  // than an empty thresholded set). Work per bucket is quadratic in
+  // bucket size, so plane count scales with corpus size at 100 TB
+  // (buckets ≈ corpus / desired_bucket_size); the bucket join shuffles
+  // on a small int key only.
+  val q_embed_nn_join: QueryDef = QueryDef(
+    s"""WITH hp AS (SELECT j, list_transform(range(1, $Dim + 1),
+       |    i -> CAST('0x' || substr(md5('hp' || j || '|' || i), 1, 4) AS INT) - 32768) AS w
+       |  FROM (SELECT unnest(range($Planes)) AS j)),
+       |e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |bk AS (SELECT e.vec_id, CAST(sum(CASE WHEN
+       |      list_reduce(list_transform(range(1, $Dim + 1), i -> CAST(e.v[i] AS DOUBLE) * hp.w[i]), (x, y) -> x + y) > 0
+       |    THEN 1 << hp.j ELSE 0 END) AS INT) AS bucket
+       |  FROM e, hp GROUP BY e.vec_id),
+       |eb AS (SELECT e.vec_id, v, nrm, bucket FROM e JOIN bk USING (vec_id)),
+       |s AS (SELECT a.vec_id, b.vec_id AS nn_id,
+       |    ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, nn_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rnk
+       |  FROM s)
+       |SELECT vec_id, nn_id, round(cos, 6) AS cosine
+       |FROM r WHERE rnk = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_similarity_topk" -> q_similarity_topk,
-    "q_similarity_ann" -> q_similarity_ann)
+    "q_similarity_ann" -> q_similarity_ann,
+    "q_embed_nn_join" -> q_embed_nn_join)
 }

@@ -68,8 +68,19 @@ object Synth {
   private def aId = concat(lit("a"), (col("user_id") % 50).cast("string"))
   private def tId = concat(lit("T"), (col("user_id") % 7).cast("string"))
 
+  /** The synthesized tables are tiny aggregates (50 assets / 7 teams /
+    * 350 edges) of a full `events` scan, and the graph/state queries
+    * reference each one several times — persist so the scan+groupBy runs
+    * once per (table, sfDir). Spark's cache manager matches by canonical
+    * plan, so every later identical builder call reuses the cache even
+    * across queries. In production these are materialized snapshot
+    * tables; caching is the test-harness analog.
+    */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def assets(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    cached(Tables.events(spark, dir)
       .groupBy((col("user_id") % 50).as("k"))
       .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
       .select(
@@ -77,32 +88,32 @@ object Synth {
         lit("T").as("type"),
         concat(lit("a"), col("k").cast("string")).as("identifier"),
         col("first_seen"), col("last_seen"),
-        lit(graft.schema.Schemas.Unexpired).as("expiration"))
+        lit(graft.schema.Schemas.Unexpired).as("expiration")))
 
   def teams(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    cached(Tables.events(spark, dir)
       .select(tId.as("id"), tId.as("identifier"))
-      .distinct()
+      .distinct())
 
   def owns(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    cached(Tables.events(spark, dir)
       .groupBy(tId.as("team_id"), aId.as("asset_id"))
       .agg(min("ts").as("start_time"),
-        when(max("value") < 100, max("ts")).as("end_time"))
+        when(max("value") < 100, max("ts")).as("end_time")))
 
   def parentOf(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    cached(Tables.events(spark, dir)
       .filter(col("user_id") % 10 =!= col("user_id") % 50)
       .groupBy(
         concat(lit("a"), (col("user_id") % 10).cast("string")).as("parent_id"),
         aId.as("child_id"))
       .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
-      .withColumn("expiration", lit(graft.schema.Schemas.Unexpired))
+      .withColumn("expiration", lit(graft.schema.Schemas.Unexpired)))
 
   def tombstones(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    cached(Tables.events(spark, dir)
       .filter(col("event_type") === "error")
       .select(lit("T").as("asset_type"), aId.as("asset_identifier"),
         tId.as("team_identifier"))
-      .distinct()
+      .distinct())
 }
