@@ -61,22 +61,30 @@ object Dedup {
   private val duckBaseHash =
     "list_transform(%s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
 
-  /** Shared DuckDB fragment: distinct word 3-gram shingles (`fs`) + base
-    * hashes (`hs`).
+  /** Shared DuckDB fragment: base-hash sets (`hs`) of the distinct word
+    * 3-gram shingles. Downstream Jaccard runs on the 60-bit hash sets, not
+    * the strings — set-isomorphic (collision odds ~1e-13 per corpus) and
+    * ~4x less memory traffic through the joins.
     */
   private val wordShingleSql =
-    s"""SELECT doc_id, fs, ${duckBaseHash.format("fs")} AS hs FROM (
+    s"""SELECT doc_id, ${duckBaseHash.format("fs")} AS hs FROM (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE CAST([] AS VARCHAR[]) END) AS fs
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
-  /** Distinct word 3-gram shingle set + base-hash array (Spark side). */
+  /** Base-hash array of the distinct word 3-gram shingle set (Spark).
+    * The raw-text repartition spreads the md5-heavy projection across all
+    * cores — the testdata corpus arrives as ONE parquet split, which
+    * would otherwise hash 1.5M shingles on a single task (measured 4-7 s
+    * single-threaded at sf0.1; the shuffled text is ~1.5 MB).
+    */
   private def wordShingleDocs(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"),
         array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
-      .withColumn("hs", transform(col("fs"), x => baseHash(x)))
+      .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
 
   // -- k-component MinHash signature, one scalar column per component -------
   val q_minhash_sig: QueryDef = QueryDef(
@@ -89,21 +97,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Build LSH candidate pairs + integer-Jaccard verification, shared by
-    * the word-shingle and char-gram queries.
+  /** Build LSH candidate pairs + integer-Jaccard verification (over the
+    * hash sets), shared by the word-shingle and char-gram queries.
     *
-    * @param docs   (doc_id, fs: feature set, hs: base hashes)
+    * @param docs   (doc_id, hs: base-hash set of the feature set)
     * @param bands  number of LSH bands
     * @param r      minhash components per band
     */
   private def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
-    // The (doc_id, fs, hs) frame is referenced 4x below (band self-join +
-    // two verify joins); without persisting, Spark recomputes the whole
+    // The (doc_id, hs) frame is referenced 4x below (band self-join + two
+    // verify joins); without persisting, Spark recomputes the whole
     // shingle+md5 pipeline per reference — measured 4x cost at sf0.1. A
     // production dedup pipeline materializes its signature table for the
     // same reason; MEMORY_AND_DISK spills instead of OOMing at scale.
+    // count() is an eager barrier: lazy cache population would let the
+    // self-join's parallel map stages race to compute the uncached plan
+    // twice (measured 9 s vs 25 s run-to-run jitter without it).
     val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = docs.select(col("doc_id") +: col("fs") +:
+    docs.count()
+    val sig = docs.select(col("doc_id") +:
       (0 until bands * r).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
     val bandRows = sig.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(
@@ -117,19 +129,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("fs").as("fs_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("fs").as("fs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("fs_a"), col("fs_b"))))
-      .withColumn("uni", size(col("fs_a")) + size(col("fs_b")) - col("inter"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("uni", size(col("hs_a")) + size(col("hs_b")) - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The same pipeline as DuckDB SQL. `dSql` must yield (doc_id, fs, hs). */
+  /** The same pipeline as DuckDB SQL. `dSql` must yield (doc_id, hs). */
   private def duckLshJaccard(dSql: String, bands: Int, r: Int): String =
     s"""WITH d AS ($dSql),
-       |sig AS (SELECT doc_id, fs,
+       |sig AS (SELECT doc_id,
        |  ${(0 until bands * r).map(k => duckMh(k) + s" AS mh$k").mkString(", ")} FROM d),
        |bands AS (SELECT doc_id, b.band,
        |  CASE ${(0 until bands).map(b =>
@@ -139,8 +151,8 @@ object Dedup {
        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b,
-       |    len(list_intersect(da.fs, db.fs)) AS inter,
-       |    len(da.fs) + len(db.fs) - len(list_intersect(da.fs, db.fs)) AS uni
+       |    len(list_intersect(da.hs, db.hs)) AS inter,
+       |    len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs)) AS uni
        |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id)
        |SELECT doc_a, doc_b, inter, uni FROM j
        |WHERE inter * 2 >= uni
@@ -186,7 +198,7 @@ object Dedup {
   // pairs at J≈0.17 vs planted near-dups at J≥0.8. 2 bands × r=4 keeps
   // candidates ~10k at sf0.1 with high precision.
   private val charGramSql =
-    s"""SELECT doc_id, fs, ${duckBaseHash.format("fs")} AS hs FROM (
+    s"""SELECT doc_id, ${duckBaseHash.format("fs")} AS hs FROM (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(text) >= 5 THEN list_transform(range(1, len(text) - 3),
        |      i -> substr(text, CAST(i AS INT), 5))
@@ -196,8 +208,9 @@ object Dedup {
   val q_ngram_jaccard: QueryDef = QueryDef(
     duckLshJaccard(charGramSql, bands = 2, r = 4)) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
       .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
-      .withColumn("hs", transform(col("fs"), x => baseHash(x)))
+      .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
     lshJaccardPairs(docs, bands = 2, r = 4)
   }
 

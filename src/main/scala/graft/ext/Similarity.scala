@@ -167,6 +167,7 @@ object Similarity {
         norm(col("embedding")).as("nrm"))
       .withColumn("bucket", bucketOf(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager barrier — see Dedup.lshJaccardPairs
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
@@ -178,8 +179,78 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // -- IVF (inverted-file) ANN: coarse quantize, probe nearest cells --------
+  // The other standard ANN scale path beside sign-LSH: assign every vector
+  // to its nearest of `nlist` coarse centroids (one linear pass), index by
+  // cell, and answer queries by scanning only the `nprobe` nearest cells —
+  // work per query drops from O(corpus) to O(corpus * nprobe / nlist).
+  // Production derives centroids from an offline k-means; here the first
+  // `nlist` corpus vectors stand in (deterministic, oracle-expressible —
+  // the probe/assignment machinery is identical).
+  private val NList = 16
+  private val NProbe = 2
+
+  val q_similarity_ivf: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < $NList),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cent.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cn) DESC, cent.cell) AS crk
+       |    FROM e, cent) WHERE crk = 1),
+       |q AS (SELECT e.vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |probe AS (SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cent.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckDot("q.qv", "cent.cv")} / (q.qn * cent.cn) DESC, cent.cell) AS prk
+       |    FROM q, cent) WHERE prk <= $NProbe),
+       |s AS (SELECT q.query_id, e.vec_id, ${duckDot("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
+       |  FROM q JOIN probe USING (query_id)
+       |  JOIN asg ON probe.cell = asg.cell
+       |  JOIN e ON asg.vec_id = e.vec_id
+       |  WHERE q.query_id <> e.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, round(cos, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager barrier — see Dedup.lshJaccardPairs
+    val cent = e.filter(col("vec_id") < NList)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // one broadcast pass assigns every vector to its best cell
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("cell"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).desc, col("cell"))))
+      .filter(col("prk") <= NProbe)
+      .select(col("query_id"), col("cell"))
+    q.join(broadcast(probe), "query_id")
+      .join(asg, "cell")
+      .join(e, "vec_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
-    "q_embed_nn_join" -> q_embed_nn_join)
+    "q_embed_nn_join" -> q_embed_nn_join,
+    "q_similarity_ivf" -> q_similarity_ivf)
 }
