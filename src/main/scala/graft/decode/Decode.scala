@@ -90,9 +90,15 @@ object Decode {
     */
   def decode(env: DataFrame): DataFrame = {
     val staged = withTombstoneFlag(withParsedKey(withPayload(withMetadata(env))))
+    // coalesce: a NULL key (or any null-propagating input) must read as
+    // INVALID, not NULL — a three-valued `valid` would slip through BOTH
+    // `filter(valid)` and the strict-mode `filter(!valid)` quarantine
+    // count, silently dropping the row instead of rejecting it
     staged.withColumn(
       "valid",
-      metadataComplete && supportedVersion(col("version")) && col("key_valid") &&
-        (col("is_nil") || col("json_ok")))
+      coalesce(
+        metadataComplete && supportedVersion(col("version")) && col("key_valid") &&
+          (col("is_nil") || col("json_ok")),
+        lit(false)))
   }
 }
