@@ -80,11 +80,35 @@ object Dedup {
     * would otherwise hash 1.5M shingles on a single task (measured 4-7 s
     * single-threaded at sf0.1; the shuffled text is ~1.5 MB).
     */
-  private def wordShingleDocs(df: DataFrame): DataFrame =
+  def wordShingleDocs(df: DataFrame): DataFrame =
     df.repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
       .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
+
+  /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
+  def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val sig = docs.select(col("doc_id") +:
+      (0 until bands * r).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
+    sig.select(col("doc_id"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("band"),
+          (0 until r).map(i => col(s"mh${r * b + i}").cast("string"))
+            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Exact integer-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against a (doc_id, hs) store; keeps J >= 1/2.
+    */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("uni", size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
 
   // -- k-component MinHash signature, one scalar column per component -------
   val q_minhash_sig: QueryDef = QueryDef(
@@ -115,26 +139,13 @@ object Dedup {
     // twice (measured 9 s vs 25 s run-to-run jitter without it).
     val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
-    val sig = docs.select(col("doc_id") +:
-      (0 until bands * r).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
-    val bandRows = sig.select(col("doc_id"),
-        explode(array((0 until bands).map(b => struct(
-          lit(b).as("band"),
-          (0 until r).map(i => col(s"mh${r * b + i}").cast("string"))
-            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bandRows = bandRowsOf(docs, bands, r)
     val pairs = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("uni", size(col("hs_a")) + size(col("hs_b")) - col("inter"))
-      .filter(col("inter") * 2 >= col("uni"))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+    verifyJaccard(pairs, docs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

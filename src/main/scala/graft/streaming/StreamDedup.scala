@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.ext.Dedup
+
+/** Incremental near-duplicate detection over a DOCUMENT STREAM: the
+  * streaming face of [[graft.ext.Dedup]]'s MinHash+LSH pipeline.
+  *
+  * Per micro-batch, each new document is shingled and hashed ONCE, its
+  * band keys are joined against the accumulated band index (new-vs-old)
+  * and against the batch itself (new-vs-new), and only LSH candidates pay
+  * an exact-Jaccard verification. Work per batch is O(batch * bands) plus
+  * the index join — never a rescan of the corpus — which is what makes
+  * dedup-at-ingestion viable when the accumulated corpus is 100 TB and
+  * the batch is megabytes.
+  *
+  * State layout (parquet, one subdir per batch — a redelivered batch
+  * OVERWRITES its own subdir, so at-least-once delivery cannot duplicate
+  * index rows):
+  *
+  *   statePath/bands/b<batchId>/   (doc_id, band, bkey)
+  *   statePath/docs/b<batchId>/    (doc_id, hs)
+  *   pairsPath/b<batchId>/         (doc_a, doc_b, inter, uni)
+  */
+object StreamDedup {
+
+  private val Bands = 8
+  private val R = 2
+
+  private val bandSchema = new StructType()
+    .add("doc_id", LongType).add("band", "int").add("bkey", "string")
+  private val docSchema = new StructType()
+    .add("doc_id", LongType).add("hs", "array<long>")
+
+  /** Start streaming dedup over a stream of (doc_id, text) rows. */
+  def start(
+      docs: DataFrame,
+      statePath: String,
+      pairsPath: String,
+      checkpointPath: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, statePath, pairsPath)
+      }
+      .start()
+
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String, pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val docs = Dedup.wordShingleDocs(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // eager barrier (see Dedup.lshJaccardPairs)
+    try {
+      val newBands = Dedup.bandRowsOf(docs, Bands, R)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      val prevBands = readPrev(spark, s"$statePath/bands", bandSchema, batchId)
+      val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
+
+      // new-vs-new (within the batch) + new-vs-old (against the index);
+      // pairs are emitted once, by the batch that completes them
+      val within = newBands.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val against = newBands.as("n").join(prevBands.as("p"),
+          col("n.band") === col("p.band") && col("n.bkey") === col("p.bkey"))
+        .select(least(col("n.doc_id"), col("p.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("p.doc_id")).as("doc_b"))
+      val candidates = within.unionByName(against).distinct()
+
+      val verified = Dedup.verifyJaccard(candidates, prevDocs.unionByName(docs))
+        .orderBy(col("doc_a"), col("doc_b"))
+
+      // per-batch overwrite => idempotent under redelivery
+      verified.write.mode("overwrite").parquet(s"$pairsPath/b$batchId")
+      newBands.write.mode("overwrite").parquet(s"$statePath/bands/b$batchId")
+      docs.write.mode("overwrite").parquet(s"$statePath/docs/b$batchId")
+      newBands.unpersist()
+    } finally docs.unpersist()
+  }
+
+  /** All committed state from batches BEFORE `batchId` (a half-written
+    * directory from a crashed attempt of the current batch is never read).
+    */
+  private def readPrev(spark: SparkSession, dir: String, schema: StructType, batchId: Long): DataFrame = {
+    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .flatMap(f => f.getName.drop(1).toLongOption)
+      .filter(_ < batchId)
+    if (versions.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(versions.sorted.map(v => s"$dir/b$v"): _*)
+  }
+
+  /** All pairs emitted so far (batch outputs are disjoint by design). */
+  def allPairs(spark: SparkSession, pairsPath: String): DataFrame =
+    readPrev(spark, pairsPath,
+      new StructType().add("doc_a", LongType).add("doc_b", LongType)
+        .add("inter", "int").add("uni", "int"),
+      Long.MaxValue)
+}

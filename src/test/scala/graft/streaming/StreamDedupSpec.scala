@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Incremental streaming dedup semantics: cross-batch near-dups surface
+  * in the batch that completes the pair, each pair exactly once, and
+  * redelivery of a batch cannot duplicate index rows or pairs.
+  */
+case class Doc(doc_id: Long, text: String)
+
+class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // J >> 0.5 on word 3-grams
+  private val unrelated =
+    "completely different content about spark plans shuffles joins aggregates and columnar execution engines"
+
+  test("cross-batch near-dup pairs surface once, in the completing batch") {
+    val stateDir = Files.createTempDirectory("sd_state").toString
+    val pairsDir = Files.createTempDirectory("sd_pairs").toString
+    val ckptDir = Files.createTempDirectory("sd_ckpt").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = StreamDedup.start(src.toDF(), stateDir, pairsDir, ckptDir)
+    try {
+      src.addData(Doc(1, base), Doc(2, unrelated))
+      q.processAllAvailable()
+      src.addData(Doc(3, nearDup), Doc(4, base + " and extra trailing words here"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val b0 = spark.read.parquet(s"$pairsDir/b0").collect()
+    b0 shouldBe empty // no near-dups within batch 0
+    val b1 = spark.read.parquet(s"$pairsDir/b1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    b1 should contain((1L, 3L)) // cross-batch pair found by batch 1
+    b1.foreach { case (a, b) => a should be < b }
+    b1.map(_._2) should contain allOf (3L, 4L) // batch-1 docs complete their pairs
+    // unrelated doc never pairs
+    StreamDedup.allPairs(spark, pairsDir).collect()
+      .foreach { r =>
+        r.getAs[Long]("doc_a") should not be 2L
+        r.getAs[Long]("doc_b") should not be 2L
+      }
+  }
+
+  test("redelivering a batch overwrites its state and pairs (no duplication)") {
+    val stateDir = Files.createTempDirectory("sd_state").toString
+    val pairsDir = Files.createTempDirectory("sd_pairs").toString
+    StreamDedup.applyBatch(Seq(Doc(1, base)).toDF(), 0L, stateDir, pairsDir)
+    StreamDedup.applyBatch(Seq(Doc(2, nearDup)).toDF(), 1L, stateDir, pairsDir)
+    val once = StreamDedup.allPairs(spark, pairsDir).collect().toSeq
+    // crash-before-checkpoint-commit: batch 1 arrives again
+    StreamDedup.applyBatch(Seq(Doc(2, nearDup)).toDF(), 1L, stateDir, pairsDir)
+    val twice = StreamDedup.allPairs(spark, pairsDir).collect().toSeq
+    twice should contain theSameElementsAs once
+    once.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))) shouldBe Seq((1L, 2L))
+    // index rows: one band-set per doc per batch, not duplicated
+    spark.read.parquet(s"$stateDir/bands/b1").count() shouldBe 8
+  }
+}
