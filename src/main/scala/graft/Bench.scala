@@ -29,7 +29,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Some(e.getClass.getSimpleName)
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // multi-pass queries persist intermediates; drop them so later
+      // queries are measured with clean storage memory
+      spark.sqlContext.clearCache()
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,5 @@
 package graft.ext
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -33,13 +32,9 @@ object Dedup {
   private val M = 1L << 30
   private val Mask = M - 1 // h & Mask = low 30 bits
 
-  private def md5hexLocal(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   /** a_k, b_k in [1, 2^20), c_k in [0, 2^30) — fixed, md5-derived. */
   private def coef(tag: String, k: Int, hexLen: Int, floor: Long): Long =
-    (java.lang.Long.parseLong(md5hexLocal(s"$tag$k").substring(0, hexLen), 16)
+    (java.lang.Long.parseLong(TextAnalysis.md5hexJvm(s"$tag$k").substring(0, hexLen), 16)
       % ((1L << (4 * hexLen)) - floor)) + floor
   private val A = (0 until 16).map(k => coef("a", k, 5, 1))
   private val B = (0 until 16).map(k => coef("b", k, 5, 1))

@@ -1,6 +1,5 @@
 package graft.ext
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -79,12 +78,9 @@ object Similarity {
     * Precomputed here as literals so Spark rows pay ZERO per-row md5 cost
     * (the oracle recomputes them in a tiny 4-row CTE).
     */
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   private def plane(j: Int): Seq[Double] =
-    (1 to Dim).map(i => Integer.parseInt(md5hex(s"hp$j|$i").substring(0, 4), 16) - 32768.0)
+    (1 to Dim).map(i =>
+      Integer.parseInt(TextAnalysis.md5hexJvm(s"hp$j|$i").substring(0, 4), 16) - 32768.0)
 
   /** Sign-bit bucket of a vector: bit j set iff dot(v, plane_j) > 0. */
   private def bucketOf(v: Column): Column =

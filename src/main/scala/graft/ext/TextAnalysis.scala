@@ -59,9 +59,12 @@ object TextAnalysis {
   def hash16(c: Column): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("int")
 
-  /** One minhash component: min over the shingle set of the seeded hash.
-    * Per-row, zero shuffle; NULL for an empty shingle set.
+  /** JVM twin of the engines' lowercase md5-hex — the single source for
+    * driver-side derivation of hash constants (LSH coefficients,
+    * hyperplanes) that both the Column expressions and the oracle SQL
+    * must agree on.
     */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => hash60(s, seed)))
+  def md5hexJvm(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -33,7 +33,15 @@ object Pipeline {
 
   final case class Config(
       awsAccountAnnotationKey: String = "discovery/aws/account",
-      strict: Boolean = true)
+      strict: Boolean = true,
+      /** Assert the snapshot tables hold one row per natural key after
+        * each fold. The merge library preserves this by construction
+        * (updates are pre-aggregated per key), so the check is an
+        * O(total-state) audit per batch — wire it on for debugging or
+        * after restoring state of unknown provenance, not in the hot
+        * ingestion path.
+        */
+      verifyStateInvariants: Boolean = false)
 
   /** Empty snapshot state with the canonical schemas. */
   def emptyState(spark: SparkSession): State = State(
@@ -154,7 +162,10 @@ object Pipeline {
       envelopes: DataFrame,
       cfg: Config,
       baseEpochSecs: Long): State = {
-    val decoded = Decode.decode(envelopes)
+    // persist the decode output BEFORE the strict count so the batch is
+    // decoded once, not once for the quarantine count and again for the
+    // event pipeline
+    val decoded = Decode.decode(envelopes).persist()
     if (cfg.strict) {
       val bad = decoded.filter(!col("valid")).count()
       require(bad == 0, s"strict mode: $bad undecodable/unsupported messages")
@@ -178,9 +189,9 @@ object Pipeline {
           st.parentOf.localCheckpoint(true))
         e += 1
       }
-      if (cfg.strict) assertNoDuplicates(st)
+      if (cfg.verifyStateInvariants) assertNoDuplicates(st)
       st
-    } finally events.unpersist()
+    } finally { events.unpersist(); decoded.unpersist() }
   }
 
   /** Batch replay from empty state. */

@@ -468,8 +468,18 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), min("ts").as("first_seen"), max("ts").as("last_seen"))
     // per-run-unique path: concurrent/bench invocations must not clobber
     // each other, and the bench number should predominantly measure the
-    // write+readback, not contend on one directory
+    // write+readback, not contend on one directory. A JVM shutdown hook
+    // removes the directory — repeated verify/bench runs must not
+    // accumulate /tmp garbage (the readback is lazy, so it cannot be
+    // deleted inline).
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_${java.util.UUID.randomUUID()}"
+    val outFile = new java.io.File(out)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(outFile)
+    }))
     snap.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy(col("type"))
   }

@@ -61,18 +61,25 @@ object StreamDedup {
       val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
 
       // new-vs-new (within the batch) + new-vs-old (against the index);
-      // pairs are emitted once, by the batch that completes them
+      // pairs are emitted once, by the batch that completes them. The
+      // doc_a <> doc_b guard matters when an upstream at-least-once
+      // source redelivers a doc_id in a LATER batch: without it the
+      // new-vs-old join pairs the doc with its own earlier copy (J=1).
       val within = newBands.as("a").join(newBands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       val against = newBands.as("n").join(prevBands.as("p"),
-          col("n.band") === col("p.band") && col("n.bkey") === col("p.bkey"))
+          col("n.band") === col("p.band") && col("n.bkey") === col("p.bkey") &&
+            col("n.doc_id") =!= col("p.doc_id"))
         .select(least(col("n.doc_id"), col("p.doc_id")).as("doc_a"),
           greatest(col("n.doc_id"), col("p.doc_id")).as("doc_b"))
       val candidates = within.unionByName(against).distinct()
 
-      val verified = Dedup.verifyJaccard(candidates, prevDocs.unionByName(docs))
+      // current batch wins for a redelivered doc_id — never two hs rows
+      // per doc, which would fan out duplicate verified pairs
+      val docStore = prevDocs.join(docs, Seq("doc_id"), "left_anti").unionByName(docs)
+      val verified = Dedup.verifyJaccard(candidates, docStore)
         .orderBy(col("doc_a"), col("doc_b"))
 
       // per-batch overwrite => idempotent under redelivery
@@ -84,13 +91,19 @@ object StreamDedup {
   }
 
   /** All committed state from batches BEFORE `batchId` (a half-written
-    * directory from a crashed attempt of the current batch is never read).
+    * directory from a crashed attempt of the current batch is never
+    * read). Hadoop FS, not java.io.File — the state dir may live on any
+    * distributed store.
     */
   private def readPrev(spark: SparkSession, dir: String, schema: StructType, batchId: Long): DataFrame = {
-    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .flatMap(f => f.getName.drop(1).toLongOption)
-      .filter(_ < batchId)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+        .filter(_ < batchId)
     if (versions.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else

@@ -91,12 +91,15 @@ object StreamIngest {
 
   /** True for failures worth retrying in place (IO-ish), false for
     * semantic errors ([[InvalidStateException]], IllegalArgumentException
-    * from strict-mode `require`).
+    * from strict-mode `require`) and for fatal JVM conditions (OOM,
+    * interrupts — `NonFatal` — which must propagate immediately, not be
+    * slept through and re-run).
     */
   def isRetryable(e: Throwable): Boolean = e match {
     case _: InvalidStateException => false
     case _: IllegalArgumentException => false
-    case _ => true
+    case scala.util.control.NonFatal(_) => true
+    case _ => false
   }
 
   /** Retry `f` up to `attempts` times with linear backoff, rethrowing the
@@ -149,6 +152,19 @@ object StreamIngest {
     // transient write failures retry in place; anything still failing
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
     retrying(attempts = 3)(writeState(next, s"$statePath/v$batchId"))
+    // each version is a FULL snapshot copy and only the latest is ever
+    // read back — prune older generations or a long-running stream grows
+    // O(batches x state). Keep one predecessor for crash-recovery of the
+    // next batch.
+    pruneVersions(spark, statePath, keepFrom = batchId - 1)
+  }
+
+  /** Delete committed versions older than `keepFrom`. */
+  def pruneVersions(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
+    val (fs, root) = fsFor(spark, statePath)
+    listVersions(spark, statePath, Long.MaxValue)
+      .filter(_ < keepFrom)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
   }
 
   def writeState(st: State, dir: String): Unit = {
@@ -172,16 +188,31 @@ object StreamIngest {
     owns = spark.read.schema(Schemas.ownsSchema).parquet(s"$dir/owns"),
     parentOf = spark.read.schema(Schemas.parentOfSchema).parquet(s"$dir/parent_of"))
 
+  /** Hadoop FileSystem for a path — works for file://, hdfs://, s3a://
+    * alike; `java.io.File` here would silently see an empty directory on
+    * any non-local store and reset the stream to empty state.
+    */
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed version ids under `statePath` with id <= maxVersion. */
+  def listVersions(spark: SparkSession, statePath: String, maxVersion: Long): Seq[Long] = {
+    val (fs, root) = fsFor(spark, statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+      .filter(_ <= maxVersion)
+      .sorted
+  }
+
   /** Latest committed version with id <= maxVersion (replay safety: a
     * half-written v<batchId> from a crashed attempt is never read when
     * rebuilding that same batch).
     */
-  def loadLatestState(spark: SparkSession, statePath: String, maxVersion: Long): Option[State] = {
-    val root = new java.io.File(statePath)
-    val versions = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => f.getName.drop(1).toLongOption)
-      .filter(_ <= maxVersion)
-    versions.sorted.lastOption.map(v => readState(spark, s"$statePath/v$v"))
-  }
+  def loadLatestState(spark: SparkSession, statePath: String, maxVersion: Long): Option[State] =
+    listVersions(spark, statePath, maxVersion).lastOption
+      .map(v => readState(spark, s"$statePath/v$v"))
 }
