@@ -68,8 +68,18 @@ object Pipeline {
 
     // AWS-account parents derived from matching annotations
     // (reference: main.go:131-138, 223-243)
-    val aws = Normalize.matchingAnnotations(b, "annotations", cfg.awsAccountAnnotationKey)
+    val awsAll = Normalize.matchingAnnotations(b, "annotations", cfg.awsAccountAnnotationKey)
       .withColumn("aws_arn", Normalize.normalizeAwsAccountId(col("annotation_value")))
+    if (cfg.strict) {
+      // the reference HALTS the stream on an un-normalizable account id
+      // (main.go:254-262 error propagates through the handler); permissive
+      // mode skips the row instead
+      val bad = awsAll.filter(col("aws_arn").isNull)
+        .select(col("annotation_value")).limit(1).collect()
+      require(bad.isEmpty,
+        s"strict mode: invalid AWS account id format: ${bad.headOption.map(_.getString(0)).getOrElse("")}")
+    }
+    val aws = awsAll
       .filter(col("aws_arn").isNotNull)
       .select(col("type"), col("identifier"), col("aws_arn"), col("proc_ts"))
 

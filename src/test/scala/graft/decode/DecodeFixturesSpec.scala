@@ -54,10 +54,13 @@ class DecodeFixturesSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("strict")
   }
 
-  test("unsupported version mid-stream: version gate rejects exactly that row") {
+  test("unsupported version mid-stream: version gate rejects exactly that row; strict replay halts") {
     val rows = load("unsupported_version.json").orderBy("offset").collect()
     rows.map(_.getAs[Boolean]("valid")).toSeq shouldBe Seq(true, false, true)
     rows(1).getAs[String]("version") shouldBe "1.2.3"
+    val env = Fixtures.loadJson(spark,
+      getClass.getResource("/fixtures/unsupported_version.json").getPath)
+    an[IllegalArgumentException] should be thrownBy Pipeline.replay(spark, env)
   }
 
   test("envelope corner cases: missing headers, null key, slash-less key all INVALID (never null)") {
