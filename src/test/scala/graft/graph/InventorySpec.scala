@@ -1,0 +1,74 @@
+package graft.graph
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.graph.GraphOps.State
+import graft.schema.Schemas
+
+/** The inventory query facade against a hand-built snapshot — semantics
+  * mirrored from the reference's endpoint tests: exact (not prefix)
+  * identifier match (inventory_test.go:299-314), valid_at boundary
+  * behavior (inventory_test.go:291-298), page/size windows and size=0
+  * (inventory_test.go:133-161).
+  */
+class InventorySpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val st = State(
+    assets = Seq(
+      ("Hostname/a", "Hostname", "a", ts("2022-01-01 00:00:00"), ts("2022-01-20 00:00:00"), ts("2022-02-01 00:00:00")),
+      ("Hostname/ab", "Hostname", "ab", ts("2022-01-01 00:00:00"), ts("2022-01-20 00:00:00"), Schemas.Unexpired),
+      ("DockerImage/a", "DockerImage", "a", ts("2022-03-01 00:00:00"), ts("2022-03-02 00:00:00"), Schemas.Unexpired))
+      .toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration"),
+    teams = Seq(("t1", "t1", "Team One"), ("t2", "t2", "Team Two"))
+      .toDF("id", "identifier", "name"),
+    owns = Seq(
+      ("t1~Hostname/a", "t1", "Hostname/a", ts("2022-01-01 00:00:00"), null.asInstanceOf[Timestamp]),
+      ("t2~Hostname/a", "t2", "Hostname/a", ts("2022-01-02 00:00:00"), ts("2022-01-10 00:00:00")))
+      .toDF("id", "team_id", "asset_id", "start_time", "end_time"),
+    parentOf = Seq(
+      ("p~c", "AWSAccount/x", "Hostname/a", ts("2022-01-01 00:00:00"), ts("2022-01-02 00:00:00"), Schemas.Unexpired))
+      .toDF("id", "parent_id", "child_id", "first_seen", "last_seen", "expiration"))
+
+  test("identifier filter is exact, never prefix") {
+    Inventory.assets(st, identifier = Some("a")).collect()
+      .map(_.getAs[String]("id")).toSet shouldBe Set("Hostname/a", "DockerImage/a")
+    Inventory.assets(st, assetType = Some("Hostname"), identifier = Some("a"))
+      .collect().map(_.getAs[String]("id")).toSeq shouldBe Seq("Hostname/a")
+  }
+
+  test("valid_at: first_seen <= T < expiration") {
+    def at(s: String) = Inventory.assets(st, validAt = Some(ts(s)))
+      .collect().map(_.getAs[String]("id")).toSet
+    at("2022-01-15 00:00:00") shouldBe Set("Hostname/a", "Hostname/ab")
+    at("2022-02-01 00:00:00") shouldBe Set("Hostname/ab") // expiration is exclusive
+    at("2022-01-01 00:00:00") shouldBe Set("Hostname/a", "Hostname/ab") // first_seen inclusive
+    at("2021-12-31 00:00:00") shouldBe Set.empty
+  }
+
+  test("pagination windows by id order; size 0 returns everything") {
+    Inventory.assets(st, pag = Inventory.Page(0, 2)).collect()
+      .map(_.getAs[String]("id")).toSeq shouldBe Seq("DockerImage/a", "Hostname/a")
+    Inventory.assets(st, pag = Inventory.Page(1, 2)).collect()
+      .map(_.getAs[String]("id")).toSeq shouldBe Seq("Hostname/ab")
+    Inventory.assets(st).count() shouldBe 3
+  }
+
+  test("per-asset edge endpoints: owners, parents, children") {
+    Inventory.owners(st, "Hostname/a").collect()
+      .map(r => (r.getAs[String]("team_id"), r.getAs[Timestamp]("end_time") == null))
+      .toSet shouldBe Set(("t1", true), ("t2", false))
+    Inventory.parents(st, "Hostname/a").collect()
+      .map(_.getAs[String]("parent_id")).toSeq shouldBe Seq("AWSAccount/x")
+    Inventory.children(st, "AWSAccount/x").collect()
+      .map(_.getAs[String]("child_id")).toSeq shouldBe Seq("Hostname/a")
+    Inventory.children(st, "Hostname/a").count() shouldBe 0
+    Inventory.ownersWithTeams(st, "Hostname/a").collect()
+      .map(_.getAs[String]("name")).toSet shouldBe Set("Team One", "Team Two")
+  }
+}
