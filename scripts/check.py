@@ -29,8 +29,24 @@ for name in sorted(oracle):
         sp = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
         du = con.execute(oracle[name]).fetchdf()
+        # dtype audit: the DRIVER's hash is type-sensitive for DECIMAL
+        # widths and HUGEINT (round-1 q1_agg/q_lookup_join failed with
+        # string-identical values), while integer-width-only differences
+        # (len() BIGINT vs Spark size INT) provably pass. Flag the fatal
+        # classes here — the string-compare below cannot see them.
+        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        sp_t = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchall()}
+        du_t = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {oracle[name]}").fetchall()}
+        type_bad = [
+            f"{c}: spark={sp_t[c]} oracle={du_t[c]}"
+            for c in set(sp_t) & set(du_t)
+            if sp_t[c] != du_t[c] and not (sp_t[c] in INTS and du_t[c] in INTS)]
+        if type_bad:
+            print(f"--- {name} FATAL type mismatches: {type_bad}")
         sp, du = sp[sorted(sp.columns)], du[sorted(du.columns)]
-        schema = list(sp.columns) == list(du.columns)
+        schema = list(sp.columns) == list(du.columns) and not type_bad
         sp2 = sp.astype(str).sort_values(by=list(sp.columns)).reset_index(drop=True)
         du2 = du.astype(str).sort_values(by=list(du.columns)).reset_index(drop=True)
         match = schema and len(sp2) == len(du2) and sp2.equals(du2)

@@ -22,7 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.sqlContext.clearCache() // drop per-query persisted intermediates
+      // NOT cleared per query (unlike Bench): correctness runs benefit
+      // from cross-query reuse of the cached synth snapshot tables, and
+      // nothing is being timed here
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

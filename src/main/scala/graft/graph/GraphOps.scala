@@ -107,6 +107,8 @@ object GraphOps {
       .agg(max("ts").as("death_ts"))
     // update-only: dead assets always resolve to existing rows, and an
     // accidental insert would create a phantom vertex
+    // unmapped columns (type/identifier/first_seen) keep their existing
+    // values by the update-only merge's default resolution
     val assets2 = Merge.mergeUpdateOnly(
       st.assets,
       deadAssets.select(col("asset_id").as("id"),
@@ -114,10 +116,7 @@ object GraphOps {
       Seq("id"),
       Map(
         "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
-        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
-        "type" -> ((c: MergeCols) => c.existing),
-        "identifier" -> ((c: MergeCols) => c.existing),
-        "first_seen" -> ((c: MergeCols) => c.existing)))
+        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing))))
 
     // 5. expire not-yet-expired parent_of edges in BOTH directions,
     //    skipping edges with expiration <= the death time (main.go:338-340).
@@ -139,9 +138,7 @@ object GraphOps {
         col("exp_ts").as("last_seen"), col("exp_ts").as("expiration")),
       Seq("parent_id", "child_id"), Map(
         "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
-        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
-        "id" -> ((c: MergeCols) => c.existing),
-        "first_seen" -> ((c: MergeCols) => c.existing)))
+        "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing))))
 
     State(assets2, st.teams, owns2, parentOf2)
   }

@@ -468,20 +468,26 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), min("ts").as("first_seen"), max("ts").as("last_seen"))
     // per-run-unique path: concurrent/bench invocations must not clobber
     // each other, and the bench number should predominantly measure the
-    // write+readback, not contend on one directory. A JVM shutdown hook
-    // removes the directory — repeated verify/bench runs must not
-    // accumulate /tmp garbage (the readback is lazy, so it cannot be
-    // deleted inline).
+    // write+readback, not contend on one directory. The readback is lazy,
+    // so the dir can't be deleted inline; it is registered for cleanup at
+    // JVM exit instead (ONE process-wide hook over a registry — a hook per
+    // invocation would leak a Thread per call).
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_${java.util.UUID.randomUUID()}"
-    val outFile = new java.io.File(out)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    SinkCleanup.register(new java.io.File(out))
+    snap.write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy(col("type"))
+  }
+
+  /** JVM-exit cleanup of sink-query scratch directories. */
+  private object SinkCleanup {
+    private val paths = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      rm(outFile)
+      paths.forEach(rm(_))
     }))
-    snap.write.mode("overwrite").parquet(out)
-    s.read.parquet(out).orderBy(col("type"))
+    def register(f: java.io.File): Unit = { hook; paths.add(f): Unit }
   }
 
   // -- D1: pagination --------------------------------------------------------
@@ -551,11 +557,12 @@ object CoreQueries {
   // -- E6: tumbling window ---------------------------------------------------
   val q_window_tumbling: QueryDef = QueryDef(
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
       |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(dec)).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec)).cast(sumDec).as("total"))
       .select(col("w.start").as("window_start"), col("cnt"), col("total"))
       .orderBy(col("window_start"))
   }

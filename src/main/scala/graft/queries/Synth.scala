@@ -71,10 +71,11 @@ object Synth {
   /** The synthesized tables are tiny aggregates (50 assets / 7 teams /
     * 350 edges) of a full `events` scan, and the graph/state queries
     * reference each one several times — persist so the scan+groupBy runs
-    * once per (table, sfDir). Spark's cache manager matches by canonical
-    * plan, so every later identical builder call reuses the cache even
-    * across queries. In production these are materialized snapshot
-    * tables; caching is the test-harness analog.
+    * once per plan. Spark's cache manager matches by canonical plan, so
+    * identical builder calls reuse the cache across queries in Verify;
+    * Bench deliberately clears the cache between queries for isolated
+    * timings, so there each query pays one rebuild. In production these
+    * are materialized snapshot tables; caching is the test-harness analog.
     */
   private def cached(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

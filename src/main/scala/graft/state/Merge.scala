@@ -48,6 +48,10 @@ object Merge {
       keys: Seq[String],
       resolve: Map[String, MergeCols => Column] = Map.empty,
       insertUnmatched: Boolean = true): DataFrame = {
+    // a typo'd resolver name would otherwise be silently ignored and the
+    // column fall back to default resolution — corrupting state no-error
+    require(resolve.keySet.subsetOf(target.columns.toSet),
+      s"resolver(s) for non-existent column(s): ${resolve.keySet.diff(target.columns.toSet).mkString(", ")}")
     val t = target.alias("t")
     val u = updates.alias("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)

@@ -23,7 +23,10 @@ object Temporal {
     * deterministic pages.
     */
   def paginate(df: DataFrame, orderCols: Seq[Column], page: Int, size: Int): DataFrame = {
-    if (size == 0) df.orderBy(orderCols: _*)
+    // size == 0 disables pagination entirely: no page window means order
+    // is not contractual either, and skipping the orderBy spares a full
+    // global sort of the input (the unpaginated endpoint calls at scale)
+    if (size == 0) df
     else df.orderBy(orderCols: _*).offset(page * size).limit(size)
   }
 
@@ -49,6 +52,10 @@ object Temporal {
     *
     * Uses max_by-style aggregation (single shuffle, partial aggregation
     * map-side) rather than a window sort — cheaper at scale.
+    *
+    * PRECONDITION: `seq` must be strictly unique per key (Kafka offsets
+    * are). On a tie max_by picks an arbitrary whole row — deterministic
+    * in neither run-to-run nor against per-column-max_by oracles.
     */
   def lastWriterPerKey(df: DataFrame, key: Seq[String], seq: String): DataFrame = {
     val payload = struct(df.columns.filterNot(key.contains).map(col): _*)
@@ -56,15 +63,6 @@ object Temporal {
       .agg(max_by(payload, col(seq)).as("__last"))
       .select(key.map(col) ++
         df.columns.filterNot(key.contains).map(c => col(s"__last.$c").as(c)): _*)
-  }
-
-  /** D3 variant — per-key sequence numbers (1-based, by `seq` ascending),
-    * used to split a batch into single-event-per-key epochs for faithful
-    * sequential replay.
-    */
-  def withPerKeySeq(df: DataFrame, key: Seq[String], seq: String): DataFrame = {
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col(seq))
-    df.withColumn("__epoch", row_number().over(w))
   }
 
   /** D3 compacted variant — tombstone-segment epochs. Per-key ordering only
