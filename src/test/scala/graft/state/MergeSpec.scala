@@ -24,6 +24,15 @@ class MergeSpec extends AnyFunSuite with SparkSpec with Matchers {
       ("c", 30, "ins")) // inserted
   }
 
+  test("a resolver for a non-existent column is rejected, not silently ignored") {
+    val target = Seq(("a", 1)).toDF("k", "v")
+    val updates = Seq(("a", 10)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      Merge.merge(target, updates, Seq("k"), Map(
+        "vv" -> ((c: MergeCols) => c.update)))) // typo for "v"
+    e.getMessage should include("vv")
+  }
+
   test("update-only merge drops unmatched update rows (no inserts)") {
     val target = Seq(("a", 1)).toDF("k", "v")
     val updates = Seq(("a", 10), ("zz", 99)).toDF("k", "v")

@@ -51,6 +51,18 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
   }
 
+  test("a doc_id redelivered in a LATER batch never self-pairs or duplicates pairs") {
+    val stateDir = Files.createTempDirectory("sd_state").toString
+    val pairsDir = Files.createTempDirectory("sd_pairs").toString
+    StreamDedup.applyBatch(Seq(Doc(1, base), Doc(2, nearDup)).toDF(), 0L, stateDir, pairsDir)
+    // upstream at-least-once: doc 1 arrives AGAIN in a different batch
+    StreamDedup.applyBatch(Seq(Doc(1, base)).toDF(), 1L, stateDir, pairsDir)
+    val b1 = spark.read.parquet(s"$pairsDir/b1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    b1 should not contain ((1L, 1L)) // no self-pair against its own copy
+    b1.sorted shouldBe Seq((1L, 2L)) // the real pair re-emits exactly once, not fanned out
+  }
+
   test("redelivering a batch overwrites its state and pairs (no duplication)") {
     val stateDir = Files.createTempDirectory("sd_state").toString
     val pairsDir = Files.createTempDirectory("sd_pairs").toString

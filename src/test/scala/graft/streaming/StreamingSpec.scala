@@ -74,4 +74,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     val twice = collectShape(StreamIngest.readState(spark, s"$stateDir/v1"))
     twice shouldBe once
   }
+
+  test("old full-snapshot versions are pruned; the predecessor survives for redelivery") {
+    val stateDir = Files.createTempDirectory("graft_state").toString
+    val cfg = Pipeline.Config()
+    val batches = fixtureRows.grouped(8).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamIngest.applyBatch(b.toDF(), i.toLong, stateDir, cfg, 1704067200L)
+    }
+    val n = batches.length.toLong // 3 batches => keep v1 (predecessor) + v2
+    StreamIngest.listVersions(spark, stateDir, Long.MaxValue) shouldBe Seq(n - 2, n - 1)
+  }
 }
