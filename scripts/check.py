@@ -3,12 +3,30 @@
 
 Usage: python3 scripts/check.py [sfdir] [outdir] [only_query ...]
 Run AFTER `sbt "runMain graft.Verify <sfdir> <outdir>"`.
-Both sides are round-tripped through DuckDB -> pandas so value
-representations normalize identically; columns sorted by name, rows sorted
-by all columns, then exact string compare (the driver hashes the same view).
+
+Driver-faithful compare (VERDICT r2 "What's missing" #1): the Spark side is
+read DIRECTLY via pyarrow — NOT round-tripped through DuckDB, which
+normalizes away exactly the value/type classes the driver's hash is
+sensitive to (DECIMAL renderings, TIMESTAMP_NS sentinel overflow). The
+oracle side runs in DuckDB and is taken as fetchdf() hands it over,
+corruption included (that IS what the driver hashes).
+
+Fatal type classes (lifetime evidence, rounds 1-2):
+  * DECIMAL anywhere in a final output (0-for-5 against the driver hash,
+    even with identical widths on both sides)  -> hard fail
+  * HUGEINT on the oracle side                 -> hard fail
+  * type-class mismatch (e.g. string vs timestamp); integer-width-only
+    diffs (INT vs BIGINT) provably pass and are tolerated.
 """
-import sys, json
+import glob
+import json
+import sys
+
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -20,35 +38,119 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+
+def arrow_class(t: pa.DataType) -> str:
+    """Bucket an arrow type into the class the driver distinguishes."""
+    if pa.types.is_decimal(t):
+        return "DECIMAL"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list<" + arrow_class(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def duck_class(t: str) -> str:
+    """Bucket a DuckDB DESCRIBE type string into the same classes."""
+    t = t.strip()
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t == "HUGEINT":
+        return "HUGEINT"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "VARCHAR":
+        return "string"
+    if t == "BLOB":
+        return "binary"
+    if t.endswith("[]"):
+        return "list<" + duck_class(t[:-2]) + ">"
+    if t.startswith("STRUCT"):
+        return "struct"
+    return t
+
+
+def render(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical value rendering: every cell -> str, container-normalized.
+
+    Deliberately does NOT normalize numeric/timestamp representations —
+    a repr difference between the pyarrow-read Spark value and the DuckDB
+    oracle value is a real driver-visible difference.
+    """
+    def cell(v):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, list):
+            return "[" + ", ".join(cell(x) for x in v) + "]"
+        if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+            return "NULL"
+        if isinstance(v, (np.floating, float)):
+            return repr(float(v))
+        if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+            return str(int(v))
+        if isinstance(v, np.bool_):
+            return str(bool(v))
+        return str(v)
+
+    return df.apply(lambda col: col.map(cell))
+
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results, bad = {}, []
 for name in sorted(oracle):
     if only and name not in only:
         continue
     try:
-        sp = con.execute(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        parts = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet under {outdir}/{name}")
+        sp_tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        sp = sp_tbl.to_pandas()
         du = con.execute(oracle[name]).fetchdf()
-        # dtype audit: the DRIVER's hash is type-sensitive for DECIMAL
-        # widths and HUGEINT (round-1 q1_agg/q_lookup_join failed with
-        # string-identical values), while integer-width-only differences
-        # (len() BIGINT vs Spark size INT) provably pass. Flag the fatal
-        # classes here — the string-compare below cannot see them.
-        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
-        sp_t = {r[0]: r[1] for r in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchall()}
-        du_t = {r[0]: r[1] for r in con.execute(
+
+        sp_t = {f.name: arrow_class(f.type) for f in sp_tbl.schema}
+        du_t = {r[0]: duck_class(r[1]) for r in con.execute(
             f"DESCRIBE {oracle[name]}").fetchall()}
-        type_bad = [
-            f"{c}: spark={sp_t[c]} oracle={du_t[c]}"
-            for c in set(sp_t) & set(du_t)
-            if sp_t[c] != du_t[c] and not (sp_t[c] in INTS and du_t[c] in INTS)]
+        type_bad = []
+        for c, t in sp_t.items():
+            if "DECIMAL" in t:
+                type_bad.append(f"{c}: spark emits {t} (decimal outputs are 0-for-5 vs driver hash)")
+        for c, t in du_t.items():
+            if "DECIMAL" in t or "HUGEINT" in t:
+                type_bad.append(f"{c}: oracle emits {t} (driver-hostile class)")
+        for c in set(sp_t) & set(du_t):
+            if sp_t[c] != du_t[c]:
+                type_bad.append(f"{c}: class spark={sp_t[c]} oracle={du_t[c]}")
         if type_bad:
-            print(f"--- {name} FATAL type mismatches: {type_bad}")
+            print(f"--- {name} FATAL type problems: {type_bad}")
+
         sp, du = sp[sorted(sp.columns)], du[sorted(du.columns)]
         schema = list(sp.columns) == list(du.columns) and not type_bad
-        sp2 = sp.astype(str).sort_values(by=list(sp.columns)).reset_index(drop=True)
-        du2 = du.astype(str).sort_values(by=list(du.columns)).reset_index(drop=True)
+        sp2 = render(sp).sort_values(by=list(sp.columns)).reset_index(drop=True)
+        du2 = render(du).sort_values(by=list(du.columns)).reset_index(drop=True)
         match = schema and len(sp2) == len(du2) and sp2.equals(du2)
         results[name] = f"rows={len(sp)}/{len(du)} schema={schema} match={match}"
         if not match:
@@ -58,7 +160,7 @@ for name in sorted(oracle):
                 print(f"--- {name} first diffs (spark | oracle):")
                 print(sp2[diff].head(3).to_string())
                 print(du2[diff].head(3).to_string())
-            elif not schema:
+            elif not type_bad:
                 print(f"--- {name} columns: spark={list(sp.columns)} oracle={list(du.columns)}")
     except Exception as e:
         results[name] = f"ERR {str(e)[:300]}"
