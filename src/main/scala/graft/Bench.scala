@@ -2,6 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times every declared query at the driver-given SF.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports
+  * the per-query MEDIAN (plus min) — a single contended scheduling window
+  * must not fabricate a 20x outlier into the round total (round-2 driver
+  * run: 99 s for a query that cleanly takes 4 s).
+  *
   * Failures are REPORTED, never swallowed — a crashed query must not look
   * like a fast success (round-1 bug: 24 dead queries "ran" in 0.05 s each
   * and produced a plausible total).
@@ -10,6 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,26 +29,43 @@ object Bench {
     // on whichever query sorts first and distorts its number
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(e.getClass.getSimpleName)
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // multi-pass queries persist intermediates; drop them so later
-      // queries are measured with clean storage memory
-      spark.sqlContext.clearCache()
-      (name, dt, err)
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (1 to runs).flatMap { _ =>
+        if (err.isDefined) None // a failed query fails every run; stop early
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            err = Some(e.getClass.getSimpleName)
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // multi-pass queries persist intermediates; drop them so every
+          // run (and every later query) starts with clean storage memory
+          spark.sqlContext.clearCache()
+          if (err.isDefined) None else Some(dt)
+        }
+      }
+      (name, times, err)
+    }
+    val qs = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "null" else median(ts))
+    }.mkString("{", ",", "}")
+    val mins = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "null" else ts.min)
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap { case (_, ts, _) => if (ts.isEmpty) None else Some(median(ts)) }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -59,6 +59,15 @@ object GraphOps {
   final case class State(assets: DataFrame, teams: DataFrame,
                          owns: DataFrame, parentOf: DataFrame)
 
+  /** Result of a tracked cascade: the new state plus the persisted
+    * intermediates its plans reference. Call [[release]] once the state has
+    * been materialized (written / checkpointed) — before that, unpersisting
+    * would force the shared subtrees to recompute on next use.
+    */
+  final case class Cascade(state: State, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
+
   /** C8 — cascading expiration for a batch of tombstones
     * (reference: main.go:270-364). Semantics, in order (SURVEY.md §7.4):
     *
@@ -79,7 +88,17 @@ object GraphOps {
     *                   set-at-a-time analog of the reference's per-event
     *                   `time.Now()`)
     */
-  def expireCascade(st: State, tombstones: DataFrame): State = {
+  def expireCascade(st: State, tombstones: DataFrame): State =
+    expireCascadeTracked(st, tombstones).state
+
+  /** [[expireCascade]], returning the persisted intermediates for release.
+    * `owns2` and `deadAssets` are each referenced by several downstream
+    * plans (quantifier, assets merge, both parent_of join directions) and
+    * Spark does no cross-reference CSE — without the persists the whole
+    * resolve→expire-owns→quantifier join tree re-executes per reference
+    * (measured ~3-4x on the cascade queries).
+    */
+  def expireCascadeTracked(st: State, tombstones: DataFrame): Cascade = {
     // 1. resolve asset + team; drop no-ops
     val resolved = tombstones.alias("tb")
       .join(st.assets.alias("a"),
@@ -90,10 +109,11 @@ object GraphOps {
       .select(col("a.id").as("asset_id"), col("tm.id").as("team_id"), col("tb.ts").as("ts"))
       .groupBy(col("asset_id"), col("team_id"))
       .agg(max("ts").as("ts"))
+      .persist() // tombstone-sized; referenced by owns2, quant and deadAssets
 
     // 2. expire this team's owns edges (update-only; end_time = that
     //    tombstone's ts)
-    val owns2 = Upserts.expireOwns(st.owns, resolved)
+    val owns2 = Upserts.expireOwns(st.owns, resolved).persist()
 
     // 3. quantifier over the POST-update owns state
     val quant = otherActiveOwnerExists(owns2, resolved.select("asset_id", "team_id"))
@@ -105,6 +125,7 @@ object GraphOps {
       .join(resolved, Seq("asset_id", "team_id"))
       .groupBy(col("asset_id"))
       .agg(max("ts").as("death_ts"))
+      .persist()
     // update-only: dead assets always resolve to existing rows, and an
     // accidental insert would create a phantom vertex
     // unmapped columns (type/identifier/first_seen) keep their existing
@@ -140,7 +161,8 @@ object GraphOps {
         "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
         "expiration" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing))))
 
-    State(assets2, st.teams, owns2, parentOf2)
+    Cascade(State(assets2, st.teams, owns2, parentOf2),
+      Seq(resolved, owns2, deadAssets))
   }
 
   /** Back-compat form: every tombstone processed at one instant `now`. */

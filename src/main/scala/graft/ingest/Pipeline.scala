@@ -123,13 +123,19 @@ object Pipeline {
   /** Expire path (reference: main.go:270-364) for a batch of tombstones
     * carrying per-event `proc_ts`.
     */
-  def expire(st: State, tombstones: DataFrame): State = {
+  def expire(st: State, tombstones: DataFrame): State =
+    expireTracked(st, tombstones).state
+
+  /** [[expire]], keeping the cascade's persisted intermediates for release
+    * once the resulting state is materialized.
+    */
+  def expireTracked(st: State, tombstones: DataFrame): GraphOps.Cascade = {
     val tb = tombstones.select(
       col("asset_type"),
       col("identifier").as("asset_identifier"),
       col("team_id").as("team_identifier"),
       col("proc_ts").as("ts"))
-    GraphOps.expireCascade(st, tb)
+    GraphOps.expireCascadeTracked(st, tb)
   }
 
   /** Apply one epoch: refreshes first, then the expire cascade over the
@@ -137,9 +143,15 @@ object Pipeline {
     * tombstone-only, but mixed batches — e.g. a whole micro-batch with no
     * per-key conflicts — work too.)
     */
-  def applyEpoch(st: State, epoch: DataFrame, cfg: Config): State = {
+  def applyEpoch(st: State, epoch: DataFrame, cfg: Config): State =
+    applyEpochTracked(st, epoch, cfg).state
+
+  /** [[applyEpoch]] returning the cascade's persisted intermediates; the
+    * caller releases them after checkpointing the state.
+    */
+  def applyEpochTracked(st: State, epoch: DataFrame, cfg: Config): GraphOps.Cascade = {
     val refreshed = refresh(st, epoch.filter(!col("is_nil")), cfg)
-    expire(refreshed, epoch.filter(col("is_nil")))
+    expireTracked(refreshed, epoch.filter(col("is_nil")))
   }
 
   /** C6 duplicate-key guard (reference hard-errors on >1 lookup match,
@@ -176,32 +188,41 @@ object Pipeline {
     // decoded once, not once for the quarantine count and again for the
     // event pipeline
     val decoded = Decode.decode(envelopes).persist()
-    if (cfg.strict) {
-      val bad = decoded.filter(!col("valid")).count()
-      require(bad == 0, s"strict mode: $bad undecodable/unsupported messages")
-    }
-    val events = Temporal.withSegmentEpoch(
-        decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
-      .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
-      .persist()
+    var events: DataFrame = null
     try {
+      if (cfg.strict) {
+        val bad = decoded.filter(!col("valid")).count()
+        require(bad == 0, s"strict mode: $bad undecodable/unsupported messages")
+      }
+      events = Temporal.withSegmentEpoch(
+          decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
+        .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
+        .persist()
       val maxEpoch = events.agg(max(col("__epoch"))).collect()(0)
         .getAs[Any](0) match { case null => 0; case n: Int => n }
       var st = st0
       var e = 1
       while (e <= maxEpoch) {
-        st = applyEpoch(st, events.filter(col("__epoch") === e), cfg)
+        val casc = applyEpochTracked(st, events.filter(col("__epoch") === e), cfg)
         // truncate lineage: each epoch's state feeds the next
         st = State(
-          st.assets.localCheckpoint(true),
-          st.teams.localCheckpoint(true),
-          st.owns.localCheckpoint(true),
-          st.parentOf.localCheckpoint(true))
+          casc.state.assets.localCheckpoint(true),
+          casc.state.teams.localCheckpoint(true),
+          casc.state.owns.localCheckpoint(true),
+          casc.state.parentOf.localCheckpoint(true))
+        // checkpointed copies are independent → the cascade's persisted
+        // intermediates can be dropped before the next epoch
+        casc.release()
         e += 1
       }
       if (cfg.verifyStateInvariants) assertNoDuplicates(st)
       st
-    } finally { events.unpersist(); decoded.unpersist() }
+    } finally {
+      // the strict-mode halt throws before `events` exists — still release
+      // the decoded cache on that path
+      if (events != null) events.unpersist()
+      decoded.unpersist()
+    }
   }
 
   /** Batch replay from empty state. */
