@@ -7,7 +7,7 @@ import graft.graph.GraphOps
 import graft.graph.GraphOps.State
 import graft.normalize.Normalize
 import graft.schema.Schemas
-import graft.state.{Merge, Upserts}
+import graft.state.{ChangeSet, Merge, Upserts}
 import graft.temporal.Temporal
 
 /** The full ingestion pipeline: envelope log → temporal-property-graph
@@ -56,7 +56,13 @@ object Pipeline {
     * upsert inputs are aggregated per merge key, so state application
     * stays one MERGE per table.
     */
-  def refresh(st: State, batch: DataFrame, cfg: Config): State = {
+  def refresh(st: State, batch: DataFrame, cfg: Config): State =
+    refreshTracked(st, batch, cfg)._1
+
+  /** [[refresh]], also returning the natural keys it upserts per table —
+    * the write-side input for partition-limited sink writes.
+    */
+  def refreshTracked(st: State, batch: DataFrame, cfg: Config): (State, ChangeSet) = {
     val b = batch.select(
       col("payload.AssetType").as("type"),
       col("payload.Identifier").as("identifier"),
@@ -113,11 +119,18 @@ object Pipeline {
       .agg(min("proc_ts").as("first_seen"), max("proc_ts").as("last_seen"))
       .withColumn("expiration", lit(Schemas.Unexpired))
 
-    State(
+    val next = State(
       assets = Upserts.upsertAssets(st.assets, assetUpdates),
       teams = Upserts.upsertTeams(st.teams, teamUpdates),
       owns = Upserts.upsertOwns(st.owns, ownsUpdates),
       parentOf = Upserts.upsertParentOf(st.parentOf, parentUpdates))
+    val changes = ChangeSet(
+      assets = assetUpdates.select(
+        Upserts.assetId(col("type"), col("identifier")).as("id")),
+      teams = teamUpdates.select("identifier"),
+      owns = ownsUpdates.select("team_id", "asset_id"),
+      parentOf = parentUpdates.select("parent_id", "child_id"))
+    (next, changes)
   }
 
   /** Expire path (reference: main.go:270-364) for a batch of tombstones
@@ -146,12 +159,14 @@ object Pipeline {
   def applyEpoch(st: State, epoch: DataFrame, cfg: Config): State =
     applyEpochTracked(st, epoch, cfg).state
 
-  /** [[applyEpoch]] returning the cascade's persisted intermediates; the
-    * caller releases them after checkpointing the state.
+  /** [[applyEpoch]] returning the cascade's persisted intermediates (the
+    * caller releases them after checkpointing the state) plus the combined
+    * refresh+cascade change set.
     */
   def applyEpochTracked(st: State, epoch: DataFrame, cfg: Config): GraphOps.Cascade = {
-    val refreshed = refresh(st, epoch.filter(!col("is_nil")), cfg)
-    expireTracked(refreshed, epoch.filter(col("is_nil")))
+    val (refreshed, refreshChanges) = refreshTracked(st, epoch.filter(!col("is_nil")), cfg)
+    val casc = expireTracked(refreshed, epoch.filter(col("is_nil")))
+    casc.copy(changes = refreshChanges.union(casc.changes))
   }
 
   /** C6 duplicate-key guard (reference hard-errors on >1 lookup match,
@@ -183,7 +198,20 @@ object Pipeline {
       st0: State,
       envelopes: DataFrame,
       cfg: Config,
-      baseEpochSecs: Long): State = {
+      baseEpochSecs: Long): State =
+    foldWithChanges(spark, st0, envelopes, cfg, baseEpochSecs)._1
+
+  /** [[fold]], also returning the union of every epoch's changed natural
+    * keys — the contract the partition-limited state sink needs. The
+    * change frames are eagerly checkpointed (they are batch-key sized), so
+    * they stay valid after the per-epoch caches are released.
+    */
+  def foldWithChanges(
+      spark: SparkSession,
+      st0: State,
+      envelopes: DataFrame,
+      cfg: Config,
+      baseEpochSecs: Long): (State, ChangeSet) = {
     // persist the decode output BEFORE the strict count so the batch is
     // decoded once, not once for the quarantine count and again for the
     // event pipeline
@@ -201,6 +229,7 @@ object Pipeline {
       val maxEpoch = events.agg(max(col("__epoch"))).collect()(0)
         .getAs[Any](0) match { case null => 0; case n: Int => n }
       var st = st0
+      var changes = ChangeSet.empty(spark)
       var e = 1
       while (e <= maxEpoch) {
         val casc = applyEpochTracked(st, events.filter(col("__epoch") === e), cfg)
@@ -210,13 +239,15 @@ object Pipeline {
           casc.state.teams.localCheckpoint(true),
           casc.state.owns.localCheckpoint(true),
           casc.state.parentOf.localCheckpoint(true))
-        // checkpointed copies are independent → the cascade's persisted
-        // intermediates can be dropped before the next epoch
+        // change keys checkpoint BEFORE release (their plans reference the
+        // cascade's caches); checkpointed copies are then independent and
+        // the per-epoch caches can be dropped
+        changes = changes.union(casc.changes.localCheckpoint())
         casc.release()
         e += 1
       }
       if (cfg.verifyStateInvariants) assertNoDuplicates(st)
-      st
+      (st, changes)
     } finally {
       // the strict-mode halt throws before `events` exists — still release
       // the decoded cache on that path

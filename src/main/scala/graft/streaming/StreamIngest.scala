@@ -127,92 +127,54 @@ object StreamIngest {
       statePath: String,
       checkpointPath: String,
       cfg: Pipeline.Config = Pipeline.Config(),
-      baseEpochSecs: Long = 1704067200L): StreamingQuery =
+      baseEpochSecs: Long = 1704067200L,
+      store: StateStore.Config = StateStore.Config()): StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, cfg, baseEpochSecs)
+        applyBatch(batch, batchId, statePath, cfg, baseEpochSecs, store)
       }
       .start()
 
   /** One micro-batch: previous committed state + batch → version
-    * `v<batchId>`. Reprocessing the same batchId (at-least-once restart)
-    * overwrites the same version with the same deterministic result.
+    * `v<batchId>` in the partition-limited [[StateStore]] (only the hash
+    * buckets the batch's keys touch are rewritten; untouched buckets stay
+    * manifest pointers into prior versions). Reprocessing the same batchId
+    * (at-least-once restart) overwrites the same version with the same
+    * deterministic result.
     */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
       statePath: String,
       cfg: Pipeline.Config,
-      baseEpochSecs: Long): Unit = {
+      baseEpochSecs: Long,
+      store: StateStore.Config = StateStore.Config()): Unit = {
     val spark = batch.sparkSession
     val prev = loadLatestState(spark, statePath, maxVersion = batchId - 1)
       .getOrElse(Pipeline.emptyState(spark))
-    val next = Pipeline.fold(spark, prev, batch, cfg, baseEpochSecs)
+    val (next, changes) = Pipeline.foldWithChanges(spark, prev, batch, cfg, baseEpochSecs)
     // transient write failures retry in place; anything still failing
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
-    retrying(attempts = 3)(writeState(next, s"$statePath/v$batchId"))
-    // each version is a FULL snapshot copy and only the latest is ever
-    // read back — prune older generations or a long-running stream grows
-    // O(batches x state). Keep one predecessor for crash-recovery of the
-    // next batch.
-    pruneVersions(spark, statePath, keepFrom = batchId - 1)
+    retrying(attempts = 3)(
+      StateStore.write(spark, statePath, batchId, next, Some(changes), store))
+    // drop versions no surviving manifest references; keep the predecessor
+    // for crash-recovery of the next batch
+    StateStore.prune(spark, statePath, keepFrom = batchId - 1)
   }
 
-  /** Delete committed versions older than `keepFrom`. */
-  def pruneVersions(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
-    val (fs, root) = fsFor(spark, statePath)
-    listVersions(spark, statePath, Long.MaxValue)
-      .filter(_ < keepFrom)
-      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
-  }
+  /** Full state at one committed version (resolved via its manifest). */
+  def readState(spark: SparkSession, statePath: String, version: Long): State =
+    StateStore.read(spark, statePath, version)
 
-  def writeState(st: State, dir: String): Unit = {
-    // assets partitioned by `type`: partition pruning serves the dominant
-    // lookup pattern (C1 equi-joins on (type, identifier) — the batch
-    // side always carries a type predicate). At cluster scale the tables
-    // would additionally be bucketed by their merge keys so the per-batch
-    // MERGE joins co-locate without shuffling the snapshot side; plain
-    // parquet in this environment has no bucket metadata, so that part
-    // is documented rather than wired.
-    st.assets.write.mode("overwrite").partitionBy("type").parquet(s"$dir/assets")
-    st.teams.write.mode("overwrite").parquet(s"$dir/teams")
-    st.owns.write.mode("overwrite").parquet(s"$dir/owns")
-    st.parentOf.write.mode("overwrite").parquet(s"$dir/parent_of")
-  }
-
-  /** Read one state version; explicit schemas tolerate empty tables. */
-  def readState(spark: SparkSession, dir: String): State = State(
-    assets = spark.read.schema(Schemas.assetSchema).parquet(s"$dir/assets"),
-    teams = spark.read.schema(Schemas.teamSchema).parquet(s"$dir/teams"),
-    owns = spark.read.schema(Schemas.ownsSchema).parquet(s"$dir/owns"),
-    parentOf = spark.read.schema(Schemas.parentOfSchema).parquet(s"$dir/parent_of"))
-
-  /** Hadoop FileSystem for a path — works for file://, hdfs://, s3a://
-    * alike; `java.io.File` here would silently see an empty directory on
-    * any non-local store and reset the stream to empty state.
+  /** Committed (manifest-complete) version ids with id <= maxVersion — a
+    * half-written v<batchId> from a crashed attempt has no complete
+    * manifest and is never listed.
     */
-  private def fsFor(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  def listVersions(spark: SparkSession, statePath: String, maxVersion: Long): Seq[Long] =
+    StateStore.committedVersions(spark, statePath, maxVersion)
 
-  /** Committed version ids under `statePath` with id <= maxVersion. */
-  def listVersions(spark: SparkSession, statePath: String, maxVersion: Long): Seq[Long] = {
-    val (fs, root) = fsFor(spark, statePath)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
-      .filter(_ <= maxVersion)
-      .sorted
-  }
-
-  /** Latest committed version with id <= maxVersion (replay safety: a
-    * half-written v<batchId> from a crashed attempt is never read when
-    * rebuilding that same batch).
-    */
+  /** Latest committed state with id <= maxVersion. */
   def loadLatestState(spark: SparkSession, statePath: String, maxVersion: Long): Option[State] =
-    listVersions(spark, statePath, maxVersion).lastOption
-      .map(v => readState(spark, s"$statePath/v$v"))
+    StateStore.readLatest(spark, statePath, maxVersion).map(_._2)
 }

@@ -67,20 +67,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     val cfg = Pipeline.Config()
     StreamIngest.applyBatch(batch1.toDF(), 0L, stateDir, cfg, 1704067200L)
     StreamIngest.applyBatch(batch2.toDF(), 1L, stateDir, cfg, 1704067200L)
-    val once = collectShape(StreamIngest.readState(spark, s"$stateDir/v1"))
+    val once = collectShape(StreamIngest.readState(spark, stateDir, 1L))
     // redelivery: the driver crashed before committing the checkpoint and
     // batch 1 arrives again — the rebuild must not double-apply
     StreamIngest.applyBatch(batch2.toDF(), 1L, stateDir, cfg, 1704067200L)
-    val twice = collectShape(StreamIngest.readState(spark, s"$stateDir/v1"))
+    val twice = collectShape(StreamIngest.readState(spark, stateDir, 1L))
     twice shouldBe once
   }
 
-  test("old full-snapshot versions are pruned; the predecessor survives for redelivery") {
+  test("unreferenced old versions are pruned; the predecessor survives for redelivery") {
     val stateDir = Files.createTempDirectory("graft_state").toString
     val cfg = Pipeline.Config()
+    // maxChain=0 forces a full snapshot per batch (every manifest is
+    // self-contained), so nothing references old versions and pruning
+    // keeps exactly {predecessor, latest}
+    val store = StateStore.Config(maxChain = 0)
     val batches = fixtureRows.grouped(8).toSeq
     batches.zipWithIndex.foreach { case (b, i) =>
-      StreamIngest.applyBatch(b.toDF(), i.toLong, stateDir, cfg, 1704067200L)
+      StreamIngest.applyBatch(b.toDF(), i.toLong, stateDir, cfg, 1704067200L, store)
     }
     val n = batches.length.toLong // 3 batches => keep v1 (predecessor) + v2
     StreamIngest.listVersions(spark, stateDir, Long.MaxValue) shouldBe Seq(n - 2, n - 1)
