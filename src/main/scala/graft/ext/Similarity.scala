@@ -31,7 +31,25 @@ object Similarity {
   private val Dim = 64
   private val NQueries = 5
   private val TopK = 3
-  private val Planes = 4
+
+  /** Hyperplane count for a sign-LSH index: enough bits that the expected
+    * bucket holds ~`targetBucketSize` vectors — `ceil(log2(n / target))`,
+    * clamped to [1, 24]. Per-bucket join work is quadratic in bucket size,
+    * so the bit count MUST grow with the corpus: frozen at 4 bits, a
+    * 100 TB corpus would put corpus/16 vectors in every bucket and the
+    * self-join would be quadratic in the corpus. With planes scaling,
+    * per-bucket work stays ~target² regardless of n.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 128): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(24, math.max(1, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
+  /** Testdata default: 2000 vectors / 128-vector target buckets → 4 bits
+    * (16 buckets). The oracle SQL interpolates the same constant, so the
+    * two engines always agree on the bucketing.
+    */
+  private val Planes = planesFor(corpusSize = 2000)
 
   /** Sequential-fold dot product of two float vectors, in double. */
   private def dot(a: Column, b: Column): Column =
@@ -82,9 +100,12 @@ object Similarity {
     (1 to Dim).map(i =>
       Integer.parseInt(TextAnalysis.md5hexJvm(s"hp$j|$i").substring(0, 4), 16) - 32768.0)
 
-  /** Sign-bit bucket of a vector: bit j set iff dot(v, plane_j) > 0. */
-  private def bucketOf(v: Column): Column =
-    (0 until Planes).map { j =>
+  /** Sign-bit bucket of a vector: bit j set iff dot(v, plane_j) > 0.
+    * `planes` comes from [[planesFor]] at the call site — bucket count is
+    * 2^planes and must track corpus size.
+    */
+  def bucketOf(v: Column, planes: Int = Planes): Column =
+    (0 until planes).map { j =>
       val w = typedlit(plane(j))
       when(aggregate(zip_with(v, w, (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << j)).otherwise(lit(0))

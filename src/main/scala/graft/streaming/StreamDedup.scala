@@ -19,21 +19,34 @@ import graft.ext.Dedup
   *
   * State layout (parquet, one subdir per batch — a redelivered batch
   * OVERWRITES its own subdir, so at-least-once delivery cannot duplicate
-  * index rows):
+  * index rows). Both index tables are hash-PARTITIONED by a bucket of
+  * their lookup key, so a micro-batch reads only the partitions its own
+  * keys hash into (partition pruning) instead of re-shuffling the whole
+  * accumulated — corpus-scale — index per batch:
   *
-  *   statePath/bands/b<batchId>/   (doc_id, band, bkey)
-  *   statePath/docs/b<batchId>/    (doc_id, hs)
-  *   pairsPath/b<batchId>/         (doc_a, doc_b, inter, uni)
+  *   statePath/bands/b<batchId>/pb=<hash(bkey)%PB>/   (doc_id, band, bkey)
+  *   statePath/docs/b<batchId>/pd=<hash(doc_id)%PB>/  (doc_id, hs)
+  *   pairsPath/b<batchId>/                            (doc_a, doc_b, inter, uni, batch)
   */
 object StreamDedup {
 
   private val Bands = 8
   private val R = 2
 
+  /** Index partition buckets. At cluster scale this is sized so one
+    * bucket of the accumulated index ≈ one task's worth of data; the
+    * pruning ratio per small batch is (distinct batch buckets)/PB.
+    */
+  private val PB = 16
+
+  private def pbOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(PB))
+
   private val bandSchema = new StructType()
     .add("doc_id", LongType).add("band", "int").add("bkey", "string")
+    .add("pb", "int")
   private val docSchema = new StructType()
     .add("doc_id", LongType).add("hs", "array<long>")
+    .add("pd", "int")
 
   /** Start streaming dedup over a stream of (doc_id, text) rows. */
   def start(
@@ -55,10 +68,15 @@ object StreamDedup {
     docs.count() // eager barrier (see Dedup.lshJaccardPairs)
     try {
       val newBands = Dedup.bandRowsOf(docs, Bands, R)
+        .withColumn("pb", pbOf(col("bkey")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+      // partition pruning: the accumulated band index is corpus-scale; a
+      // batch only ever matches rows whose bkey hashes into the batch's
+      // own buckets, so read just those partitions (≤ PB driver-side ints)
+      val batchPbs = newBands.select("pb").distinct().collect().map(_.getInt(0)).toSeq
       val prevBands = readPrev(spark, s"$statePath/bands", bandSchema, batchId)
-      val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
+        .filter(col("pb").isin(batchPbs: _*))
 
       // new-vs-new (within the batch) + new-vs-old (against the index);
       // pairs are emitted once, by the batch that completes them. The
@@ -75,6 +93,16 @@ object StreamDedup {
         .select(least(col("n.doc_id"), col("p.doc_id")).as("doc_a"),
           greatest(col("n.doc_id"), col("p.doc_id")).as("doc_b"))
       val candidates = within.unionByName(against).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // the doc-signature store is likewise pruned to the partitions the
+      // candidates' doc ids live in before the verification join
+      val candPds = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .select(pbOf(col("doc_id")).as("pd")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
+        .filter(col("pd").isin(candPds: _*)).drop("pd")
 
       // current batch wins for a redelivered doc_id — never two hs rows
       // per doc, which would fan out duplicate verified pairs
@@ -82,11 +110,17 @@ object StreamDedup {
       val verified = Dedup.verifyJaccard(candidates, docStore)
         .orderBy(col("doc_a"), col("doc_b"))
 
-      // per-batch overwrite => idempotent under redelivery
-      verified.write.mode("overwrite").parquet(s"$pairsPath/b$batchId")
-      newBands.write.mode("overwrite").parquet(s"$statePath/bands/b$batchId")
-      docs.write.mode("overwrite").parquet(s"$statePath/docs/b$batchId")
-      newBands.unpersist()
+      // per-batch overwrite => idempotent under redelivery; `batch` lets
+      // allPairs keep one row per pair when an upstream redelivery makes a
+      // later batch re-complete an already-emitted pair
+      verified.withColumn("batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$pairsPath/b$batchId")
+      newBands.write.mode("overwrite").partitionBy("pb")
+        .parquet(s"$statePath/bands/b$batchId")
+      docs.withColumn("pd", pbOf(col("doc_id")))
+        .write.mode("overwrite").partitionBy("pd")
+        .parquet(s"$statePath/docs/b$batchId")
+      newBands.unpersist(); candidates.unpersist()
     } finally docs.unpersist()
   }
 
@@ -110,10 +144,19 @@ object StreamDedup {
       spark.read.schema(schema).parquet(versions.sorted.map(v => s"$dir/b$v"): _*)
   }
 
-  /** All pairs emitted so far (batch outputs are disjoint by design). */
+  /** All pairs emitted so far, one row per (doc_a, doc_b). Batches
+    * normally emit disjoint pairs, but an upstream at-least-once
+    * redelivery of a doc in a LATER batch re-completes (re-emits) its
+    * pairs — the latest batch's row wins here so downstream consumers
+    * never see a pair twice.
+    */
   def allPairs(spark: SparkSession, pairsPath: String): DataFrame =
     readPrev(spark, pairsPath,
       new StructType().add("doc_a", LongType).add("doc_b", LongType)
-        .add("inter", "int").add("uni", "int"),
+        .add("inter", "int").add("uni", "int").add("batch", LongType),
       Long.MaxValue)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max_by(struct(col("inter"), col("uni")), col("batch")).as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        col("s.inter").as("inter"), col("s.uni").as("uni"))
 }

@@ -82,6 +82,21 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     (exact intersect ann) should not be empty
   }
 
+  test("LSH plane count (and so bucket count) grows with the corpus") {
+    // sizing rule: buckets ≈ n / targetBucketSize, so per-bucket join work
+    // stays ~target² instead of (n/2^planes)² with planes frozen
+    Similarity.planesFor(2000) shouldBe 4 // the testdata default
+    Similarity.planesFor(2000000) shouldBe 14
+    Similarity.planesFor(2000000000L) should be <= 24 // clamped
+    Similarity.planesFor(10) shouldBe 1 // never zero planes
+    // and the wired bucketing actually spreads: more planes → more buckets
+    val e = graft.Tables.embeddings(spark, sf).select(col("embedding"))
+    val b4 = e.select(Similarity.bucketOf(col("embedding"), 4)).distinct().count()
+    val b8 = e.select(Similarity.bucketOf(col("embedding"), 8)).distinct().count()
+    b8 should be > b4
+    b4 should be <= 16L
+  }
+
   test("fake media decoder is deterministic and bounded") {
     val dec = new Multimodal.FakeMediaDecoder()
     val d = Multimodal.MediaDoc(1L, "text/plain", "hello".getBytes("UTF-8"))

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSpec
@@ -61,6 +62,29 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     b1 should not contain ((1L, 1L)) // no self-pair against its own copy
     b1.sorted shouldBe Seq((1L, 2L)) // the real pair re-emits exactly once, not fanned out
+    // b0 emitted (1,2) too — allPairs must still return it ONCE
+    StreamDedup.allPairs(spark, pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 2L))
+  }
+
+  test("band index is hash-partitioned and batch joins prune to the batch's buckets") {
+    val stateDir = Files.createTempDirectory("sd_state").toString
+    val pairsDir = Files.createTempDirectory("sd_pairs").toString
+    StreamDedup.applyBatch(Seq(Doc(1, base), Doc(2, unrelated)).toDF(), 0L, stateDir, pairsDir)
+    StreamDedup.applyBatch(Seq(Doc(3, nearDup)).toDF(), 1L, stateDir, pairsDir)
+
+    // stored layout: pb=<bucket> partition dirs under each batch's bands
+    val b0 = new java.io.File(s"$stateDir/bands/b0")
+    b0.listFiles().map(_.getName).count(_.startsWith("pb=")) should be >= 1
+
+    // a bucket-filtered read of the index plans with partition pruning —
+    // the shape applyBatch uses against the accumulated index
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("band", "int").add("bkey", "string").add("pb", "int")
+    val pruned = spark.read.schema(schema).parquet(s"$stateDir/bands/b0")
+      .filter(col("pb").isin(0, 1, 2))
+    pruned.queryExecution.executedPlan.toString should include("PartitionFilters: [")
+    pruned.queryExecution.executedPlan.toString should include("pb#")
   }
 
   test("redelivering a batch overwrites its state and pairs (no duplication)") {
