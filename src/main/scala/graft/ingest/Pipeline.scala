@@ -34,6 +34,12 @@ object Pipeline {
   final case class Config(
       awsAccountAnnotationKey: String = "discovery/aws/account",
       strict: Boolean = true,
+      /** Strict halt-point semantics. `true` (reference parity,
+        * vulcan_test.go:155-165): apply every event BEFORE the first bad
+        * message, persist that prefix, THEN halt. `false`: reject the
+        * whole batch without applying anything.
+        */
+      strictApplyPrefix: Boolean = true,
       /** Assert the snapshot tables hold one row per natural key after
         * each fold. The merge library preserves this by construction
         * (updates are pre-aggregated per key), so the check is an
@@ -97,13 +103,18 @@ object Pipeline {
       .withColumn("expiration", lit(Schemas.Unexpired))
 
     // several events may carry the same team in one epoch — last writer
-    // (by offset) provides the name, like sequential processing would
-    val teamUpdates = b.groupBy(col("team_identifier").as("identifier"))
+    // (by offset) provides the name, like sequential processing would.
+    // A payload without Team.Id (reference cannot produce one — the key
+    // always carries the team — but a direct API caller can) must not
+    // create a null-keyed team vertex or a null-team owns edge.
+    val teamUpdates = b.filter(col("team_identifier").isNotNull)
+      .groupBy(col("team_identifier").as("identifier"))
       .agg(max_by(col("team_name"), col("offset")).as("name"))
 
     // owns start_time = first event of that (team, asset) pair in this
     // segment; upsertOwns preserves an older existing start anyway
-    val ownsUpdates = b.select(
+    val ownsUpdates = b.filter(col("team_identifier").isNotNull)
+      .select(
         col("team_identifier").as("team_id"),
         Upserts.assetId(col("type"), col("identifier")).as("asset_id"),
         col("proc_ts"))
@@ -201,6 +212,40 @@ object Pipeline {
       baseEpochSecs: Long): State =
     foldWithChanges(spark, st0, envelopes, cfg, baseEpochSecs)._1
 
+  /** First message (by offset) strict mode must halt on, with the reason:
+    * undecodable/unsupported envelopes, or a refresh whose AWS-account
+    * annotation cannot be normalized (main.go:254-262). One TakeOrdered
+    * action over the decoded batch.
+    */
+  private def firstInvalid(decoded: DataFrame, cfg: Config): Option[(Long, String)] = {
+    val badDecode = decoded.filter(!col("valid"))
+      .select(col("offset"), lit("undecodable/unsupported message").as("why"))
+    val badAws = Normalize.matchingAnnotations(
+        decoded.filter(col("valid") && !col("is_nil"))
+          .select(col("offset"), col("payload.Annotations").as("annotations")),
+        "annotations", cfg.awsAccountAnnotationKey)
+      .withColumn("aws_arn", Normalize.normalizeAwsAccountId(col("annotation_value")))
+      .filter(col("aws_arn").isNull)
+      .select(col("offset"),
+        concat(lit("invalid AWS account id format: "), col("annotation_value")).as("why"))
+    badDecode.unionByName(badAws)
+      .orderBy(col("offset")).limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getString(1)))
+  }
+
+  /** Strict-mode halt (reference: the handler error stops the consumer at
+    * the FIRST bad message, main.go:254-262 / vulcan_test.go:155-165).
+    * When `prefix` is set, it holds the state after applying every event
+    * BEFORE `haltOffset` — the reference keeps prior good output — and the
+    * sink persists it before propagating the halt. Extends
+    * IllegalArgumentException so sink error mapping classifies it
+    * non-retryable (the same message fails identically forever).
+    */
+  final class StrictHaltException(
+      msg: String,
+      val haltOffset: Long,
+      val prefix: Option[(State, ChangeSet)]) extends IllegalArgumentException(msg)
+
   /** [[fold]], also returning the union of every epoch's changed natural
     * keys — the contract the partition-limited state sink needs. The
     * change frames are eagerly checkpointed (they are batch-key sized), so
@@ -212,42 +257,58 @@ object Pipeline {
       envelopes: DataFrame,
       cfg: Config,
       baseEpochSecs: Long): (State, ChangeSet) = {
-    // persist the decode output BEFORE the strict count so the batch is
-    // decoded once, not once for the quarantine count and again for the
+    // persist the decode output BEFORE the strict scan so the batch is
+    // decoded once, not once for the halt-point scan and again for the
     // event pipeline
     val decoded = Decode.decode(envelopes).persist()
     var events: DataFrame = null
     try {
-      if (cfg.strict) {
-        val bad = decoded.filter(!col("valid")).count()
-        require(bad == 0, s"strict mode: $bad undecodable/unsupported messages")
-      }
       events = Temporal.withSegmentEpoch(
           decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
         .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
         .persist()
-      val maxEpoch = events.agg(max(col("__epoch"))).collect()(0)
-        .getAs[Any](0) match { case null => 0; case n: Int => n }
-      var st = st0
-      var changes = ChangeSet.empty(spark)
-      var e = 1
-      while (e <= maxEpoch) {
-        val casc = applyEpochTracked(st, events.filter(col("__epoch") === e), cfg)
-        // truncate lineage: each epoch's state feeds the next
-        st = State(
-          casc.state.assets.localCheckpoint(true),
-          casc.state.teams.localCheckpoint(true),
-          casc.state.owns.localCheckpoint(true),
-          casc.state.parentOf.localCheckpoint(true))
-        // change keys checkpoint BEFORE release (their plans reference the
-        // cascade's caches); checkpointed copies are then independent and
-        // the per-epoch caches can be dropped
-        changes = changes.union(casc.changes.localCheckpoint())
-        casc.release()
-        e += 1
+
+      /** Apply all epochs of `evs` (already segment-epoched). */
+      def run(evs: DataFrame): (State, ChangeSet) = {
+        val maxEpoch = evs.agg(max(col("__epoch"))).collect()(0)
+          .getAs[Any](0) match { case null => 0; case n: Int => n }
+        var st = st0
+        var changes = ChangeSet.empty(spark)
+        var e = 1
+        while (e <= maxEpoch) {
+          val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), cfg)
+          // truncate lineage: each epoch's state feeds the next
+          st = State(
+            casc.state.assets.localCheckpoint(true),
+            casc.state.teams.localCheckpoint(true),
+            casc.state.owns.localCheckpoint(true),
+            casc.state.parentOf.localCheckpoint(true))
+          // change keys checkpoint BEFORE release (their plans reference the
+          // cascade's caches); checkpointed copies are then independent and
+          // the per-epoch caches can be dropped
+          changes = changes.union(casc.changes.localCheckpoint())
+          casc.release()
+          e += 1
+        }
+        if (cfg.verifyStateInvariants) assertNoDuplicates(st)
+        (st, changes)
       }
-      if (cfg.verifyStateInvariants) assertNoDuplicates(st)
-      (st, changes)
+
+      if (cfg.strict) {
+        firstInvalid(decoded, cfg) match {
+          case Some((off, why)) if cfg.strictApplyPrefix =>
+            // reference parity: everything BEFORE the first bad message is
+            // applied, then the stream halts
+            val prefix = run(events.filter(col("offset") < off))
+            throw new StrictHaltException(
+              s"strict mode: $why at offset $off (valid prefix applied)", off, Some(prefix))
+          case Some((off, why)) =>
+            throw new StrictHaltException(
+              s"strict mode: $why at offset $off (batch rejected)", off, None)
+          case None => ()
+        }
+      }
+      run(events)
     } finally {
       // the strict-mode halt throws before `events` exists — still release
       // the decoded cache on that path

@@ -153,7 +153,19 @@ object StreamIngest {
     val spark = batch.sparkSession
     val prev = loadLatestState(spark, statePath, maxVersion = batchId - 1)
       .getOrElse(Pipeline.emptyState(spark))
-    val (next, changes) = Pipeline.foldWithChanges(spark, prev, batch, cfg, baseEpochSecs)
+    val (next, changes) = try {
+      Pipeline.foldWithChanges(spark, prev, batch, cfg, baseEpochSecs)
+    } catch {
+      // reference halt-point parity: everything before the first bad
+      // message was applied — persist that prefix as this batch's
+      // version, THEN propagate the (non-retryable) halt. Redelivery
+      // recomputes the identical prefix and overwrites idempotently.
+      case e: Pipeline.StrictHaltException if e.prefix.isDefined =>
+        val (st, ch) = e.prefix.get
+        retrying(attempts = 3)(
+          StateStore.write(spark, statePath, batchId, st, Some(ch), store))
+        throw e
+    }
     // transient write failures retry in place; anything still failing
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
     retrying(attempts = 3)(

@@ -61,6 +61,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     collectShape(streamed) shouldBe collectShape(batch)
   }
 
+  test("a NEW query on the same checkpoint resumes mid-scenario (crash/restart)") {
+    // the closest analog of the reference's resume-after-crash consumer
+    // test (kafka_test.go:136-211): the first query is STOPPED mid-
+    // scenario and a brand-new StreamingQuery picks up from the same
+    // checkpoint + state dir, processing only the remaining offsets
+    val stateDir = Files.createTempDirectory("graft_state").toString
+    val ckptDir = Files.createTempDirectory("graft_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Env]
+    val (batch1, batch2) = fixtureRows.splitAt(11)
+
+    val q1 = StreamIngest.start(source.toDF(), stateDir, ckptDir)
+    try {
+      source.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // "driver restart": a fresh query object, same checkpoint location
+    val q2 = StreamIngest.start(source.toDF(), stateDir, ckptDir)
+    try {
+      source.addData(batch2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = StreamIngest.loadLatestState(spark, stateDir, Long.MaxValue).get
+    val path = getClass.getResource("/fixtures/scenario.json").getPath
+    val batch = Pipeline.replay(spark, Fixtures.loadJson(spark, path))
+    collectShape(streamed) shouldBe collectShape(batch)
+  }
+
   test("reprocessing a micro-batch is idempotent (at-least-once => exactly-once state)") {
     val stateDir = Files.createTempDirectory("graft_state").toString
     val (batch1, batch2) = fixtureRows.splitAt(11)
