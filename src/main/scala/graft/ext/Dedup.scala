@@ -196,6 +196,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // -- SimHash near-dup PAIRS (60-bit, bit-band LSH, hamming verify) --------
+  // The fingerprints of q_simhash only become dedup when paired. A 60-bit
+  // simhash (15-bit md5 per token, bit-majority vote) is split into 4
+  // bands of 15 bits; candidates agree on >=1 band, verification keeps
+  // hamming(a,b) <= 3. By pigeonhole this is COMPLETE for hamming <= 3 —
+  // 3 flipped bits can damage at most 3 of the 4 bands — so the output is
+  // exactly "all pairs within hamming 3", not an approximation. Scale
+  // shape: per-row fingerprint, equi-join on (band, 15-bit key) — random
+  // collisions per band are n²/2/32768, so candidate work stays near-linear
+  // until n ~ 10^5 per band-key space; widen the hash/bands beyond that.
+  val q_simhash_pairs: QueryDef = QueryDef(
+    """WITH fp AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+      |      CASE WHEN list_sum(list_transform(th, h ->
+      |          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |        THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+      |      t -> CAST('0x' || substr(md5('0|' || t), 1, 15) AS BIGINT)) AS th
+      |    FROM documents)),
+      |bd AS (SELECT doc_id, simhash, j, (simhash >> CAST(15 * j AS INT)) & 32767 AS bkey
+      |  FROM fp, (SELECT unnest(range(4)) AS j)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS ha, b.simhash AS hb
+      |  FROM bd a JOIN bd b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val th = transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.hash60(t, 0))
+    val fp = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
+      .select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), (0 until 60).map { b =>
+          val vote = aggregate(col("th"), lit(0),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count() // eager barrier — see lshJaccardPairs
+    val bd = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          shiftright(col("simhash"), 15 * j).bitwiseAND(lit(32767L)).as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.bkey").as("bkey"))
+    bd.as("a").join(bd.as("b"),
+        col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -- char 5-gram Jaccard near-dup -----------------------------------------
   // Character grams catch near-identical byte-level edits that word
   // shingling smooths over. 5-grams (not 3): on a small-vocabulary corpus
@@ -224,5 +276,6 @@ object Dedup {
     "q_minhash_sig" -> q_minhash_sig,
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
     "q_simhash" -> q_simhash,
+    "q_simhash_pairs" -> q_simhash_pairs,
     "q_ngram_jaccard" -> q_ngram_jaccard)
 }
