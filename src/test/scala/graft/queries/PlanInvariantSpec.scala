@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.{SparkEntry, SparkSpec}
+
+/** Catalog-wide physical-plan invariants — the scale contract, enforced:
+  * a query that silently degenerates to a cartesian product, an
+  * unintended nested-loop join, or an unpartitioned global window would
+  * pass the row-level oracle at sf0.01 and then melt at 100 TB. Every
+  * exception is whitelisted HERE with its justification, so a plan
+  * regression (or an unjustified new exception) fails `sbt test`.
+  */
+class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Deliberate BroadcastNestedLoopJoin: tiny broadcast side vs one linear
+    * scan (the exact-top-k baseline and the IVF centroid assignment both
+    * broadcast a handful of rows against the corpus — no shuffle of the
+    * big side, bounded by design).
+    */
+  private val allowNestedLoop = Set("q_similarity_topk", "q_similarity_ivf")
+
+  /** Deliberate single-partition exchange: a point lookup returning ≤1 row
+    * (the exchange moves one row, not the table).
+    */
+  private val allowSinglePartition = Set("q_lookup_join")
+
+  test("no catalog query plans a cartesian product, stray nested loop, or global window") {
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+    val violations = plans.flatMap { case (name, plan) =>
+      Seq(
+        Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") && !allowNestedLoop(name))(
+          s"$name: unexpected BroadcastNestedLoopJoin"),
+        Option.when(plan.contains("Exchange SinglePartition") && !allowSinglePartition(name))(
+          s"$name: unexpected Exchange SinglePartition"),
+        Option.when(raw"Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined)(
+          s"$name: Window without partitionBy")
+      ).flatten
+    }
+    withClue(violations.mkString("\n")) { violations shouldBe empty }
+  }
+}
