@@ -40,9 +40,12 @@ object Dedup {
   private val B = (0 until 16).map(k => coef("b", k, 5, 1))
   private val C = (0 until 16).map(k => coef("c", k, 7, 0) % M)
 
-  /** 60-bit base hash of a shingle (one md5 per element — see above). */
+  /** 60-bit base hash of a shingle (one md5 per element — see above).
+    * Native digest-bytes→long expression; bit-identical to the oracle's
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (Md5PrefixLongSpec).
+    */
   private def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong(c, 15)
 
   /** Minhash component k over a pre-hashed array `hs`. */
   private def mhComponent(hs: Column, k: Int): Column =

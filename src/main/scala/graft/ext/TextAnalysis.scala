@@ -50,14 +50,16 @@ object TextAnalysis {
   /** Seeded 60-bit hash, bit-identical to the DuckDB oracle expression
     * `CAST('0x' || substr(md5(seed || '|' || x), 1, 15) AS BIGINT)`:
     * 15 hex chars = 60 bits, so the value never overflows a signed long
-    * on either engine.
+    * on either engine. Computed by the native [[graft.functions.Md5PrefixLong]]
+    * expression (digest bytes → long, no hex round-trip), equality-tested
+    * against the built-in `conv(substring(md5(...)))` chain.
     */
   def hash60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong(concat(lit(s"$seed|"), c), 15)
 
   /** 16-bit hash (first 4 md5 hex chars), same cross-engine contract. */
   def hash16(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+    graft.functions.Md5PrefixLong(c, 4).cast("int")
 
   /** JVM twin of the engines' lowercase md5-hex — the single source for
     * driver-side derivation of hash constants (LSH coefficients,
