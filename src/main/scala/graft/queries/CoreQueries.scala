@@ -573,6 +573,26 @@ object CoreQueries {
       .orderBy(col("window_start"))
   }
 
+  // -- E6: sliding window (1 h window, 30 min slide) -------------------------
+  // Spark's window(ts, "1 hour", "30 minutes") puts each event in exactly
+  // two windows whose starts are the two most recent 30-min grid points;
+  // the oracle derives the same grid by unnesting the two offsets. Window
+  // starts are emitted as epoch-seconds BIGINT (output-type contract: no
+  // cross-engine timestamp representations in hashed output).
+  val q_window_sliding: QueryDef = QueryDef(
+    """SELECT CAST(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off AS BIGINT) AS ws_epoch,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events, (SELECT unnest([0, 1800]) AS off)
+      |GROUP BY ws_epoch ORDER BY ws_epoch""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      .select(col("w.start").cast("long").as("ws_epoch"), col("cnt"), col("total_cents"))
+      .orderBy(col("ws_epoch"))
+  }
+
   // -- E6: session window (30-min gap), gaps-and-islands form ----------------
   val q_session_window: QueryDef = QueryDef(
     """WITH flagged AS (
@@ -639,5 +659,6 @@ object CoreQueries {
     "q_lastwriter_window" -> q_lastwriter_window,
     "q_topk_per_group" -> q_topk_per_group,
     "q_window_tumbling" -> q_window_tumbling,
+    "q_window_sliding" -> q_window_sliding,
     "q_session_window" -> q_session_window)
 }
