@@ -61,8 +61,13 @@ object StreamDedup {
       }
       .start()
 
-  def applyBatch(batch: DataFrame, batchId: Long, statePath: String, pairsPath: String): Unit = {
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
+      pairsPath: String, compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
+    // bound per-batch dir accumulation: a year-long stream would otherwise
+    // leave one dir per micro-batch and every read would list them all
+    maybeCompact(spark, s"$statePath/bands", bandSchema, "pb", batchId, compactEvery)
+    maybeCompact(spark, s"$statePath/docs", docSchema, "pd", batchId, compactEvery)
     val docs = Dedup.wordShingleDocs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager barrier (see Dedup.lshJaccardPairs)
@@ -101,8 +106,11 @@ object StreamDedup {
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .select(pbOf(col("doc_id")).as("pd")).distinct()
         .collect().map(_.getInt(0)).toSeq
+      // dropDuplicates: cheap on the pruned set, and absorbs the
+      // duplicate-row crash window of maybeCompact
       val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
         .filter(col("pd").isin(candPds: _*)).drop("pd")
+        .dropDuplicates("doc_id")
 
       // current batch wins for a redelivered doc_id — never two hs rows
       // per doc, which would fan out duplicate verified pairs
@@ -124,6 +132,38 @@ object StreamDedup {
     } finally docs.unpersist()
   }
 
+  /** Consolidate the accumulated per-batch index dirs into the most recent
+    * predecessor's dir once there are `compactEvery` of them. The
+    * consolidated content is the UNION of all prior batches — exactly what
+    * [[readPrev]] returned before compaction — so reads are invariant
+    * under when compaction runs, and a redelivered batch that re-triggers
+    * it recomputes a no-op. Crash windows are tolerated: the temp dir name
+    * never parses as a batch dir, and a crash between swap and cleanup at
+    * worst leaves duplicate index rows, which candidates' `distinct` and
+    * the doc store's per-doc dedup absorb.
+    */
+  private def maybeCompact(spark: SparkSession, dir: String, schema: StructType,
+      partCol: String, batchId: Long, compactEvery: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val versions = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+      .filter(_ < batchId)
+    if (versions.size < compactEvery) return
+    val target = versions.max
+    val tmp = new org.apache.hadoop.fs.Path(root, "compact_tmp")
+    versions.sorted
+      .map(v => spark.read.schema(schema).parquet(s"$dir/b$v"))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"b$target"), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"b$target"))
+    versions.filter(_ != target)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"b$v"), true))
+  }
+
   /** All committed state from batches BEFORE `batchId` (a half-written
     * directory from a crashed attempt of the current batch is never
     * read). Hadoop FS, not java.io.File — the state dir may live on any
@@ -141,7 +181,12 @@ object StreamDedup {
     if (versions.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(versions.sorted.map(v => s"$dir/b$v"): _*)
+      // per-root reads unioned: hash-partition (pb/pd) discovery is
+      // per-root, and Spark refuses to infer partitions across sibling
+      // roots in one call. Root count is bounded by compactEvery.
+      versions.sorted
+        .map(v => spark.read.schema(schema).parquet(s"$dir/b$v"))
+        .reduce(_.unionByName(_))
   }
 
   /** All pairs emitted so far, one row per (doc_a, doc_b). Batches

@@ -87,6 +87,27 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     pruned.queryExecution.executedPlan.toString should include("pb#")
   }
 
+  test("index compaction bounds per-batch dirs and preserves cross-batch dedup") {
+    val stateDir = Files.createTempDirectory("sd_state").toString
+    val pairsDir = Files.createTempDirectory("sd_pairs").toString
+    val fillers = (10L to 13L).map(i => Doc(i, s"filler document number $i " + unrelated))
+    // batches 0..4, base arrives early, nearDup arrives LAST — the pair
+    // must still surface across the compacted index boundary
+    StreamDedup.applyBatch(Seq(Doc(1, base)).toDF(), 0L, stateDir, pairsDir, compactEvery = 3)
+    fillers.zipWithIndex.foreach { case (d, i) =>
+      StreamDedup.applyBatch(Seq(d).toDF(), i + 1L, stateDir, pairsDir, compactEvery = 3)
+    }
+    StreamDedup.applyBatch(Seq(Doc(2, nearDup)).toDF(), 5L, stateDir, pairsDir, compactEvery = 3)
+
+    // compaction kept the dir count bounded (< one per batch)
+    val bandDirs = new java.io.File(s"$stateDir/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("b"))
+    bandDirs.length should be < 6
+    // and the near-dup pair still found against the compacted index
+    StreamDedup.allPairs(spark, pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet should contain((1L, 2L))
+  }
+
   test("redelivering a batch overwrites its state and pairs (no duplication)") {
     val stateDir = Files.createTempDirectory("sd_state").toString
     val pairsDir = Files.createTempDirectory("sd_pairs").toString
