@@ -37,6 +37,22 @@ object StreamAnalytics {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("total"))
 
+  /** Sliding event-time windows per event type (each event lands in
+    * windowLen/slide overlapping windows; watermark still bounds state to
+    * the open windows).
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total"))
+
   /** Session windows (gap-based) per user. */
   def sessionStats(
       events: DataFrame,

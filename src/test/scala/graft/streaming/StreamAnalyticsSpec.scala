@@ -50,6 +50,27 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.map(_._1) should not contain t(40) // still open, not emitted
   }
 
+  test("sliding windows place each event in window/slide overlapping windows") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamAnalytics
+      .slidingCounts(src.toDF(), windowLen = "10 minutes", slide = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode(OutputMode.Append())
+      .start()
+    try {
+      src.addData(Ev(t(7), "click", 1, 1.0)) // windows [0,10) and [5,15)
+      q.processAllAvailable()
+      src.addData(Ev(t(40), "click", 1, 0.0)) // advance watermark, close both
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sliding").collect()
+      .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Long]("cnt")))
+    rows should contain(t(0) -> 1L)
+    rows should contain(t(5) -> 1L) // the SAME event, second overlapping window
+  }
+
   test("session windows merge events within the gap and split beyond it") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Ev]
