@@ -47,10 +47,24 @@ object Dedup {
   private def baseHash(c: Column): Column =
     graft.functions.Md5PrefixLong(c, 15)
 
-  /** Minhash component k over a pre-hashed array `hs`. */
-  private def mhComponent(hs: Column, k: Int): Column =
-    array_min(transform(hs, h =>
-      (lit(A(k)) * shiftright(h, 30) + lit(B(k)) * h.bitwiseAND(lit(Mask)) + lit(C(k))) % M))
+  /** Universal hash k of one 60-bit base hash. */
+  private def mhExpr(h: Column, k: Int): Column =
+    (lit(A(k)) * shiftright(h, 30) + lit(B(k)) * h.bitwiseAND(lit(Mask)) + lit(C(k))) % M
+
+  /** All `n` minhash components at once: explode the hash sets and take
+    * the n mins in ONE codegen'd aggregation pass. Equivalent to n
+    * `array_min(transform(hs, mhExpr))` projections (explode_outer keeps empty-set docs with
+    * null components, exactly like array_min of an empty transform), but
+    * each element is visited once instead of n times through interpreted
+    * higher-order functions. The input is already hash-partitioned by
+    * doc_id (wordShingleDocs repartitions), so the groupBy reuses that
+    * layout without an extra exchange.
+    */
+  private def signatures(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(mhExpr(col("h"), 0)).as("mh0"),
+        (1 until n).map(k => min(mhExpr(col("h"), k)).as(s"mh$k")): _*)
 
   /** The same component in DuckDB SQL over a column named `hs`. */
   private def duckMh(k: Int): String =
@@ -86,8 +100,7 @@ object Dedup {
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
-    val sig = docs.select(col("doc_id") +:
-      (0 until bands * r).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
+    val sig = signatures(docs, bands * r)
     sig.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(
           lit(b).as("band"),
@@ -113,9 +126,7 @@ object Dedup {
     s"""SELECT doc_id, ${(0 until 8).map(k => duckMh(k) + s" AS mh$k").mkString(", ")}
        |FROM ($wordShingleSql)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    wordShingleDocs(Tables.documents(s, dir))
-      .select(col("doc_id") +:
-        (0 until 8).map(k => mhComponent(col("hs"), k).as(s"mh$k")): _*)
+    signatures(wordShingleDocs(Tables.documents(s, dir)), 8)
       .orderBy(col("doc_id"))
   }
 
