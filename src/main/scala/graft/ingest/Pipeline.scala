@@ -210,7 +210,9 @@ object Pipeline {
       envelopes: DataFrame,
       cfg: Config,
       baseEpochSecs: Long): State =
-    foldWithChanges(spark, st0, envelopes, cfg, baseEpochSecs)._1
+    // trackChanges=false: batch replay never consumes the change set, and
+    // materializing it costs 4 extra jobs per epoch
+    foldImpl(spark, st0, envelopes, cfg, baseEpochSecs, trackChanges = false)._1
 
   /** First message (by offset) strict mode must halt on, with the reason:
     * undecodable/unsupported envelopes, or a refresh whose AWS-account
@@ -256,7 +258,16 @@ object Pipeline {
       st0: State,
       envelopes: DataFrame,
       cfg: Config,
-      baseEpochSecs: Long): (State, ChangeSet) = {
+      baseEpochSecs: Long): (State, ChangeSet) =
+    foldImpl(spark, st0, envelopes, cfg, baseEpochSecs, trackChanges = true)
+
+  private def foldImpl(
+      spark: SparkSession,
+      st0: State,
+      envelopes: DataFrame,
+      cfg: Config,
+      baseEpochSecs: Long,
+      trackChanges: Boolean): (State, ChangeSet) = {
     // persist the decode output BEFORE the strict scan so the batch is
     // decoded once, not once for the halt-point scan and again for the
     // event pipeline
@@ -278,6 +289,9 @@ object Pipeline {
         while (e <= maxEpoch) {
           val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), cfg)
           // truncate lineage: each epoch's state feeds the next
+          // (measured: parallelizing these four jobs does NOT help — the
+          // per-epoch wall-clock sits in each plan's sequential AQE query
+          // stages, not across the four checkpoints)
           st = State(
             casc.state.assets.localCheckpoint(true),
             casc.state.teams.localCheckpoint(true),
@@ -286,7 +300,7 @@ object Pipeline {
           // change keys checkpoint BEFORE release (their plans reference the
           // cascade's caches); checkpointed copies are then independent and
           // the per-epoch caches can be dropped
-          changes = changes.union(casc.changes.localCheckpoint())
+          if (trackChanges) changes = changes.union(casc.changes.localCheckpoint())
           casc.release()
           e += 1
         }
