@@ -55,15 +55,19 @@ object Bench {
       }
       (name, times, err)
     }
-    val qs = results.map { case (k, ts, _) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "null" else median(ts))
+    // a query that failed on ANY run is excluded from the totals entirely —
+    // a partial success must not inflate the headline number the failure
+    // accounting says to discount
+    def ok(ts: Seq[Double], err: Option[String]) = err.isEmpty && ts.nonEmpty
+    val qs = results.map { case (k, ts, err) =>
+      "\"" + k + "\":" + (if (ok(ts, err)) median(ts) else "null")
     }.mkString("{", ",", "}")
-    val mins = results.map { case (k, ts, _) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "null" else ts.min)
+    val mins = results.map { case (k, ts, err) =>
+      "\"" + k + "\":" + (if (ok(ts, err)) ts.min else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.flatMap { case (_, ts, _) => if (ts.isEmpty) None else Some(median(ts)) }.sum
+    val total = results.collect { case (_, ts, err) if ok(ts, err) => median(ts) }.sum
     val nFailed = results.count(_._3.isDefined)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()

@@ -186,9 +186,30 @@ object Dedup {
     lshJaccardPairs(wordShingleDocs(Tables.documents(s, dir)), bands = 8, r = 2)
   }
 
-  // -- 16-bit SimHash fingerprint -------------------------------------------
-  // Per token: 16-bit md5 hash; per bit: sum of +1/-1 over tokens; bit set
-  // iff the sum is positive. Pure per-row arithmetic on both engines.
+  // -- SimHash fingerprints -------------------------------------------------
+  // Per token: a small md5 hash; per bit: sum of +1/-1 over tokens; bit
+  // set iff the sum is positive.
+
+  /** SimHash of a (doc_id, th: array<token hash>) frame: explode once,
+    * take all `bits` vote-sums in ONE codegen'd aggregation (same shape
+    * as [[signatures]] — one pass over the elements instead of `bits`
+    * interpreted HOF folds), then assemble the fingerprint. explode_outer
+    * + the isNull→0 vote keeps empty-token docs at simhash 0, like the
+    * oracle's list_sum(NULL-on-empty) does.
+    */
+  private def simhashOf(tokenHashed: DataFrame, bits: Int): DataFrame = {
+    def voteAgg(b: Int) = sum(
+      when(col("h").isNull, 0)
+        .when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    tokenHashed.select(col("doc_id"), explode_outer(col("th")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(voteAgg(0), (1 until bits).map(voteAgg): _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   val q_simhash: QueryDef = QueryDef(
     """SELECT doc_id, CAST(list_sum(list_transform(range(16), b ->
       |    CASE WHEN list_sum(list_transform(th, h ->
@@ -199,14 +220,11 @@ object Dedup {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val th = transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.hash16(t))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"),
-        (0 until 16).map { b =>
-          val vote = aggregate(col("th"), lit(0),
-            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    simhashOf(
+      Tables.documents(s, dir)
+        .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
+        .select(col("doc_id"), th.as("th")),
+      16)
       .orderBy(col("doc_id"))
   }
 
@@ -238,14 +256,11 @@ object Dedup {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val th = transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.hash60(t, 0))
-    val fp = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
-      .select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"), (0 until 60).map { b =>
-          val vote = aggregate(col("th"), lit(0),
-            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+    val fp = simhashOf(
+      Tables.documents(s, dir)
+        .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
+        .select(col("doc_id"), th.as("th")),
+      60)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fp.count() // eager barrier — see lshJaccardPairs
     val bd = fp.select(col("doc_id"), col("simhash"),

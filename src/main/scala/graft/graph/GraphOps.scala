@@ -90,6 +90,12 @@ object GraphOps {
     *                   set-at-a-time analog of the reference's per-event
     *                   `time.Now()`)
     */
+  /** Untracked form: the cascade's persisted intermediates stay cached for
+    * the lifetime of the returned plans (the session's cache, until
+    * `clearCache()`). Fine for one-shot queries — the harness clears
+    * between runs — but LOOPS must use [[expireCascadeTracked]] +
+    * `release()` (as Pipeline.fold does) or caches accumulate per call.
+    */
   def expireCascade(st: State, tombstones: DataFrame): State =
     expireCascadeTracked(st, tombstones).state
 

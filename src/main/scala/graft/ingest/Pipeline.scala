@@ -279,15 +279,25 @@ object Pipeline {
         .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
         .persist()
 
-      /** Apply all epochs of `evs` (already segment-epoched). */
-      def run(evs: DataFrame): (State, ChangeSet) = {
+      // the events handed to run() are PRE-VALIDATED by firstInvalid (the
+      // full batch when it found nothing, the clean prefix when it halted),
+      // so the per-epoch strict re-check inside refresh — one blocking
+      // driver action per epoch — is provably a no-op; drop it
+      val epochCfg = cfg.copy(strict = false)
+
+      /** Apply all epochs of `evs` (already segment-epoched). `track`
+        * forces change-set materialization even on the plain fold path —
+        * the strict-halt prefix is always tracked, because the sink
+        * persists it.
+        */
+      def run(evs: DataFrame, track: Boolean): (State, ChangeSet) = {
         val maxEpoch = evs.agg(max(col("__epoch"))).collect()(0)
           .getAs[Any](0) match { case null => 0; case n: Int => n }
         var st = st0
         var changes = ChangeSet.empty(spark)
         var e = 1
         while (e <= maxEpoch) {
-          val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), cfg)
+          val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), epochCfg)
           // truncate lineage: each epoch's state feeds the next
           // (measured: parallelizing these four jobs does NOT help — the
           // per-epoch wall-clock sits in each plan's sequential AQE query
@@ -300,7 +310,7 @@ object Pipeline {
           // change keys checkpoint BEFORE release (their plans reference the
           // cascade's caches); checkpointed copies are then independent and
           // the per-epoch caches can be dropped
-          if (trackChanges) changes = changes.union(casc.changes.localCheckpoint())
+          if (track) changes = changes.union(casc.changes.localCheckpoint())
           casc.release()
           e += 1
         }
@@ -312,8 +322,9 @@ object Pipeline {
         firstInvalid(decoded, cfg) match {
           case Some((off, why)) if cfg.strictApplyPrefix =>
             // reference parity: everything BEFORE the first bad message is
-            // applied, then the stream halts
-            val prefix = run(events.filter(col("offset") < off))
+            // applied, then the stream halts. Always tracked: the sink
+            // persists this prefix through the partition-limited store.
+            val prefix = run(events.filter(col("offset") < off), track = true)
             throw new StrictHaltException(
               s"strict mode: $why at offset $off (valid prefix applied)", off, Some(prefix))
           case Some((off, why)) =>
@@ -322,7 +333,7 @@ object Pipeline {
           case None => ()
         }
       }
-      run(events)
+      run(events, track = trackChanges)
     } finally {
       // the strict-mode halt throws before `events` exists — still release
       // the decoded cache on that path

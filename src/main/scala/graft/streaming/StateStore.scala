@@ -177,9 +177,14 @@ object StateStore {
             .write.mode("overwrite").partitionBy("pt").parquet(dir)
           listBuckets(spark, dir)
         }
+      // inherit pointers for UNTOUCHED buckets only: a touched bucket that
+      // produced no rows this version is now EMPTY and must drop out of
+      // the manifest — inheriting its old pointer would resurrect deleted
+      // rows on read (latent today — merges never delete — but the
+      // ChangeSet contract promises supersets are safe, so honor it)
       val inherited =
         if (full) Map.empty[Int, Long]
-        else prev.get.getOrElse(t.name, Map.empty) -- written
+        else prev.get.getOrElse(t.name, Map.empty) -- touched(t.name)
       t.name -> (inherited ++ written.map(_ -> version).toMap)
     }.toMap
 

@@ -132,37 +132,52 @@ object StreamDedup {
     } finally docs.unpersist()
   }
 
-  /** Consolidate the accumulated per-batch index dirs into the most recent
-    * predecessor's dir once there are `compactEvery` of them. The
-    * consolidated content is the UNION of all prior batches — exactly what
-    * [[readPrev]] returned before compaction — so reads are invariant
-    * under when compaction runs, and a redelivered batch that re-triggers
-    * it recomputes a no-op. Crash windows are tolerated: the temp dir name
-    * never parses as a batch dir, and a crash between swap and cleanup at
-    * worst leaves duplicate index rows, which candidates' `distinct` and
-    * the doc store's per-doc dedup absorb.
+  /** Consolidate the accumulated per-batch (`b<id>`) and previously
+    * consolidated (`c<id>`) index dirs into one `c<maxId>` dir once there
+    * are `compactEvery` of them. The consolidated content is the UNION of
+    * everything [[readPrev]] returned before compaction, so reads are
+    * invariant under when compaction runs, and a redelivered batch that
+    * re-triggers it recomputes a no-op.
+    *
+    * Crash-safety ordering — LOSS is impossible, only duplicates (which
+    * candidates' `distinct` and the doc store's per-doc dedup absorb):
+    * source dirs are deleted ONLY AFTER the consolidated dir is fully in
+    * place under its final readable name. A crash before the rename leaves
+    * every source intact (the tmp name is never read); a crash after it
+    * leaves `c<maxId>` plus some sources — duplicate rows, no loss.
     */
   private def maybeCompact(spark: SparkSession, dir: String, schema: StructType,
       partCol: String, batchId: Long, compactEvery: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val versions = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
-      .filter(_ < batchId)
-    if (versions.size < compactEvery) return
-    val target = versions.max
+    val sources = listIndexDirs(fs, root, batchId)
+    if (sources.size < compactEvery) return
+    val target = new org.apache.hadoop.fs.Path(root, s"c${sources.map(_._2).max}")
     val tmp = new org.apache.hadoop.fs.Path(root, "compact_tmp")
-    versions.sorted
-      .map(v => spark.read.schema(schema).parquet(s"$dir/b$v"))
+    sources.map { case (name, _) => spark.read.schema(schema).parquet(s"$dir/$name") }
       .reduce(_.unionByName(_))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(root, s"b$target"), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"b$target"))
-    versions.filter(_ != target)
-      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"b$v"), true))
+    fs.delete(target, true) // stale remnant of a crashed prior compaction
+    fs.rename(tmp, target)
+    // commit point passed — now (and only now) drop the sources
+    sources.filter { case (name, _) => name != target.getName }
+      .foreach { case (name, _) => fs.delete(new org.apache.hadoop.fs.Path(root, name), true) }
   }
+
+  /** Index dirs readable at `batchId`: per-batch `b<id>` dirs with
+    * id < batchId plus consolidated `c<id>` dirs with id < batchId, as
+    * (name, id) pairs.
+    */
+  private def listIndexDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, batchId: Long): Seq[(String, Long)] =
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("b") || n.startsWith("c"))
+      .flatMap(n => n.drop(1).toLongOption.map(n -> _))
+      .filter(_._2 < batchId)
+      .sortBy(_._2)
 
   /** All committed state from batches BEFORE `batchId` (a half-written
     * directory from a crashed attempt of the current batch is never
@@ -172,20 +187,16 @@ object StreamDedup {
   private def readPrev(spark: SparkSession, dir: String, schema: StructType, batchId: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
+    val dirs =
       if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-        .flatMap(s => s.getPath.getName.drop(1).toLongOption)
-        .filter(_ < batchId)
-    if (versions.isEmpty)
+      else listIndexDirs(fs, root, batchId)
+    if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       // per-root reads unioned: hash-partition (pb/pd) discovery is
       // per-root, and Spark refuses to infer partitions across sibling
       // roots in one call. Root count is bounded by compactEvery.
-      versions.sorted
-        .map(v => spark.read.schema(schema).parquet(s"$dir/b$v"))
+      dirs.map { case (name, _) => spark.read.schema(schema).parquet(s"$dir/$name") }
         .reduce(_.unionByName(_))
   }
 

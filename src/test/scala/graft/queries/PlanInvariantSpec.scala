@@ -38,7 +38,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
           s"$name: unexpected BroadcastNestedLoopJoin"),
         Option.when(plan.contains("Exchange SinglePartition") && !allowSinglePartition(name))(
           s"$name: unexpected Exchange SinglePartition"),
-        Option.when(raw"Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined)(
+        // (?m): Window nodes are mid-plan lines, never the end of the
+        // whole plan string — without MULTILINE the anchor can never match
+        Option.when(raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined)(
           s"$name: Window without partitionBy")
       ).flatten
     }

@@ -99,9 +99,10 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     StreamDedup.applyBatch(Seq(Doc(2, nearDup)).toDF(), 5L, stateDir, pairsDir, compactEvery = 3)
 
-    // compaction kept the dir count bounded (< one per batch)
+    // compaction kept the dir count bounded (< one per batch), counting
+    // both per-batch b<id> dirs and consolidated c<id> dirs
     val bandDirs = new java.io.File(s"$stateDir/bands").listFiles()
-      .map(_.getName).filter(_.startsWith("b"))
+      .map(_.getName).filter(n => n.startsWith("b") || n.startsWith("c"))
     bandDirs.length should be < 6
     // and the near-dup pair still found against the compacted index
     StreamDedup.allPairs(spark, pairsDir)
