@@ -23,4 +23,21 @@ object Fixtures {
     */
   def loadJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(fixtureSchema).option("multiLine", "true").json(path)
+
+  /** Columnar replay-log variants: an archived envelope log (the
+    * cold-storage twin of the Kafka topic) saved/loaded as ORC or parquet.
+    * Nested metadata survives both; schema is always the fixed envelope
+    * schema, never inferred.
+    */
+  def saveOrc(envelopes: DataFrame, path: String): Unit =
+    envelopes.write.mode("overwrite").orc(path)
+
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(fixtureSchema).orc(path)
+
+  def saveParquet(envelopes: DataFrame, path: String): Unit =
+    envelopes.write.mode("overwrite").parquet(path)
+
+  def loadParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(fixtureSchema).parquet(path)
 }

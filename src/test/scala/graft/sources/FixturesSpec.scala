@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.ingest.Pipeline
+import java.nio.file.Files
+
+/** Columnar replay-log sources: the envelope log archived as ORC/parquet
+  * must replay to the identical state as the original JSON fixture.
+  */
+class FixturesSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def stateShape(st: graft.graph.GraphOps.State) = (
+    st.assets.collect().map(_.getAs[String]("id")).toSet,
+    st.teams.collect().map(_.getAs[String]("identifier")).toSet,
+    st.owns.count(), st.parentOf.count())
+
+  test("ORC and parquet envelope logs replay identically to the JSON fixture") {
+    val path = getClass.getResource("/fixtures/scenario.json").getPath
+    val json = Fixtures.loadJson(spark, path)
+    val expected = stateShape(Pipeline.replay(spark, json))
+
+    val orcDir = Files.createTempDirectory("graft_orc").toString + "/log"
+    Fixtures.saveOrc(json, orcDir)
+    stateShape(Pipeline.replay(spark, Fixtures.loadOrc(spark, orcDir))) shouldBe expected
+
+    val pqDir = Files.createTempDirectory("graft_pq").toString + "/log"
+    Fixtures.saveParquet(json, pqDir)
+    stateShape(Pipeline.replay(spark, Fixtures.loadParquet(spark, pqDir))) shouldBe expected
+  }
+}

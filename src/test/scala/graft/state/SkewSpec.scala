@@ -1,0 +1,46 @@
+package graft.state
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** saltedJoin must be row-identical to the plain join — salting changes
+  * the shuffle layout, never the result.
+  */
+class SkewSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  // one pathological hot key (90% of rows) + a long tail, with duplicates
+  private lazy val skewed = ((1 to 900).map(i => ("hot", i % 7)) ++
+    (1 to 100).map(i => (s"k$i", i))).toDF("k", "v")
+  private lazy val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i"))
+    .zipWithIndex.map { case (k, i) => (k, s"d$i") }.toDF("k", "d")
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("inner salted join equals plain inner join, duplicates included") {
+    val plain = skewed.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), factor = 8)
+    sorted(salted) shouldBe sorted(plain)
+  }
+
+  test("left_outer salted join keeps unmatched left rows exactly once") {
+    val plain = skewed.join(dim, Seq("k"), "left_outer")
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), factor = 8, "left_outer")
+    sorted(salted) shouldBe sorted(plain)
+  }
+
+  test("the hot key actually spreads over multiple salt cells") {
+    val salts = skewed.filter(col("k") === "hot")
+      .withColumn("__salt", pmod(hash(skewed.columns.map(col).toSeq: _*), lit(8)))
+      .select("__salt").distinct().count()
+    salts should be > 1L
+  }
+
+  test("replicated-right join types are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(skewed, dim, Seq("k"), 8, "full_outer")
+  }
+}
