@@ -51,14 +51,15 @@ object Similarity {
     */
   private val Planes = planesFor(corpusSize = 2000)
 
-  /** Sequential-fold dot product of two float vectors, in double.
-    * (Measured: the HOF form beats a 64-term unrolled `element_at` sum
-    * ~2.5x on the bucket self-join — the giant unrolled expression falls
-    * out of whole-stage codegen; the fold is one tight loop.)
+  /** Sequential-fold dot product of two float vectors, in double — the
+    * native [[graft.functions.DotProduct]] expression: one allocation-free
+    * loop, bit-identical to the HOF
+    * `aggregate(zip_with(...))` fold it replaced (DotProductSpec pins
+    * equality; a 64-term unrolled `element_at` sum was also tried and
+    * measured ~2.5x SLOWER — it falls out of whole-stage codegen).
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
