@@ -100,7 +100,8 @@ object Dedup {
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
-    val sig = signatures(docs, bands * r)
+    val sig = docs.select(col("doc_id") +:
+      (0 until bands * r).map(k => array_min(transform(col("hs"), h => mhExpr(h, k))).as(s"mh$k")): _*)
     sig.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(
           lit(b).as("band"),
@@ -126,7 +127,9 @@ object Dedup {
     s"""SELECT doc_id, ${(0 until 8).map(k => duckMh(k) + s" AS mh$k").mkString(", ")}
        |FROM ($wordShingleSql)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    signatures(wordShingleDocs(Tables.documents(s, dir)), 8)
+    wordShingleDocs(Tables.documents(s, dir))
+      .select(col("doc_id") +:
+        (0 until 8).map(k => array_min(transform(col("hs"), h => mhExpr(h, k))).as(s"mh$k")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -198,16 +201,12 @@ object Dedup {
     * oracle's list_sum(NULL-on-empty) does.
     */
   private def simhashOf(tokenHashed: DataFrame, bits: Int): DataFrame = {
-    def voteAgg(b: Int) = sum(
-      when(col("h").isNull, 0)
-        .when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    tokenHashed.select(col("doc_id"), explode_outer(col("th")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(voteAgg(0), (1 until bits).map(voteAgg): _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    tokenHashed.select(col("doc_id"),
+      (0 until bits).map { b =>
+        val vote = aggregate(col("th"), lit(0),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
   }
 
   val q_simhash: QueryDef = QueryDef(
