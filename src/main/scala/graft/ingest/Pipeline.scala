@@ -8,6 +8,7 @@ import graft.graph.GraphOps.State
 import graft.normalize.Normalize
 import graft.schema.Schemas
 import graft.state.{ChangeSet, Merge, Upserts}
+import graft.streaming.StateStore
 import graft.temporal.Temporal
 
 /** The full ingestion pipeline: envelope log → temporal-property-graph
@@ -195,6 +196,49 @@ object Pipeline {
     check(st.parentOf, Seq("parent_id", "child_id"), "parent_of")
   }
 
+  /** The key sets a decoded batch can possibly touch in each snapshot
+    * table, derived from the batch alone — the read-side contract that
+    * lets [[StateStore.readPartialLatest]] load only the buckets a
+    * micro-batch needs (O(batch) read I/O, the analog of the reference's
+    * per-key point lookups, inventory/inventory.go:382-404).
+    *
+    * Soundness: every state row any fold step reads or merges is keyed by
+    * one of these candidates —
+    *  - refresh upserts are keyed by batch asset/team/edge ids;
+    *  - the cascade's resolve joins look up tombstoned (type, identifier)
+    *    and team ids;
+    *  - the C7 quantifier and owns expiry read owner edges BY ASSET ID
+    *    (the owns bucket key) of tombstoned assets only;
+    *  - dead assets are a subset of tombstoned assets, so their out-edges
+    *    live in `parentIds` buckets and their in-edges are discovered via
+    *    the reverse index from `childIds`;
+    *  - edges a refresh inserts mid-batch land in already-loaded buckets
+    *    (their parents are batch AWS-account ids).
+    * Supersets are safe (extra bucket loads); the strict-halt prefix is a
+    * subset of the batch, so the same candidates cover it.
+    */
+  def candidatesOf(decoded: DataFrame, cfg: Config): StateStore.Candidates = {
+    val refresh = decoded.filter(col("valid") && !col("is_nil"))
+    val tomb = decoded.filter(col("valid") && col("is_nil"))
+    val refreshAsset = refresh.select(
+      Upserts.assetId(col("payload.AssetType"), col("payload.Identifier")).as("id"))
+    val aws = Normalize.matchingAnnotations(
+        refresh.select(col("payload.Annotations").as("annotations")),
+        "annotations", cfg.awsAccountAnnotationKey)
+      .withColumn("aws_arn", Normalize.normalizeAwsAccountId(col("annotation_value")))
+      .filter(col("aws_arn").isNotNull)
+      .select(concat(lit("AWSAccount/"), col("aws_arn")).as("id"))
+    val tombAsset = tomb.select(
+      Upserts.assetId(col("asset_type"), col("identifier")).as("id"))
+    StateStore.Candidates(
+      assetIds = refreshAsset.unionByName(aws).unionByName(tombAsset),
+      teamIds = refresh.select(col("payload.Team.Id").as("identifier"))
+        .unionByName(tomb.select(col("team_id").as("identifier"))),
+      ownsAssetIds = refreshAsset.unionByName(tombAsset).select(col("id").as("asset_id")),
+      parentIds = aws.unionByName(tombAsset).select(col("id").as("parent_id")),
+      childIds = tombAsset.select(col("id").as("child_id")))
+  }
+
   /** Fold an envelope batch (with an `offset` column giving total input
     * order) into an existing snapshot state. Shared by batch [[replay]]
     * and the streaming foreachBatch sink
@@ -212,7 +256,7 @@ object Pipeline {
       baseEpochSecs: Long): State =
     // trackChanges=false: batch replay never consumes the change set, and
     // materializing it costs 4 extra jobs per epoch
-    foldImpl(spark, st0, envelopes, cfg, baseEpochSecs, trackChanges = false)._1
+    foldImpl(spark, _ => st0, envelopes, cfg, baseEpochSecs, trackChanges = false)._1
 
   /** First message (by offset) strict mode must halt on, with the reason:
     * undecodable/unsupported envelopes, or a refresh whose AWS-account
@@ -259,11 +303,27 @@ object Pipeline {
       envelopes: DataFrame,
       cfg: Config,
       baseEpochSecs: Long): (State, ChangeSet) =
-    foldImpl(spark, st0, envelopes, cfg, baseEpochSecs, trackChanges = true)
+    foldImpl(spark, _ => st0, envelopes, cfg, baseEpochSecs, trackChanges = true)
+
+  /** [[foldWithChanges]] with the base state SUPPLIED from the batch's
+    * candidate keys — the bucket-pruned streaming path: the supplier
+    * (typically `StateStore.readPartialLatest`) loads only the state
+    * buckets the batch can touch, so per-epoch merge + checkpoint cost is
+    * O(loaded buckets) ~ O(batch), not O(state). The candidate frames are
+    * lazy plans over the (persisted) decoded batch; a supplier that
+    * ignores them costs nothing.
+    */
+  def foldTracked(
+      spark: SparkSession,
+      stateFor: StateStore.Candidates => State,
+      envelopes: DataFrame,
+      cfg: Config,
+      baseEpochSecs: Long): (State, ChangeSet) =
+    foldImpl(spark, stateFor, envelopes, cfg, baseEpochSecs, trackChanges = true)
 
   private def foldImpl(
       spark: SparkSession,
-      st0: State,
+      stateFor: StateStore.Candidates => State,
       envelopes: DataFrame,
       cfg: Config,
       baseEpochSecs: Long,
@@ -274,6 +334,7 @@ object Pipeline {
     val decoded = Decode.decode(envelopes).persist()
     var events: DataFrame = null
     try {
+      val st0 = stateFor(candidatesOf(decoded, cfg))
       events = Temporal.withSegmentEpoch(
           decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
         .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
@@ -335,8 +396,8 @@ object Pipeline {
       }
       run(events, track = trackChanges)
     } finally {
-      // the strict-mode halt throws before `events` exists — still release
-      // the decoded cache on that path
+      // `events` is null only if state load / withSegmentEpoch / persist
+      // themselves threw — still release the decoded cache on that path
       if (events != null) events.unpersist()
       decoded.unpersist()
     }

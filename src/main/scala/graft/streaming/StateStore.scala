@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.graph.GraphOps.State
 import graft.schema.Schemas
 import graft.state.ChangeSet
@@ -17,10 +17,32 @@ import graft.state.ChangeSet
   * VERSION whose files hold its current rows. A micro-batch rewrites ONLY
   * the buckets its [[ChangeSet]] keys hash into — untouched buckets stay
   * as pointers into earlier versions — so per-batch write I/O is
-  * O(touched buckets), not O(state). When a manifest would span more than
-  * `maxChain` live versions, that batch writes a FULL snapshot instead
-  * (compaction), bounding both read fan-in and the live-version set; the
-  * amortized write cost stays O(batch + state/maxChain).
+  * O(touched buckets), not O(state).
+  *
+  * This is shadow paging, not an LSM: every bucket is always exactly ONE
+  * complete directory (a write rewrites the whole bucket), so reads are
+  * one dir per bucket regardless of chain length and no compaction is
+  * ever needed. Storage is reclaimed at BUCKET granularity instead:
+  * [[prune]] deletes superseded `pt=` dirs the surviving manifests no
+  * longer reference (and then empty version dirs), bounding live data to
+  * one copy per bucket per surviving manifest — amortized write cost stays
+  * O(batch) with no periodic O(state) rewrite (the round-3 `maxChain`
+  * full-snapshot compaction is gone).
+  *
+  * Bucket keys are chosen for the pipeline's POINT-LOOKUP patterns, not
+  * just the merge keys (reference: per-key index lookups,
+  * inventory/inventory.go:382-404):
+  *   - assets by `id`, teams by `identifier` (the natural keys);
+  *   - owns by `asset_id` ALONE — co-locates every owner edge of an asset,
+  *     so the C7 active-owner quantifier and tombstone expiry prune to the
+  *     tombstoned assets' buckets;
+  *   - parent_of by `parent_id` (out-edge adjacency), plus a slim
+  *     APPEND-ONLY reverse key index `parent_of_idx(child_id, parent_id)`
+  *     bucketed by `child_id` for in-edge discovery: the cascade's
+  *     child-direction join first reads the index buckets of the candidate
+  *     children, learns the parent ids, and loads exactly those parent
+  *     buckets. Edges are never deleted (expiry is an update), so the
+  *     index only ever grows by the batch's inserted edge keys.
   *
   * Determinism/idempotence: a redelivered batchId reads the same
   * predecessor manifest, computes the same touched buckets, overwrites the
@@ -31,22 +53,35 @@ import graft.state.ChangeSet
   */
 object StateStore {
 
-  /** @param buckets  hash-partition count per table. Sized so one bucket of
-    *                 the LARGEST table fits an executor's write task
-    *                 comfortably; at cluster scale this is thousands, here
-    *                 32 matches local parallelism.
-    * @param maxChain compaction threshold: max live versions a manifest may
-    *                 reference before the next write is a full rewrite.
+  /** @param buckets hash-partition count per table. Sized so one bucket of
+    *                the LARGEST table fits an executor's write task
+    *                comfortably; at cluster scale this is thousands, here
+    *                32 matches local parallelism. The count is recorded in
+    *                every manifest and an incremental write against a
+    *                predecessor with a DIFFERENT count is refused — the
+    *                inherited pointers would be bucketed under the old
+    *                modulus (rebucket via a full write instead).
     */
-  final case class Config(buckets: Int = 32, maxChain: Int = 8)
+  final case class Config(buckets: Int = 32)
 
-  private final case class TableSpec(name: String, schema: StructType, keys: Seq[String])
+  private final case class TableSpec(name: String, schema: StructType,
+      /** columns whose hash places a row in its bucket — a deterministic
+        * function of the natural key, present in both the state frame and
+        * that table's ChangeSet key frame */
+      bucketCols: Seq[String])
 
   private val tables = Seq(
     TableSpec("assets", Schemas.assetSchema, Seq("id")),
     TableSpec("teams", Schemas.teamSchema, Seq("identifier")),
-    TableSpec("owns", Schemas.ownsSchema, Seq("team_id", "asset_id")),
-    TableSpec("parent_of", Schemas.parentOfSchema, Seq("parent_id", "child_id")))
+    TableSpec("owns", Schemas.ownsSchema, Seq("asset_id")),
+    TableSpec("parent_of", Schemas.parentOfSchema, Seq("parent_id")))
+
+  /** Reverse in-edge key index (see class doc). Not part of [[State]] —
+    * store-internal, used only for pruned child-direction discovery.
+    */
+  private val idxTable = TableSpec("parent_of_idx",
+    StructType(Seq(StructField("child_id", StringType), StructField("parent_id", StringType))),
+    Seq("child_id"))
 
   private def tableOf(st: State, name: String): DataFrame = name match {
     case "assets" => st.assets
@@ -62,8 +97,8 @@ object StateStore {
     case "parent_of" => ch.parentOf
   }
 
-  /** Murmur3 bucket of a table's natural key — deterministic across runs
-    * and engines versions (Spark's `hash` is seed-42 Murmur3).
+  /** Murmur3 bucket of a table's bucket columns — deterministic across
+    * runs and engine versions (Spark's `hash` is seed-42 Murmur3).
     */
   private def bucket(keys: Seq[String], buckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(buckets))
@@ -71,7 +106,12 @@ object StateStore {
   // --- manifest ------------------------------------------------------------
 
   /** table -> bucket -> version holding that bucket's files */
-  type Manifest = Map[String, Map[Int, Long]]
+  type Pointers = Map[String, Map[Int, Long]]
+
+  /** A committed version's manifest: the bucket modulus it was written
+    * under plus the live bucket pointers (including `parent_of_idx`).
+    */
+  final case class Manifest(buckets: Int, pointers: Pointers)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -86,13 +126,13 @@ object StateStore {
     * the version is treated as uncommitted).
     */
   def writeManifest(spark: SparkSession, statePath: String, version: Long,
-      cfg: Config, manifest: Manifest): Unit = {
+      cfg: Config, pointers: Pointers): Unit = {
     val (fs, _) = fsFor(spark, statePath)
     val out = fs.create(manifestPath(statePath, version), true)
     try {
       val sb = new StringBuilder
       sb.append(s"buckets=${cfg.buckets}\n")
-      for ((t, m) <- manifest.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
+      for ((t, m) <- pointers.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
         sb.append(s"$t $pt $v\n")
       sb.append("END\n")
       out.write(sb.toString.getBytes("UTF-8"))
@@ -107,15 +147,18 @@ object StateStore {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").toSeq
     if (!lines.contains("END")) return None // incomplete write
+    val buckets = lines.collectFirst {
+      case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").toInt
+    }.getOrElse(return None)
     val entries = lines
       .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets="))
       .map { l =>
         val Array(t, pt, v) = l.split(" ")
         (t, pt.toInt, v.toLong)
       }
-    Some(entries.groupBy(_._1).map { case (t, es) =>
+    Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
-    })
+    }))
   }
 
   /** Committed (manifest-complete) versions <= maxVersion, ascending. */
@@ -134,49 +177,62 @@ object StateStore {
 
   /** Write state as version `version`. With a predecessor manifest and a
     * ChangeSet, only buckets containing changed keys are rewritten; the
-    * rest inherit the predecessor's pointers. Returns the written manifest.
+    * rest inherit the predecessor's pointers. Returns the written pointers.
+    *
+    * `st` may be a PARTIAL state (only some buckets loaded, from
+    * [[readPartial]]) as long as `loaded` declares which — the write
+    * asserts every touched bucket was loaded, because writing a bucket
+    * from a frame that does not hold ALL of that bucket's rows would
+    * silently drop the missing ones.
     */
   def write(spark: SparkSession, statePath: String, version: Long, st: State,
-      changes: Option[ChangeSet], cfg: Config = Config()): Manifest = {
+      changes: Option[ChangeSet], cfg: Config = Config(),
+      loaded: Option[Map[String, Set[Int]]] = None): Pointers = {
     val prev = committedVersions(spark, statePath, version - 1).lastOption
       .flatMap(v => readManifest(spark, statePath, v))
+    prev.foreach { pm =>
+      require(changes.isEmpty || pm.buckets == cfg.buckets,
+        s"bucket count changed (manifest=${pm.buckets}, config=${cfg.buckets}): " +
+          "inherited pointers would be bucketed under the old modulus — " +
+          "rebucket with a full write (changes=None) instead")
+    }
 
     // touched buckets per table, from the batch's changed keys (driver-side
     // collect of at most `buckets` ints per table)
     val touched: Map[String, Set[Int]] = (prev, changes) match {
       case (Some(_), Some(ch)) =>
-        tables.map { t =>
+        val base = tables.map { t =>
           t.name -> changesOf(ch, t.name)
-            .select(bucket(t.keys, cfg.buckets).as("pt")).distinct()
+            .select(bucket(t.bucketCols, cfg.buckets).as("pt")).distinct()
             .collect().map(_.getInt(0)).toSet
         }.toMap
-      case _ => tables.map(_.name -> Set.empty[Int]).toMap // forces full write
+        // idx buckets follow the changed edges' child ids
+        base + (idxTable.name -> ch.parentOf
+          .select(bucket(Seq("child_id"), cfg.buckets).as("pt")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      case _ => (tables :+ idxTable).map(_.name -> Set.empty[Int]).toMap // full write
+    }
+    loaded.foreach { lm =>
+      for (t <- tables)
+        require(touched(t.name).subsetOf(lm.getOrElse(t.name, Set.empty)),
+          s"partial-state write for '${t.name}': touched buckets " +
+            s"${touched(t.name).diff(lm.getOrElse(t.name, Set.empty)).toSeq.sorted.mkString(",")} " +
+            "were never loaded — the state frame cannot hold their full contents")
     }
 
-    val candidate: Manifest = prev match {
-      case Some(pm) =>
-        tables.map { t =>
-          t.name -> (pm.getOrElse(t.name, Map.empty) ++
-            touched(t.name).map(_ -> version).toMap)
-        }.toMap
-      case None => Map.empty
-    }
-    val chainLen = candidate.values.flatMap(_.values).toSet.size
-    val full = prev.isEmpty || changes.isEmpty || chainLen > cfg.maxChain
+    val full = prev.isEmpty || changes.isEmpty
 
-    val manifest = tables.map { t =>
-      val df = tableOf(st, t.name).withColumn("pt", bucket(t.keys, cfg.buckets))
-      val dir = s"$statePath/v$version/${t.name}"
+    def writeDir(df: DataFrame, name: String): Set[Int] = {
+      df.write.mode("overwrite").partitionBy("pt").parquet(s"$statePath/v$version/$name")
+      listBuckets(spark, s"$statePath/v$version/$name")
+    }
+
+    val mainPointers = tables.map { t =>
+      val df = tableOf(st, t.name).withColumn("pt", bucket(t.bucketCols, cfg.buckets))
       val written: Set[Int] =
-        if (full) {
-          df.write.mode("overwrite").partitionBy("pt").parquet(dir)
-          listBuckets(spark, dir)
-        } else if (touched(t.name).isEmpty) Set.empty
-        else {
-          df.filter(col("pt").isin(touched(t.name).toSeq: _*))
-            .write.mode("overwrite").partitionBy("pt").parquet(dir)
-          listBuckets(spark, dir)
-        }
+        if (full) writeDir(df, t.name)
+        else if (touched(t.name).isEmpty) Set.empty
+        else writeDir(df.filter(col("pt").isin(touched(t.name).toSeq: _*)), t.name)
       // inherit pointers for UNTOUCHED buckets only: a touched bucket that
       // produced no rows this version is now EMPTY and must drop out of
       // the manifest — inheriting its old pointer would resurrect deleted
@@ -184,12 +240,41 @@ object StateStore {
       // ChangeSet contract promises supersets are safe, so honor it)
       val inherited =
         if (full) Map.empty[Int, Long]
-        else prev.get.getOrElse(t.name, Map.empty) -- touched(t.name)
+        else prev.get.pointers.getOrElse(t.name, Map.empty) -- touched(t.name)
       t.name -> (inherited ++ written.map(_ -> version).toMap)
     }.toMap
 
-    writeManifest(spark, statePath, version, cfg, manifest)
-    manifest
+    // reverse index: full write projects it from parent_of; an incremental
+    // write read-modify-writes ONLY the touched index buckets — old keys of
+    // those buckets (edge keys never change, so no anti-join is needed)
+    // union the batch's changed edge keys, distinct
+    val idxKeys = st.parentOf.select(col("child_id"), col("parent_id"))
+    val idxPointers: Map[Int, Long] =
+      if (full) {
+        val df = idxKeys.distinct().withColumn("pt", bucket(idxTable.bucketCols, cfg.buckets))
+        writeDir(df, idxTable.name).map(_ -> version).toMap
+      } else if (touched(idxTable.name).isEmpty) prev.get.pointers.getOrElse(idxTable.name, Map.empty)
+      else {
+        val tb = touched(idxTable.name)
+        val oldPaths = prev.get.pointers.getOrElse(idxTable.name, Map.empty)
+          .filter { case (pt, _) => tb(pt) }
+          .map { case (pt, v) => s"$statePath/v$v/${idxTable.name}/pt=$pt" }.toSeq
+        val old =
+          if (oldPaths.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxTable.schema)
+          else spark.read.schema(idxTable.schema).parquet(oldPaths: _*)
+        val changedKeys = changes.get.parentOf.select(col("child_id"), col("parent_id"))
+        val df = old.unionByName(changedKeys).distinct()
+          .withColumn("pt", bucket(idxTable.bucketCols, cfg.buckets))
+          .filter(col("pt").isin(tb.toSeq: _*))
+        val written = writeDir(df, idxTable.name)
+        (prev.get.pointers.getOrElse(idxTable.name, Map.empty) -- tb) ++
+          written.map(_ -> version).toMap
+      }
+
+    val pointers = mainPointers + (idxTable.name -> idxPointers)
+    writeManifest(spark, statePath, version, cfg, pointers)
+    pointers
   }
 
   private def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
@@ -203,20 +288,26 @@ object StateStore {
 
   // --- read ----------------------------------------------------------------
 
+  private def bucketPaths(statePath: String, m: Manifest, table: String,
+      only: Option[Set[Int]] = None): Seq[String] =
+    m.pointers.getOrElse(table, Map.empty).toSeq
+      .filter { case (pt, _) => only.forall(_.contains(pt)) }
+      .map { case (pt, v) => s"$statePath/v$v/$table/pt=$pt" }
+
+  private def readPaths(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+
   /** Read the full state at `version` by resolving its manifest pointers.
     * Bucket dirs are read as leaf paths with the canonical schema, so the
     * `pt` column never surfaces.
     */
   def read(spark: SparkSession, statePath: String, version: Long): State = {
-    val manifest = readManifest(spark, statePath, version).getOrElse(
+    val m = readManifest(spark, statePath, version).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$version under $statePath"))
-    def tbl(spec: TableSpec): DataFrame = {
-      val paths = manifest.getOrElse(spec.name, Map.empty).toSeq
-        .map { case (pt, v) => s"$statePath/v$v/${spec.name}/pt=$pt" }
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
-      else spark.read.schema(spec.schema).parquet(paths: _*)
-    }
+    def tbl(spec: TableSpec): DataFrame =
+      readPaths(spark, spec.schema, bucketPaths(statePath, m, spec.name))
     State(tbl(tables(0)), tbl(tables(1)), tbl(tables(2)), tbl(tables(3)))
   }
 
@@ -225,11 +316,90 @@ object StateStore {
     committedVersions(spark, statePath, maxVersion).lastOption
       .map(v => (v, read(spark, statePath, v)))
 
-  // --- prune ---------------------------------------------------------------
+  // --- partial (bucket-pruned) read ---------------------------------------
 
-  /** Delete version dirs that are (a) older than `keepFrom` and (b) not
-    * referenced by the manifest of any surviving version. Referenced old
-    * versions MUST survive — their files back untouched buckets.
+  /** The key sets a micro-batch can touch, DERIVED FROM THE BATCH ALONE
+    * (before any state read). Single-column frames; supersets are safe
+    * (an extra candidate only loads an extra bucket), misses are not.
+    *
+    *  - `assetIds` (`id`): every asset id the batch refreshes, derives
+    *    (AWS accounts) or tombstones;
+    *  - `teamIds` (`identifier`): refreshed + tombstoning teams;
+    *  - `ownsAssetIds` (`asset_id`): assets whose owner edges are upserted
+    *    or whose active-owner set the cascade must inspect;
+    *  - `parentIds` (`parent_id`): out-edge buckets — refresh edge parents
+    *    plus tombstoned assets (their child edges);
+    *  - `childIds` (`child_id`): in-edge DISCOVERY — tombstoned assets; the
+    *    reverse index turns these into the parent buckets that hold their
+    *    incoming edges.
+    */
+  final case class Candidates(assetIds: DataFrame, teamIds: DataFrame,
+      ownsAssetIds: DataFrame, parentIds: DataFrame, childIds: DataFrame)
+
+  /** A bucket-pruned view of one committed version: `state` frames hold
+    * ALL rows of the `loaded` buckets and nothing else, and were built
+    * from exactly `paths` (so a test — or a skeptic — can bound the
+    * batch's read I/O by inspection).
+    */
+  final case class Partial(version: Long, state: State,
+      loaded: Map[String, Set[Int]], paths: Map[String, Seq[String]])
+
+  /** Bucket-pruned read of the latest committed version <= maxVersion:
+    * resolves the candidate keys to bucket sets (one driver-side collect
+    * of <= `buckets` ints per table), expands child candidates through the
+    * reverse index into their parents' buckets, and reads ONLY those
+    * bucket dirs — O(batch) read I/O per micro-batch, the snapshot-store
+    * analog of the reference's per-key point lookups
+    * (inventory/inventory.go:382-404).
+    */
+  def readPartialLatest(spark: SparkSession, statePath: String, maxVersion: Long,
+      cand: Candidates, cfg: Config = Config()): Option[Partial] = {
+    val version = committedVersions(spark, statePath, maxVersion).lastOption
+      .getOrElse(return None)
+    val m = readManifest(spark, statePath, version).get
+    require(m.buckets == cfg.buckets,
+      s"bucket count mismatch (manifest=${m.buckets}, config=${cfg.buckets})")
+
+    def bucketsOf(df: DataFrame, cols: Seq[String]): Set[Int] = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(bucket(cols, cfg.buckets).as("pt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val assetB = bucketsOf(cand.assetIds, Seq("id"))
+    val teamB = bucketsOf(cand.teamIds, Seq("identifier"))
+    val ownsB = bucketsOf(cand.ownsAssetIds, Seq("asset_id"))
+
+    // in-edge discovery: index buckets of the child candidates -> the
+    // parent ids of their incoming edges -> those parents' buckets
+    val idxB = bucketsOf(cand.childIds, Seq("child_id"))
+    val idxPaths = bucketPaths(statePath, m, idxTable.name, Some(idxB))
+    val discoveredParentB =
+      if (idxPaths.isEmpty) Set.empty[Int]
+      else bucketsOf(
+        readPaths(spark, idxTable.schema, idxPaths)
+          .join(broadcast(cand.childIds.distinct()), Seq("child_id"), "left_semi"),
+        Seq("parent_id"))
+    val parentB = bucketsOf(cand.parentIds, Seq("parent_id")) ++ discoveredParentB
+
+    val loaded = Map("assets" -> assetB, "teams" -> teamB,
+      "owns" -> ownsB, "parent_of" -> parentB)
+    val paths = tables.map(t =>
+      t.name -> bucketPaths(statePath, m, t.name, Some(loaded(t.name)))).toMap
+    def tbl(spec: TableSpec): DataFrame =
+      readPaths(spark, spec.schema, paths(spec.name))
+    Some(Partial(version,
+      State(tbl(tables(0)), tbl(tables(1)), tbl(tables(2)), tbl(tables(3))),
+      loaded, paths))
+  }
+
+  // --- prune (per-bucket garbage collection) -------------------------------
+
+  /** Reclaim storage at bucket granularity: delete every `pt=` dir that no
+    * manifest of a surviving version (>= `keepFrom`) references, then any
+    * version dir left with no bucket dirs at all. Referenced old bucket
+    * dirs MUST survive — they back untouched buckets of newer versions —
+    * so live data is bounded by one copy per bucket per surviving
+    * manifest, with no periodic full rewrite.
     */
   def prune(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
     val (fs, root) = fsFor(spark, statePath)
@@ -238,11 +408,35 @@ object StateStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption)
     val survivors = all.filter(_ >= keepFrom)
-    val referenced = survivors
+      .filter(v => readManifest(spark, statePath, v).isDefined)
+    val referenced: Set[(String, Int, Long)] = survivors
       .flatMap(v => readManifest(spark, statePath, v))
-      .flatMap(_.values.flatMap(_.values))
+      .flatMap(_.pointers.flatMap { case (t, m) =>
+        m.map { case (pt, v) => (t, pt, v) }
+      })
       .toSet
-    all.filterNot(v => v >= keepFrom || referenced.contains(v))
-      .foreach(v => fs.delete(new Path(root, s"v$v"), true))
+    for (v <- all if v < keepFrom) {
+      val vDir = new Path(root, s"v$v")
+      // the version is no longer a valid read point once any of its buckets
+      // may be reclaimed — drop its manifest FIRST so committedVersions
+      // never lists a partially-pruned version (a read would silently miss
+      // buckets; without a manifest it fails loudly instead)
+      fs.delete(manifestPath(statePath, v), false)
+      for {
+        tDir <- fs.listStatus(vDir).toSeq.filter(_.isDirectory)
+        table = tDir.getPath.getName
+        ptDir <- fs.listStatus(tDir.getPath).toSeq.filter(_.isDirectory)
+        pt <- ptDir.getPath.getName.stripPrefix("pt=").toIntOption
+        if !referenced((table, pt, v))
+      } fs.delete(ptDir.getPath, true)
+      // drop table dirs emptied of buckets, then the version dir once no
+      // bucket data remains anywhere under it (manifest/_SUCCESS included)
+      val remaining = fs.listStatus(vDir).toSeq.filter(_.isDirectory).flatMap { tDir =>
+        val pts = fs.listStatus(tDir.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("pt="))
+        if (pts.isEmpty) { fs.delete(tDir.getPath, true); Nil } else pts
+      }
+      if (remaining.isEmpty) fs.delete(vDir, true)
+    }
   }
 }

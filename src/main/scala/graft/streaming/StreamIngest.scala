@@ -137,9 +137,13 @@ object StreamIngest {
       .start()
 
   /** One micro-batch: previous committed state + batch → version
-    * `v<batchId>` in the partition-limited [[StateStore]] (only the hash
-    * buckets the batch's keys touch are rewritten; untouched buckets stay
-    * manifest pointers into prior versions). Reprocessing the same batchId
+    * `v<batchId>` in the partition-limited [[StateStore]]. BOTH directions
+    * are bucket-pruned: the read loads only the state buckets the batch's
+    * candidate keys can touch ([[Pipeline.candidatesOf]] +
+    * [[StateStore.readPartialLatest]]), the fold merges and checkpoints
+    * only those partial frames, and the write rewrites only the buckets
+    * the change set actually touched — per-batch read, compute AND write
+    * are all O(batch), not O(state). Reprocessing the same batchId
     * (at-least-once restart) overwrites the same version with the same
     * deterministic result.
     */
@@ -151,10 +155,18 @@ object StreamIngest {
       baseEpochSecs: Long,
       store: StateStore.Config = StateStore.Config()): Unit = {
     val spark = batch.sparkSession
-    val prev = loadLatestState(spark, statePath, maxVersion = batchId - 1)
-      .getOrElse(Pipeline.emptyState(spark))
+    // which buckets the partial read loaded, for the write-side
+    // touched-subset-of-loaded assertion (None on the first batch: no
+    // predecessor manifest => the write is a full snapshot)
+    var loaded: Option[Map[String, Set[Int]]] = None
+    val stateFor: StateStore.Candidates => State = { cand =>
+      StateStore.readPartialLatest(spark, statePath, batchId - 1, cand, store) match {
+        case Some(p) => loaded = Some(p.loaded); p.state
+        case None => Pipeline.emptyState(spark)
+      }
+    }
     val (next, changes) = try {
-      Pipeline.foldWithChanges(spark, prev, batch, cfg, baseEpochSecs)
+      Pipeline.foldTracked(spark, stateFor, batch, cfg, baseEpochSecs)
     } catch {
       // reference halt-point parity: everything before the first bad
       // message was applied — persist that prefix as this batch's
@@ -163,13 +175,13 @@ object StreamIngest {
       case e: Pipeline.StrictHaltException if e.prefix.isDefined =>
         val (st, ch) = e.prefix.get
         retrying(attempts = 3)(
-          StateStore.write(spark, statePath, batchId, st, Some(ch), store))
+          StateStore.write(spark, statePath, batchId, st, Some(ch), store, loaded))
         throw e
     }
     // transient write failures retry in place; anything still failing
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
     retrying(attempts = 3)(
-      StateStore.write(spark, statePath, batchId, next, Some(changes), store))
+      StateStore.write(spark, statePath, batchId, next, Some(changes), store, loaded))
     // drop versions no surviving manifest references; keep the predecessor
     // for crash-recovery of the next batch
     StateStore.prune(spark, statePath, keepFrom = batchId - 1)

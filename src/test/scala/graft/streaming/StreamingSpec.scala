@@ -105,18 +105,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     twice shouldBe once
   }
 
-  test("unreferenced old versions are pruned; the predecessor survives for redelivery") {
+  test("old versions drop out of the committed listing; the predecessor survives for redelivery") {
     val stateDir = Files.createTempDirectory("graft_state").toString
     val cfg = Pipeline.Config()
-    // maxChain=0 forces a full snapshot per batch (every manifest is
-    // self-contained), so nothing references old versions and pruning
-    // keeps exactly {predecessor, latest}
-    val store = StateStore.Config(maxChain = 0)
     val batches = fixtureRows.grouped(8).toSeq
     batches.zipWithIndex.foreach { case (b, i) =>
-      StreamIngest.applyBatch(b.toDF(), i.toLong, stateDir, cfg, 1704067200L, store)
+      StreamIngest.applyBatch(b.toDF(), i.toLong, stateDir, cfg, 1704067200L)
     }
+    // per-bucket prune after each batch keeps {predecessor, latest} as the
+    // only committed READ POINTS (older versions lose their manifests; their
+    // still-referenced bucket dirs survive as backing files)
     val n = batches.length.toLong // 3 batches => keep v1 (predecessor) + v2
     StreamIngest.listVersions(spark, stateDir, Long.MaxValue) shouldBe Seq(n - 2, n - 1)
+    // the latest state still reads complete through inherited pointers
+    val streamed = collectShape(StreamIngest.readState(spark, stateDir, n - 1))
+    val path = getClass.getResource("/fixtures/scenario.json").getPath
+    streamed shouldBe collectShape(Pipeline.replay(spark, Fixtures.loadJson(spark, path)))
   }
 }
