@@ -11,8 +11,56 @@ import org.apache.spark.sql.SparkSession
   * Failures are REPORTED, never swallowed — a crashed query must not look
   * like a fast success (round-1 bug: 24 dead queries "ran" in 0.05 s each
   * and produced a plausible total).
+  *
+  * Environment calibration: medians defend against a single contended
+  * run, but not a fully contended WINDOW (rounds 2 and 3 both produced
+  * driver numbers 2-13x off for queries whose code had not changed). Two
+  * fixed-cost probes — a single-threaded CPU loop and a tiny 1-task scan
+  * job — run before and after the query loop; their times are emitted in
+  * the JSON next to known-clean reference values, and the run flags
+  * itself `"contaminated": true` when any probe exceeds 3x its clean
+  * value, so a garbage window is self-identifying instead of needing a
+  * post-hoc rerun adjudication.
   */
 object Bench {
+
+  /** Single-threaded xorshift loop — fixed CPU work, immune to Spark
+    * scheduling; slows only when the host itself is oversubscribed.
+    */
+  private def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed 32-way parallel compute job (range-sum across every executor
+    * slot) — catches executor-pool contention the single-threaded probe
+    * can't see. Median of 5 (after 2 untimed warm-ups): one straggler
+    * task can't fake contamination, parquet-analysis variance can't
+    * either (a file-scan probe measured 150-240 ms/job of pure planner
+    * noise and was dropped for this reason).
+    */
+  private def parProbe(spark: SparkSession): Double = {
+    // one partition per executor slot, FIXED work per slot — the clean
+    // value is the same whatever SPARK_GRAFT_CPUS the driver configures
+    val slots = spark.sparkContext.defaultParallelism
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, slots * 12500000L, 1, slots).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 2).foreach(_ => once())
+    (1 to 5).map(_ => once()).sorted.apply(2)
+  }
+
+  /** Known-clean probe times measured on the build host (local[32],
+    * idle). A contended window shows 3x+.
+    */
+  private val CleanCpuSecs = 0.45
+  private val CleanParSecs = 0.30
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +77,9 @@ object Bench {
     // on whichever query sorts first and distorts its number
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val cpuPre = cpuProbe()
+    val parPre = parProbe(spark)
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -69,7 +120,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, ts, err) if ok(ts, err) => median(ts) }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"sf":"$sfDir"}""")
+    val cpuPost = cpuProbe()
+    val parPost = parProbe(spark)
+    val contaminated =
+      math.max(cpuPre, cpuPost) > 3 * CleanCpuSecs ||
+        math.max(parPre, parPost) > 3 * CleanParSecs
+    val calib = s"""{"cpu_pre":$cpuPre,"cpu_post":$cpuPost,"par_pre":$parPre,""" +
+      s""""par_post":$parPost,"cpu_clean":$CleanCpuSecs,"par_clean":$CleanParSecs}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"calibration":$calib,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
