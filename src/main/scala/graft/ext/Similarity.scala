@@ -14,11 +14,12 @@ import graft.queries.QueryDef
   *    at any scale when the query set is small (BroadcastNestedLoopJoin —
   *    no shuffle of the big side, no cartesian blow-up).
   *  - q_similarity_ann — LSH (random-hyperplane / sign) bucketing: each
-  *    vector gets a 4-bit bucket from the signs of 4 fixed pseudo-random
-  *    hyperplanes; candidates are bucket-mates only. At 100 TB this is the
-  *    scale path: the bucket join shuffles on a small int key and each
-  *    task compares only its bucket, ~1/16 of the all-pairs work per
-  *    query (tune bits per dataset size).
+  *    vector gets a p-bit bucket from the signs of p fixed pseudo-random
+  *    hyperplanes, p = planesFor(corpus count) on BOTH engines; candidates
+  *    are bucket-mates only. At 100 TB this is the scale path: the bucket
+  *    join shuffles on a small int key, each task compares only its
+  *    bucket, and p grows with the corpus so per-bucket work stays
+  *    ~targetBucketSize² regardless of n.
   *
   * Floating-point contract with the DuckDB oracle: every dot product is a
   * strict LEFT FOLD over float→double casts — `aggregate(zip_with(...))`
@@ -33,23 +34,31 @@ object Similarity {
   private val TopK = 3
 
   /** Hyperplane count for a sign-LSH index: enough bits that the expected
-    * bucket holds ~`targetBucketSize` vectors — `ceil(log2(n / target))`,
-    * clamped to [1, 24]. Per-bucket join work is quadratic in bucket size,
-    * so the bit count MUST grow with the corpus: frozen at 4 bits, a
-    * 100 TB corpus would put corpus/16 vectors in every bucket and the
-    * self-join would be quadratic in the corpus. With planes scaling,
-    * per-bucket work stays ~target² regardless of n.
+    * bucket holds ~`targetBucketSize` vectors — the smallest p with
+    * n <= target * 2^p (= ceil(log2(n/target))), clamped to [1, 24].
+    * Per-bucket join work is quadratic in bucket size, so the bit count
+    * MUST grow with the corpus: frozen at 4 bits, a 100 TB corpus would
+    * put corpus/16 vectors in every bucket and the self-join would be
+    * quadratic in the corpus. With planes scaling, per-bucket work stays
+    * ~target² regardless of n.
+    *
+    * PURE INTEGER comparison, no float log2: the oracle SQL computes the
+    * identical value from its own count(*) (see [[planesSql]]), and a
+    * 1-ulp libm disagreement at a ceil boundary would silently bucket the
+    * two engines differently.
     */
-  def planesFor(corpusSize: Long, targetBucketSize: Long = 128): Int = {
-    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
-    math.min(24, math.max(1, math.ceil(math.log(ratio) / math.log(2)).toInt))
-  }
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 128): Int =
+    (1 to 24).find(j => corpusSize <= (targetBucketSize << j)).getOrElse(24)
 
-  /** Testdata default: 2000 vectors / 128-vector target buckets → 4 bits
-    * (16 buckets). The oracle SQL interpolates the same constant, so the
-    * two engines always agree on the bucketing.
+  /** DuckDB CTE computing [[planesFor]] of the embeddings corpus — the
+    * declared queries derive the plane count from the ACTUAL corpus on
+    * both engines (a frozen constant would silently keep testdata-sized
+    * buckets if the corpus grew; VERDICT r3 nit #4).
     */
-  private val Planes = planesFor(corpusSize = 2000)
+  private val planesSql: String =
+    """params AS (SELECT COALESCE(MIN(j), 24) AS planes
+      |    FROM (SELECT unnest(range(1, 25)) AS j)
+      |    WHERE (SELECT count(*) FROM embeddings) <= 128 * (1::BIGINT << j))""".stripMargin
 
   /** Sequential-fold dot product of two float vectors, in double — the
     * native [[graft.functions.DotProduct]] expression: one allocation-free
@@ -109,7 +118,7 @@ object Similarity {
     * `planes` comes from [[planesFor]] at the call site — bucket count is
     * 2^planes and must track corpus size.
     */
-  def bucketOf(v: Column, planes: Int = Planes): Column =
+  def bucketOf(v: Column, planes: Int): Column =
     (0 until planes).map { j =>
       val w = typedlit(plane(j))
       when(aggregate(zip_with(v, w, (x, p) => x.cast("double") * p),
@@ -117,9 +126,10 @@ object Similarity {
     }.reduce(_ + _)
 
   val q_similarity_ann: QueryDef = QueryDef(
-    s"""WITH hp AS (SELECT j, list_transform(range(1, $Dim + 1),
+    s"""WITH $planesSql,
+       |hp AS (SELECT j, list_transform(range(1, $Dim + 1),
        |    i -> CAST('0x' || substr(md5('hp' || j || '|' || i), 1, 4) AS INT) - 32768) AS w
-       |  FROM (SELECT unnest(range($Planes)) AS j)),
+       |  FROM (SELECT unnest(range((SELECT planes FROM params))) AS j)),
        |e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |bk AS (SELECT e.vec_id, CAST(sum(CASE WHEN
@@ -137,10 +147,14 @@ object Similarity {
        |FROM r WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // plane count derived from the ACTUAL corpus (metadata-only count),
+    // mirroring the oracle's params CTE — sf0.01 and sf0.1 get different
+    // bucketings and both engines agree at each
+    val planes = planesFor(Tables.embeddings(s, dir).count())
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
         norm(col("embedding")).as("nrm"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOf(col("v"), planes))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
@@ -164,9 +178,10 @@ object Similarity {
   // (buckets ≈ corpus / desired_bucket_size); the bucket join shuffles
   // on a small int key only.
   val q_embed_nn_join: QueryDef = QueryDef(
-    s"""WITH hp AS (SELECT j, list_transform(range(1, $Dim + 1),
+    s"""WITH $planesSql,
+       |hp AS (SELECT j, list_transform(range(1, $Dim + 1),
        |    i -> CAST('0x' || substr(md5('hp' || j || '|' || i), 1, 4) AS INT) - 32768) AS w
-       |  FROM (SELECT unnest(range($Planes)) AS j)),
+       |  FROM (SELECT unnest(range((SELECT planes FROM params))) AS j)),
        |e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |bk AS (SELECT e.vec_id, CAST(sum(CASE WHEN
@@ -184,10 +199,11 @@ object Similarity {
        |FROM r WHERE rnk = 1
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    val planes = planesFor(Tables.embeddings(s, dir).count())
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
         norm(col("embedding")).as("nrm"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOf(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // eager barrier — see Dedup.lshJaccardPairs
     e.as("a").join(e.as("b"),
