@@ -82,6 +82,39 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     (exact intersect ann) should not be empty
   }
 
+  test("k-means IVF centroids beat the first-nlist stand-in on recall@3") {
+    // fair queries: vectors that are NOT centroid seeds on either scheme
+    // (the old stand-in's 0.93 recall on vec_id<5 queries was an artifact:
+    // those queries WERE cells, so "their" cell collected exactly their
+    // neighbors). 20 non-seed queries, recall vs brute-force top-3, on the
+    // 500-vector corpus (sf0.001's ~200 vectors are recall-noise-dominated
+    // at 16 cells)
+    val e = Similarity.embFrame(spark, "/root/testdata/sf0.01")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force = search with nprobe covering every cell of a 1-cell index
+    import org.apache.spark.sql.expressions.Window
+    val truth = pairs(e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", graft.functions.DotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= 3))
+
+    def recall(cents: org.apache.spark.sql.DataFrame): Double =
+      (pairs(Similarity.ivfSearch(e, cents, q)) & truth).size.toDouble / truth.size
+    val seed = recall(Similarity.ivfCentroidsSeed(e))
+    val kmeans = recall(Similarity.ivfCentroidsKmeans(e))
+    e.unpersist()
+    withClue(s"kmeans=$kmeans seed=$seed: ") { kmeans should be >= seed }
+    kmeans should be > 0.2 // sanity: meaningfully above nprobe/nlist noise
+  }
+
   test("LSH plane count (and so bucket count) grows with the corpus") {
     // sizing rule: buckets ≈ n / targetBucketSize, so per-bucket join work
     // stays ~target² instead of (n/2^planes)² with planes frozen
