@@ -114,13 +114,29 @@ object Dedup {
     * against a (doc_id, hs) store; keeps J >= 1/2.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
-    pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    verifyJaccard(pairs, docs, saltFactor = 1)
+
+  /** @param saltFactor >1 routes the two signature-lookup joins through
+    *        [[graft.state.Skew.saltedJoin]]. In a heavily duplicated
+    *        corpus ONE document near-dups thousands of others, so its
+    *        doc_id appears in O(dups) candidate pairs — a hot join key on
+    *        the `pairs` side that the band-key distinct cannot remove, and
+    *        the signature side is corpus-scale (not broadcastable at
+    *        100 TB). Salting spreads that doc's verifications over
+    *        `saltFactor` reducers; results are join-identical.
+    */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, saltFactor: Int): DataFrame = {
+    def lookup(p: DataFrame, side: String): DataFrame = {
+      val d = docs.select(col("doc_id").as(side), col("hs").as(s"hs_${side.last}"))
+      if (saltFactor > 1) graft.state.Skew.saltedJoin(p, d, Seq(side), saltFactor)
+      else p.join(d, side)
+    }
+    lookup(lookup(pairs, "doc_a"), "doc_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("uni", size(col("hs_a")) + size(col("hs_b")) - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
 
   // -- k-component MinHash signature, one scalar column per component -------
   val q_minhash_sig: QueryDef = QueryDef(

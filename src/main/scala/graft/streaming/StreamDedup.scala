@@ -113,9 +113,12 @@ object StreamDedup {
         .dropDuplicates("doc_id")
 
       // current batch wins for a redelivered doc_id — never two hs rows
-      // per doc, which would fan out duplicate verified pairs
+      // per doc, which would fan out duplicate verified pairs.
+      // saltFactor: a batch doc that near-dups a large slice of the
+      // accumulated corpus puts its doc_id in every one of those pairs —
+      // spread its signature lookups instead of parking them on one reducer
       val docStore = prevDocs.join(docs, Seq("doc_id"), "left_anti").unionByName(docs)
-      val verified = Dedup.verifyJaccard(candidates, docStore)
+      val verified = Dedup.verifyJaccard(candidates, docStore, saltFactor = 8)
         .orderBy(col("doc_a"), col("doc_b"))
 
       // per-batch overwrite => idempotent under redelivery; `batch` lets

@@ -34,9 +34,24 @@ class SkewSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("the hot key actually spreads over multiple salt cells") {
     val salts = skewed.filter(col("k") === "hot")
-      .withColumn("__salt", pmod(hash(skewed.columns.map(col).toSeq: _*), lit(8)))
+      .withColumn("__salt",
+        pmod(hash(skewed.columns.map(col) :+ monotonically_increasing_id(): _*), lit(8)))
       .select("__salt").distinct().count()
     salts should be > 1L
+  }
+
+  test("IDENTICAL duplicate rows of a hot key spread across salt cells") {
+    // a skewed event log repeats the same event: content-only salting
+    // parked every copy on ONE reducer (VERDICT r3 nit #3)
+    val dups = Seq.fill(400)(("hot", 1)).toDF("k", "v")
+    val salts = dups
+      .withColumn("__salt",
+        pmod(hash(dups.columns.map(col) :+ monotonically_increasing_id(): _*), lit(8)))
+      .select("__salt").distinct().count()
+    salts should be > 1L
+    // and the join result is still exactly the plain join's multiset
+    val plain = dups.join(dim, Seq("k"))
+    sorted(Skew.saltedJoin(dups, dim, Seq("k"), factor = 8)) shouldBe sorted(plain)
   }
 
   test("replicated-right join types are rejected") {
