@@ -125,6 +125,31 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Bucketed ANN search. `queries` = (query_id, qv, qn, bucket). With
+    * `multiProbe`, each query also probes its `planes` hamming-1 neighbor
+    * buckets — recovering the recall lost when a true neighbor falls just
+    * across one hyperplane — while KEEPING the equi-join shape: the probe
+    * keys explode on the tiny broadcast query side (planes+1 rows per
+    * query, e.g. 25 probes against 2^24 buckets at clamp), never on the
+    * corpus. Buckets partition the corpus, so probe candidates are
+    * naturally distinct — no dedup pass needed.
+    */
+  private[graft] def annSearch(e: DataFrame, queries: DataFrame, planes: Int,
+      multiProbe: Boolean, topk: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes =
+      if (!multiProbe) queries
+      else queries.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)))
+    e.join(broadcast(probes), "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+  }
+
   val q_similarity_ann: QueryDef = QueryDef(
     s"""WITH $planesSql,
        |hp AS (SELECT j, list_transform(range(1, $Dim + 1),
@@ -138,15 +163,17 @@ object Similarity {
        |  FROM e, hp GROUP BY e.vec_id),
        |eb AS (SELECT e.vec_id, v, nrm, bucket FROM e JOIN bk USING (vec_id)),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM eb WHERE vec_id < $NQueries),
+       |probes AS (SELECT query_id, qv, qn, xor(bucket, mask) AS bucket
+       |  FROM q, (SELECT unnest(list_append(
+       |    list_transform(range((SELECT planes FROM params)), j -> 1 << j), 0)) AS mask) m),
        |s AS (SELECT query_id, eb.vec_id, ${duckDot("qv", "v")} / (qn * nrm) AS cos
-       |  FROM q JOIN eb USING (bucket) WHERE query_id <> eb.vec_id),
+       |  FROM probes JOIN eb USING (bucket) WHERE query_id <> eb.vec_id),
        |r AS (SELECT query_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
        |  FROM s)
        |SELECT query_id, vec_id, round(cos, 6) AS cosine, rnk
        |FROM r WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     // plane count derived from the ACTUAL corpus (metadata-only count),
     // mirroring the oracle's params CTE — sf0.01 and sf0.1 get different
     // bucketings and both engines agree at each
@@ -158,13 +185,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
-    e.join(broadcast(q), "bucket")
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+    annSearch(e, q, planes, multiProbe = true)
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -115,6 +115,36 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     kmeans should be > 0.2 // sanity: meaningfully above nprobe/nlist noise
   }
 
+  test("multi-probe ANN strictly improves recall over single-probe") {
+    // hamming-1 probing recovers neighbors that fell just across one
+    // hyperplane; with the equi-join shape intact (probes explode on the
+    // broadcast query side only). Fair queries on the 500-vector corpus.
+    val dir = "/root/testdata/sf0.01"
+    val planes = Similarity.planesFor(graft.Tables.embeddings(spark, dir).count())
+    val e = Similarity.embFrame(spark, dir)
+      .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val truth = pairs(e.crossJoin(broadcast(q.drop("bucket")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", graft.functions.DotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= 3))
+
+    val single = (pairs(Similarity.annSearch(e, q, planes, multiProbe = false)) & truth).size
+    val multi = (pairs(Similarity.annSearch(e, q, planes, multiProbe = true)) & truth).size
+    e.unpersist()
+    withClue(s"multi=$multi single=$single of ${truth.size}: ") { multi should be > single }
+  }
+
   test("LSH plane count (and so bucket count) grows with the corpus") {
     // sizing rule: buckets ≈ n / targetBucketSize, so per-bucket join work
     // stays ~target² instead of (n/2^planes)² with planes frozen
