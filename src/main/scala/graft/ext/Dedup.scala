@@ -48,17 +48,24 @@ object Dedup {
     graft.functions.Md5PrefixLong(c, 15)
 
   /** Universal hash k of one 60-bit base hash. */
-  private def mhExpr(h: Column, k: Int): Column =
+  private[ext] def mhExpr(h: Column, k: Int): Column =
     (lit(A(k)) * shiftright(h, 30) + lit(B(k)) * h.bitwiseAND(lit(Mask)) + lit(C(k))) % M
 
   /** All `n` minhash components at once: explode the hash sets and take
     * the n mins in ONE codegen'd aggregation pass. Equivalent to n
-    * `array_min(transform(hs, mhExpr))` projections (explode_outer keeps empty-set docs with
-    * null components, exactly like array_min of an empty transform), but
-    * each element is visited once instead of n times through interpreted
-    * higher-order functions. The input is already hash-partitioned by
-    * doc_id (wordShingleDocs repartitions), so the groupBy reuses that
-    * layout without an extra exchange.
+    * `array_min(transform(hs, mhExpr))` projections (explode_outer keeps
+    * empty-set docs with null components, exactly like array_min of an
+    * empty transform; duplicate doc_id rows merge — identical docs have
+    * identical signatures, so band rows only deduplicate). The input is
+    * already hash-partitioned by doc_id (wordShingleDocs repartitions),
+    * so the groupBy reuses that layout without an extra exchange.
+    *
+    * Used by [[bandRowsOf]] (16 components; measured 2.8 -> 2.2 s on
+    * q_minhash_lsh_pairs at sf0.1). q_minhash_sig deliberately does NOT
+    * use it: with only 8 components feeding a projection-only plan, the
+    * explode+aggregate measured 7x SLOWER (0.6 -> 3.9 s) than the per-k
+    * HOF projections — the aggregation machinery costs more than the
+    * redundant array passes it saves.
     */
   private def signatures(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode_outer(col("hs")).as("h"))
@@ -100,8 +107,7 @@ object Dedup {
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
-    val sig = docs.select(col("doc_id") +:
-      (0 until bands * r).map(k => array_min(transform(col("hs"), h => mhExpr(h, k))).as(s"mh$k")): _*)
+    val sig = signatures(docs, bands * r)
     sig.select(col("doc_id"),
         explode(array((0 until bands).map(b => struct(
           lit(b).as("band"),
@@ -209,21 +215,40 @@ object Dedup {
   // Per token: a small md5 hash; per bit: sum of +1/-1 over tokens; bit
   // set iff the sum is positive.
 
-  /** SimHash of a (doc_id, th: array<token hash>) frame: explode once,
-    * take all `bits` vote-sums in ONE codegen'd aggregation (same shape
-    * as [[signatures]] — one pass over the elements instead of `bits`
-    * interpreted HOF folds), then assemble the fingerprint. explode_outer
-    * + the isNull→0 vote keeps empty-token docs at simhash 0, like the
-    * oracle's list_sum(NULL-on-empty) does.
+  /** SimHash of a (doc_id, th: array<token hash>) frame: per-bit majority
+    * vote over the token hashes, empty-token docs at simhash 0 on both
+    * plan variants (see inline comments for the width-based choice
+    * between one exploded aggregation — the [[signatures]] shape — and
+    * per-bit HOF folds).
     */
-  private def simhashOf(tokenHashed: DataFrame, bits: Int): DataFrame = {
-    tokenHashed.select(col("doc_id"),
-      (0 until bits).map { b =>
-        val vote = aggregate(col("th"), lit(0),
-          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).as("simhash"))
-  }
+  private def simhashOf(tokenHashed: DataFrame, bits: Int): DataFrame =
+    // two equivalent plans, picked by fingerprint width (measured at
+    // sf0.1): wide fingerprints win with ONE exploded aggregation pass
+    // (60-bit q_simhash_pairs 1.3 -> 1.0 s), narrow ones with per-bit HOF
+    // folds over the in-row array (16-bit q_simhash 0.21 s vs 0.36
+    // exploded — the aggregation machinery dominates at low bit counts)
+    if (bits >= 32) {
+      // isNull→0 vote: an empty/null token array explodes to one null row
+      // whose vote must not set any bit (sum > 0 stays false), exactly
+      // like the oracle's list_sum(NULL-on-empty)
+      val votes = (0 until bits).map { b =>
+        sum(when(col("h").isNull, 0)
+          .when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
+          .otherwise(-1)).as(s"v$b")
+      }
+      tokenHashed.select(col("doc_id"), explode_outer(col("th")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    } else
+      tokenHashed.select(col("doc_id"),
+        (0 until bits).map { b =>
+          val vote = aggregate(col("th"), lit(0),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+          when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
 
   val q_simhash: QueryDef = QueryDef(
     """SELECT doc_id, CAST(list_sum(list_transform(range(16), b ->

@@ -115,6 +115,37 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     kmeans should be > 0.2 // sanity: meaningfully above nprobe/nlist noise
   }
 
+  test("exploded-aggregation signatures ≡ per-k HOF minhash projections (bandRowsOf)") {
+    // bandRowsOf now computes all 16 components in one exploded pass; it
+    // must emit exactly the band rows of the per-component HOF form,
+    // including dropping empty-shingle docs (null bkey never joins, and
+    // both forms yield null components there)
+    val docs = Dedup.wordShingleDocs(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text")).limit(200)
+        .unionByName(Seq((9999L, "ab")).toDF("doc_id", "text"))) // shingle-less doc
+      .persist()
+    val got = Dedup.bandRowsOf(docs, bands = 8, r = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // reference: the round-3 per-k array_min(transform(...)) formulation
+    val exp = {
+      import org.apache.spark.sql.functions.{array_min, transform => tf}
+      val sig = docs.select(col("doc_id") +: (0 until 16).map(k =>
+        array_min(tf(col("hs"), h => Dedup.mhExpr(h, k))).as(s"mh$k")): _*)
+      sig.select(col("doc_id"), explode(array((0 until 8).map(b => struct(
+          lit(b).as("band"),
+          (0 until 2).map(i => col(s"mh${2 * b + i}").cast("string"))
+            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    }
+    docs.unpersist()
+    got shouldBe exp
+    // the shingle-less doc's band keys are null on both forms — a null
+    // bkey never equi-joins, so it can't produce candidates
+    got.filter(_._1 == 9999L).foreach(_._3 shouldBe null)
+  }
+
   test("multi-probe ANN strictly improves recall over single-probe") {
     // hamming-1 probing recovers neighbors that fell just across one
     // hyperplane; with the equi-join shape intact (probes explode on the
