@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.graph.GraphOps.State
+import graft.streaming.StateStore
 import graft.temporal.Temporal
 
 /** The reference's inventory QUERY surface (inventory/inventory.go:149-268
@@ -68,4 +69,35 @@ object Inventory {
     */
   def ownersWithTeams(st: State, assetId: String): DataFrame =
     GraphOps.owners(st.owns.filter(col("asset_id") === assetId), st.teams)
+
+  /** Store-backed POINT-LOOKUP state: resolve the lookup keys to hash
+    * buckets and read ONLY those bucket dirs from the latest committed
+    * version — the snapshot-store analog of the reference's per-key index
+    * reads (inventory/inventory.go:382-404). Against 100 TB of state this
+    * loads O(keys) directories: the asset buckets of `assetIds`, their
+    * owner-edge and out-edge buckets, the in-edge buckets discovered
+    * through the reverse key index, and the `teamIds` buckets. Every
+    * Inventory endpoint then answers from the returned partial state with
+    * plain pushed-down predicates.
+    *
+    * None = no committed version yet. The partial's `paths` bound the read
+    * I/O by inspection (see StateStoreSpec).
+    */
+  def lookup(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      assetIds: Seq[String] = Nil,
+      teamIds: Seq[String] = Nil,
+      maxVersion: Long = Long.MaxValue,
+      store: StateStore.Config = StateStore.Config()): Option[StateStore.Partial] = {
+    import spark.implicits._
+    StateStore.readPartialLatest(spark, statePath, maxVersion,
+      StateStore.Candidates(
+        assetIds = assetIds.toDF("id"),
+        teamIds = teamIds.toDF("identifier"),
+        ownsAssetIds = assetIds.toDF("asset_id"),
+        parentIds = assetIds.toDF("parent_id"),
+        childIds = assetIds.toDF("child_id")),
+      store)
+  }
 }

@@ -71,4 +71,39 @@ class InventorySpec extends AnyFunSuite with SparkSpec with Matchers {
     Inventory.ownersWithTeams(st, "Hostname/a").collect()
       .map(_.getAs[String]("name")).toSet shouldBe Set("Team One", "Team Two")
   }
+
+  test("store-backed point lookup reads O(keys) bucket dirs and answers every endpoint") {
+    // ingest the fixture scenario through the streaming sink, then answer
+    // the per-asset endpoints from a bucket-pruned read — the reference's
+    // per-key index lookups (inventory.go:382-404) against snapshot-store
+    // state, with read I/O bounded by path inspection
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val rows = graft.sources.Fixtures.loadJson(spark,
+      getClass.getResource("/fixtures/scenario.json").getPath)
+    graft.streaming.StreamIngest.applyBatch(rows, 0L, stateDir, graft.ingest.Pipeline.Config(), 1704067200L)
+    val full = graft.streaming.StreamIngest.loadLatestState(spark, stateDir, Long.MaxValue).get
+
+    val id = "Hostname/web0.example.org"
+    val p = Inventory.lookup(spark, stateDir, assetIds = Seq(id), teamIds = Seq("alpha")).get
+    // read bound: one asset bucket + one team bucket + one owns bucket +
+    // in/out edge buckets (the AWS-account parent discovered via the
+    // reverse index), out of everything the full state occupies
+    p.paths("assets").size should be <= 1
+    p.paths("teams").size should be <= 1
+    p.paths("owns").size should be <= 1
+    p.paths("parent_of").size should be <= 2
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // every point endpoint answers identically from the partial state
+    rowsOf(Inventory.assets(p.state, assetType = Some("Hostname"),
+        identifier = Some("web0.example.org"))) shouldBe
+      rowsOf(Inventory.assets(full, assetType = Some("Hostname"),
+        identifier = Some("web0.example.org")))
+    rowsOf(Inventory.owners(p.state, id)) shouldBe rowsOf(Inventory.owners(full, id))
+    rowsOf(Inventory.parents(p.state, id)) shouldBe rowsOf(Inventory.parents(full, id))
+    rowsOf(Inventory.children(p.state, id)) shouldBe rowsOf(Inventory.children(full, id))
+    rowsOf(Inventory.teams(p.state, Some("alpha"))) shouldBe rowsOf(Inventory.teams(full, Some("alpha")))
+    Inventory.parents(p.state, id).count() should be >= 1L // the AWS-account in-edge was found
+  }
 }

@@ -94,6 +94,29 @@ class PipelineStrictSpec extends AnyFunSuite with SparkSpec with Matchers {
       Set("w0.example.org", "w1.example.org")
   }
 
+  test("a mid-stream halt persists the prefix through the BUCKET-PRUNED path") {
+    // batch 0 commits normally; batch 1 halts mid-batch against EXISTING
+    // state — the prefix write goes through the partial read (only the
+    // batch's candidate buckets loaded) and must pass the write-side
+    // touched⊆loaded assertion before the halt propagates
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val good = Seq((0L, "alpha/w0", payload("w0"), meta("w0")))
+      .toDF("offset", "key", "value", "metadata")
+    graft.streaming.StreamIngest.applyBatch(good, 0L, stateDir, Pipeline.Config(), 1704067200L)
+    val batch1 = Seq(
+      (10L, "alpha/w1", payload("w1"), meta("w1")),
+      (11L, "alpha/w2", "{broken json", meta("w2")),
+      (12L, "alpha/w3", payload("w3"), meta("w3"))
+    ).toDF("offset", "key", "value", "metadata")
+    intercept[Pipeline.StrictHaltException](
+      graft.streaming.StreamIngest.applyBatch(
+        batch1, 1L, stateDir, Pipeline.Config(), 1704067300L))
+    // v1 = batch-0 state (inherited, untouched buckets) + batch-1 prefix
+    val st = graft.streaming.StreamIngest.readState(spark, stateDir, 1L)
+    st.assets.collect().map(_.getAs[String]("identifier")).toSet shouldBe
+      Set("w0.example.org", "w1.example.org")
+  }
+
   test("a payload without Team.Id creates no null-keyed team or owns edge") {
     val env = Seq((0L, "alpha/w0", payload("w0", teamId = "null"), meta("w0")))
       .toDF("offset", "key", "value", "metadata")
