@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative min-label propagation —
+  * the step that turns near-duplicate PAIRS into duplicate CLUSTERS so a
+  * dedup pipeline can keep one canonical document per cluster (the
+  * reference stops at pair emission; training-data dedup needs the
+  * collapse).
+  *
+  * Algorithm: every node starts labeled with its own id; each round a node
+  * takes the min of its label and its neighbors' labels. A round is one
+  * equi-join (edges × labels, both hash-partitioned on the join key) plus
+  * one aggregation — no driver-side graph state, rows only.
+  *
+  * Convergence detection is O(1) per round: labels are monotonically
+  * non-increasing, so sum(label) strictly decreases until the fixpoint and
+  * comparing one aggregated long per round (a single-row collect) detects
+  * it exactly — no row-level diff join.
+  *
+  * Round count is the cluster diameter. LSH near-dup clusters are
+  * near-cliques (every member shares a band key with most others), so 2-4
+  * rounds close them; for adversarial high-diameter graphs the published
+  * fix is alternating large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"), which converges in O(log n)
+  * rounds at ~2x the per-round cost — not needed for the dedup shape this
+  * serves, noted for the general case.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as (src, dst)
+    * pairs (either orientation, duplicates fine). Returns one row per
+    * node: (id, cluster_id) where cluster_id = min node id reachable.
+    *
+    * @param maxRounds hard stop — throws if the graph has not converged,
+    *        rather than silently emitting partial components.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // null on an empty graph — treat as 0 so empty input converges in one
+    // round instead of NPEing
+    def lblSum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("lbl"))).head.get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+
+    var prevSum = lblSum(lbl)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(lbl.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      // localCheckpoint (eager) TRUNCATES LINEAGE each round — next's plan
+      // references lbl's plan twice (union + join), so without truncation
+      // the logical tree doubles per round and plan rendering alone OOMs
+      // the driver after ~8 rounds. Checkpointed blocks are row-sized
+      // (one per node), dropped when the frame is GC'd.
+      val next = lbl.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(next)
+      lbl.unpersist()
+      lbl = next
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    edges.unpersist()
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    lbl.select(col("id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -156,13 +156,15 @@ object Dedup {
   }
 
   /** Build LSH candidate pairs + integer-Jaccard verification (over the
-    * hash sets), shared by the word-shingle and char-gram queries.
+    * hash sets), shared by the word-shingle and char-gram queries and the
+    * cluster-collapse step ([[q_dedup_components]]). Unordered — callers
+    * that feed the driver compare append their own total order.
     *
     * @param docs   (doc_id, hs: base-hash set of the feature set)
     * @param bands  number of LSH bands
     * @param r      minhash components per band
     */
-  private def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
+  private[ext] def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
     // The (doc_id, hs) frame is referenced 4x below (band self-join + two
     // verify joins); without persisting, Spark recomputes the whole
     // shingle+md5 pipeline per reference — measured 4x cost at sf0.1. A
@@ -180,12 +182,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(pairs, docs)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The same pipeline as DuckDB SQL. `dSql` must yield (doc_id, hs). */
-  private def duckLshJaccard(dSql: String, bands: Int, r: Int): String =
-    s"""WITH d AS ($dSql),
+  /** The CTE chain of the pipeline as DuckDB SQL, ending in `jv` =
+    * verified pairs (doc_a, doc_b, inter, uni). `dSql` must yield
+    * (doc_id, hs). Shared by the pair queries and the recursive
+    * components oracle (which appends its own CTEs).
+    */
+  private[ext] def duckLshJaccardCtes(dSql: String, bands: Int, r: Int): String =
+    s"""d AS ($dSql),
        |sig AS (SELECT doc_id,
        |  ${(0 until bands * r).map(k => duckMh(k) + s" AS mh$k").mkString(", ")} FROM d),
        |bands AS (SELECT doc_id, b.band,
@@ -198,9 +203,13 @@ object Dedup {
        |j AS (SELECT doc_a, doc_b,
        |    len(list_intersect(da.hs, db.hs)) AS inter,
        |    len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs)) AS uni
-       |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id)
-       |SELECT doc_a, doc_b, inter, uni FROM j
-       |WHERE inter * 2 >= uni
+       |  FROM p JOIN d da ON p.doc_a = da.doc_id JOIN d db ON p.doc_b = db.doc_id),
+       |jv AS (SELECT doc_a, doc_b, inter, uni FROM j WHERE inter * 2 >= uni)""".stripMargin
+
+  /** The same pipeline as DuckDB SQL. `dSql` must yield (doc_id, hs). */
+  private def duckLshJaccard(dSql: String, bands: Int, r: Int): String =
+    s"""WITH ${duckLshJaccardCtes(dSql, bands, r)}
+       |SELECT doc_a, doc_b, inter, uni FROM jv
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -- MinHash + LSH banding over word shingles -----------------------------
@@ -209,6 +218,7 @@ object Dedup {
   val q_minhash_lsh_pairs: QueryDef = QueryDef(
     duckLshJaccard(wordShingleSql, bands = 8, r = 2)) { (s, dir) =>
     lshJaccardPairs(wordShingleDocs(Tables.documents(s, dir)), bands = 8, r = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // -- SimHash fingerprints -------------------------------------------------
@@ -339,6 +349,33 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
       .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
     lshJaccardPairs(docs, bands = 2, r = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- duplicate CLUSTERS: pairs -> connected components -> canonical doc ---
+  // The collapse step that makes pair emission usable as dedup: group the
+  // verified near-dup pairs into clusters and keep the min doc_id of each
+  // as canonical. Spark side: [[Components.connectedComponents]] (min-label
+  // propagation, one equi-join + one aggregation per round, O(1)
+  // convergence check). Oracle side: a recursive reachability CTE over the
+  // same verified pairs — a different algorithm arriving at the same
+  // fixpoint, which is exactly what makes the hash compare meaningful.
+  val q_dedup_components: QueryDef = QueryDef(
+    s"""WITH RECURSIVE ${duckLshJaccardCtes(wordShingleSql, bands = 8, r = 2)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jv
+       |  UNION SELECT doc_b, doc_a FROM jv),
+       |r AS (SELECT src AS id, dst AS m FROM e
+       |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.m = e.src)
+       |SELECT id AS doc_id, least(id, min(m)) AS cluster_id,
+       |  CAST(CASE WHEN least(id, min(m)) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM r GROUP BY id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = lshJaccardPairs(wordShingleDocs(Tables.documents(s, dir)), bands = 8, r = 2)
+      .select(col("doc_a"), col("doc_b"))
+    Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(col("id") === col("cluster_id"), 1).otherwise(0).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   val all: Map[String, QueryDef] = Map(
@@ -346,5 +383,6 @@ object Dedup {
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
     "q_simhash" -> q_simhash,
     "q_simhash_pairs" -> q_simhash_pairs,
-    "q_ngram_jaccard" -> q_ngram_jaccard)
+    "q_ngram_jaccard" -> q_ngram_jaccard,
+    "q_dedup_components" -> q_dedup_components)
 }
