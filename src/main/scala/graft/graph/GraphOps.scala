@@ -36,6 +36,47 @@ object GraphOps {
     owns.alias("o")
       .join(teams.alias("tm"), col("o.team_id") === col("tm.id"))
 
+  /** Multi-hop extension of C9: the transitive ANCESTOR closure of a
+    * child→parent edge set — (desc, anc, depth) for every ancestor
+    * reachable in >= 1 hop, depth = shortest hop count (DAGs may reach an
+    * ancestor along several paths).
+    *
+    * Frontier BFS: each round joins the current frontier to the edge set
+    * (equi-join on the parent key — shuffles co-partition both sides) and
+    * unions it into the accumulator; rounds = hierarchy height, which for
+    * org/asset trees is small and bounded. Every frontier is eagerly
+    * localCheckpoint'ed so the iterative lineage stays flat (the
+    * accumulator's plan is a union of <= maxDepth checkpointed leaves,
+    * not a recursively deepening tree). For adversarially deep graphs the
+    * alternative is path-doubling (closure of the closure, O(log depth)
+    * rounds at O(paths²) intermediate size); hierarchy height bounds make
+    * BFS the cheaper shape here.
+    *
+    * @param maxDepth hard stop — a non-empty frontier at maxDepth means a
+    *        cycle (or a deeper graph than the caller vouched for); throws
+    *        rather than emitting a silently truncated closure.
+    */
+  def ancestorsClosure(edges: DataFrame, childCol: String, parentCol: String,
+      maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = e.select(col("c"), col("p"), lit(1).as("depth")).localCheckpoint(true)
+    var acc = frontier
+    var depth = 1
+    while (!frontier.isEmpty && depth < maxDepth) {
+      frontier = frontier.as("f").join(e.as("n"), col("f.p") === col("n.c"))
+        .select(col("f.c").as("c"), col("n.p").as("p"), (col("f.depth") + 1).as("depth"))
+        .localCheckpoint(true)
+      acc = acc.union(frontier)
+      depth += 1
+    }
+    val cyclic = !frontier.isEmpty
+    e.unpersist()
+    require(!cyclic, s"ancestor closure still expanding at depth $maxDepth — cycle?")
+    acc.groupBy(col("c"), col("p")).agg(min(col("depth")).as("depth"))
+  }
+
   /** C7 — per-asset active-owner quantifier: does ANY active owns edge
     * (end_time null) of a team OTHER than the tombstoning team exist?
     * Reference: main.go:299-323.

@@ -389,6 +389,36 @@ object CoreQueries {
       .orderBy(col("parent_id"), col("child_id"))
   }
 
+  // -- C9 extension: multi-hop ancestor closure ------------------------------
+  // The reference's traversals stop at one hop (inventory/inventory.go:
+  // 499-524 parents, 574-599 children); an asset inventory also wants "all
+  // ancestors" (ownership roll-up, expiration blast radius). The synth
+  // parent_of graph is depth-1 by construction (parents a0..a9 are never
+  // children), so this query closes a deterministic halving-tree hierarchy
+  // over the same asset ids — a<k> -> a<k div 2>, height ~log2(50) — which
+  // both engines derive identically from `events`. Spark: frontier BFS
+  // ([[GraphOps.ancestorsClosure]]); oracle: recursive CTE — different
+  // algorithms, same fixpoint.
+  val q_ancestors_closure: QueryDef = QueryDef(
+    """WITH RECURSIVE ids AS (SELECT DISTINCT user_id % 50 AS k FROM events),
+      |e AS (SELECT k AS c, k // 2 AS p FROM ids WHERE k >= 1),
+      |r AS (SELECT c, p, 1 AS depth FROM e
+      |  UNION ALL
+      |  SELECT r.c, e.p, r.depth + 1 FROM r JOIN e ON r.p = e.c)
+      |SELECT 'a' || CAST(c AS VARCHAR) AS desc_id,
+      |  'a' || CAST(p AS VARCHAR) AS anc_id, CAST(min(depth) AS INT) AS depth
+      |FROM r GROUP BY c, p
+      |ORDER BY desc_id, depth""".stripMargin) { (s, dir) =>
+    val ids = Tables.events(s, dir).select((col("user_id") % 50).as("k")).distinct()
+    val edges = ids.filter(col("k") >= 1)
+      .select(col("k").as("c"), expr("k div 2").as("p"))
+    GraphOps.ancestorsClosure(edges, "c", "p")
+      .select(concat(lit("a"), col("c").cast("string")).as("desc_id"),
+        concat(lit("a"), col("p").cast("string")).as("anc_id"),
+        col("depth").cast("int").as("depth"))
+      .orderBy(col("desc_id"), col("depth"))
+  }
+
   val q_owners_join: QueryDef = QueryDef(
     s"""${Synth.withAllSql}
        |SELECT o.asset_id, o.team_id, t.identifier AS team_identifier,
@@ -649,6 +679,7 @@ object CoreQueries {
     "q_active_owner_exists" -> q_active_owner_exists,
     "q_parents_join" -> q_parents_join,
     "q_children_join" -> q_children_join,
+    "q_ancestors_closure" -> q_ancestors_closure,
     "q_owners_join" -> q_owners_join,
     "q_expire_cascade" -> q_expire_cascade,
     "q_expire_cascade_edges" -> q_expire_cascade_edges,

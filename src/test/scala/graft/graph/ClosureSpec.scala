@@ -1,0 +1,41 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Unit coverage for [[GraphOps.ancestorsClosure]] — the multi-hop
+  * traversal behind q_ancestors_closure. The declared query's oracle only
+  * sees the halving tree; these pin the general contract: depth counting
+  * on chains, min-depth on diamond DAGs (two paths to one ancestor),
+  * duplicate edges, and the cycle guard.
+  */
+class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def closure(edges: Seq[(Long, Long)], maxDepth: Int = 64): Set[(Long, Long, Int)] =
+    GraphOps.ancestorsClosure(edges.toDF("c", "p"), "c", "p", maxDepth)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("a chain yields every ancestor with its hop count") {
+    closure(Seq((3L, 2L), (2L, 1L), (1L, 0L))) shouldBe Set(
+      (3L, 2L, 1), (3L, 1L, 2), (3L, 0L, 3),
+      (2L, 1L, 1), (2L, 0L, 2),
+      (1L, 0L, 1))
+  }
+
+  test("a diamond DAG reports the SHORTEST path to a shared ancestor") {
+    // 4 -> {3, 2}, 3 -> 2: node 2 reachable from 4 at depth 1 and 2
+    closure(Seq((4L, 3L), (4L, 2L), (3L, 2L))) shouldBe Set(
+      (4L, 3L, 1), (4L, 2L, 1), (3L, 2L, 1))
+  }
+
+  test("duplicate edges do not duplicate closure rows") {
+    closure(Seq((2L, 1L), (2L, 1L))) shouldBe Set((2L, 1L, 1))
+  }
+
+  test("a cycle throws instead of looping or truncating silently") {
+    an[IllegalArgumentException] should be thrownBy
+      closure(Seq((1L, 2L), (2L, 1L)), maxDepth = 8)
+  }
+}
