@@ -99,6 +99,77 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- TF-IDF top terms per document ----------------------------------------
+  // Classic text-analysis roll-up: term frequency per (doc, term), document
+  // frequency per term, rank each doc's terms by tf·idf. The score is the
+  // RATIONAL surrogate tf * 1e6 / df in BIGINT integer division — ranking
+  // by it is identical to ranking by tf/df, and unlike a float
+  // ln(N/df)-based score it is bit-stable across engines (a 1-ulp libm
+  // disagreement near equal scores would flip ranks and fail the hash
+  // gate). Scale shape: one explode + two aggregations; the df join
+  // co-partitions on `term` (vocabulary-sized, not corpus-sized); the
+  // top-k window partitions by doc_id.
+  val q_tfidf_topterms: QueryDef = QueryDef(
+    """WITH t AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+      |s AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score
+      |  FROM t JOIN d USING (term)),
+      |r AS (SELECT doc_id, term, tf, df, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+      |  FROM s)
+      |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count() // eager barrier — see Dedup.lshJaccardPairs
+    val d = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    t.join(d, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // -- deterministic stratified sampling (data mixing) ----------------------
+  // A training-data mixer needs per-stratum downsampling ("at most N docs
+  // per source") that is reproducible run-to-run and engine-to-engine: the
+  // keep decision is a pure function of the row key, never an RNG. Keep
+  // doc iff (md5-hash(doc_id) % 1e6) * n_stratum < target * 1e6 — i.e. a
+  // keep fraction of min(1, target/n_stratum) — all in BIGINT (max
+  // product 1e6 * n, overflow-free past 1e12 rows/stratum). Scale shape:
+  // one tiny per-stratum count aggregate broadcast back against a single
+  // corpus scan; no shuffle of the big table, no sort, no limit.
+  val q_stratified_sample: QueryDef = QueryDef(
+    """WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |h AS (SELECT doc_id, lang, source,
+      |    CAST('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1000000 AS sample_key
+      |  FROM documents)
+      |SELECT doc_id, lang, source, sample_key
+      |FROM h JOIN n USING (source)
+      |WHERE sample_key * n_s < 100 * 1000000
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    docs.join(broadcast(n), "source")
+      .withColumn("sample_key",
+        graft.functions.Md5PrefixLong(
+          concat(lit("samp|"), col("doc_id").cast("string")), 15) % 1000000)
+      .filter(col("sample_key") * col("n_s") < lit(100L * 1000000L))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- multimodal/binary plumbing: opaque bytes + typed metadata ------------
   val q_binary_meta: QueryDef = QueryDef(
     """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -118,6 +189,8 @@ object ExtQueries {
     "q_quality_score" -> q_quality_score,
     "q_lang_id" -> q_lang_id,
     "q_doc_fingerprint" -> q_doc_fingerprint,
-    "q_binary_meta" -> q_binary_meta) ++
+    "q_binary_meta" -> q_binary_meta,
+    "q_tfidf_topterms" -> q_tfidf_topterms,
+    "q_stratified_sample" -> q_stratified_sample) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }
