@@ -80,12 +80,13 @@ object Dedup {
   private val duckBaseHash =
     "list_transform(%s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
 
-  /** Shared DuckDB fragment: base-hash sets (`hs`) of the distinct word
+  /** Shared DuckDB fragment (also used by [[ExtQueries.q_decontaminate]]):
+    * base-hash sets (`hs`) of the distinct word
     * 3-gram shingles. Downstream Jaccard runs on the 60-bit hash sets, not
     * the strings — set-isomorphic (collision odds ~1e-13 per corpus) and
     * ~4x less memory traffic through the joins.
     */
-  private val wordShingleSql =
+  private[ext] val wordShingleSql =
     s"""SELECT doc_id, ${duckBaseHash.format("fs")} AS hs FROM (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),

@@ -170,6 +170,80 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- test-set decontamination: benchmark n-gram overlap -------------------
+  // THE training-data hygiene op: flag corpus documents sharing word
+  // 3-gram shingles with a held-out benchmark/eval set, so eval questions
+  // that leaked into the corpus are caught before training. The benchmark
+  // here is a deterministic corpus slice (doc_id % 37 = 0) to stay
+  // oracle-expressible; in production it is an external MB-scale table
+  // (MMLU/GSM8K-sized), which is exactly why the plan broadcasts the
+  // aggregated benchmark shingle set. Scale shape: the 100 TB corpus is
+  // exploded ONCE into shingle hashes and inner-joined against the
+  // broadcast set — no shuffle of the corpus; only HIT rows (contamination-
+  // scale, tiny) reach the per-doc aggregation. Reuses the dedup family's
+  // 60-bit shingle hashing (one md5 per shingle, native expression), so
+  // overlap is computed on longs, not strings.
+  val q_decontaminate: QueryDef = QueryDef(
+    s"""WITH hs AS (${Dedup.wordShingleSql.replace("\n", "\n      ")}),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 37 = 0),
+       |corpus AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+       |  FROM hs WHERE doc_id % 37 <> 0)
+       |SELECT doc_id, n_shingles, count(*) AS n_hits,
+       |  count(*) * 10 >= n_shingles AS flagged
+       |FROM corpus JOIN bench USING (h)
+       |GROUP BY doc_id, n_shingles
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hs = Dedup.wordShingleDocs(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hs.count() // eager barrier — bench + corpus both read it
+    val bench = hs.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    hs.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("flagged", col("n_hits") * 10 >= col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -- repetition score: duplicate word-2-gram fraction ---------------------
+  // Gopher-style boilerplate/repetition quality signal: the fraction of a
+  // document's word bigrams that are repeats of an earlier bigram. Pure
+  // per-row column expressions (one corpus scan, zero shuffle, codegen'd);
+  // the bucket compare is integer-only so the hash gate can't drift.
+  val q_repetition_score: QueryDef = QueryDef(
+    """SELECT doc_id, len(g) AS n_2grams,
+      |  len(list_distinct(g)) AS n_distinct_2grams,
+      |  len(g) - len(list_distinct(g)) AS n_dup,
+      |  CASE WHEN len(g) = 0 THEN 'empty'
+      |       WHEN (len(g) - len(list_distinct(g))) * 2 >= len(g) THEN 'high'
+      |       WHEN (len(g) - len(list_distinct(g))) * 10 >= len(g) THEN 'mid'
+      |       ELSE 'low' END AS rep_bucket
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).as("n_2grams"),
+        size(array_distinct(col("g"))).as("n_distinct_2grams"))
+      .withColumn("n_dup", col("n_2grams") - col("n_distinct_2grams"))
+      .withColumn("rep_bucket",
+        when(col("n_2grams") === 0, "empty")
+          .when(col("n_dup") * 2 >= col("n_2grams"), "high")
+          .when(col("n_dup") * 10 >= col("n_2grams"), "mid")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- multimodal/binary plumbing: opaque bytes + typed metadata ------------
   val q_binary_meta: QueryDef = QueryDef(
     """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -191,6 +265,8 @@ object ExtQueries {
     "q_doc_fingerprint" -> q_doc_fingerprint,
     "q_binary_meta" -> q_binary_meta,
     "q_tfidf_topterms" -> q_tfidf_topterms,
-    "q_stratified_sample" -> q_stratified_sample) ++
+    "q_stratified_sample" -> q_stratified_sample,
+    "q_decontaminate" -> q_decontaminate,
+    "q_repetition_score" -> q_repetition_score) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }
