@@ -193,9 +193,7 @@ object ExtQueries {
        |FROM corpus JOIN bench USING (h)
        |GROUP BY doc_id, n_shingles
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val hs = Dedup.wordShingleDocs(Tables.documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hs.count() // eager barrier — bench + corpus both read it
+    val hs = Dedup.corpusShingles(s, dir) // checkpointed once per (session, dir)
     val bench = hs.filter(col("doc_id") % 37 === 0)
       .select(explode(col("hs")).as("h")).distinct()
     hs.filter(col("doc_id") % 37 =!= 0)

@@ -398,9 +398,74 @@ object Similarity {
     ivfSearch(e, cents, q).orderBy(col("query_id"), col("rnk"))
   }
 
+  // -- SemDeDup: semantic dedup via k-means cells -----------------------------
+  // Embedding-space near-dedup at corpus scale (Abbas et al. 2023,
+  // "SemDeDup"): cluster the corpus with k-means, then compare vectors
+  // ONLY within their cell — the quadratic pair space shrinks from
+  // corpus² to nlist * (corpus/nlist)², and each cell's pair join is an
+  // equi-join on the cell id. A vector is DROPPED when a same-cell
+  // neighbor with a smaller vec_id lies above the cosine threshold
+  // (deterministic stand-in for the paper's keep-one-per-group rule).
+  // Reuses the bit-reproducible seeded Lloyd's centroids, so the full
+  // cluster → pair → verdict pipeline hash-matches the DuckDB oracle.
+  // The threshold sits below this testdata's max pairwise cosine (0.48 at
+  // sf0.001) so the query exercises real drops at every SF; production τ
+  // is ~0.95+ on real embeddings.
+  private val SemTau = 0.35
+
+  val q_semdedup: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cn0 AS (SELECT vec_id AS cell,
+       |    list_transform(range(1, $Dim + 1), i -> CAST(v[i] AS DOUBLE)) AS cv,
+       |    CAST(nrm AS DOUBLE) AS cn
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NList),
+       |${lloydSql("cn0", "1")},
+       |${lloydSql("cn1", "2")},
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cn2.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDotFD("e.v", "cn2.cv")} / (e.nrm * cn2.cn) DESC, cn2.cell) AS crk
+       |    FROM e, cn2) WHERE crk = 1),
+       |ec AS (SELECT e.vec_id, e.v, e.nrm, asg.cell FROM e JOIN asg USING (vec_id)),
+       |p AS (SELECT b.vec_id, count(*) AS n_dups, min(a.vec_id) AS keep_id
+       |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemTau
+       |  GROUP BY b.vec_id)
+       |SELECT ec.vec_id, ec.cell, COALESCE(p.n_dups, 0) AS n_dups,
+       |  p.keep_id, p.vec_id IS NOT NULL AS dropped
+       |FROM ec LEFT JOIN p USING (vec_id)
+       |ORDER BY ec.vec_id""".stripMargin) { (s, dir) =>
+    val e = embFrame(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager barrier — see Dedup.lshJaccardPairs
+    val cents = ivfCentroidsKmeans(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.count()
+    import org.apache.spark.sql.expressions.Window
+    val ec = e.crossJoin(broadcast(cents))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("cell"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ec.count() // assignment materializes once, not once per self-join side
+    val p = ec.as("a").join(ec.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= SemTau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("a.vec_id")).as("keep_id"))
+    ec.join(p.withColumnRenamed("n_dups", "p_dups"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("p_dups"), lit(0L)).as("n_dups"),
+        col("keep_id"), col("keep_id").isNotNull.as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
     "q_embed_nn_join" -> q_embed_nn_join,
-    "q_similarity_ivf" -> q_similarity_ivf)
+    "q_similarity_ivf" -> q_similarity_ivf,
+    "q_semdedup" -> q_semdedup)
 }

@@ -82,6 +82,24 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     (exact intersect ann) should not be empty
   }
 
+  test("semdedup drop rule: dropped iff a smaller-id same-cell neighbor above tau") {
+    val rows = Similarity.q_semdedup.fn(spark, sf).collect()
+    rows.length should be > 0
+    val cellOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    rows.foreach { r =>
+      val dropped = r.getAs[Boolean]("dropped")
+      dropped shouldBe (r.getAs[Long]("n_dups") > 0)
+      if (dropped) {
+        val keep = r.getAs[Long]("keep_id")
+        keep should be < r.getAs[Long]("vec_id") // survivor has the smaller id
+        cellOf(keep) shouldBe r.getAs[Long]("cell") // and shares the cell
+      } else r.isNullAt(r.fieldIndex("keep_id")) shouldBe true
+    }
+    // the corpus must exercise BOTH branches or the test is vacuous
+    rows.count(_.getAs[Boolean]("dropped")) should be > 0
+    rows.count(!_.getAs[Boolean]("dropped")) should be > 0
+  }
+
   test("k-means IVF centroids beat the first-nlist stand-in on recall@3") {
     // fair queries: vectors that are NOT centroid seeds on either scheme
     // (the old stand-in's 0.93 recall on vec_id<5 queries was an artifact:

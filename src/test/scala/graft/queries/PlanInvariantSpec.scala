@@ -16,11 +16,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
   private val dir = "/root/testdata/sf0.001"
 
   /** Deliberate BroadcastNestedLoopJoin: tiny broadcast side vs one linear
-    * scan (the exact-top-k baseline and the IVF centroid assignment both
-    * broadcast a handful of rows against the corpus — no shuffle of the
-    * big side, bounded by design).
+    * scan (the exact-top-k baseline and the IVF/SemDeDup centroid
+    * assignments all broadcast a handful of rows against the corpus — no
+    * shuffle of the big side, bounded by design).
     */
-  private val allowNestedLoop = Set("q_similarity_topk", "q_similarity_ivf")
+  private val allowNestedLoop = Set("q_similarity_topk", "q_similarity_ivf", "q_semdedup")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
