@@ -27,6 +27,20 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     */
   private val allowSinglePartition = Set("q_lookup_join")
 
+  /** A SinglePartition exchange is a violation UNLESS it feeds a
+    * bloom_filter_agg — Spark's injected runtime row-filter aggregates a
+    * small build side into one bloom filter by design (the parent
+    * ObjectHashAggregate sits 1-2 lines above the exchange in the plan
+    * rendering); flagging it would ban a scale OPTIMIZATION.
+    */
+  private def straySinglePartition(plan: String): Boolean = {
+    val lines = plan.split("\n")
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Exchange SinglePartition") &&
+        !lines.slice(math.max(i - 2, 0), i).exists(_.contains("bloom_filter_agg"))
+    }
+  }
+
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, dir).queryExecution.executedPlan.toString
@@ -36,7 +50,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
         Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
         Option.when(plan.contains("BroadcastNestedLoopJoin") && !allowNestedLoop(name))(
           s"$name: unexpected BroadcastNestedLoopJoin"),
-        Option.when(plan.contains("Exchange SinglePartition") && !allowSinglePartition(name))(
+        Option.when(straySinglePartition(plan) && !allowSinglePartition(name))(
           s"$name: unexpected Exchange SinglePartition"),
         // (?m): Window nodes are mid-plan lines, never the end of the
         // whole plan string — without MULTILINE the anchor can never match
