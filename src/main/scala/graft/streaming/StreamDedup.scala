@@ -27,6 +27,10 @@ import graft.ext.Dedup
   *   statePath/bands/b<batchId>/pb=<hash(bkey)%PB>/   (doc_id, band, bkey)
   *   statePath/docs/b<batchId>/pd=<hash(doc_id)%PB>/  (doc_id, hs)
   *   pairsPath/b<batchId>/                            (doc_a, doc_b, inter, uni, batch)
+  *
+  * All three families of per-batch dirs (bands, docs, pairs) tier-compact
+  * under the same size-tiered policy, so read fan-in stays O(log) in
+  * stream age rather than one dir per micro-batch.
   */
 object StreamDedup {
 
@@ -47,6 +51,9 @@ object StreamDedup {
   private val docSchema = new StructType()
     .add("doc_id", LongType).add("hs", "array<long>")
     .add("pd", "int")
+  private val pairSchema = new StructType()
+    .add("doc_a", LongType).add("doc_b", LongType)
+    .add("inter", "int").add("uni", "int").add("batch", LongType)
 
   /** Start streaming dedup over a stream of (doc_id, text) rows. */
   def start(
@@ -66,8 +73,11 @@ object StreamDedup {
     val spark = batch.sparkSession
     // bound per-batch dir accumulation: a year-long stream would otherwise
     // leave one dir per micro-batch and every read would list them all
-    maybeCompact(spark, s"$statePath/bands", bandSchema, "pb", batchId, minMerge)
-    maybeCompact(spark, s"$statePath/docs", docSchema, "pd", batchId, minMerge)
+    maybeCompact(spark, s"$statePath/bands", bandSchema, Some("pb"), batchId, minMerge)
+    maybeCompact(spark, s"$statePath/docs", docSchema, Some("pd"), batchId, minMerge)
+    // pairs accumulate one dir per batch too; same tiering bounds the
+    // allPairs read fan-in (no partition column — pairs are read whole)
+    maybeCompact(spark, pairsPath, pairSchema, None, batchId, minMerge)
     val docs = Dedup.wordShingleDocs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager barrier (see Dedup.lshJaccardPairs)
@@ -171,7 +181,7 @@ object StreamDedup {
     * the stale target survives as an extra run (duplicates, no loss).
     */
   private def maybeCompact(spark: SparkSession, dir: String, schema: StructType,
-      partCol: String, batchId: Long, minMerge: Int): Unit = {
+      partCol: Option[String], batchId: Long, minMerge: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -183,9 +193,10 @@ object StreamDedup {
     val target = new org.apache.hadoop.fs.Path(root,
       s"c${group.map(_.id).max}_${group.map(_.weight).sum}_$batchId")
     val tmp = new org.apache.hadoop.fs.Path(root, "compact_tmp")
-    group.map(r => spark.read.schema(schema).parquet(s"$dir/${r.name}"))
+    val merged = group.map(r => spark.read.schema(schema).parquet(s"$dir/${r.name}"))
       .reduce(_.unionByName(_))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      .write.mode("overwrite")
+    partCol.fold(merged)(c => merged.partitionBy(c)).parquet(tmp.toString)
     // same-name remnant of a crashed retry of this very merge: identical
     // content by construction (same group, same batch), safe to replace
     fs.delete(target, true)
@@ -246,10 +257,7 @@ object StreamDedup {
     * never see a pair twice.
     */
   def allPairs(spark: SparkSession, pairsPath: String): DataFrame =
-    readPrev(spark, pairsPath,
-      new StructType().add("doc_a", LongType).add("doc_b", LongType)
-        .add("inter", "int").add("uni", "int").add("batch", LongType),
-      Long.MaxValue)
+    readPrev(spark, pairsPath, pairSchema, Long.MaxValue)
       .groupBy(col("doc_a"), col("doc_b"))
       // coalesce: pairs dirs written before the `batch` column existed read
       // it as null — an all-null ordering would make max_by return null

@@ -126,6 +126,7 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
 
     var maxMergedWeight = 0L
     var maxDirCount = 0
+    var maxPairsDirCount = 0
     for (i <- 0 until 50) {
       val doc =
         if (i == 0) Doc(1, base)
@@ -137,12 +138,17 @@ class StreamDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       val all = new java.io.File(s"$stateDir/bands").listFiles()
         .map(_.getName).count(n => n.startsWith("b") || n.startsWith("c"))
       maxDirCount = maxDirCount.max(all)
+      val pall = new java.io.File(pairsDir).listFiles()
+        .map(_.getName).count(n => n.startsWith("b") || n.startsWith("c"))
+      maxPairsDirCount = maxPairsDirCount.max(pall)
     }
     // no compaction ever read the full state: the largest run ever produced
     // holds 16 of the 50 accumulated batches
     maxMergedWeight shouldBe 16L
     // run count stays bounded (≤ minMerge-1 per tier + the in-flight batch)
     maxDirCount should be <= 10
+    // pairs dirs tier-compact too — allPairs read fan-in stays bounded
+    maxPairsDirCount should be <= 10
     // reads invariant under compaction: every doc's band rows survive, and
     // the batch-0 / batch-49 near-dup pair is found across every boundary
     val bandSchema = new org.apache.spark.sql.types.StructType()
