@@ -8,7 +8,7 @@ import graft.graph.GraphOps
 import graft.normalize.Normalize
 import graft.state.Merge
 import graft.state.Merge.MergeCols
-import graft.temporal.Temporal
+import graft.temporal.{Selection, Temporal}
 
 /** Operator-exercising queries from SURVEY.md §2 (B/C/D) with DuckDB
   * oracles. Money/value sums are computed in INTEGER CENTS (BIGINT): exact,
@@ -636,6 +636,34 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  // -- distributed exact percentiles (single huge group) --------------------
+  // H19's skew note, implemented: when ONE group holds (most of) the
+  // table, the per-group window sort above degenerates to a full sort on
+  // one reducer. [[graft.temporal.Selection.kthSmallest]] finds the exact
+  // nearest-rank values by recursive histogram narrowing — O(levels)
+  // scans, no shuffle or sort of the data, driver memory O(nBuckets) —
+  // and the query emits the three ranks as rows. The oracle reaches the
+  // same values through a window rank: two different algorithms, one
+  // fixpoint, same integer-cents rank convention as q_percentiles.
+  val q_percentiles_dist: QueryDef = QueryDef(
+    """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |n AS (SELECT count(*) AS c FROM s),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+      |SELECT p, (SELECT r.v FROM r, n WHERE rn = (c * p + 99) // 100) AS value_cents
+      |FROM (SELECT unnest([50, 90, 99]) AS p)
+      |ORDER BY p""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val n = base.count()
+    val ps = Seq(50, 90, 99)
+    val ks = ps.map(p => (n * p + 99) / 100)
+    val vals = Selection.kthSmallest(base, "v", ks)
+    import s.implicits._
+    ps.zip(vals).toDF("p", "value_cents")
+      .select(col("p").cast("int").as("p"), col("value_cents"))
+      .orderBy(col("p"))
+  }
+
   // -- E6: tumbling window ---------------------------------------------------
   val q_window_tumbling: QueryDef = QueryDef(
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
@@ -736,6 +764,7 @@ object CoreQueries {
     "q_lastwriter_window" -> q_lastwriter_window,
     "q_topk_per_group" -> q_topk_per_group,
     "q_percentiles" -> q_percentiles,
+    "q_percentiles_dist" -> q_percentiles_dist,
     "q_window_tumbling" -> q_window_tumbling,
     "q_window_sliding" -> q_window_sliding,
     "q_session_window" -> q_session_window)

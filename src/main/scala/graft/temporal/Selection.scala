@@ -1,0 +1,71 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact selection (k-th smallest) over a LONG column — the
+  * scale path for percentiles over FEW HUGE groups, where the per-group
+  * window sort of [[graft.queries.CoreQueries.q_percentiles]] would sort
+  * a whole group on one reducer (H19's skew note).
+  *
+  * Recursive histogram narrowing, the textbook distributed selection:
+  * each level runs ONE aggregation that buckets the candidate value
+  * range into `nBuckets` fixed-width cells and collects <= nBuckets
+  * (bucket, count) rows to the driver; a cumulative scan locates the
+  * cell holding rank k, and the search recurses into that cell only.
+  * The candidate set shrinks by ~nBuckets x per level — value range 2^63
+  * needs <= 5 levels at 4096 buckets — and when the remaining count fits
+  * `directLimit`, one TakeOrdered (limit k', never a global sort)
+  * finishes exactly. Total cost: O(levels) scans, zero shuffles of the
+  * data, driver memory O(nBuckets).
+  */
+object Selection {
+
+  /** The k-th smallest value (1-based rank, ties collapse naturally —
+    * the k-th smallest VALUE is well-defined whatever the tie order) for
+    * each rank in `ks`. Ranks outside [1, count] throw.
+    */
+  def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long],
+      nBuckets: Int = 4096, directLimit: Long = 65536): Seq[Long] = {
+    val v = col(valueCol)
+    val base = df.select(v.as("v")).where(v.isNotNull)
+    val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head
+    val (lo0, hi0, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
+    // a range wider than 2^63 (full-range longs, e.g. raw hashes) would
+    // overflow the width arithmetic below — fail loudly, don't mis-bucket
+    require(hi0 - lo0 >= 0,
+      s"value range [$lo0, $hi0] exceeds 2^63 — shift/scale the column first")
+
+    def rec(lo: Long, hi: Long, k: Long, cnt: Long): Long =
+      if (cnt <= directLimit || lo == hi) {
+        // small candidate set: k-th smallest via TakeOrdered (limit is
+        // driver-bounded by directLimit; the plan is a top-k, never a sort
+        // of the full frame)
+        base.where(col("v").between(lo, hi)).orderBy(col("v"))
+          .limit(k.toInt).collect().last.getLong(0)
+      } else {
+        // ceil division keeps bucket count <= nBuckets over any range
+        val width = math.max(1L, (hi - lo) / nBuckets + 1)
+        val hist = base.where(col("v").between(lo, hi))
+          .groupBy(((col("v") - lo) / width).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var remaining = k
+        var res = -1L
+        val it = hist.iterator
+        var found = false
+        while (!found && it.hasNext) {
+          val (b, c) = it.next()
+          if (remaining <= c) {
+            res = rec(lo + b * width, math.min(hi, lo + (b + 1) * width - 1), remaining, c)
+            found = true
+          } else remaining -= c
+        }
+        assert(found, "histogram counts did not cover rank — concurrent mutation?")
+        res
+      }
+
+    ks.map(k => rec(lo0, hi0, k, n))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.temporal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Distributed selection vs the sorted reference: exact on every rank,
+  * including duplicate-heavy and adversarially narrow value ranges, with
+  * recursion forced by tiny directLimit/nBuckets so the histogram path
+  * (not the TakeOrdered base case) is what's proven.
+  */
+class SelectionSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def check(values: Seq[Long], ks: Seq[Long],
+      nBuckets: Int, directLimit: Long): Unit = {
+    val df = values.toDF("v").repartition(8)
+    val sorted = values.sorted
+    val got = Selection.kthSmallest(df, "v", ks, nBuckets, directLimit)
+    got shouldBe ks.map(k => sorted((k - 1).toInt))
+  }
+
+  test("matches the sorted reference on seeded data, recursion forced") {
+    val rnd = new scala.util.Random(42)
+    val values = Seq.fill(5000)(rnd.nextLong() % 1000000L)
+    check(values, Seq(1L, 2500L, 4999L, 5000L), nBuckets = 16, directLimit = 32)
+  }
+
+  test("duplicate-heavy values (one hot value dominating) stay exact") {
+    val values = Seq.fill(4000)(7L) ++ (1L to 1000L)
+    check(values, Seq(1L, 3999L, 4001L, 5000L), nBuckets = 8, directLimit = 16)
+  }
+
+  test("narrow range (all values in one bucket width) terminates via lo==hi") {
+    val values = Seq.fill(2000)(5L) ++ Seq.fill(1000)(6L)
+    check(values, Seq(1L, 2000L, 2001L, 3000L), nBuckets = 4096, directLimit = 8)
+  }
+
+  test("negative and mixed-sign ranges") {
+    val values = (-500L to 499L).toSeq
+    check(values, Seq(1L, 500L, 501L, 1000L), nBuckets = 16, directLimit = 16)
+    // nearest-rank convention sanity: p50 of 1000 rows is rank 500
+  }
+
+  test("out-of-range rank throws") {
+    val df = (1L to 10L).toDF("v")
+    an[IllegalArgumentException] should be thrownBy
+      Selection.kthSmallest(df, "v", Seq(0L))
+    an[IllegalArgumentException] should be thrownBy
+      Selection.kthSmallest(df, "v", Seq(11L))
+  }
+}
