@@ -41,6 +41,26 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec with Matchers {
     cc(Seq.empty) shouldBe Map.empty
   }
 
+  test("random graphs match a driver-side union-find reference (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: union-find with union-by-min, so every root IS the
+      // component's min id — the same label the distributed fixpoint owes
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      withClue(s"seed=$seed: ") { cc(edges) shouldBe expected }
+    }
+  }
+
   test("an unconverged graph throws instead of emitting partial components") {
     // diameter 5 cannot converge in 2 rounds (round 1 halves it at best)
     val chain = (1L to 5L).map(i => (i, i + 1))
