@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's canonical SparkSession configuration — ONE place that
+  * encodes how this library deploys, from the local[] harness mains to a
+  * 1000-executor cluster. Callers layer deployment specifics (master,
+  * executor sizing, shuffle-partition count) on top of the returned
+  * builder.
+  *
+  * Required by the engine (correctness, not tuning):
+  *  - `spark.sql.session.timeZone=UTC` — every temporal operator and the
+  *    DuckDB oracle agree on UTC; a local-zone session would shift
+  *    RFC3339 formatting and window boundaries.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the events testdata
+  *    (and production TIMESTAMP(NANOS) sources) must read as long nanos;
+  *    without it the scan throws on nanosecond parquet.
+  *
+  * Pinned scale behavior (defaults today, pinned so a cluster-side
+  * default override cannot silently regress the plans the operators are
+  * designed around):
+  *  - AQE + partition coalescing + skew-join splitting: every large join
+  *    and aggregation in the engine assumes runtime re-planning absorbs
+  *    moderate skew (the explicit `Skew.saltedJoin` escape hatch covers
+  *    the pathological single-key case AQE splits too late).
+  *  - parquet filter pushdown: the scan-heavy queries are written so
+  *    predicates and projections reach the reader (PlanAudit checks
+  *    `PushedFilters`/`ReadSchema`).
+  *
+  * @param shufflePartitions sized so one shuffle partition of the
+  *        LARGEST stage fits executor memory at the target scale —
+  *        local harnesses pass the core count; a 100 TB deployment sizes
+  *        this in the thousands (input_bytes / ~128 MB is the usual
+  *        starting point) and lets AQE coalesce the small stages.
+  */
+object GraftSession {
+
+  def builder(shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+
+  /** Local harness session (Verify/Bench/tests): `local[cpus]`, UI off. */
+  def local(cpus: Int): SparkSession.Builder =
+    builder(shufflePartitions = cpus)
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+}
