@@ -41,6 +41,17 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("filters and projections reach the parquet scan (pushdown + pruning)") {
+    // representative scan-shaped query: the point filter must arrive at
+    // the reader as a pushed filter (row-group skipping at scale) and the
+    // scan must read ONLY the referenced columns — a scan reading all
+    // columns for a 2-column projection re-reads the corpus for nothing
+    val plan = SparkEntry.queries("q_meta_extract")(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]")
+    plan should include("ReadSchema: struct<event_id:bigint,props:string>")
+  }
+
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, dir).queryExecution.executedPlan.toString
