@@ -263,6 +263,37 @@ object Similarity {
   private val NProbe = 2
   private val KmeansIters = 2
 
+  /** Cell count for the coarse quantizer, derived from the ACTUAL corpus
+    * on BOTH engines (pure integer arithmetic — the oracle computes the
+    * identical value from its own count(*), see the `params` CTE): cells
+    * of ~128 vectors, clamped to [4, 4096]. A FROZEN cell count is the
+    * same 100 TB failure the LSH planes had — corpus/16 vectors per cell
+    * makes every within-cell pass (IVF probe scans, SemDeDup's pair
+    * join) corpus-scale; with cells tracking n, per-cell work stays
+    * ~target² regardless of corpus size. (The [4, 4096] clamp is the
+    * testdata-to-cluster range; production raises the cap with
+    * `ivfCentroidsKmeans(nlist = ...)` directly.)
+    */
+  def nlistFor(corpusSize: Long, targetCellSize: Long = 128): Int =
+    math.max(4L, math.min(4096L, corpusSize / targetCellSize)).toInt
+
+  /** The same derivation as DuckDB SQL (integer ops only). */
+  private val nlistSql: String =
+    "params AS (SELECT GREATEST(4, LEAST(4096, count(*) // 128)) AS nlist FROM e)"
+
+  /** md5-ranked seeded-sample init of the quantizer, sized by `params` —
+    * the SQL twin of `ivfCentroidsKmeans`'s init with a corpus-derived
+    * nlist (row_number instead of LIMIT so the bound can come from a
+    * subquery).
+    */
+  private val cn0Sql: String =
+    s"""cn0 AS (SELECT cell, cv, cn FROM (
+       |    SELECT vec_id AS cell,
+       |      list_transform(range(1, $Dim + 1), i -> CAST(v[i] AS DOUBLE)) AS cv,
+       |      CAST(nrm AS DOUBLE) AS cn,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) WHERE rk <= (SELECT nlist FROM params))""".stripMargin
+
   /** Embeddings frame shared by the IVF pieces: (vec_id, v, nrm). */
   private[graft] def embFrame(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -345,7 +376,10 @@ object Similarity {
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
     ivfCache.computeIfAbsent((s, dir), { _ =>
       val e = embFrame(s, dir).localCheckpoint(true)
-      val cents = ivfCentroidsKmeans(e).localCheckpoint(true)
+      // cell count derived from the ACTUAL corpus, mirroring the oracle's
+      // params CTE — different SFs get different quantizer sizes and both
+      // engines agree at each
+      val cents = ivfCentroidsKmeans(e, nlistFor(e.count())).localCheckpoint(true)
       val ec = e.join(assignCells(e, cents), "vec_id").localCheckpoint(true)
       IvfIndex(e, cents, ec)
     })
@@ -406,10 +440,8 @@ object Similarity {
   val q_similarity_ivf: QueryDef = QueryDef(
     s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
-       |cn0 AS (SELECT vec_id AS cell,
-       |    list_transform(range(1, $Dim + 1), i -> CAST(v[i] AS DOUBLE)) AS cv,
-       |    CAST(nrm AS DOUBLE) AS cn
-       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NList),
+       |$nlistSql,
+       |$cn0Sql,
        |${lloydSql("cn0", "1")},
        |${lloydSql("cn1", "2")},
        |asg AS (SELECT vec_id, cell FROM (
@@ -459,10 +491,8 @@ object Similarity {
   val q_semdedup: QueryDef = QueryDef(
     s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
-       |cn0 AS (SELECT vec_id AS cell,
-       |    list_transform(range(1, $Dim + 1), i -> CAST(v[i] AS DOUBLE)) AS cv,
-       |    CAST(nrm AS DOUBLE) AS cn
-       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NList),
+       |$nlistSql,
+       |$cn0Sql,
        |${lloydSql("cn0", "1")},
        |${lloydSql("cn1", "2")},
        |asg AS (SELECT vec_id, cell FROM (
