@@ -29,8 +29,9 @@ import graft.ext.Dedup
   *   pairsPath/b<batchId>/                            (doc_a, doc_b, inter, uni, batch)
   *
   * All three families of per-batch dirs (bands, docs, pairs) tier-compact
-  * under the same size-tiered policy, so read fan-in stays O(log) in
-  * stream age rather than one dir per micro-batch.
+  * under the same size-tiered policy ([[RunStore]] — shared with the
+  * vector-stream sibling [[StreamVecDedup]]), so read fan-in stays
+  * O(log) in stream age rather than one dir per micro-batch.
   */
 object StreamDedup {
 
@@ -73,11 +74,11 @@ object StreamDedup {
     val spark = batch.sparkSession
     // bound per-batch dir accumulation: a year-long stream would otherwise
     // leave one dir per micro-batch and every read would list them all
-    maybeCompact(spark, s"$statePath/bands", bandSchema, Some("pb"), batchId, minMerge)
-    maybeCompact(spark, s"$statePath/docs", docSchema, Some("pd"), batchId, minMerge)
+    RunStore.maybeCompact(spark, s"$statePath/bands", bandSchema, Some("pb"), batchId, minMerge)
+    RunStore.maybeCompact(spark, s"$statePath/docs", docSchema, Some("pd"), batchId, minMerge)
     // pairs accumulate one dir per batch too; same tiering bounds the
     // allPairs read fan-in (no partition column — pairs are read whole)
-    maybeCompact(spark, pairsPath, pairSchema, None, batchId, minMerge)
+    RunStore.maybeCompact(spark, pairsPath, pairSchema, None, batchId, minMerge)
     val docs = Dedup.wordShingleDocs(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager barrier (see Dedup.lshJaccardPairs)
@@ -90,7 +91,7 @@ object StreamDedup {
       // batch only ever matches rows whose bkey hashes into the batch's
       // own buckets, so read just those partitions (≤ PB driver-side ints)
       val batchPbs = newBands.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-      val prevBands = readPrev(spark, s"$statePath/bands", bandSchema, batchId)
+      val prevBands = RunStore.readPrev(spark, s"$statePath/bands", bandSchema, batchId)
         .filter(col("pb").isin(batchPbs: _*))
 
       // new-vs-new (within the batch) + new-vs-old (against the index);
@@ -118,7 +119,7 @@ object StreamDedup {
         .collect().map(_.getInt(0)).toSeq
       // dropDuplicates: cheap on the pruned set, and absorbs the
       // duplicate-row crash window of maybeCompact
-      val prevDocs = readPrev(spark, s"$statePath/docs", docSchema, batchId)
+      val prevDocs = RunStore.readPrev(spark, s"$statePath/docs", docSchema, batchId)
         .filter(col("pd").isin(candPds: _*)).drop("pd")
         .dropDuplicates("doc_id")
 
@@ -145,111 +146,6 @@ object StreamDedup {
     } finally docs.unpersist()
   }
 
-  /** One readable index run: a per-batch `b<id>` dir (weight 1) or a
-    * compacted `c<id>_<n>_<g>` dir holding the merged content of `n`
-    * original batches with max batch id `id` (`g` = the batchId whose
-    * compaction produced it, which makes names unique across crashed
-    * retries). `weight` is the run's LOGICAL size — the number of source
-    * batches it holds — which tracks bytes for a steady stream and, unlike
-    * file sizes, is exact, free to obtain, and deterministic in tests.
-    */
-  private final case class Run(name: String, id: Long, weight: Long)
-
-  /** SIZE-TIERED compaction (the LSM-style fix for VERDICT r3 "What's
-    * wrong #2"): runs are grouped into tiers by log4(weight); when the
-    * lowest tier accumulates `minMerge` runs, ONLY those similar-sized
-    * runs merge into one run of the next tier (one merge per call —
-    * cascades complete over subsequent batches). A merge never touches
-    * the big consolidated runs until enough same-sized siblings exist, so
-    * a single compaction reads O(minMerge * tier-size), never the full
-    * accumulated state, and each row is rewritten O(log4(corpus/batch))
-    * times total instead of O(corpus/batch / compactEvery) full rewrites.
-    *
-    * The merged content is the UNION of the merged runs, so reads are
-    * invariant under when compaction runs.
-    *
-    * Crash-safety ordering — LOSS is impossible, only duplicates (which
-    * candidates' `distinct` and the doc store's per-doc dedup absorb):
-    * source dirs are deleted ONLY AFTER the merged dir is fully in place
-    * under its final readable name. A crash before the rename leaves
-    * every source intact (the tmp name is never read); a crash after it
-    * leaves the target plus some sources — duplicate rows, no loss. The
-    * target name embeds (max id, summed weight, compacting batchId):
-    * a retry of the SAME batch over the SAME surviving sources recomputes
-    * the same name with identical content (safe overwrite); a retry after
-    * a partial source delete computes a smaller weight → a fresh name, and
-    * the stale target survives as an extra run (duplicates, no loss).
-    */
-  private def maybeCompact(spark: SparkSession, dir: String, schema: StructType,
-      partCol: Option[String], batchId: Long, minMerge: Int): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val runs = listIndexDirs(fs, root, batchId)
-    def tier(w: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(w.max(1))) / 2 // log4
-    val group = runs.groupBy(r => tier(r.weight)).toSeq
-      .filter(_._2.size >= minMerge).sortBy(_._1)
-      .headOption.map(_._2).getOrElse(return)
-    val target = new org.apache.hadoop.fs.Path(root,
-      s"c${group.map(_.id).max}_${group.map(_.weight).sum}_$batchId")
-    val tmp = new org.apache.hadoop.fs.Path(root, "compact_tmp")
-    val merged = group.map(r => spark.read.schema(schema).parquet(s"$dir/${r.name}"))
-      .reduce(_.unionByName(_))
-      .write.mode("overwrite")
-    partCol.fold(merged)(c => merged.partitionBy(c)).parquet(tmp.toString)
-    // same-name remnant of a crashed retry of this very merge: identical
-    // content by construction (same group, same batch), safe to replace
-    fs.delete(target, true)
-    fs.rename(tmp, target)
-    // commit point passed — now (and only now) drop the sources
-    group.foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r.name), true))
-  }
-
-  /** Index runs readable at `batchId`: per-batch `b<id>` dirs and
-    * compacted `c<id>_<n>_<g>` dirs with id < batchId (bare legacy `c<id>`
-    * dirs parse with weight id+1 — they merged everything up to id).
-    */
-  private def listIndexDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, batchId: Long): Seq[Run] =
-    fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .flatMap {
-        case n if n.startsWith("b") =>
-          n.drop(1).toLongOption.map(id => Run(n, id, 1L))
-        case n if n.startsWith("c") =>
-          n.drop(1).split("_") match {
-            case Array(id, w, _) =>
-              for (i <- id.toLongOption; ww <- w.toLongOption) yield Run(n, i, ww)
-            case Array(id) => id.toLongOption.map(i => Run(n, i, i + 1))
-            case _ => None
-          }
-        case _ => None
-      }
-      .filter(_.id < batchId)
-      .sortBy(_.id)
-
-  /** All committed state from batches BEFORE `batchId` (a half-written
-    * directory from a crashed attempt of the current batch is never
-    * read). Hadoop FS, not java.io.File — the state dir may live on any
-    * distributed store.
-    */
-  private def readPrev(spark: SparkSession, dir: String, schema: StructType, batchId: Long): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else listIndexDirs(fs, root, batchId)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      // per-root reads unioned: hash-partition (pb/pd) discovery is
-      // per-root, and Spark refuses to infer partitions across sibling
-      // roots in one call. Run count is bounded by minMerge * tier count.
-      dirs.map(r => spark.read.schema(schema).parquet(s"$dir/${r.name}"))
-        .reduce(_.unionByName(_))
-  }
-
   /** All pairs emitted so far, one row per (doc_a, doc_b). Batches
     * normally emit disjoint pairs, but an upstream at-least-once
     * redelivery of a doc in a LATER batch re-completes (re-emits) its
@@ -257,7 +153,7 @@ object StreamDedup {
     * never see a pair twice.
     */
   def allPairs(spark: SparkSession, pairsPath: String): DataFrame =
-    readPrev(spark, pairsPath, pairSchema, Long.MaxValue)
+    RunStore.readPrev(spark, pairsPath, pairSchema, Long.MaxValue)
       .groupBy(col("doc_a"), col("doc_b"))
       // coalesce: pairs dirs written before the `batch` column existed read
       // it as null — an all-null ordering would make max_by return null
