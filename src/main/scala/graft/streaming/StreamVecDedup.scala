@@ -68,7 +68,8 @@ object StreamVecDedup {
       .start()
 
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
-      pairsPath: String, planes: Int, tau: Double, minMerge: Int = 8): Unit = {
+      pairsPath: String, planes: Int, tau: Double, minMerge: Int = 8,
+      multiProbe: Boolean = true): Unit = {
     val spark = batch.sparkSession
     RunStore.maybeCompact(spark, s"$statePath/vecs", vecSchema, Some("pv"), batchId, minMerge)
     RunStore.maybeCompact(spark, pairsPath, pairSchema, None, batchId, minMerge)
@@ -81,10 +82,25 @@ object StreamVecDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vecs.count() // eager barrier (see Dedup.lshJaccardPairs)
     try {
+      // multi-probe (the streaming analog of the batch ANN's, Similarity
+      // annSearch): each BATCH vector also probes its `planes` hamming-1
+      // neighbor buckets, recovering near-dups that fall just across one
+      // hyperplane. The explode lands on the batch side only (planes+1
+      // rows per new vector) — the corpus-scale index is never exploded —
+      // and hamming-1 is symmetric, so probing one side finds every
+      // boundary pair. Probed rows are CANDIDATE keys only; the stored
+      // index keeps the true bucket.
+      val probed =
+        if (!multiProbe) vecs
+        else vecs.withColumn("bucket", explode(array(
+          col("bucket") +: (0 until planes).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)))
+
       // partition pruning: the accumulated index is corpus-scale; the
-      // batch can only match vectors in its own buckets' partitions
+      // batch can only match vectors in its (probed) buckets' partitions
       // (≤ PV driver-side ints)
-      val batchPvs = vecs.select("pv").distinct().collect().map(_.getInt(0)).toSeq
+      val batchPvs = probed.select(pvOf(col("bucket")).as("pv")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       // dropDuplicates absorbs the duplicate-row crash window of
       // compaction; current batch wins for a redelivered vec_id (anti
       // join) so a vector never pairs with its own earlier copy
@@ -105,10 +121,11 @@ object StreamVecDedup {
             greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
             col("cosine"))
       }
-      // new-vs-new pairs each bucket-mate pair once (a < b); new-vs-old
-      // normalizes to (min, max) so pair identity is orientation-free
-      val emitted = cosPairs(vecs, vecs, strictLess = true)
-        .unionByName(cosPairs(vecs, prev, strictLess = false))
+      // new-vs-new pairs each (probed) bucket-mate pair once (a < b);
+      // new-vs-old normalizes to (min, max) so pair identity is
+      // orientation-free; dropDuplicates collapses multi-probe repeats
+      val emitted = cosPairs(probed, vecs, strictLess = true)
+        .unionByName(cosPairs(probed, prev, strictLess = false))
         .dropDuplicates("vec_a", "vec_b")
 
       // per-batch overwrite => idempotent under redelivery; `batch` lets

@@ -83,6 +83,32 @@ class StreamVecDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select("vec_id").as[Long].collect().sorted shouldBe Seq(1L, 2L)
   }
 
+  test("multi-probe finds the pair across a single-hyperplane boundary; single-probe misses it") {
+    import org.apache.spark.sql.functions.col
+    def bucketOf(v: Array[Float]): Int =
+      Seq(v).toDF("v")
+        .select(graft.ext.Similarity.bucketOf(col("v"), Planes).as("b"))
+        .head.getInt(0)
+    // search a small eps ladder for a tilt that crosses EXACTLY one
+    // hyperplane (all eps here keep cosine = 1/sqrt(1+eps^2) >= 0.958 > tau)
+    val b0 = bucketOf(unit(0))
+    val boundary = Seq(0.01f, 0.02f, 0.05f, 0.1f, 0.15f, 0.2f, 0.3f)
+      .find(e => Integer.bitCount(bucketOf(tilted(0, e)) ^ b0) == 1)
+    assume(boundary.isDefined, "no hamming-1 tilt under this plane set — probe untestable here")
+
+    val (state, pairs) = dirs()
+    apply(Seq(Vec(1, unit(0))).toDF(), 0, state, pairs)
+    apply(Seq(Vec(2, tilted(0, boundary.get))).toDF(), 1, state, pairs)
+    pairSet(pairs) shouldBe Set((1L, 2L))
+
+    val (state2, pairs2) = dirs()
+    StreamVecDedup.applyBatch(Seq(Vec(1, unit(0))).toDF(), 0, state2, pairs2,
+      Planes, Tau, minMerge = 8, multiProbe = false)
+    StreamVecDedup.applyBatch(Seq(Vec(2, tilted(0, boundary.get))).toDF(), 1, state2, pairs2,
+      Planes, Tau, minMerge = 8, multiProbe = false)
+    pairSet(pairs2) shouldBe empty // the bucket boundary hides the near-dup
+  }
+
   test("index compaction keeps dirs bounded and pairs complete across boundaries") {
     val (state, pairs) = dirs()
     var maxVecDirs = 0
