@@ -242,6 +242,25 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- sketch aggregates: HLL distinct + approximate quantiles --------------
+  // Corpus-stats surface for scale: exact distinct-count of a 100 TB text
+  // column shuffles every distinct value; HyperLogLog++ answers in one
+  // pass with bounded memory (rsd 1% ≈ 10 KB per group), and quantile
+  // summaries (Greenwald-Khanna) replace a per-group sort. NO DuckDB
+  // oracle — its approx_distinct/approx_quantile build DIFFERENT sketches
+  // (hash-identical results are impossible by construction), so this is
+  // the catalog's one rows-only query; the accuracy contract is pinned by
+  // ExtSpec against exact answers instead (<= 5% relative error).
+  val q_sketch_stats: QueryDef = QueryDef.noOracle { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        approx_count_distinct(col("text"), 0.01).as("approx_distinct_docs"),
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"))
+      .orderBy(col("source"))
+  }
+
   // -- multimodal/binary plumbing: opaque bytes + typed metadata ------------
   val q_binary_meta: QueryDef = QueryDef(
     """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -265,6 +284,7 @@ object ExtQueries {
     "q_tfidf_topterms" -> q_tfidf_topterms,
     "q_stratified_sample" -> q_stratified_sample,
     "q_decontaminate" -> q_decontaminate,
-    "q_repetition_score" -> q_repetition_score) ++
+    "q_repetition_score" -> q_repetition_score,
+    "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

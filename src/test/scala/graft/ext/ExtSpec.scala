@@ -82,6 +82,30 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     (exact intersect ann) should not be empty
   }
 
+  test("sketch aggregates stay within tolerance of exact answers") {
+    val approx = ExtQueries.q_sketch_stats.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("approx_distinct_docs"), r.getAs[Long]("approx_median_chars"))).toMap
+    val exact = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("d"),
+        expr("percentile(n_chars, 0.5)").as("m"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("d"), r.getAs[Double]("m"))).toMap
+    approx.keySet shouldBe exact.keySet
+    for ((src, (ad, am)) <- approx) {
+      val (ed, em) = exact(src)
+      // Spark's HLL++ has no sparse low-cardinality mode, so error on
+      // these testdata-sized groups runs above the configured rsd — gate
+      // at 10% (the rsd bound re-tightens as groups grow toward scale)
+      math.abs(ad - ed).toDouble / ed should be <= 0.10
+      // GK summary with accuracy 1000 on these group sizes is near-exact;
+      // allow a loose band so testdata regeneration can't flake the suite
+      math.abs(am - em) / em should be <= 0.10
+    }
+  }
+
   test("semdedup drop rule: dropped iff a smaller-id same-cell neighbor above tau") {
     val rows = Similarity.q_semdedup.fn(spark, sf).collect()
     rows.length should be > 0
