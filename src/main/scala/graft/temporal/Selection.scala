@@ -47,8 +47,12 @@ object Selection {
       } else {
         // ceil division keeps bucket count <= nBuckets over any range
         val width = math.max(1L, (hi - lo) / nBuckets + 1)
+        // integral `div`, NOT `/`: Spark's `/` on longs is DOUBLE division,
+        // which above 2^53 rounds differently from the exact long ranges
+        // the recursion filters by — a boundary row would be counted in
+        // one bucket and searched in another (silent wrong answer)
         val hist = base.where(col("v").between(lo, hi))
-          .groupBy(((col("v") - lo) / width).cast("long").as("b"))
+          .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
         var remaining = k

@@ -42,6 +42,15 @@ class SelectionSpec extends AnyFunSuite with SparkSpec with Matchers {
     // nearest-rank convention sanity: p50 of 1000 rows is rank 500
   }
 
+  test("values beyond 2^53 bucket exactly (integral division, not double)") {
+    // range ~2^61: double division of (v - lo) by the bucket width rounds
+    // differently from exact long arithmetic up here — the histogram and
+    // the recursion's range filter must agree bit-exactly
+    val bigBase = 1L << 60
+    val values = (0L until 3000L).map(i => bigBase + i * ((1L << 50) + 7))
+    check(values, Seq(1L, 1500L, 2999L, 3000L), nBuckets = 8, directLimit = 64)
+  }
+
   test("out-of-range rank throws") {
     val df = (1L to 10L).toDF("v")
     an[IllegalArgumentException] should be thrownBy
