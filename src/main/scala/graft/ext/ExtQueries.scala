@@ -242,6 +242,97 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- sequence packing: concat-and-chunk over sharded streams --------------
+  // Pretraining pipelines concatenate documents into one token stream and
+  // cut it into fixed-size training sequences (GPT-style packing). The
+  // global stream is sharded by an md5 key so the cumulative-sum window is
+  // PARTITIONED (one sort per shard, embarrassingly parallel at 100 TB —
+  // shard count scales with the cluster, a single global window would
+  // serialize the corpus through one task). Every value is BIGINT: the
+  // running offset uses integral `div`/`%` so chunk assignment is
+  // bit-identical in both engines. n_splits counts the chunk boundaries a
+  // document straddles — the packing-loss signal a mixer monitors.
+  val q_pack_chunks: QueryDef = QueryDef(
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+      |  FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  (cum_end - n_tokens) // 256 AS pack_seq,
+      |  (cum_end - n_tokens) % 256 AS pack_offset,
+      |  (cum_end - 1) // 256 - (cum_end - n_tokens) // 256 AS n_splits
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (graft.functions.Md5PrefixLong(
+          concat(lit("pack|"), col("doc_id").cast("string")), 15) % 8).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr("(cum_end - n_tokens) div 256").as("pack_seq"),
+        ((col("cum_end") - col("n_tokens")) % 256).as("pack_offset"),
+        expr("(cum_end - 1) div 256 - (cum_end - n_tokens) div 256").as("n_splits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -- boilerplate stripping: corpus-DF common tokens removed in place ------
+  // CCNet/RefinedWeb-style boilerplate removal, at token granularity (the
+  // synthetic docs have no line structure): a token is boilerplate when it
+  // appears in >= 78% of documents. Scale shape: the only corpus shuffle
+  // is the (doc, term)-distinct DF aggregation, whose output is
+  // VOCABULARY-sized; the flagged set is tiny by construction (high-DF
+  // terms), carried as ONE array row broadcast-cross-joined against a
+  // single corpus scan, and the rebuild is a codegen'd per-row HOF filter
+  // that preserves token order — no explode/regroup of the 100 TB side,
+  // no driver-side collect.
+  val q_boilerplate_strip: QueryDef = QueryDef(
+    """WITH w AS (SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+      |d AS (SELECT term, count(*) AS df FROM w GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |b AS (SELECT coalesce(list(term), CAST([] AS VARCHAR[])) AS common
+      |  FROM d, n WHERE df * 50 >= 39 * n_docs)
+      |SELECT doc_id,
+      |  len(toks) AS n_tokens_before,
+      |  len(kept) AS n_tokens_after,
+      |  coalesce(array_to_string(kept, ' '), '') AS stripped_text
+      |FROM (
+      |  SELECT doc_id, toks,
+      |    list_filter(toks, t -> NOT list_contains(common, t)) AS kept
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), b)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val df = docs
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val common = df
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .filter(col("df") * 50 >= col("n_docs") * 39)
+      .agg(sort_array(collect_list(col("term"))).as("common"))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(common))
+      .withColumn("kept",
+        filter(col("toks"), t => !array_contains(col("common"), t)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        array_join(col("kept"), " ").as("stripped_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- sketch aggregates: HLL distinct + approximate quantiles --------------
   // Corpus-stats surface for scale: exact distinct-count of a 100 TB text
   // column shuffles every distinct value; HyperLogLog++ answers in one
@@ -285,6 +376,8 @@ object ExtQueries {
     "q_stratified_sample" -> q_stratified_sample,
     "q_decontaminate" -> q_decontaminate,
     "q_repetition_score" -> q_repetition_score,
+    "q_pack_chunks" -> q_pack_chunks,
+    "q_boilerplate_strip" -> q_boilerplate_strip,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

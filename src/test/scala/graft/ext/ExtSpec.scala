@@ -254,4 +254,44 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
       g.map(_.getAs[Int]("frame_id")).foreach(f => f % 2 shouldBe 0)
     }
   }
+
+  test("pack_chunks: per-shard offsets tile the token stream exactly") {
+    val rows = ExtQueries.q_pack_chunks.fn(spark, sf).collect()
+    rows should not be empty
+    // within each shard, in doc_id order, each doc starts where the
+    // previous ended: start = pack_seq*256 + pack_offset, end = start+n
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, g) =>
+      var expectStart = 0L
+      g.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val start = r.getAs[Long]("pack_seq") * 256 + r.getAs[Long]("pack_offset")
+        start shouldBe expectStart
+        // n_splits = boundaries crossed by [start, start+n)
+        r.getAs[Long]("n_splits") shouldBe (start + n - 1) / 256 - start / 256
+        expectStart = start + n
+      }
+    }
+    // the shard key spreads: more than one shard in use
+    rows.map(_.getAs[Long]("shard")).distinct.length should be > 1
+  }
+
+  test("boilerplate_strip: kept tokens preserve order; stripped set is high-DF") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val n = docs.size
+    val df = docs.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size }
+    val common = df.filter { case (_, c) => c * 50 >= 39 * n }.keySet
+    common should not be empty // threshold actually strips on this corpus
+    val out = ExtQueries.q_boilerplate_strip.fn(spark, sf).collect()
+    out.length shouldBe n
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = docs(id).split(" ").filterNot(common).mkString(" ")
+      r.getAs[String]("stripped_text") shouldBe expect
+      r.getAs[Long]("n_tokens_after") shouldBe
+        (if (expect.isEmpty) 0L else expect.split(" ").length.toLong)
+    }
+  }
 }

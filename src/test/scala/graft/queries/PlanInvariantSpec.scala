@@ -20,12 +20,21 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     * assignments all broadcast a handful of rows against the corpus — no
     * shuffle of the big side, bounded by design).
     */
-  private val allowNestedLoop = Set("q_similarity_topk", "q_similarity_ivf", "q_semdedup")
+  private val allowNestedLoop =
+    Set("q_similarity_topk", "q_similarity_ivf", "q_semdedup",
+      // q_boilerplate_strip: two deliberate ONE-ROW broadcast cross joins
+      // (the corpus-count scalar into the DF threshold; the flagged-token
+      // array against the corpus scan) — each moves a single row.
+      "q_boilerplate_strip")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
     */
-  private val allowSinglePartition = Set("q_lookup_join")
+  private val allowSinglePartition = Set("q_lookup_join",
+    // q_boilerplate_strip: the flagged-token set is collapsed to ONE array
+    // row by a global collect_list — the exchange moves per-partition
+    // partials of a tiny high-DF term set, not the corpus.
+    "q_boilerplate_strip")
 
   /** A SinglePartition exchange is a violation UNLESS it feeds a
     * bloom_filter_agg — Spark's injected runtime row-filter aggregates a
