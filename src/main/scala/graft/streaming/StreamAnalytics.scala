@@ -66,6 +66,49 @@ object StreamAnalytics {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total"))
 
+  /** Stream-stream interval join: enrich a left stream with right-stream
+    * rows for the same key arriving within `[left.ts, left.ts + within]`.
+    * Both sides carry watermarks and the join condition carries the time
+    * range — that pair is what lets Spark EVICT buffered rows once the
+    * watermark passes the interval, so join state is bounded by
+    * (rate × within), not stream length. `joinType = "left_outer"` emits
+    * unmatched left rows (right columns null) only after the watermark
+    * proves no match can still arrive — the canonical
+    * impressions-without-clicks shape.
+    *
+    * Column contract: left has (`ts`, `key`, ...), right has (`r_ts`,
+    * `key`, ...) — distinct time column names keep the output
+    * self-describing without aliasing gymnastics.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(
+        right.withWatermark("r_ts", watermark),
+        expr(s"""key = r_key AND r_ts >= ts AND r_ts <= ts + interval $within"""),
+        joinType)
+
+  /** Streaming exact dedup with bounded state: first row per key wins;
+    * a duplicate arriving within the watermark window is dropped; state
+    * for a key is freed once the watermark passes its event time (so the
+    * SAME key re-arriving much later is emitted again — the documented
+    * trade: at-scale dedup state cannot be unbounded, and upstream
+    * redelivery happens within the lateness bound, not weeks later).
+    * Complements the content-hash batch dedup family (H1/H3b): this is
+    * the ingest-time guard, those are the corpus-time sweep.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)

@@ -114,4 +114,65 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     last(1L) shouldBe ((1L, 3L, 7.0)) // state survived across batches
     last(2L) shouldBe ((2L, 1L, 10.0))
   }
+
+  test("stream-stream interval join matches within the window, inner and left-outer") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Clk]
+    val q = StreamAnalytics
+      .intervalJoin(imps.toDF(), clicks.toDF(),
+        within = "10 minutes", watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ij").outputMode(OutputMode.Append())
+      .start()
+    try {
+      imps.addData(Imp(t(0), 1, "ad_a"), Imp(t(1), 2, "ad_b"), Imp(t(2), 3, "ad_c"))
+      // key 1: click inside [ts, ts+10m]; key 2: click too late (outside
+      // the interval); key 3: no click at all
+      clicks.addData(Clk(t(5), 1, "home"), Clk(t(30), 2, "home"))
+      q.processAllAvailable()
+      // advance BOTH watermarks far enough to prove no match can arrive
+      // for keys 2/3 → their outer rows are emitted with null click cols
+      imps.addData(Imp(t(60), 9, "ad_z"))
+      clicks.addData(Clk(t(60), 9, "home"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[Timestamp]("r_ts")), Option(r.getAs[String]("page"))))
+    rows should contain((1L, Some(t(5)), Some("home"))) // matched in-interval
+    rows should contain((2L, None, None)) // click was outside the interval
+    rows should contain((3L, None, None)) // never clicked
+  }
+
+  test("dropDuplicatesWithinWatermark dedups in-window, re-admits after expiry") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamAnalytics
+      .dedupWithinWatermark(src.toDF(), Seq("user_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append())
+      .start()
+    try {
+      src.addData(Ev(t(0), "a", 1, 1.0), Ev(t(1), "b", 1, 2.0)) // dup key in batch
+      q.processAllAvailable()
+      src.addData(Ev(t(2), "c", 1, 3.0)) // dup key across batches, in window
+      q.processAllAvailable()
+      // advance the watermark past t(0)+10m → key 1's dedup state expires
+      src.addData(Ev(t(30), "d", 2, 0.0))
+      q.processAllAvailable()
+      src.addData(Ev(t(31), "e", 1, 9.0)) // same key, after expiry → re-admitted
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("dedup").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    rows.count(_._1 == 1L) shouldBe 2 // first occurrence + post-expiry re-admit
+    rows should contain((1L, "a"))
+    rows should contain((1L, "e"))
+    rows should not contain ((1L, "b")) // in-batch dup dropped
+    rows should not contain ((1L, "c")) // cross-batch in-window dup dropped
+  }
 }
+
+case class Imp(ts: Timestamp, key: Long, ad: String)
+case class Clk(r_ts: Timestamp, r_key: Long, page: String)
