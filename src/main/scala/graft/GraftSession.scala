@@ -44,6 +44,19 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Streaming keyed state lives in RocksDB, not executor heap: the
+      // default HDFSBackedStateStore holds EVERY key of every stateful
+      // operator in JVM memory — a watermarked join or dedup over a
+      // 100 TB stream OOMs long before the stream does. RocksDB bounds
+      // memory with a block cache and spills state to local SSD, and
+      // changelog checkpointing uploads per-batch DELTAS to the
+      // checkpoint location instead of re-snapshotting full SST files
+      // (the same O(batch)-not-O(state) contract the engine's own
+      // StateStore/RunStore enforce on their paths).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 
   /** Local harness session (Verify/Bench/tests): `local[cpus]`, UI off. */
   def local(cpus: Int): SparkSession.Builder =

@@ -40,4 +40,35 @@ object Fixtures {
 
   def loadParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(fixtureSchema).parquet(path)
+
+  /** CSV twin: the flat interchange format for upstreams that can't emit
+    * nested columnar logs. The nested metadata array is JSON-encoded into
+    * one string column on write and parsed back on read, so the loaded
+    * frame carries the same fixed envelope schema as every other loader.
+    * An explicit null sentinel keeps tombstones (`value IS NULL`) distinct
+    * from empty strings — CSV's default maps both to null on read.
+    */
+  private val CsvNull = "\\N"
+
+  def saveCsv(envelopes: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    envelopes
+      .withColumn("metadata", to_json(col("metadata")))
+      .write.mode("overwrite")
+      .option("header", "true").option("nullValue", CsvNull)
+      .csv(path)
+  }
+
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val flat = StructType(fixtureSchema.fields.map {
+      case f if f.name == "metadata" => f.copy(dataType = StringType)
+      case f => f
+    })
+    spark.read.schema(flat)
+      .option("header", "true").option("nullValue", CsvNull)
+      .csv(path)
+      .withColumn("metadata",
+        from_json(col("metadata"), ArrayType(Schemas.metadataEntryType)))
+  }
 }

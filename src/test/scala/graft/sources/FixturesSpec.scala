@@ -29,4 +29,19 @@ class FixturesSpec extends AnyFunSuite with SparkSpec with Matchers {
     Fixtures.saveParquet(json, pqDir)
     stateShape(Pipeline.replay(spark, Fixtures.loadParquet(spark, pqDir))) shouldBe expected
   }
+
+  test("CSV envelope log round-trips nested metadata and null tombstones") {
+    val path = getClass.getResource("/fixtures/scenario.json").getPath
+    val json = Fixtures.loadJson(spark, path)
+    val expected = stateShape(Pipeline.replay(spark, json))
+
+    val csvDir = Files.createTempDirectory("graft_csv").toString + "/log"
+    Fixtures.saveCsv(json, csvDir)
+    val back = Fixtures.loadCsv(spark, csvDir)
+    back.schema shouldBe Fixtures.fixtureSchema // same contract as every loader
+    // tombstones (value IS NULL) must survive the flat format — CSV's
+    // default null handling would conflate them with empty strings
+    back.filter("value IS NULL").count() shouldBe json.filter("value IS NULL").count()
+    stateShape(Pipeline.replay(spark, back)) shouldBe expected
+  }
 }

@@ -115,6 +115,24 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     last(2L) shouldBe ((2L, 1L, 10.0))
   }
 
+  test("stateful operators run on the RocksDB state store (not executor heap)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamAnalytics
+      .tumblingCounts(src.toDF(), windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("rocks").outputMode(OutputMode.Append())
+      .start()
+    try {
+      src.addData(Ev(t(1), "click", 1, 1.0))
+      q.processAllAvailable()
+      // RocksDB-only custom metrics prove which provider actually ran —
+      // a silently ignored conf would fall back to heap and still pass
+      // every semantic test
+      val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+      metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")) shouldBe true
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, inner and left-outer") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val imps = MemoryStream[Imp]
