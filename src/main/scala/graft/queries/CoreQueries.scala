@@ -654,10 +654,12 @@ object CoreQueries {
       |ORDER BY p""".stripMargin) { (s, dir) =>
     val base = Tables.orders(s, dir)
       .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    val n = base.count()
     val ps = Seq(50, 90, 99)
-    val ks = ps.map(p => (n * p + 99) / 100)
-    val vals = Selection.kthSmallest(base, "v", ks)
+    // ranks derive from the count inside the selection's own head
+    // aggregation — no separate count() job, and all three ranks share
+    // each recursion level's single histogram scan
+    val (_, vals) = Selection.kthSmallestBy(base, "v",
+      n => ps.map(p => (n * p + 99) / 100))
     import s.implicits._
     ps.zip(vals).toDF("p", "value_cents")
       .select(col("p").cast("int").as("p"), col("value_cents"))

@@ -18,32 +18,52 @@ import org.apache.spark.sql.functions._
   * `directLimit`, one TakeOrdered (limit k', never a global sort)
   * finishes exactly. Total cost: O(levels) scans, zero shuffles of the
   * data, driver memory O(nBuckets).
+  *
+  * ALL requested ranks ride one recursion: ranks still sharing a
+  * candidate range at some level resolve against that level's single
+  * histogram (a p50/p90/p99 probe scans each level once, not once per
+  * rank), and only where ranks diverge into different cells does the
+  * search fan out.
   */
 object Selection {
 
   /** The k-th smallest value (1-based rank, ties collapse naturally —
     * the k-th smallest VALUE is well-defined whatever the tie order) for
-    * each rank in `ks`. Ranks outside [1, count] throw.
+    * each rank in `ks`, positionally. Ranks outside [1, count] throw.
     */
   def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long],
-      nBuckets: Int = 4096, directLimit: Long = 65536): Seq[Long] = {
+      nBuckets: Int = 4096, directLimit: Long = 65536): Seq[Long] =
+    kthSmallestBy(df, valueCol, _ => ks, nBuckets, directLimit)._2
+
+  /** As [[kthSmallest]], but the ranks are a function of the row count —
+    * percentile callers derive ranks from `n` without paying a separate
+    * `count()` job (the count rides the min/max head aggregation).
+    * Returns `(n, values)`.
+    */
+  def kthSmallestBy(df: DataFrame, valueCol: String, ksOf: Long => Seq[Long],
+      nBuckets: Int = 4096, directLimit: Long = 65536): (Long, Seq[Long]) = {
     val v = col(valueCol)
     val base = df.select(v.as("v")).where(v.isNotNull)
     val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head
     val (lo0, hi0, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val ks = ksOf(n)
     ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
     // a range wider than 2^63 (full-range longs, e.g. raw hashes) would
     // overflow the width arithmetic below — fail loudly, don't mis-bucket
     require(hi0 - lo0 >= 0,
       s"value range [$lo0, $hi0] exceeds 2^63 — shift/scale the column first")
 
-    def rec(lo: Long, hi: Long, k: Long, cnt: Long): Long =
+    // ranks carry their position in `ks` so the fan-out can return values
+    // positionally whatever order the cells resolve in
+    def rec(lo: Long, hi: Long, ranks: Seq[(Long, Int)], cnt: Long): Seq[(Int, Long)] =
       if (cnt <= directLimit || lo == hi) {
-        // small candidate set: k-th smallest via TakeOrdered (limit is
-        // driver-bounded by directLimit; the plan is a top-k, never a sort
-        // of the full frame)
-        base.where(col("v").between(lo, hi)).orderBy(col("v"))
-          .limit(k.toInt).collect().last.getLong(0)
+        // small candidate set: ONE TakeOrdered up to the largest wanted
+        // rank serves every rank in the range (limit is driver-bounded by
+        // directLimit; the plan is a top-k, never a sort of the full frame)
+        val maxK = ranks.map(_._1).max
+        val vals = base.where(col("v").between(lo, hi)).orderBy(col("v"))
+          .limit(maxK.toInt).collect().map(_.getLong(0))
+        ranks.map { case (k, i) => i -> vals(k.toInt - 1) }
       } else {
         // ceil division keeps bucket count <= nBuckets over any range
         val width = math.max(1L, (hi - lo) / nBuckets + 1)
@@ -55,21 +75,26 @@ object Selection {
           .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-        var remaining = k
-        var res = -1L
-        val it = hist.iterator
-        var found = false
-        while (!found && it.hasNext) {
-          val (b, c) = it.next()
-          if (remaining <= c) {
-            res = rec(lo + b * width, math.min(hi, lo + (b + 1) * width - 1), remaining, c)
-            found = true
-          } else remaining -= c
+        // prefix(j) = rows in buckets before hist(j); rank k lives in the
+        // first bucket with prefix < k <= prefix + count
+        val prefix = hist.scanLeft(0L)(_ + _._2)
+        val grouped = ranks.groupBy { case (k, _) =>
+          val j = prefix.search(k) match {
+            case scala.collection.Searching.Found(idx) => idx - 1
+            case scala.collection.Searching.InsertionPoint(idx) => idx - 1
+          }
+          assert(j >= 0 && j < hist.length && k <= prefix(j) + hist(j)._2,
+            "histogram counts did not cover rank — concurrent mutation?")
+          j
         }
-        assert(found, "histogram counts did not cover rank — concurrent mutation?")
-        res
+        grouped.toSeq.flatMap { case (j, rs) =>
+          val (b, c) = hist(j)
+          val inCell = rs.map { case (k, i) => (k - prefix(j), i) }
+          rec(lo + b * width, math.min(hi, lo + (b + 1) * width - 1), inCell, c)
+        }
       }
 
-    ks.map(k => rec(lo0, hi0, k, n))
+    val resolved = rec(lo0, hi0, ks.zipWithIndex, n).sortBy(_._1).map(_._2)
+    (n, resolved)
   }
 }
