@@ -333,6 +333,90 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- cross-source contamination matrix -------------------------------------
+  // Corpus-hygiene roll-up: for every pair of sources, how many distinct
+  // word-3-gram shingles they share — the "is source B a scrape of source
+  // A" signal a mixer consults before weighting sources. Scale shape: the
+  // corpus-sized work is ONE distinct over (source, shingle-hash) reusing
+  // the materialized shingle table; the pair join shuffles on the 60-bit
+  // hash and fans out <= n_sources per hash side (sources are dozens, not
+  // corpus-scale), and the per-source totals are a tiny broadcast. In
+  // production the shingle table carries `source` from birth; here it is
+  // re-attached by a doc_id join against the documents scan.
+  val q_source_overlap: QueryDef = QueryDef(
+    s"""WITH hs AS (${Dedup.wordShingleSql.replace("\n", "\n      ")}),
+       |ss AS (SELECT DISTINCT d.source AS source, x.h
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs) x
+       |  JOIN documents d USING (doc_id)),
+       |n AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+       |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b
+       |FROM p JOIN n na ON na.source = p.source_a
+       |       JOIN n nb ON nb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    val ss = Dedup.corpusShingles(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hs")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ss.count() // eager barrier — see Dedup.lshJaccardPairs
+    val n = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.as("a").join(ss.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(n.toDF("source_a", "n_a")), "source_a")
+      .join(broadcast(n.toDF("source_b", "n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // -- weighted mixture upsampling (epochs to a token budget) ----------------
+  // The other half of data mixing (q_stratified_sample downsamples): repeat
+  // each source's documents until the source contributes ~TARGET tokens —
+  // floor(TARGET / tokens_s) full epochs, plus a fractional final epoch
+  // where each doc is kept iff md5(doc) % 1e6 scaled by the source's token
+  // mass falls under the remainder — deterministic, RNG-free, engine-
+  // identical, all BIGINT. Scale shape: a per-source token-count aggregate
+  // (dozens of rows) broadcast back against ONE corpus scan; the explode
+  // emits <= full_epochs+1 rows per doc and nothing is ever sorted or
+  // re-shuffled.
+  val q_mix_epochs: QueryDef = QueryDef(
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_s FROM t GROUP BY source),
+      |e AS (SELECT doc_id, t.source, n_tokens, tok_s,
+      |    2000 // tok_s AS n_full, 2000 % tok_s AS rem,
+      |    CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1000000 AS k
+      |  FROM t JOIN s ON s.source = t.source),
+      |x AS (SELECT doc_id, source, n_tokens, n_full, rem, k, tok_s,
+      |    unnest(generate_series(0, n_full)) AS epoch FROM e)
+      |SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch
+      |FROM x
+      |WHERE epoch < n_full OR k * tok_s < rem * 1000000
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+    val target = 2000L
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val src = t.groupBy(col("source")).agg(sum("n_tokens").as("tok_s"))
+    t.join(broadcast(src), "source")
+      .withColumn("n_full", expr(s"$target div tok_s"))
+      .withColumn("rem", lit(target) % col("tok_s"))
+      .withColumn("k",
+        graft.functions.Md5PrefixLong(
+          concat(lit("mix|"), col("doc_id").cast("string")), 15) % 1000000)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_full"))))
+      .filter(col("epoch") < col("n_full") ||
+        col("k") * col("tok_s") < col("rem") * lit(1000000L))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   // -- sketch aggregates: HLL distinct + approximate quantiles --------------
   // Corpus-stats surface for scale: exact distinct-count of a 100 TB text
   // column shuffles every distinct value; HyperLogLog++ answers in one
@@ -378,6 +462,8 @@ object ExtQueries {
     "q_repetition_score" -> q_repetition_score,
     "q_pack_chunks" -> q_pack_chunks,
     "q_boilerplate_strip" -> q_boilerplate_strip,
+    "q_source_overlap" -> q_source_overlap,
+    "q_mix_epochs" -> q_mix_epochs,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -666,6 +667,90 @@ object CoreQueries {
       .orderBy(col("p"))
   }
 
+  // -- D5: temporal snapshot diff (audit: what changed between T1 and T2) ----
+  // The temporal-graph audit query: which ownership edges are active at T2
+  // but not T1 ("added") or vice versa ("removed"). An edge ENDS when its
+  // key's last event is a tombstone — the reference's stream semantics
+  // (vulcan.go:104-119: nil value = deletion; last writer wins per key),
+  // expressed as max_by(event_type, event_id) = 'error'. Scale shape: ONE
+  // scan + ONE aggregation, then the two as-of predicates are evaluated
+  // per row and compared — a diff of two 100 TB snapshots with ZERO joins
+  // (the naive form full-outer-joins the two as-of views; this form reads
+  // the edge table once).
+  val q_owns_diff: QueryDef = QueryDef(
+    """WITH owns AS (
+      |  SELECT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
+      |    'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id,
+      |    min(ts) AS start_time,
+      |    CASE WHEN max_by(event_type, event_id) = 'error' THEN max(ts) END AS end_time
+      |  FROM events GROUP BY 1, 2)
+      |SELECT team_id, asset_id, start_time, end_time,
+      |  CASE WHEN a2 THEN 'added' ELSE 'removed' END AS change
+      |FROM (
+      |  SELECT *,
+      |    (start_time <= TIMESTAMP '2024-01-02 00:00:00'
+      |      AND (end_time IS NULL OR end_time > TIMESTAMP '2024-01-02 00:00:00')) AS a1,
+      |    (start_time <= TIMESTAMP '2024-02-15 00:00:00'
+      |      AND (end_time IS NULL OR end_time > TIMESTAMP '2024-02-15 00:00:00')) AS a2
+      |  FROM owns) t
+      |WHERE a1 <> a2
+      |ORDER BY team_id, asset_id""".stripMargin) { (s, dir) =>
+    val t1 = lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    val t2 = lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))
+    val owns = Tables.events(s, dir)
+      .groupBy(
+        concat(lit("T"), (col("user_id") % 7).cast("string")).as("team_id"),
+        concat(lit("a"), (col("user_id") % 50).cast("string")).as("asset_id"))
+      .agg(min("ts").as("start_time"),
+        when(max_by(col("event_type"), col("event_id")) === "error", max("ts"))
+          .as("end_time"))
+    Temporal.asOfDiff(owns, "start_time", "end_time", t1, t2)
+      .select(col("team_id"), col("asset_id"), col("start_time"), col("end_time"),
+        col("change"))
+      .orderBy(col("team_id"), col("asset_id"))
+  }
+
+  // -- D6: event-sequence funnel (view -> click -> purchase, 24 h windows) ---
+  // First-touch conversion funnel over the event stream: per user, the
+  // first 'view' opens the funnel, a 'click' within 24 h of that view
+  // advances it, a 'purchase' within 24 h of that click completes it.
+  // Scale shape: ONE shuffle on user_id, then a per-user sorted-array fold
+  // — no self-joins, no k repeated scans (the textbook 3-join funnel reads
+  // the 100 TB stream once per step). Order is pinned on BOTH engines to
+  // (epoch-seconds, event_id) so the fold walks an identical sequence; the
+  // accumulator is integer state only. Per-user event counts are bounded
+  // (retention-window bounded in production), so collect_list stays small.
+  val q_funnel: QueryDef = QueryDef(
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    list(event_type || '|' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS evs
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, list_reduce(list_prepend('0|0', evs), (acc, x) ->
+      |    CASE
+      |      WHEN string_split(acc, '|')[1] = '0' AND string_split(x, '|')[1] = 'view'
+      |        THEN '1|' || string_split(x, '|')[2]
+      |      WHEN string_split(acc, '|')[1] = '1' AND string_split(x, '|')[1] = 'click'
+      |        AND CAST(string_split(x, '|')[2] AS BIGINT)
+      |          <= CAST(string_split(acc, '|')[2] AS BIGINT) + 86400
+      |        THEN '2|' || string_split(x, '|')[2]
+      |      WHEN string_split(acc, '|')[1] = '2' AND string_split(x, '|')[1] = 'purchase'
+      |        AND CAST(string_split(x, '|')[2] AS BIGINT)
+      |          <= CAST(string_split(acc, '|')[2] AS BIGINT) + 86400
+      |        THEN '3|' || string_split(x, '|')[2]
+      |      ELSE acc END) AS res
+      |  FROM seq)
+      |SELECT user_id, CAST(string_split(res, '|')[1] AS INT) AS stage,
+      |  CASE WHEN string_split(res, '|')[1] <> '0'
+      |       THEN CAST(string_split(res, '|')[2] AS BIGINT) END AS last_step_epoch
+      |FROM f ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Temporal.funnel(Tables.events(s, dir), key = "user_id", ts = "ts",
+      ord = "event_id", et = "event_type",
+      steps = Seq("view", "click", "purchase"), windowSecs = 86400L)
+      .orderBy(col("user_id"))
+  }
+
   // -- E6: tumbling window ---------------------------------------------------
   val q_window_tumbling: QueryDef = QueryDef(
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
@@ -764,6 +849,8 @@ object CoreQueries {
     "q_pagination_keyset" -> q_pagination_keyset,
     "q_validat_asof" -> q_validat_asof,
     "q_lastwriter_window" -> q_lastwriter_window,
+    "q_owns_diff" -> q_owns_diff,
+    "q_funnel" -> q_funnel,
     "q_topk_per_group" -> q_topk_per_group,
     "q_percentiles" -> q_percentiles,
     "q_percentiles_dist" -> q_percentiles_dist,

@@ -93,4 +93,67 @@ object Temporal {
     val w = Window.partitionBy(partition: _*).orderBy(order: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** D5 — as-of snapshot diff: rows whose interval-liveness differs
+    * between instants `t1` and `t2`, labeled `'added'` (live at t2 only)
+    * or `'removed'` (live at t1 only). Liveness is the owns-edge
+    * convention: `start <= T && (end IS NULL || end > T)`.
+    *
+    * Scale shape: ONE pass over the edge table — both as-of predicates
+    * are per-row expressions compared in place. The naive formulation
+    * (full-outer-join the two as-of VIEWS on the key) shuffles the table
+    * against itself; this reads it once and shuffles nothing.
+    */
+  def asOfDiff(df: DataFrame, start: String, end: String,
+      t1: Column, t2: Column): DataFrame = {
+    def activeAt(t: Column) =
+      col(start) <= t && (col(end).isNull || col(end) > t)
+    df.withColumn("__a1", activeAt(t1)).withColumn("__a2", activeAt(t2))
+      .filter(col("__a1") =!= col("__a2"))
+      .withColumn("change", when(col("__a2"), "added").otherwise("removed"))
+      .drop("__a1", "__a2")
+  }
+
+  /** D6 — first-touch conversion funnel: per key, walk the key's events
+    * in `(epoch-seconds, ord)` order; the first `steps(0)` event opens
+    * the funnel, and each subsequent step must arrive within
+    * `windowSecs` of the PREVIOUS step's event to advance. Greedy
+    * first-touch: a step that misses its window stalls the funnel for
+    * good (no restart on a later `steps(0)`).
+    *
+    * Returns one row per key: `(key, stage, last_step_epoch)` where
+    * stage ∈ [0, steps.size] and last_step_epoch is the completed step's
+    * epoch (null at stage 0).
+    *
+    * Scale shape: ONE shuffle (the groupBy on `key`), then a per-key
+    * sorted-array fold with an integer accumulator — the textbook k-way
+    * self-join funnel scans the event table once per step and shuffles
+    * k times. Per-key event counts must be bounded (they are in any
+    * retention-windowed stream) for the collect_list.
+    *
+    * Epochs are SECONDS (ts cast to long) and the sort key is
+    * `(epoch, ord)` — any engine replicating the fold (the DuckDB
+    * oracle does) must pin the identical order, so ties within one
+    * second resolve by `ord`, never by sub-second precision one engine
+    * keeps and the other floors away.
+    */
+  def funnel(df: DataFrame, key: String, ts: String, ord: String,
+      et: String, steps: Seq[String], windowSecs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val seq = sort_array(collect_list(struct(
+      col(ts).cast("long").as("ep"), col(ord).as("o"), col(et).as("et"))))
+    def adv(to: Int, x: Column) = struct(lit(to).as("stage"), x("ep").as("ep"))
+    val fold = aggregate(col("__seq"),
+      struct(lit(0).as("stage"), lit(0L).as("ep")),
+      (acc, x) => steps.zipWithIndex.foldRight(acc) { case ((step, i), els) =>
+        val hit = acc("stage") === i && x("et") === step &&
+          (if (i == 0) lit(true) else x("ep") <= acc("ep") + windowSecs)
+        when(hit, adv(i + 1, x)).otherwise(els)
+      })
+    df.groupBy(col(key))
+      .agg(seq.as("__seq"))
+      .withColumn("__f", fold)
+      .select(col(key), col("__f.stage").as("stage"),
+        when(col("__f.stage") > 0, col("__f.ep")).as("last_step_epoch"))
+  }
 }

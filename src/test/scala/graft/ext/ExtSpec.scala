@@ -294,4 +294,37 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
         (if (expect.isEmpty) 0L else expect.split(" ").length.toLong)
     }
   }
+
+  test("source_overlap: ordered pairs, counts bounded by per-source totals") {
+    val rows = ExtQueries.q_source_overlap.fn(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[String]("source_a") should be < r.getAs[String]("source_b")
+      r.getAs[Long]("n_common") should be <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      r.getAs[Long]("n_common") should be > 0L
+    }
+    // symmetric dedup: each unordered pair appears exactly once
+    val keys = rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    keys.distinct.length shouldBe keys.length
+  }
+
+  test("mix_epochs: full epochs for every doc, at most one partial epoch") {
+    val rows = ExtQueries.q_mix_epochs.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("epoch")))
+    rows should not be empty
+    val byDoc = rows.groupBy(_._1)
+    // every doc's epochs are contiguous from 0 (full epochs + optional final)
+    byDoc.values.foreach { es =>
+      es.map(_._3).sorted shouldBe (0L until es.length.toLong)
+    }
+    // within one source, doc repeat counts differ by at most 1 (the
+    // fractional final epoch keeps a deterministic subset)
+    byDoc.toSeq.map { case (_, es) => (es.head._2, es.length) }
+      .groupBy(_._1).values.foreach { counts =>
+        val ns = counts.map(_._2)
+        (ns.max - ns.min) should be <= 1
+      }
+  }
 }
