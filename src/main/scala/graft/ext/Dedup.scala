@@ -124,20 +124,31 @@ object Dedup {
     shingleCache.computeIfAbsent((s, dir),
       _ => wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true))
 
-  /** Verified word-shingle LSH pair set per (session, sfDir, bands, r) —
-    * q_minhash_lsh_pairs EMITS it and q_dedup_components COLLAPSES it;
-    * a production dedup pipeline materializes the verified pairs between
-    * those two stages for the same reason the signature table is
-    * materialized (one band join + one verification per corpus version,
-    * however many consumers).
+  /** Verified LSH pair set per (session, sfDir, feature family, bands, r)
+    * — q_minhash_lsh_pairs / q_ngram_jaccard EMIT it and
+    * q_dedup_components COLLAPSES it; a production dedup pipeline
+    * materializes the verified pairs between those two stages for the
+    * same reason the signature table is materialized (one band join +
+    * one verification per corpus version, however many consumers).
     */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+    (org.apache.spark.sql.SparkSession, String, String, Int, Int), DataFrame]
 
   private def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
-    pairsCache.computeIfAbsent((s, dir, bands, r),
+    pairsCache.computeIfAbsent((s, dir, "word3", bands, r),
       _ => lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true))
+
+  /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5"). */
+  private def charGramLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      bands: Int, r: Int): DataFrame =
+    pairsCache.computeIfAbsent((s, dir, "char5", bands, r), { _ =>
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
+        .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
+        .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
+      lshJaccardPairs(docs, bands, r).localCheckpoint(true)
+    })
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
@@ -378,11 +389,7 @@ object Dedup {
 
   val q_ngram_jaccard: QueryDef = QueryDef(
     duckLshJaccard(charGramSql, bands = 2, r = 4)) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
-      .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
-      .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
-    lshJaccardPairs(docs, bands = 2, r = 4)
+    charGramLshPairs(s, dir, bands = 2, r = 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
