@@ -392,6 +392,52 @@ object StateStore {
       loaded, paths))
   }
 
+  // --- version diff (manifest-pruned) --------------------------------------
+
+  /** Row-level diff of one table between two committed versions, plus the
+    * exact paths it was computed from (so a test can bound the read I/O
+    * by inspection, like [[Partial]]).
+    */
+  final case class TableDiff(table: String, changed: DataFrame,
+      pathsOld: Seq[String], pathsNew: Seq[String])
+
+  /** What changed between two committed versions — the audit/CDC query
+    * over the snapshot store (the batch-table analog of D5's as-of diff).
+    *
+    * The manifests make this O(changed): a bucket whose pointer is the
+    * SAME in both versions is byte-identical by construction (shadow
+    * paging never rewrites a bucket in place), so only buckets whose
+    * pointers DIFFER are read — per-version write I/O bounds diff read
+    * I/O, however big the state. Within those buckets, rows are compared
+    * whole: a row of vNew absent from vOld is `added`, the reverse is
+    * `removed` (an updated row appears as its removed old version plus
+    * its added new version).
+    */
+  def diffVersions(spark: SparkSession, statePath: String, vOld: Long,
+      vNew: Long): Seq[TableDiff] = {
+    val mOld = readManifest(spark, statePath, vOld).getOrElse(
+      throw new IllegalStateException(s"no committed manifest for v$vOld under $statePath"))
+    val mNew = readManifest(spark, statePath, vNew).getOrElse(
+      throw new IllegalStateException(s"no committed manifest for v$vNew under $statePath"))
+    require(mOld.buckets == mNew.buckets,
+      s"bucket count differs (v$vOld=${mOld.buckets}, v$vNew=${mNew.buckets}): " +
+        "pointer equality no longer implies bucket equality — diff after a " +
+        "rebucket must read both versions in full (not supported here)")
+    tables.map { t =>
+      val pOld = mOld.pointers.getOrElse(t.name, Map.empty)
+      val pNew = mNew.pointers.getOrElse(t.name, Map.empty)
+      val changedPts = (pOld.keySet ++ pNew.keySet)
+        .filter(pt => pOld.get(pt) != pNew.get(pt))
+      val pathsOld = bucketPaths(statePath, mOld, t.name, Some(changedPts))
+      val pathsNew = bucketPaths(statePath, mNew, t.name, Some(changedPts))
+      val oldRows = readPaths(spark, t.schema, pathsOld)
+      val newRows = readPaths(spark, t.schema, pathsNew)
+      val changed = newRows.exceptAll(oldRows).withColumn("change", lit("added"))
+        .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("removed")))
+      TableDiff(t.name, changed, pathsOld, pathsNew)
+    }
+  }
+
   // --- prune (per-bucket garbage collection) -------------------------------
 
   /** Reclaim storage at bucket granularity: delete every `pt=` dir that no

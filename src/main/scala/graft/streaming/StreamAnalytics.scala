@@ -109,6 +109,45 @@ object StreamAnalytics {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming twin of [[graft.temporal.Temporal.funnel]] (D6): per-key
+    * first-touch funnel state advanced incrementally per micro-batch.
+    * State per key is TWO integers (stage, last-step epoch) — bounded by
+    * key cardinality however long the stream runs, vs the batch fold's
+    * per-key event array.
+    *
+    * Ordering contract: rows are sorted (ep, ord) WITHIN a batch; across
+    * batches the stream must deliver each key's events in order (the
+    * Kafka per-partition guarantee the whole pipeline already leans on,
+    * stream/kafka/kafka.go:76). Redelivery is safe when `steps` are
+    * distinct event types: a duplicate of an already-consumed step finds
+    * the accumulator past it and no-ops — StreamAnalyticsSpec pins both
+    * the batch-equivalence (differential replay vs Temporal.funnel) and
+    * the redelivery no-op.
+    */
+  final case class StepEvent(user_id: Long, ep: Long, ord: Long, et: String)
+  final case class FunnelState(stage: Int, ep: Long)
+  final case class FunnelProgress(user_id: Long, stage: Int, last_step_epoch: Option[Long])
+
+  def streamingFunnel(
+      events: Dataset[StepEvent],
+      steps: Seq[String],
+      windowSecs: Long): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[StepEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          rows.toSeq.sortBy(e => (e.ep, e.ord)).foreach { e =>
+            if (st.stage < steps.length && e.et == steps(st.stage) &&
+              (st.stage == 0 || e.ep <= st.ep + windowSecs))
+              st = FunnelState(st.stage + 1, e.ep)
+          }
+          state.update(st)
+          FunnelProgress(user, st.stage, if (st.stage > 0) Some(st.ep) else None)
+      }
+  }
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)

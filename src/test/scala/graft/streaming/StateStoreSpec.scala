@@ -69,6 +69,33 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     assetRows(StateStore.read(spark, root, 0L)) shouldBe assetRows(mkState(64))
   }
 
+  test("diffVersions reads only pointer-changed buckets and labels row changes") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(64), None, cfg)
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(64, bump = Set("a5")), Some(ch), cfg)
+
+    val diffs = StateStore.diffVersions(spark, root, 0L, 1L)
+    val assets = diffs.find(_.table == "assets").get
+    // read I/O is bounded by the write: ONE bucket changed, ONE dir read
+    // per side — never a scan of the other 15 buckets
+    assets.pathsOld.length shouldBe 1
+    assets.pathsNew.length shouldBe 1
+
+    val rows = assets.changed.collect().map(r => (r.getAs[String]("id"),
+      r.getAs[Timestamp]("last_seen"), r.getAs[String]("change")))
+    // only the changed KEY surfaces — the changed bucket's other rows are
+    // identical in both versions and cancel out
+    rows.toSet shouldBe Set(("a5", t1, "added"), ("a5", t0, "removed"))
+
+    // untouched tables diff over zero paths
+    val teams = diffs.find(_.table == "teams").get
+    teams.pathsOld shouldBe empty
+    teams.pathsNew shouldBe empty
+    teams.changed.count() shouldBe 0L
+  }
+
   test("redelivered version write is idempotent") {
     val root = Files.createTempDirectory("graft_store").toString
     val cfg = StateStore.Config(buckets = 16)

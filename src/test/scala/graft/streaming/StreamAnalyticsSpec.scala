@@ -115,6 +115,46 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     last(2L) shouldBe ((2L, 1L, 10.0))
   }
 
+  test("streaming funnel equals the batch fold on replay; redelivery no-ops") {
+    import StreamAnalytics.StepEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val src = MemoryStream[StepEvent]
+    val q = StreamAnalytics.streamingFunnel(src.toDS(), steps, windowSecs = 100L)
+      .writeStream.format("memory").queryName("sfunnel").outputMode(OutputMode.Update())
+      .start()
+    val b1 = Seq(StepEvent(1, 10, 1, "view"), StepEvent(1, 50, 2, "click"),
+      StepEvent(2, 10, 1, "view"))
+    val b2 = Seq(StepEvent(1, 120, 3, "purchase"),
+      StepEvent(2, 160, 2, "click")) // outside user 2's window: stalls at 1
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      src.addData(Seq(b2.head)); q.processAllAvailable() // redelivered purchase
+    } finally q.stop()
+
+    val streaming = spark.table("sfunnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        Option(r.getAs[java.lang.Long]("last_step_epoch")).map(_.toLong)))
+      .groupBy(_._1).map { case (u, g) => u -> g.maxBy(_._2) }
+    streaming(1L) shouldBe ((1L, 3, Some(120L)))
+    streaming(2L) shouldBe ((2L, 1, Some(10L)))
+
+    // differential replay: the batch fold over the SAME events (dup
+    // excluded — batch input is the deduped log) lands on the same state
+    val batch = graft.temporal.Temporal.funnel(
+      (b1 ++ b2).toDF("user_id", "ep", "ord", "et")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("ep"))),
+      key = "user_id", ts = "ts", ord = "ord", et = "et",
+      steps = steps, windowSecs = 100L)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("user_id"),
+        r.getAs[Int]("stage"),
+        Option(r.getAs[java.lang.Long]("last_step_epoch")).map(_.toLong)))).toMap
+    batch shouldBe streaming
+  }
+
   test("stateful operators run on the RocksDB state store (not executor heap)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Ev]
