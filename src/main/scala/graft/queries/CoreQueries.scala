@@ -9,6 +9,7 @@ import graft.graph.GraphOps
 import graft.normalize.Normalize
 import graft.state.Merge
 import graft.state.Merge.MergeCols
+import graft.streaming.StateStore
 import graft.temporal.{Selection, Temporal}
 
 /** Operator-exercising queries from SURVEY.md §2 (B/C/D) with DuckDB
@@ -517,6 +518,67 @@ object CoreQueries {
     s.read.parquet(out).orderBy(col("type"))
   }
 
+  // -- A4/E10: versioned-store CDC — write two versions, diff them -----------
+  // End-to-end proof of the store's time-travel diff as a DECLARED query:
+  // v0 holds the asset snapshot aggregated from events before the split
+  // instant, v1 is an INCREMENTAL write (ChangeSet = keys with events
+  // after the split; only their buckets are rewritten), and the result is
+  // StateStore.diffVersions — which reads ONLY the buckets whose manifest
+  // pointers differ between v0 and v1. The oracle reaches the same rows
+  // by EXCEPT-ing the two aggregates computed directly from events.
+  // Output excludes the Unexpired sentinel column (timestamp-overflow
+  // contract, see q_validat_asof).
+  val q_store_diff: QueryDef = QueryDef(
+    """WITH a0 AS (
+      |  SELECT 'a' || CAST(user_id % 50 AS VARCHAR) AS id,
+      |    min(ts) AS first_seen, max(ts) AS last_seen
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+      |a1 AS (
+      |  SELECT 'a' || CAST(user_id % 50 AS VARCHAR) AS id,
+      |    min(ts) AS first_seen, max(ts) AS last_seen
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT *, 'added' AS change FROM (SELECT * FROM a1 EXCEPT SELECT * FROM a0) x
+      |  UNION ALL
+      |  SELECT *, 'removed' AS change FROM (SELECT * FROM a0 EXCEPT SELECT * FROM a1) y)
+      |SELECT id, first_seen, last_seen, change FROM d
+      |ORDER BY id, change""".stripMargin) { (s, dir) =>
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    // BOTH versions' aggregates (and the changed-key set) come from ONE
+    // events scan: the pre-split snapshot is the conditional min/max
+    // branch of the same groupBy
+    val both = Tables.events(s, dir)
+      .groupBy(concat(lit("a"), (col("user_id") % 50).cast("string")).as("id"))
+      .agg(
+        min(when(col("ts") < split, col("ts"))).as("fs0"),
+        max(when(col("ts") < split, col("ts"))).as("ls0"),
+        min("ts").as("first_seen"), max("ts").as("last_seen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    both.count() // eager barrier — see Dedup.lshJaccardPairs
+    def shape(id: Column, fs: Column, ls: Column) =
+      Seq(id.as("id"), lit("T").as("type"), id.as("identifier"),
+        fs.as("first_seen"), ls.as("last_seen"),
+        lit(graft.schema.Schemas.Unexpired).as("expiration"))
+    val v0 = both.filter(col("fs0").isNotNull)
+      .select(shape(col("id"), col("fs0"), col("ls0")): _*)
+    val v1 = both.select(shape(col("id"), col("first_seen"), col("last_seen")): _*)
+    val changedKeys = both.filter(col("last_seen") >= split).select(col("id"))
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_diff_${java.util.UUID.randomUUID()}"
+    SinkCleanup.register(new java.io.File(out))
+    val empty = graft.ingest.Pipeline.emptyState(s)
+    // bucket count sized to THIS snapshot (50 keys): the store contract
+    // says one bucket ≈ one comfortable write task, and a tiny snapshot
+    // over 32 buckets pays ~30 dir round-trips per write/read for no
+    // parallelism gain
+    val cfg = StateStore.Config(buckets = 8)
+    StateStore.write(s, out, 0L, empty.copy(assets = v0), changes = None, cfg)
+    StateStore.write(s, out, 1L, empty.copy(assets = v1),
+      changes = Some(graft.state.ChangeSet.empty(s).copy(assets = changedKeys)), cfg)
+    StateStore.diffVersions(s, out, 0L, 1L).find(_.table == "assets").get.changed
+      .select(col("id"), col("first_seen"), col("last_seen"), col("change"))
+      .orderBy(col("id"), col("change"))
+  }
+
   /** JVM-exit cleanup of sink-query scratch directories. */
   private object SinkCleanup {
     private val paths = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
@@ -845,6 +907,7 @@ object CoreQueries {
     "q_expire_cascade" -> q_expire_cascade,
     "q_expire_cascade_edges" -> q_expire_cascade_edges,
     "q_sink_snapshot" -> q_sink_snapshot,
+    "q_store_diff" -> q_store_diff,
     "q_pagination" -> q_pagination,
     "q_pagination_keyset" -> q_pagination_keyset,
     "q_validat_asof" -> q_validat_asof,
