@@ -61,11 +61,16 @@ object GraphOps {
     val e = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the edge set is joined once per ROUND: when it fits a broadcast,
+    // every round becomes a shuffle-free map-side join (height × shuffle
+    // scheduling overhead was the measured cost of the whole closure);
+    // the count doubles as the persist's eager barrier
+    val eJoin = if (e.count() <= 100000) broadcast(e) else e
     var frontier = e.select(col("c"), col("p"), lit(1).as("depth")).localCheckpoint(true)
     var acc = frontier
     var depth = 1
     while (!frontier.isEmpty && depth < maxDepth) {
-      frontier = frontier.as("f").join(e.as("n"), col("f.p") === col("n.c"))
+      frontier = frontier.as("f").join(eJoin.as("n"), col("f.p") === col("n.c"))
         .select(col("f.c").as("c"), col("n.p").as("p"), (col("f.depth") + 1).as("depth"))
         .localCheckpoint(true)
       acc = acc.union(frontier)
