@@ -100,4 +100,23 @@ object Inventory {
         childIds = assetIds.toDF("child_id")),
       store)
   }
+
+  /** CDC feed the reference's API cannot offer (the graph keeps no
+    * history): every row-level change between a consumer's last-seen
+    * committed version and the latest one, per table, labeled
+    * added/removed. Manifest-pruned — read I/O is bounded by what the
+    * intervening versions WROTE, not by state size
+    * ([[StateStore.diffVersions]]), so a frequent poller pays O(its lag).
+    *
+    * Returns the latest version to resume from plus the diffs; None when
+    * nothing is committed past `sinceVersion` (no change, nothing read).
+    */
+  def changesSince(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      sinceVersion: Long,
+      maxVersion: Long = Long.MaxValue): Option[(Long, Seq[StateStore.TableDiff])] =
+    StateStore.committedVersions(spark, statePath, maxVersion).lastOption
+      .filter(_ > sinceVersion)
+      .map(v => (v, StateStore.diffVersions(spark, statePath, sinceVersion, v)))
 }

@@ -106,4 +106,28 @@ class InventorySpec extends AnyFunSuite with SparkSpec with Matchers {
     rowsOf(Inventory.teams(p.state, Some("alpha"))) shouldBe rowsOf(Inventory.teams(full, Some("alpha")))
     Inventory.parents(p.state, id).count() should be >= 1L // the AWS-account in-edge was found
   }
+
+  test("changesSince: CDC feed reads only what the lag wrote; no-change is None") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val rows = graft.sources.Fixtures.loadJson(spark,
+      getClass.getResource("/fixtures/scenario.json").getPath)
+    graft.streaming.StreamIngest.applyBatch(rows, 0L, stateDir,
+      graft.ingest.Pipeline.Config(), 1704067200L)
+    // one refresh event, LATER batch time: exactly that asset's last_seen moves
+    graft.streaming.StreamIngest.applyBatch(
+      rows.filter(org.apache.spark.sql.functions.col("value").isNotNull).limit(1),
+      1L, stateDir, graft.ingest.Pipeline.Config(), 1704070800L)
+
+    val (latest, diffs) = Inventory.changesSince(spark, stateDir, sinceVersion = 0L).get
+    latest shouldBe 1L
+    val assets = diffs.find(_.table == "assets").get
+    // the one-event batch touched O(1) buckets; the diff read is bounded
+    // by the same pointer set, not by the v0 state
+    assets.pathsNew.size should be <= 2
+    val changes = assets.changed.collect()
+    changes should not be empty
+    changes.map(_.getAs[String]("change")).toSet shouldBe Set("added", "removed")
+    // a consumer already at the latest version reads NOTHING
+    Inventory.changesSince(spark, stateDir, sinceVersion = 1L) shouldBe None
+  }
 }
