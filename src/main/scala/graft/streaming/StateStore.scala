@@ -197,19 +197,26 @@ object StateStore {
           "rebucket with a full write (changes=None) instead")
     }
 
+    // A frame with ZERO partitions (an empty-state placeholder or empty
+    // ChangeSet) can't hold a row; skipping its collect/write job + commit
+    // round-trip is free and makes a sparse write (one populated table of
+    // four) cost one table's I/O. Checked on partition COUNT, not a scan —
+    // a big table never pays for the probe.
+    def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
+
     // touched buckets per table, from the batch's changed keys (driver-side
     // collect of at most `buckets` ints per table)
+    def bucketsOf(df: DataFrame, cols: Seq[String]): Set[Int] =
+      if (provablyNoRows(df)) Set.empty
+      else df.select(bucket(cols, cfg.buckets).as("pt")).distinct()
+        .collect().map(_.getInt(0)).toSet
     val touched: Map[String, Set[Int]] = (prev, changes) match {
       case (Some(_), Some(ch)) =>
         val base = tables.map { t =>
-          t.name -> changesOf(ch, t.name)
-            .select(bucket(t.bucketCols, cfg.buckets).as("pt")).distinct()
-            .collect().map(_.getInt(0)).toSet
+          t.name -> bucketsOf(changesOf(ch, t.name), t.bucketCols)
         }.toMap
         // idx buckets follow the changed edges' child ids
-        base + (idxTable.name -> ch.parentOf
-          .select(bucket(Seq("child_id"), cfg.buckets).as("pt")).distinct()
-          .collect().map(_.getInt(0)).toSet)
+        base + (idxTable.name -> bucketsOf(ch.parentOf, Seq("child_id")))
       case _ => (tables :+ idxTable).map(_.name -> Set.empty[Int]).toMap // full write
     }
     loaded.foreach { lm =>
@@ -230,7 +237,7 @@ object StateStore {
     val mainPointers = tables.map { t =>
       val df = tableOf(st, t.name).withColumn("pt", bucket(t.bucketCols, cfg.buckets))
       val written: Set[Int] =
-        if (full) writeDir(df, t.name)
+        if (full) { if (provablyNoRows(df)) Set.empty else writeDir(df, t.name) }
         else if (touched(t.name).isEmpty) Set.empty
         else writeDir(df.filter(col("pt").isin(touched(t.name).toSeq: _*)), t.name)
       // inherit pointers for UNTOUCHED buckets only: a touched bucket that
@@ -251,8 +258,11 @@ object StateStore {
     val idxKeys = st.parentOf.select(col("child_id"), col("parent_id"))
     val idxPointers: Map[Int, Long] =
       if (full) {
-        val df = idxKeys.distinct().withColumn("pt", bucket(idxTable.bucketCols, cfg.buckets))
-        writeDir(df, idxTable.name).map(_ -> version).toMap
+        if (provablyNoRows(idxKeys)) Map.empty
+        else {
+          val df = idxKeys.distinct().withColumn("pt", bucket(idxTable.bucketCols, cfg.buckets))
+          writeDir(df, idxTable.name).map(_ -> version).toMap
+        }
       } else if (touched(idxTable.name).isEmpty) prev.get.pointers.getOrElse(idxTable.name, Map.empty)
       else {
         val tb = touched(idxTable.name)
