@@ -419,11 +419,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // -- dedup APPLIED: the filtered corpus a pipeline actually ships ----------
+  // The end artifact of the whole family: drop every non-canonical cluster
+  // member from the corpus. Scale shape: the drop set is
+  // contamination-scale (duplicates only, never the corpus), so the final
+  // step is ONE left-anti join against a single corpus scan — the corpus
+  // is never re-shuffled, and at 100 TB the drop set broadcasts.
+  val q_dedup_apply: QueryDef = QueryDef(
+    s"""WITH RECURSIVE ${duckLshJaccardCtes(wordShingleSql, bands = 8, r = 2)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jv
+       |  UNION SELECT doc_b, doc_a FROM jv),
+       |r AS (SELECT src AS id, dst AS m FROM e
+       |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.m = e.src),
+       |drop_set AS (SELECT id FROM r GROUP BY id HAVING least(id, min(m)) <> id)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drop_set)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = corpusLshPairs(s, dir, bands = 8, r = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val dropSet = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(dropSet), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_minhash_sig" -> q_minhash_sig,
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
     "q_simhash" -> q_simhash,
     "q_simhash_pairs" -> q_simhash_pairs,
     "q_ngram_jaccard" -> q_ngram_jaccard,
-    "q_dedup_components" -> q_dedup_components)
+    "q_dedup_components" -> q_dedup_components,
+    "q_dedup_apply" -> q_dedup_apply)
 }

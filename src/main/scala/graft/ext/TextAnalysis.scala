@@ -69,4 +69,26 @@ object TextAnalysis {
   def md5hexJvm(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** PII-scrubbing patterns (pattern -> replacement mask). Deliberately
+    * conservative Java-regex subset (no lookarounds) so the same
+    * patterns run on RE2-based engines.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+
+  /** Redact every match of each pattern, applied in order — one chained
+    * codegen projection per row, zero shuffle (the scale shape every
+    * row-local scrubber should have).
+    */
+  def redact(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, mask)) => regexp_replace(c, re, mask) }
+
+  /** Per-pattern match counts (audit signal beside the scrub). */
+  def redactionCounts(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    struct(patterns.zipWithIndex.map { case ((re, _), i) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(s"n_$i")
+    }: _*)
 }

@@ -295,6 +295,36 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("redact masks emails/IPs/phones and counts per pattern; clean text unchanged") {
+    val rows = Seq(
+      "mail me at alice.smith+x@corp.example.com or bob@ex.io today",
+      "server 10.1.255.7 answered, backup at 192.168.0.1",
+      "call +1 (415) 555-0199 now",
+      "nothing sensitive here").toDF("text")
+      .select(
+        TextAnalysis.redact(col("text")).as("clean"),
+        TextAnalysis.redactionCounts(col("text")).as("n"))
+      .collect()
+    rows(0).getAs[String]("clean") shouldBe "mail me at <EMAIL> or <EMAIL> today"
+    rows(0).getAs[org.apache.spark.sql.Row]("n").getInt(0) shouldBe 2
+    rows(1).getAs[String]("clean") shouldBe "server <IP> answered, backup at <IP>"
+    rows(1).getAs[org.apache.spark.sql.Row]("n").getInt(1) shouldBe 2
+    rows(2).getAs[String]("clean") shouldBe "call <PHONE> now"
+    rows(3).getAs[String]("clean") shouldBe "nothing sensitive here"
+  }
+
+  test("dedup_apply keeps exactly the canonical + unpaired docs") {
+    val comp = Dedup.q_dedup_components.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("is_canonical")))
+    val dropped = comp.filter(_._2 == 0).map(_._1).toSet
+    dropped should not be empty // the sf0.001 corpus has planted near-dups
+    val all = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kept = Dedup.q_dedup_apply.fn(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    kept shouldBe (all -- dropped)
+  }
+
   test("source_overlap: ordered pairs, counts bounded by per-source totals") {
     val rows = ExtQueries.q_source_overlap.fn(spark, sf).collect()
     rows should not be empty
