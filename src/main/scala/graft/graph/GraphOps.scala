@@ -72,13 +72,30 @@ object GraphOps {
     while (!frontier.isEmpty && depth < maxDepth) {
       frontier = frontier.as("f").join(eJoin.as("n"), col("f.p") === col("n.c"))
         .select(col("f.c").as("c"), col("n.p").as("p"), (col("f.depth") + 1).as("depth"))
+        // path multiplicity control — without it a chain of diamonds
+        // doubles the frontier per level (2^depth rows for ONE reachable
+        // pair): distinct() collapses same-round multiplicity, and the
+        // anti-join drops pairs already reached at a smaller depth (BFS ⇒
+        // first appearance IS min depth), bounding every round at
+        // |newly reachable pairs|
+        .distinct()
+        .join(acc.select(col("c"), col("p")), Seq("c", "p"), "left_anti")
         .localCheckpoint(true)
       acc = acc.union(frontier)
       depth += 1
     }
-    val cyclic = !frontier.isEmpty
+    // two distinct cycle signatures: a frontier still expanding at
+    // maxDepth (graph deeper than vouched), and — now that the visited
+    // anti-join makes a CYCLIC graph converge instead of expanding — a
+    // node that reached ITSELF (every node on a cycle does)
+    val stillExpanding = !frontier.isEmpty
+    val selfReach = !acc.filter(col("c") === col("p")).isEmpty
     e.unpersist()
-    require(!cyclic, s"ancestor closure still expanding at depth $maxDepth — cycle?")
+    require(!stillExpanding,
+      s"ancestor closure still expanding at depth $maxDepth — cycle or deeper graph?")
+    require(!selfReach, "graph contains a cycle (a node reaches itself)")
+    // the per-round anti-join guarantees (c, p) uniqueness already; the
+    // min-agg stays as a cheap invariant (it groups an already-unique set)
     acc.groupBy(col("c"), col("p")).agg(min(col("depth")).as("depth"))
   }
 

@@ -110,6 +110,10 @@ object Inventory {
     *
     * Returns the latest version to resume from plus the diffs; None when
     * nothing is committed past `sinceVersion` (no change, nothing read).
+    * Throws (with reseed guidance) when `sinceVersion` has been pruned —
+    * the consumer lagged past the writer's retention
+    * ([[graft.streaming.StreamIngest.applyBatch]] `keepVersions`), the
+    * CDC analog of a Kafka OffsetOutOfRange.
     */
   def changesSince(
       spark: org.apache.spark.sql.SparkSession,
@@ -118,5 +122,11 @@ object Inventory {
       maxVersion: Long = Long.MaxValue): Option[(Long, Seq[StateStore.TableDiff])] =
     StateStore.committedVersions(spark, statePath, maxVersion).lastOption
       .filter(_ > sinceVersion)
-      .map(v => (v, StateStore.diffVersions(spark, statePath, sinceVersion, v)))
+      .map { v =>
+        require(StateStore.readManifest(spark, statePath, sinceVersion).isDefined,
+          s"version $sinceVersion is pruned — the consumer's lag exceeded the " +
+            s"writer's retention (applyBatch keepVersions). Reseed from a full " +
+            s"read of v$v, then resume polling from there.")
+        (v, StateStore.diffVersions(spark, statePath, sinceVersion, v))
+      }
 }

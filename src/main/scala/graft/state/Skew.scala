@@ -25,12 +25,18 @@ import org.apache.spark.sql.functions._
   *    salt prevents outright.
   *
   * [[saltedJoin]] splits each left-side key's rows across `factor`
-  * sub-partitions by salting with a hash of the whole row plus a
-  * per-partition ordinal (so even IDENTICAL duplicate rows spread), and
+  * sub-partitions by salting with a hash of the WHOLE ROW (deterministic:
+  * retried tasks reproduce the same layout; a positional ordinal would
+  * re-salt rows differently on a shuffle retry and mix two layouts), and
   * replicates the right side `factor`x so every (key, salt) cell still
   * finds its match. The join result is row-identical to the unsalted join;
-  * only the shuffle layout changes — the hot key's rows land on `factor`
-  * reducers instead of one.
+  * only the shuffle layout changes — the hot key's DISTINCT rows land on
+  * `factor` reducers instead of one. IDENTICAL duplicate rows hash
+  * identically and would share a cell; duplicate-heavy inputs (a skewed
+  * event log repeating one event) pass `duplicateSafe = true`, which
+  * collapses exact duplicates to one row + multiplicity BEFORE the join
+  * and re-expands after — hot-cell join work drops to O(distinct rows)
+  * and the salt stays deterministic.
   */
 object Skew {
 
@@ -40,27 +46,44 @@ object Skew {
     * Supported join types: "inner" and "left_outer" (where unmatched LEFT
     * rows survive exactly once). Right-outer/full semantics would see the
     * replicated right side and are rejected.
+    *
+    * @param duplicateSafe collapse exact duplicate left rows (one extra
+    *        left-side shuffle) so repeats of one row cannot pile up in one
+    *        salt cell; leave false when left rows are distinct by
+    *        construction (e.g. a candidate-pair set already distinct()ed)
     */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       factor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      duplicateSafe: Boolean = false): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left_outer only (right side is replicated), got $joinType")
-    // per-row salt = hash(row content, per-partition ordinal). The ordinal
-    // is what spreads IDENTICAL duplicate rows of a hot key — precisely
-    // the rows a skewed event log repeats — across cells; content-only
-    // hashing parked them all on one reducer. Correctness under retries:
-    // the salt never reaches the output (every (key, salt) cell finds the
-    // replicated right side, so the result is the plain join's multiset
-    // whatever the salt values), and Spark plans the nondeterministic
-    // ordinal with indeterminate-stage retry semantics — a lost shuffle
-    // partition recomputes the consumers rather than mixing two layouts.
+    if (!duplicateSafe) saltedCore(left, right, keys, factor, joinType)
+    else {
+      val collapsed = left.groupBy(left.columns.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      saltedCore(collapsed, right, keys, factor, joinType)
+        .withColumn("__i", explode(sequence(lit(1L), col("__cnt"))))
+        .drop("__cnt", "__i")
+    }
+  }
+
+  /** Salt-and-replicate core. The salt is a DETERMINISTIC content hash —
+    * the salt never reaches the output, and a retried task lands every
+    * row in the same cell it chose the first time.
+    */
+  private def saltedCore(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      factor: Int,
+      joinType: String): DataFrame = {
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col) :+ monotonically_increasing_id(): _*), lit(factor)))
+      pmod(hash(left.columns.map(col): _*), lit(factor)))
     val r = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

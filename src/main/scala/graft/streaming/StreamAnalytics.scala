@@ -77,8 +77,8 @@ object StreamAnalytics {
     * impressions-without-clicks shape.
     *
     * Column contract: left has (`ts`, `key`, ...), right has (`r_ts`,
-    * `key`, ...) — distinct time column names keep the output
-    * self-describing without aliasing gymnastics.
+    * `r_key`, ...) — distinct column names on the two sides keep the
+    * output self-describing without aliasing gymnastics.
     */
   def intervalJoin(
       left: DataFrame,

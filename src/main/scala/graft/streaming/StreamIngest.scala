@@ -147,13 +147,21 @@ object StreamIngest {
     * (at-least-once restart) overwrites the same version with the same
     * deterministic result.
     */
+  /** @param keepVersions how many predecessor versions survive pruning.
+    *        1 (default) keeps only the crash-recovery predecessor; CDC
+    *        consumers ([[graft.graph.Inventory.changesSince]]) need
+    *        retention >= their maximum polling lag, or their next diff
+    *        finds its base version pruned and must reseed from a full
+    *        read.
+    */
   def applyBatch(
       batch: DataFrame,
       batchId: Long,
       statePath: String,
       cfg: Pipeline.Config,
       baseEpochSecs: Long,
-      store: StateStore.Config = StateStore.Config()): Unit = {
+      store: StateStore.Config = StateStore.Config(),
+      keepVersions: Int = 1): Unit = {
     val spark = batch.sparkSession
     // which buckets the partial read loaded, for the write-side
     // touched-subset-of-loaded assertion (None on the first batch: no
@@ -182,9 +190,10 @@ object StreamIngest {
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
     retrying(attempts = 3)(
       StateStore.write(spark, statePath, batchId, next, Some(changes), store, loaded))
-    // drop versions no surviving manifest references; keep the predecessor
-    // for crash-recovery of the next batch
-    StateStore.prune(spark, statePath, keepFrom = batchId - 1)
+    // drop versions no surviving manifest references; keep at least the
+    // predecessor for crash-recovery of the next batch (more when CDC
+    // consumers poll with lag — see keepVersions)
+    StateStore.prune(spark, statePath, keepFrom = batchId - keepVersions)
   }
 
   /** Full state at one committed version (resolved via its manifest). */

@@ -56,7 +56,13 @@ object Selection {
     // ranks carry their position in `ks` so the fan-out can return values
     // positionally whatever order the cells resolve in
     def rec(lo: Long, hi: Long, ranks: Seq[(Long, Int)], cnt: Long): Seq[(Int, Long)] =
-      if (cnt <= directLimit || lo == hi) {
+      if (lo == hi) {
+        // a single-value range answers every rank with no job at all — a
+        // hot value owning billions of rows must NOT fall through to the
+        // TakeOrdered (whose driver collect is bounded by directLimit,
+        // not by a duplicate-heavy cell's count)
+        ranks.map { case (_, i) => i -> lo }
+      } else if (cnt <= directLimit) {
         // small candidate set: ONE TakeOrdered up to the largest wanted
         // rank serves every rank in the range (limit is driver-bounded by
         // directLimit; the plan is a top-k, never a sort of the full frame)
@@ -90,7 +96,14 @@ object Selection {
         grouped.toSeq.flatMap { case (j, rs) =>
           val (b, c) = hist(j)
           val inCell = rs.map { case (k, i) => (k - prefix(j), i) }
-          rec(lo + b * width, math.min(hi, lo + (b + 1) * width - 1), inCell, c)
+          // the top cell's raw upper bound lo + (b+1)*width - 1 can exceed
+          // Long.MaxValue when the range is near 2^63 (width is ceil'd, so
+          // (b+1)*width overshoots hi-lo by up to nBuckets) — exact
+          // arithmetic, clamped to hi on overflow
+          val cellHi = try {
+            math.min(hi, Math.addExact(lo, Math.multiplyExact(b + 1, width) - 1))
+          } catch { case _: ArithmeticException => hi }
+          rec(lo + b * width, cellHi, inCell, c)
         }
       }
 

@@ -38,4 +38,30 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       closure(Seq((1L, 2L), (2L, 1L)), maxDepth = 8)
   }
+
+  test("a chain of diamonds matches a BFS reference (no 2^depth frontier blow-up)") {
+    // x_i -> {a_i, b_i} -> x_{i+1}: 2^k paths from x_0 to x_k; the
+    // per-round distinct + visited anti-join must keep the frontier at
+    // |newly reachable pairs| while depths stay shortest-path
+    val k = 10
+    val edges = (0 until k).flatMap { i =>
+      val x = 3L * i; val a = x + 1; val b = x + 2; val nx = 3L * (i + 1)
+      Seq((x, a), (x, b), (a, nx), (b, nx))
+    }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0)
+      var q = scala.collection.immutable.Queue(src)
+      while (q.nonEmpty) {
+        val (u, rest) = q.dequeue; q = rest
+        for (v <- adj.getOrElse(u, Nil) if !dist.contains(v)) {
+          dist += v -> (dist(u) + 1); q = q.enqueue(v)
+        }
+      }
+      dist - src
+    }
+    val expect = edges.map(_._1).distinct
+      .flatMap(s => bfs(s).map { case (p, d) => (s, p, d) }).toSet
+    closure(edges) shouldBe expect
+  }
 }

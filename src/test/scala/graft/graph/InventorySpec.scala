@@ -129,5 +129,17 @@ class InventorySpec extends AnyFunSuite with SparkSpec with Matchers {
     changes.map(_.getAs[String]("change")).toSet shouldBe Set("added", "removed")
     // a consumer already at the latest version reads NOTHING
     Inventory.changesSince(spark, stateDir, sinceVersion = 1L) shouldBe None
+
+    // a consumer whose lag exceeds retention gets reseed guidance, not a
+    // silent wrong diff: batch 2 (keepVersions = 1) prunes v0's manifest
+    graft.streaming.StreamIngest.applyBatch(
+      rows.filter(org.apache.spark.sql.functions.col("value").isNotNull).limit(1),
+      2L, stateDir, graft.ingest.Pipeline.Config(), 1704074400L)
+    val ex = intercept[IllegalArgumentException] {
+      Inventory.changesSince(spark, stateDir, sinceVersion = 0L)
+    }
+    ex.getMessage should include("pruned")
+    // the still-retained predecessor keeps working
+    Inventory.changesSince(spark, stateDir, sinceVersion = 1L).get._1 shouldBe 2L
   }
 }
