@@ -74,12 +74,15 @@ object GraphOps {
         .select(col("f.c").as("c"), col("n.p").as("p"), (col("f.depth") + 1).as("depth"))
         // path multiplicity control — without it a chain of diamonds
         // doubles the frontier per level (2^depth rows for ONE reachable
-        // pair): distinct() collapses same-round multiplicity, and the
-        // anti-join drops pairs already reached at a smaller depth (BFS ⇒
-        // first appearance IS min depth), bounding every round at
-        // |newly reachable pairs|
+        // pair, since every path through a diamond chain has EQUAL length
+        // and all duplicates land in the SAME round). distinct() bounds
+        // each round at |pairs reachable at this depth|; rediscovery of a
+        // pair along a LONGER path in a later round still happens but is
+        // polynomial (<= pairs x distinct path lengths), and the final
+        // min-agg keeps depth = shortest. An anti-join against the
+        // accumulated visited set would prune those too but costs a join
+        // per round — measured 2.5x the whole closure's wall time.
         .distinct()
-        .join(acc.select(col("c"), col("p")), Seq("c", "p"), "left_anti")
         .localCheckpoint(true)
       acc = acc.union(frontier)
       depth += 1
