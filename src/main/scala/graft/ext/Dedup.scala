@@ -134,7 +134,7 @@ object Dedup {
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String, Int, Int), DataFrame]
 
-  private def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[ext] def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
     pairsCache.computeIfAbsent((s, dir, "word3", bands, r),
       _ => lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true))

@@ -417,6 +417,67 @@ object ExtQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  // -- the capstone: one query that ships the filtered training corpus ------
+  // Every hygiene operator composed the way a production pipeline chains
+  // them: drop the held-out benchmark slice, drop non-canonical near-dup
+  // cluster members (H15), drop decontamination hits (H20), then apply
+  // the per-row gates (length floor, stopword-ratio quality != 'low').
+  // Scale shape: the drop sets are contamination-scale and BROADCAST into
+  // one left-anti join; every gate is a pushed-down per-row predicate on
+  // the single corpus scan; the expensive inputs (shingle table, verified
+  // pairs) are the same materialized frames the individual queries share.
+  val q_corpus_filter: QueryDef = QueryDef(
+    s"""WITH RECURSIVE ${Dedup.duckLshJaccardCtes(Dedup.wordShingleSql, bands = 8, r = 2)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jv
+       |  UNION SELECT doc_b, doc_a FROM jv),
+       |r AS (SELECT src AS id, dst AS m FROM e
+       |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.m = e.src),
+       |drop_set AS (SELECT id FROM r GROUP BY id HAVING least(id, min(m)) <> id),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM d WHERE doc_id % 37 = 0),
+       |contam AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+       |    FROM d WHERE doc_id % 37 <> 0) x
+       |  JOIN bench USING (h)
+       |  GROUP BY doc_id, n_shingles HAVING count(*) * 10 >= n_shingles),
+       |feats AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, source, n_tokens, n_stop FROM feats
+       |WHERE doc_id % 37 <> 0
+       |  AND doc_id NOT IN (SELECT id FROM drop_set)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+       |  AND n_tokens >= 10
+       |  AND n_stop * 20 >= n_tokens
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hs = Dedup.corpusShingles(s, dir)
+    val dropSet = Components.connectedComponents(
+      Dedup.corpusLshPairs(s, dir, bands = 8, r = 2).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val bench = hs.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val contam = hs.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") * 10 >= col("n_shingles"))
+      .select(col("doc_id"))
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tokens"), TextAnalysis.stopwordCount(toks).as("n_stop"))
+      .filter(col("n_tokens") >= 10 && col("n_stop") * 20 >= col("n_tokens"))
+      .join(broadcast(dropSet.unionByName(contam).distinct()), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- sketch aggregates: HLL distinct + approximate quantiles --------------
   // Corpus-stats surface for scale: exact distinct-count of a 100 TB text
   // column shuffles every distinct value; HyperLogLog++ answers in one
@@ -464,6 +525,7 @@ object ExtQueries {
     "q_boilerplate_strip" -> q_boilerplate_strip,
     "q_source_overlap" -> q_source_overlap,
     "q_mix_epochs" -> q_mix_epochs,
+    "q_corpus_filter" -> q_corpus_filter,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

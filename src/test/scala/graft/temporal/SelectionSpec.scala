@@ -51,6 +51,24 @@ class SelectionSpec extends AnyFunSuite with SparkSpec with Matchers {
     check(values, Seq(1L, 1500L, 2999L, 3000L), nBuckets = 8, directLimit = 64)
   }
 
+  test("range hugging Long.MaxValue: top-cell bound clamps instead of wrapping") {
+    // hi within a few bucket widths of 2^63-1 with lo > 0: the raw cell
+    // upper bound lo + (b+1)*width - 1 overflows Long (the ceil'd width
+    // overshoots hi-lo by up to nBuckets); the exact-arithmetic clamp
+    // must keep ranks in the TOP cell findable
+    val hi = Long.MaxValue
+    val values = Seq(10L, 1000L, hi - 2, hi - 1, hi)
+    check(values, Seq(1L, 3L, 4L, 5L), nBuckets = 4, directLimit = 2)
+  }
+
+  test("a duplicate-heavy single-value cell resolves without a driver collect blow-up") {
+    // one hot value holds ranks far past directLimit: the lo == hi branch
+    // must answer from the range itself (collecting rank-k rows to the
+    // driver was the reviewed failure mode)
+    val values = Seq.fill(50000)(7L) ++ Seq(1L, 999999L)
+    check(values, Seq(2L, 25000L, 50001L, 50002L), nBuckets = 8, directLimit = 16)
+  }
+
   test("out-of-range rank throws") {
     val df = (1L to 10L).toDF("v")
     an[IllegalArgumentException] should be thrownBy
