@@ -96,4 +96,43 @@ class FunnelDiffSpec extends AnyFunSuite with SparkSpec with Matchers {
       (1, "view", 10L, "a"), (1, "click", 100L, "b"), (1, "purchase", 190L, "c")))
     got(1) shouldBe ((3, Some(190L)))
   }
+
+  test("property: funnel equals a driver-side reference fold on random streams") {
+    // independent Scala model of the first-touch fold, diffed against the
+    // distributed sorted-array implementation over generated event logs —
+    // the funnel analog of the scalar-census property tests
+    val steps = Seq("view", "click", "purchase")
+    def reference(evs: Seq[(Long, String)], window: Long): (Int, Option[Long]) = {
+      // evs already (epoch, type) in (epoch, ord) order
+      var stage = 0; var ep = 0L
+      for ((e, t) <- evs)
+        if (stage < steps.length && t == steps(stage) &&
+          (stage == 0 || e <= ep + window)) { stage += 1; ep = e }
+      (stage, if (stage > 0) Some(ep) else None)
+    }
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val rnd = new scala.util.Random(1234)
+    val rows = for {
+      u <- 1 to 60
+      n = rnd.nextInt(25)
+      i <- 0 until n
+    } yield (u, types(rnd.nextInt(types.length)),
+      rnd.nextInt(500).toLong, f"e$i%03d")
+    val window = 37L
+    val got = Temporal.funnel(
+      rows.toDF("u", "et", "off", "eid")
+        .withColumn("ts", timestamp_seconds(col("off"))),
+      key = "u", ts = "ts", ord = "eid", et = "et",
+      steps = steps, windowSecs = window)
+      .select("u", "stage", "last_step_epoch")
+      .as[(Int, Int, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = rows.groupBy(_._1).map { case (u, g) =>
+      u -> reference(
+        g.sortBy(e => (e._3, e._4)).map(e => (e._3, e._2)), window)
+    }
+    // users with zero events don't appear in either
+    got.keySet shouldBe expect.keySet
+    expect.foreach { case (u, e) => got(u) shouldBe e }
+  }
 }
