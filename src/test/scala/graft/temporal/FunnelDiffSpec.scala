@@ -44,6 +44,29 @@ class FunnelDiffSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe Map("ends_at_t2" -> "removed", "starts_at_t2" -> "added")
   }
 
+  test("property: asOfDiff equals the model on random intervals") {
+    val rnd = new scala.util.Random(77)
+    def t0 = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 500).map { i =>
+      val start = new Timestamp(t0 + rnd.nextInt(30) * 86400000L)
+      val end = if (rnd.nextBoolean()) None
+        else Some(new Timestamp(start.getTime + (1 + rnd.nextInt(30)) * 86400000L))
+      (s"r$i", start, end)
+    }
+    def alive(s: Timestamp, e: Option[Timestamp], at: Timestamp) =
+      !s.after(at) && e.forall(_.after(at))
+    val at1 = ts("2024-01-10 00:00:00"); val at2 = ts("2024-01-20 00:00:00")
+    val expect = rows.flatMap { case (id, s, e) =>
+      (alive(s, e, at1), alive(s, e, at2)) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        case _ => None
+      }
+    }.toMap
+    expect.values.toSet shouldBe Set("added", "removed") // both classes generated
+    diffOf(rows.map { case (id, s, e) => (id, s, e) }) shouldBe expect
+  }
+
   // --- funnel ---------------------------------------------------------------
 
   private def funnelOf(rows: Seq[(Int, String, Long, String)]) =
