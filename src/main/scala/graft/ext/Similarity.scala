@@ -318,22 +318,18 @@ object Similarity {
     *    per-dimension list_reduce over array_agg(ORDER BY vec_id) lands on
     *    the exact same doubles. Cells that lose all members drop out
     *    identically on both engines.
-    * Each iteration is one broadcast cross of corpus x nlist + one
+    * Each iteration is one [[assignCells]] projection over the corpus
+    * (the centroids collected to the driver — nlist rows, bounded) + one
     * aggregation — linear in the corpus, the textbook distributed shape.
     */
   private[graft] def ivfCentroidsKmeans(e: DataFrame, nlist: Int = NList,
       iters: Int = KmeansIters): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var cents = e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("cell"),
         transform(col("v"), x => x.cast("double")).as("cv"), col("nrm").cast("double").as("cn"))
     for (_ <- 1 to iters) {
-      val asg = e.crossJoin(broadcast(cents))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("v"))
+      val asg = assignCellsWithV(e, cents)
       cents = asg.groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"),
           count(lit(1)).as("c"))
@@ -346,17 +342,44 @@ object Similarity {
     cents
   }
 
-  /** Vector→cell assignment: one broadcast cross of corpus × nlist rows,
-    * nearest centroid by cosine (ties to the lower cell id) — linear in
-    * the corpus, the coarse-quantization pass of any IVF index.
+  /** Vector→cell assignment: nearest centroid by cosine (ties to the
+    * lower cell id), linear in the corpus — the coarse-quantization pass
+    * of any IVF index.
+    *
+    * ONE codegen projection over the corpus via the native
+    * [[graft.functions.ArgmaxCell]] expression: the (bounded, ≤4096 by
+    * the [[nlistFor]] clamp) centroid set is collected once and embedded
+    * in the plan as primitive arrays, and each row computes its best cell
+    * in a tight fused loop. Zero row expansion, zero shuffle, zero
+    * aggregation. (The previous form crossed the corpus with the
+    * broadcast centroids and ranked with a `row_number` window, shuffling
+    * and sorting the corpus×nlist frame — a 4096× amplification at the
+    * clamp, per k-means iteration; VERDICT r4 finding #1.)
+    * PlanInvariantSpec pins the exchange-free plan shape; the tie-break
+    * and float contracts live on [[graft.functions.ArgmaxCell]].
     */
-  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    e.crossJoin(broadcast(cents))
-      .withColumn("crk", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("cell"))))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("cell"))
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsWithV(e, cents).select(col("vec_id"), col("cell"))
+
+  /** [[assignCells]] carrying each vector's `v` along — the k-means
+    * update step needs (vec_id, cell, v) without re-joining the corpus;
+    * with a projection argmax that's free.
+    */
+  private def assignCellsWithV(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = collectCentroids(cents)
+    e.select(col("vec_id"),
+      graft.functions.ArgmaxCell(col("v"), col("nrm"), cs).as("cell"), col("v"))
+  }
+
+  /** Driver-side centroid fetch feeding [[graft.functions.ArgmaxCell]] —
+    * bounded by construction ([[nlistFor]] clamps at 4096; the guard
+    * keeps a future unclamped caller from collecting a corpus).
+    */
+  private def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Double], Double)] = {
+    val rows = cents.select(col("cell").cast("long"), col("cv"), col("cn")).collect()
+    require(rows.length <= 65536,
+      s"centroid set of ${rows.length} exceeds the plan-embed bound; shrink nlist")
+    rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
   }
 
   /** The materialized coarse-quantizer index per (session, sfDir):
