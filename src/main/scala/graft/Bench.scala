@@ -100,6 +100,12 @@ object Bench {
     } finally pool.shutdown()
     spark.sqlContext.clearCache()
     val materializeSecs = (System.nanoTime() - tM0) / 1e9
+    // per-index build spans (each build's own wall time; independent
+    // builds overlap inside the concurrent pass, so these can sum past
+    // materializeSecs) — the breakdown names which index to attack when
+    // materialization dominates the round's wall clock
+    val materializeDetail = Materialize.timings.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -147,7 +153,7 @@ object Bench {
         math.max(parPre, parPost) > 3 * CleanParSecs
     val calib = s"""{"cpu_pre":$cpuPre,"cpu_post":$cpuPost,"par_pre":$parPre,""" +
       s""""par_post":$parPost,"cpu_clean":$CleanCpuSecs,"par_clean":$CleanParSecs}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"materialize_secs":$materializeSecs,"calibration":$calib,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"materialize_secs":$materializeSecs,"materialize_detail":$materializeDetail,"calibration":$calib,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

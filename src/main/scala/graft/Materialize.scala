@@ -1,0 +1,31 @@
+package graft
+
+/** Wall-clock accounting for the once-per-(session, sfDir) index builds
+  * (synth snapshot, shingle table, LSH/IVF vector indexes, verified pair
+  * sets). Each cache's `computeIfAbsent` body runs inside [[timed]], so
+  * the bench can report materialize_secs BROKEN DOWN per index instead of
+  * one opaque number — the index builds are where the wall-clock lives
+  * once query times are sub-second (VERDICT r4 next #2).
+  *
+  * Times accumulate under a name (a build that runs driver-side jobs in
+  * steps still books once), and concurrent builds of DIFFERENT indexes
+  * overlap — the per-index seconds are each build's own span, so they can
+  * sum to more than the concurrent pass's wall time.
+  */
+object Materialize {
+
+  private val times = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+
+  def timed[T](name: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val r = build
+    times.merge(name, (System.nanoTime() - t0) / 1e9,
+      (a, b) => java.lang.Double.valueOf(a + b))
+    r
+  }
+
+  def timings: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    times.asScala.map { case (k, v) => (k, v.doubleValue()) }.toMap
+  }
+}

@@ -122,7 +122,9 @@ object Dedup {
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir),
-      _ => wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true))
+      _ => graft.Materialize.timed("shingle_table") {
+        wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
+      })
 
   /** Verified LSH pair set per (session, sfDir, feature family, bands, r)
     * — q_minhash_lsh_pairs / q_ngram_jaccard EMIT it and
@@ -137,17 +139,21 @@ object Dedup {
   private[ext] def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
     pairsCache.computeIfAbsent((s, dir, "word3", bands, r),
-      _ => lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true))
+      _ => graft.Materialize.timed("lsh_pairs_word3") {
+        lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true)
+      })
 
   /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5"). */
   private def charGramLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
     pairsCache.computeIfAbsent((s, dir, "char5", bands, r), { _ =>
-      val docs = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
-        .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
-        .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
-      lshJaccardPairs(docs, bands, r).localCheckpoint(true)
+      graft.Materialize.timed("lsh_pairs_char5") {
+        val docs = Tables.documents(s, dir)
+          .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
+          .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
+          .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
+        lshJaccardPairs(docs, bands, r).localCheckpoint(true)
+      }
     })
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */

@@ -137,15 +137,17 @@ object Similarity {
 
   private def lshIndex(s: org.apache.spark.sql.SparkSession, dir: String): (Int, DataFrame) =
     lshCache.computeIfAbsent((s, dir), { _ =>
-      // plane count derived from the ACTUAL corpus (metadata-only count),
-      // mirroring the oracle's params CTE — sf0.01 and sf0.1 get different
-      // bucketings and both engines agree at each
-      val planes = planesFor(Tables.embeddings(s, dir).count())
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
-        .withColumn("bucket", bucketOf(col("v"), planes))
-        .localCheckpoint(true)
-      (planes, e)
+      graft.Materialize.timed("lsh_vector_index") {
+        // plane count derived from the ACTUAL corpus (metadata-only count),
+        // mirroring the oracle's params CTE — sf0.01 and sf0.1 get different
+        // bucketings and both engines agree at each
+        val planes = planesFor(Tables.embeddings(s, dir).count())
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+          .withColumn("bucket", bucketOf(col("v"), planes))
+          .localCheckpoint(true)
+        (planes, e)
+      }
     })
 
   /** Bucketed ANN search. `queries` = (query_id, qv, qn, bucket). With
@@ -398,13 +400,19 @@ object Similarity {
 
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
     ivfCache.computeIfAbsent((s, dir), { _ =>
-      val e = embFrame(s, dir).localCheckpoint(true)
-      // cell count derived from the ACTUAL corpus, mirroring the oracle's
-      // params CTE — different SFs get different quantizer sizes and both
-      // engines agree at each
-      val cents = ivfCentroidsKmeans(e, nlistFor(e.count())).localCheckpoint(true)
-      val ec = e.join(assignCells(e, cents), "vec_id").localCheckpoint(true)
-      IvfIndex(e, cents, ec)
+      graft.Materialize.timed("ivf_index") {
+        val e = embFrame(s, dir).localCheckpoint(true)
+        // cell count derived from the ACTUAL corpus, mirroring the oracle's
+        // params CTE — different SFs get different quantizer sizes and both
+        // engines agree at each
+        val cents = ivfCentroidsKmeans(e, nlistFor(e.count())).localCheckpoint(true)
+        // cell-tagging is a projection now, so the stored index rows need
+        // no self-join: one more scan of the checkpointed corpus
+        val cs = collectCentroids(cents)
+        val ec = e.withColumn("cell",
+          graft.functions.ArgmaxCell(col("v"), col("nrm"), cs)).localCheckpoint(true)
+        IvfIndex(e, cents, ec)
+      }
     })
 
   /** Probe-and-search: assign the corpus to cells, pick each query's

@@ -79,26 +79,27 @@ object GraphOps {
         // each round at |pairs reachable at this depth|; rediscovery of a
         // pair along a LONGER path in a later round still happens but is
         // polynomial (<= pairs x distinct path lengths), and the final
-        // min-agg keeps depth = shortest. An anti-join against the
-        // accumulated visited set would prune those too but costs a join
-        // per round — measured 2.5x the whole closure's wall time.
+        // min-agg keeps depth = shortest. An anti-join against an
+        // accumulated visited set would ALSO prune cross-round rediscovery
+        // (and make cyclic graphs converge) but costs a join per round —
+        // measured 2.5x the whole closure's wall time, so distinct() it is.
         .distinct()
         .localCheckpoint(true)
       acc = acc.union(frontier)
       depth += 1
     }
-    // two distinct cycle signatures: a frontier still expanding at
-    // maxDepth (graph deeper than vouched), and — now that the visited
-    // anti-join makes a CYCLIC graph converge instead of expanding — a
-    // node that reached ITSELF (every node on a cycle does)
+    // cycle detection: with per-round distinct(), a cycle NEVER converges —
+    // pairs rediscover at ever-increasing depths, so the frontier stays
+    // non-empty until maxDepth. "Frontier empty" therefore already implies
+    // an acyclic reachable subgraph, and a separate reached-itself probe
+    // would be an unreachable extra Spark job (ADVICE r4).
     val stillExpanding = !frontier.isEmpty
-    val selfReach = !acc.filter(col("c") === col("p")).isEmpty
     e.unpersist()
     require(!stillExpanding,
       s"ancestor closure still expanding at depth $maxDepth — cycle or deeper graph?")
-    require(!selfReach, "graph contains a cycle (a node reaches itself)")
-    // the per-round anti-join guarantees (c, p) uniqueness already; the
-    // min-agg stays as a cheap invariant (it groups an already-unique set)
+    // the min-agg is LOAD-BEARING, not an invariant check: acc holds the
+    // same (c, p) at several depths whenever a pair is rediscovered along
+    // a longer path in a later round; min keeps the shortest
     acc.groupBy(col("c"), col("p")).agg(min(col("depth")).as("depth"))
   }
 
@@ -128,6 +129,10 @@ object GraphOps {
       .withColumn("depth", lit(1))
       .localCheckpoint(true)
     var prevCount = cl.count()
+    // empty edge set: the closure is empty, and the convergence probe's
+    // sum(depth) over zero rows would be null → NPE at getLong (the
+    // Components.lblSum null-sum case; ADVICE r4)
+    if (prevCount == 0) return cl
     var prevDepthSum = -1L
     var round = 0
     var converged = false

@@ -125,6 +125,12 @@ object CoreQueries {
   }
 
   // -- B3: JSON decode with fixed schema ------------------------------------
+  /** The fixed decode schema, hoisted out of the query closure so repeated
+    * plan builds share one StructType (VERDICT r4 nit #2).
+    */
+  private val PropsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+
   val q_json_decode: QueryDef = QueryDef(
     """SELECT k, count(*) AS cnt, min(event_id) AS min_id FROM (
       |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -132,8 +138,7 @@ object CoreQueries {
       |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .select(col("event_id"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        from_json(col("props"), PropsSchema).getField("k").as("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"))
       .orderBy(col("k"))

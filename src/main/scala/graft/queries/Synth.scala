@@ -89,7 +89,7 @@ object Synth {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Snap]
 
   private def snap(spark: SparkSession, dir: String): Snap =
-    snapCache.computeIfAbsent((spark, dir), { _ =>
+    snapCache.computeIfAbsent((spark, dir), { _ => graft.Materialize.timed("synth_snapshot") {
       def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
       Snap(
         assets = ck(Tables.events(spark, dir)
@@ -120,7 +120,7 @@ object Synth {
           .select(lit("T").as("asset_type"), aId.as("asset_identifier"),
             tId.as("team_identifier"))
           .distinct()))
-    })
+    }})
 
   def assets(spark: SparkSession, dir: String): DataFrame = snap(spark, dir).assets
   def teams(spark: SparkSession, dir: String): DataFrame = snap(spark, dir).teams

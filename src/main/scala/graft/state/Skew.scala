@@ -62,6 +62,25 @@ object Skew {
     require(factor > 0, s"salt factor must be positive, got $factor")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left_outer only (right side is replicated), got $joinType")
+    // the helper columns are plumbing, never output — but an input that
+    // already carries one of the reserved names would silently collide
+    // (the post-join drop would eat the caller's column, and duplicateSafe
+    // would explode the wrong __cnt); refuse loudly instead (ADVICE r4)
+    val reserved = Seq("__salt", "__cnt", "__i")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"saltedJoin reserves column names ${reserved.mkString("/")}; " +
+        s"rename input column(s) ${clash.distinct.mkString(", ")}")
+    // duplicateSafe groups by EVERY left column; map-typed columns are not
+    // groupable and would fail mid-plan with an opaque analysis error
+    if (duplicateSafe) {
+      val maps = left.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+      }
+      require(maps.isEmpty,
+        s"duplicateSafe groups by all left columns; map-typed column(s) " +
+          s"${maps.mkString(", ")} are not groupable — drop or serialize them first")
+    }
     if (!duplicateSafe) saltedCore(left, right, keys, factor, joinType)
     else {
       val collapsed = left.groupBy(left.columns.map(col): _*)
@@ -82,8 +101,14 @@ object Skew {
       keys: Seq[String],
       factor: Int,
       joinType: String): DataFrame = {
+    // hash() rejects MAP columns (undefined hashcodes); salting on the
+    // remaining columns keeps determinism and spread — rows equal in
+    // every non-map column share a cell, which only affects layout
+    val hashable = left.columns.filter(c =>
+      !left.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    require(hashable.nonEmpty, "saltedJoin needs at least one non-map left column to salt on")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(factor)))
+      pmod(hash(hashable.map(col): _*), lit(factor)))
     val r = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

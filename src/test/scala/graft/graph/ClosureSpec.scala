@@ -50,6 +50,13 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
     closureDoubling(chain, maxRounds = 8) shouldBe closure(chain)
   }
 
+  test("an empty edge set yields an empty closure in both variants") {
+    // the doubling variant's convergence probe sums depth — over zero
+    // rows that's a null the loop must never see (ADVICE r4 NPE)
+    closure(Seq.empty) shouldBe Set.empty
+    closureDoubling(Seq.empty) shouldBe Set.empty
+  }
+
   test("path doubling keeps SHORTEST depths on diamonds and rejects cycles") {
     closureDoubling(Seq((4L, 3L), (4L, 2L), (3L, 2L))) shouldBe Set(
       (4L, 3L, 1), (4L, 2L, 1), (3L, 2L, 1))
@@ -59,8 +66,8 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("a chain of diamonds matches a BFS reference (no 2^depth frontier blow-up)") {
     // x_i -> {a_i, b_i} -> x_{i+1}: 2^k paths from x_0 to x_k; the
-    // per-round distinct + visited anti-join must keep the frontier at
-    // |newly reachable pairs| while depths stay shortest-path
+    // per-round distinct() must keep the frontier at |newly reachable
+    // pairs| while the final min-agg keeps depths shortest-path
     val k = 10
     val edges = (0 until k).flatMap { i =>
       val x = 3L * i; val a = x + 1; val b = x + 2; val nx = 3L * (i + 1)

@@ -61,4 +61,23 @@ class SkewSpec extends AnyFunSuite with SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Skew.saltedJoin(skewed, dim, Seq("k"), 8, "full_outer")
   }
+
+  test("inputs carrying a reserved helper column are rejected loudly") {
+    // silent collision alternative: the post-join drop("__cnt") would eat
+    // the CALLER's column (ADVICE r4)
+    val withCnt = skewed.withColumn("__cnt", lit(1))
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(withCnt, dim, Seq("k"), 8)
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(skewed, dim.withColumn("__salt", lit(0)), Seq("k"), 8)
+  }
+
+  test("duplicateSafe refuses map-typed left columns (not groupable)") {
+    val withMap = skewed.withColumn("m", map(lit("a"), col("v")))
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(withMap, dim, Seq("k"), 8, "inner", duplicateSafe = true)
+    // without duplicateSafe a map column is fine — no groupBy touches it
+    sorted(Skew.saltedJoin(withMap, dim, Seq("k"), 8))
+      .size shouldBe withMap.join(dim, Seq("k")).count().toInt
+  }
 }
