@@ -73,11 +73,22 @@ object TextAnalysis {
   /** PII-scrubbing patterns (pattern -> replacement mask). Deliberately
     * conservative Java-regex subset (no lookarounds) so the same
     * patterns run on RE2-based engines.
+    *
+    * The phone pattern requires a PHONE-SHAPED structure — an
+    * international `+cc` prefix, a parenthesized area code, or the
+    * classic `ddd[-. ]ddd(d)[-. ]dddd` grouping — instead of "any
+    * digit-led run of digits and separators" (ADVICE r4: that masked
+    * timestamps like `2024-01-15 10.30`, dotted version strings, and
+    * whitespace-separated number sequences). Digit totals stay bounded
+    * (≤15, the E.164 ceiling) by the group counts, and `\b` anchors stop
+    * mid-number partial masks.
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+    ("(?:\\+\\d{1,3}[\\s.-]?(?:\\(\\d{2,3}\\)[\\s.-]?)?\\d{2,4}(?:[\\s.-]?\\d{2,4}){1,2}" +
+      "|\\(\\d{2,3}\\)[\\s.-]?\\d{2,4}(?:[\\s.-]?\\d{2,4}){1,2}" +
+      "|\\b\\d{3}[\\s.-]\\d{3,4}[\\s.-]\\d{4})\\b", "<PHONE>"))
 
   /** Redact every match of each pattern, applied in order — one chained
     * codegen projection per row, zero shuffle (the scale shape every

@@ -129,7 +129,12 @@ object Temporal {
     * sorted-array fold with an integer accumulator — the textbook k-way
     * self-join funnel scans the event table once per step and shuffles
     * k times. Per-key event counts must be bounded (they are in any
-    * retention-windowed stream) for the collect_list.
+    * retention-windowed stream) for the collect_list; `maxEventsPerKey`
+    * enforces that contract LOUDLY (an in-plan raise_error naming the
+    * key, the ancestorsClosure maxDepth pattern) instead of letting a
+    * pathological key OOM a task with no diagnosis. The streaming twin
+    * ([[graft.streaming.StreamAnalytics]]) holds 2 ints/key and has no
+    * such bound.
     *
     * Epochs are SECONDS (ts cast to long) and the sort key is
     * `(epoch, ord)` — any engine replicating the fold (the DuckDB
@@ -138,8 +143,10 @@ object Temporal {
     * keeps and the other floors away.
     */
   def funnel(df: DataFrame, key: String, ts: String, ord: String,
-      et: String, steps: Seq[String], windowSecs: Long): DataFrame = {
+      et: String, steps: Seq[String], windowSecs: Long,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxEventsPerKey > 0, "maxEventsPerKey must be positive")
     val seq = sort_array(collect_list(struct(
       col(ts).cast("long").as("ep"), col(ord).as("o"), col(et).as("et"))))
     def adv(to: Int, x: Column) = struct(lit(to).as("stage"), x("ep").as("ep"))
@@ -152,6 +159,13 @@ object Temporal {
       })
     df.groupBy(col(key))
       .agg(seq.as("__seq"))
+      // guard INSIDE the fold input so column pruning can't drop it: an
+      // over-cap key fails the job with its key in the message rather
+      // than OOMing a task anonymously
+      .withColumn("__seq", when(size(col("__seq")) > maxEventsPerKey,
+        raise_error(concat(lit("funnel key "), col(key).cast("string"),
+          lit(s" exceeds maxEventsPerKey=$maxEventsPerKey — raise the cap or pre-filter"))))
+        .otherwise(col("__seq")))
       .withColumn("__f", fold)
       .select(col(key), col("__f.stage").as("stage"),
         when(col("__f.stage") > 0, col("__f.ep")).as("last_step_epoch"))

@@ -83,7 +83,7 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("sketch aggregates stay within tolerance of exact answers") {
-    val approx = ExtQueries.q_sketch_stats.fn(spark, sf).collect()
+    val approx = ExtQueries.sketchStatsRaw(spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("approx_distinct_docs"), r.getAs[Long]("approx_median_chars"))).toMap
     val exact = graft.Tables.documents(spark, sf)
@@ -103,6 +103,14 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
       // GK summary with accuracy 1000 on these group sizes is near-exact;
       // allow a loose band so testdata regeneration can't flake the suite
       math.abs(am - em) / em should be <= 0.10
+    }
+    // the DECLARED query folds the same bound into oracle-checkable
+    // booleans — all must read true or the driver's hash gate fails
+    val gated = ExtQueries.q_sketch_stats.fn(spark, sf).collect()
+    gated.length shouldBe approx.size
+    gated.foreach { r =>
+      r.getAs[Boolean]("hll_within_10pct") shouldBe true
+      r.getAs[Boolean]("gk_within_10pct") shouldBe true
     }
   }
 
@@ -311,6 +319,43 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(1).getAs[org.apache.spark.sql.Row]("n").getInt(1) shouldBe 2
     rows(2).getAs[String]("clean") shouldBe "call <PHONE> now"
     rows(3).getAs[String]("clean") shouldBe "nothing sensitive here"
+  }
+
+  test("phone pattern keeps numeric non-PII intact (ADVICE r4 over-redaction)") {
+    // phone-shaped structures mask; timestamps, versions, IDs, and loose
+    // number sequences pass through untouched
+    val cases = Seq(
+      // positives
+      "+41 22 0042 0017" -> "<PHONE>",
+      "(415) 555-0199" -> "<PHONE>",
+      "555-123-4567" -> "<PHONE>",
+      "555.123.4567" -> "<PHONE>",
+      // negatives the old any-digit-run pattern over-masked
+      "2024-01-15 10.30" -> "2024-01-15 10.30",
+      "meet at 10.30 or 11.45" -> "meet at 10.30 or 11.45",
+      "version 1.2.3-rc4" -> "version 1.2.3-rc4",
+      "order id 123456789012345" -> "order id 123456789012345",
+      "scores 12 34 56 78 90 12" -> "scores 12 34 56 78 90 12")
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.redact(col("text"))).collect().map(_.getString(0))
+    got.toSeq shouldBe cases.map(_._2)
+  }
+
+  test("q_redact plants exactly one email/ip/phone per row and masks all three") {
+    val rows = ExtQueries.q_redact.fn(spark, sf).limit(50).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Int]("n_email") shouldBe 1
+      r.getAs[Int]("n_ip") shouldBe 1
+      r.getAs[Int]("n_phone") shouldBe 1
+      val t = r.getAs[String]("redacted")
+      t should include("<EMAIL>")
+      t should include("<IP>")
+      t should include("<PHONE>")
+      // the planted decoys survive
+      t should include("10.30 on 2024-01-15 build 1.2.")
+      t should include("ticket ")
+    }
   }
 
   test("dedup_apply keeps exactly the canonical + unpaired docs") {

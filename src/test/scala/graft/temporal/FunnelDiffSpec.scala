@@ -90,6 +90,27 @@ class FunnelDiffSpec extends AnyFunSuite with SparkSpec with Matchers {
     got(4) shouldBe ((0, None))
   }
 
+  test("an over-cap key fails loudly with the key in the message, not an OOM") {
+    val rows = (1 to 10).map(i => (7, "view", i.toLong, s"e$i")) ++
+      Seq((8, "view", 1L, "x")) // healthy key
+    val df = rows.toDF("u", "et", "off", "eid")
+      .withColumn("ts", timestamp_seconds(col("off")))
+    val ex = intercept[Exception] {
+      Temporal.funnel(df, "u", "ts", "eid", "et",
+        steps = Seq("view"), windowSecs = 100L, maxEventsPerKey = 5)
+        .collect()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException chain;
+    // the user message must surface the offending key and the cap
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    msg should include("funnel key 7")
+    msg should include("maxEventsPerKey=5")
+    // the default cap leaves the healthy path untouched
+    Temporal.funnel(df, "u", "ts", "eid", "et",
+      steps = Seq("view"), windowSecs = 100L).count() shouldBe 2
+  }
+
   test("funnel window expiry stalls for good (first-touch, no restart)") {
     val got = funnelOf(Seq(
       // click arrives 150s after the view (window 100) -> stalls at 1;
