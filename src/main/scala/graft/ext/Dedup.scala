@@ -215,7 +215,7 @@ object Dedup {
     * @param bands  number of LSH bands
     * @param r      minhash components per band
     */
-  private[ext] def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
+  private[graft] def lshJaccardPairs(docsIn: DataFrame, bands: Int, r: Int): DataFrame = {
     // The (doc_id, hs) frame is referenced 4x below (band self-join + two
     // verify joins); without persisting, Spark recomputes the whole
     // shingle+md5 pipeline per reference — measured 4x cost at sf0.1. A

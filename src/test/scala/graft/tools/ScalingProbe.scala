@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.Dedup
+import graft.graph.GraphOps
+import graft.streaming.StateStore
+import graft.temporal.Selection
+
+/** Measured scaling curves for the five scale-critical operator families
+  * (VERDICT r4 next #3): synthesize k x copies of the sf0.1 corpus by
+  * explode-with-salt and time each family at that k. One JVM per k —
+  * run `Test/runMain graft.tools.ScalingProbe <sfDir> <k>` once per
+  * scale (scripts/scaling.sh drives 1/4/16) so block-manager residue
+  * from one scale can NEVER contaminate the next; the driver script fits
+  * alpha = log(t_hi/t_lo) / log(k_hi/k_lo) per family and writes
+  * SCALING.md. alpha ~1 is linear scaling; alpha >> 1 names a
+  * super-linear family.
+  *
+  * Scaling constructions keep the DATA PROPERTIES the operators' cost
+  * models depend on:
+  *  - documents: every token is suffixed with the copy index, so copies
+  *    share ZERO word shingles — the near-dup cluster structure repeats
+  *    per copy instead of collapsing all copies into one giant LSH
+  *    cluster (which would measure a DIFFERENT corpus shape, not scale).
+  *  - events: user/event ids offset per copy — k x more keys of the same
+  *    per-key size, the production growth shape.
+  *  - closure edges: fixed-depth (<=16) chains over the scaled EVENT id
+  *    space (~100k nodes per copy, so per-round data work dominates the
+  *    fixed per-round scheduling cost) — k x more nodes, constant depth.
+  *  - state store: bucket count grows with the corpus (64k), per the
+  *    Config contract that one bucket stays batch-sized at scale; the
+  *    1-key read must then stay ~FLAT, the O(batch)-not-O(state) claim.
+  */
+object ScalingProbe {
+
+  private def timeMin[A](runs: Int, spark: SparkSession)(f: => A): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sqlContext.clearCache()
+      dt
+    }.min
+
+  /** k copies of documents: doc_id offset per copy; every token suffixed
+    * with the copy tag (regexp group ref in a columnar replacement) so
+    * cross-copy shingle overlap is zero.
+    */
+  private def scaleDocs(s: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("i", explode(array((0 until k).map(lit): _*)))
+      .select(
+        (col("doc_id") + col("i").cast("long") * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("i").cast("string"))).as("text"))
+      .repartition(32)
+      .localCheckpoint(true)
+
+  /** k copies of events: ids offset per copy, payload columns untouched. */
+  private def scaleEvents(s: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("i", explode(array((0 until k).map(lit): _*)))
+      .select(
+        (col("event_id") + col("i").cast("long") * 1000000000L).as("event_id"),
+        (col("user_id") + col("i").cast("long") * 100000L).as("user_id"),
+        col("value"))
+      .repartition(32)
+      .localCheckpoint(true)
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(1)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm codegen/FS
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def record(family: String, secs: Double): Unit = {
+      out(family) = secs
+      System.err.println(f"[scaling] $family%-18s k=$k%-3d ${secs}%7.2f s")
+      System.gc() // let ContextCleaner reclaim dropped checkpoint blocks
+    }
+
+    val docs = scaleDocs(spark, dir, k)
+    val events = scaleEvents(spark, dir, k)
+
+    // 1. LSH near-dup pairs (band join + candidate verify), the
+    // q_minhash_lsh_pairs constants
+    record("lsh_pairs", timeMin(3, spark) {
+      Dedup.lshJaccardPairs(Dedup.wordShingleDocs(docs), bands = 8, r = 2).count()
+    })
+
+    // 2. decontamination: corpus shingles exploded once vs a broadcast
+    // benchmark set (constant size: copy-0 low-id docs)
+    val sh = Dedup.wordShingleDocs(docs).localCheckpoint(true)
+    val benchSet = sh.filter(col("doc_id") < 20)
+      .select(explode(col("hs")).as("h")).distinct().localCheckpoint(true)
+    record("decontaminate", timeMin(3, spark) {
+      sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(benchSet), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .count()
+    })
+
+    // 3. ancestor closure over fixed-depth chains on the scaled EVENT id
+    // space: ~100k nodes per copy, depth constant at <=16
+    val edges = events.select(col("event_id").as("c"))
+      .distinct()
+      .filter(col("c") % 16 =!= 0)
+      .select(col("c"), (col("c") - 1).as("p"))
+      .localCheckpoint(true)
+    record("closure", timeMin(3, spark) {
+      GraphOps.ancestorsClosure(edges, "c", "p", maxDepth = 20).count()
+    })
+
+    // 4. distributed exact selection (p50/p90/p99) over ONE huge group
+    record("percentiles_dist", timeMin(3, spark) {
+      Selection.kthSmallestBy(
+        events.select((round(col("value") * 100)).cast("long").as("v")),
+        "v", n => Seq(50, 90, 99).map(p => (n * p + 99) / 100))
+    })
+
+    // 5. versioned store, 1-key bucket-pruned read: bucket count tracks
+    // the corpus (one bucket stays ~batch-sized), so the candidate read
+    // must load ~constant rows whatever the store size
+    val root = java.nio.file.Files.createTempDirectory(s"graft_scale_$k").toString
+    val cfg = StateStore.Config(buckets = 64 * k)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val assets = events.select(col("user_id")).distinct()
+      .select(concat(lit("a"), col("user_id").cast("string")).as("id"),
+        lit("T").as("type"), concat(lit("a"), col("user_id").cast("string")).as("identifier"),
+        lit(t0).as("first_seen"), lit(t0).as("last_seen"),
+        lit(graft.schema.Schemas.Unexpired).as("expiration"))
+    val st = graft.ingest.Pipeline.emptyState(spark).copy(assets = assets)
+    StateStore.write(spark, root, 0L, st, changes = None, cfg) // untimed build
+    import spark.implicits._
+    val cand = StateStore.Candidates(
+      assetIds = Seq("a7").toDF("id"),
+      teamIds = Seq.empty[String].toDF("identifier"),
+      ownsAssetIds = Seq.empty[String].toDF("asset_id"),
+      parentIds = Seq.empty[String].toDF("parent_id"),
+      childIds = Seq.empty[String].toDF("child_id"))
+    record("store_1key_read", timeMin(3, spark) {
+      val p = StateStore.readPartialLatest(spark, root, 0L, cand, cfg).get
+      p.state.assets.count()
+    })
+
+    val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
+    println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
