@@ -89,18 +89,28 @@ object Similarity {
        |SELECT query_id, vec_id, round(cos, 6) AS cosine, rnk
        |FROM r WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+    // top-k per query via the bounded TopKOrdered aggregate, NOT a
+    // window: with 5 query groups, `row_number over (partition by
+    // query_id)` would shuffle the whole scored corpus onto 5 reducers
+    // and sort there; the aggregate's partial buffers cap every map
+    // task's contribution at k rows per query, so the exchange carries
+    // k × partitions rows whatever the corpus size. (score, vec_id) is
+    // a total order, so the result is bit-identical to the window form
+    // (TopKOrderedSpec pins it).
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     e.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rnk"))
+      .select(col("query_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKOrdered(col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t").getField("id").as("vec_id"),
+        round(col("t").getField("score"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
