@@ -539,6 +539,72 @@ object ExtQueries {
       .orderBy(col("source"))
   }
 
+  // -- span-level exact-substring dedup ---------------------------------------
+  // Cross-doc repeated k-token spans — the exact-substring dedup signal
+  // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"): a span of SpanN consecutive tokens appearing in >= 2
+  // distinct documents is memorization/boilerplate risk the doc-level
+  // near-dup families can't see (two mostly-different docs sharing one
+  // long quoted block). Per doc: total spans, occurrences of shared
+  // spans, and distinct shared span kinds — the downstream filter
+  // thresholds n_shared_occ / n_spans.
+  //
+  // Scale shape: spans explode once per token position (the inherent
+  // cost of substring-level dedup), then EVERY join/agg is an equi on
+  // the 60-bit span hash or doc_id — occurrence counts collapse to
+  // distinct (doc, h) rows before the hash-level aggregation, the
+  // >= 2-doc span set is joined hash-partitioned (never broadcast — at
+  // 100 TB the shared-span set is corpus-scale), and per-doc span totals
+  // come FREE from token counts (size(toks) - SpanN + 1), not a second
+  // corpus aggregation. The shared `occ` frame is persisted: two
+  // consumers (hash-level roll-up + the final doc join), one
+  // explode+md5 pass (the expire-cascade persisted-intermediate
+  // precedent).
+  private val SpanN = 10
+
+  val q_repeated_spans: QueryDef = QueryDef(
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sp AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= $SpanN
+       |    THEN list_transform(range(1, len(w) - ${SpanN - 2}),
+       |      i -> ${(0 until SpanN).map(o => if (o == 0) "w[i]" else s"w[i+$o]").mkString(" || ' ' || ")})
+       |    ELSE CAST([] AS VARCHAR[]) END) AS s
+       |  FROM toks) x),
+       |occ AS (SELECT doc_id, h, count(*) AS cnt FROM sp GROUP BY doc_id, h),
+       |byh AS (SELECT h, count(*) AS n_docs FROM occ GROUP BY h),
+       |shared AS (SELECT occ.doc_id, CAST(sum(occ.cnt) AS BIGINT) AS n_shared_occ,
+       |    count(*) AS n_shared_kinds
+       |  FROM occ JOIN byh USING (h) WHERE byh.n_docs >= 2 GROUP BY occ.doc_id),
+       |tot AS (SELECT doc_id,
+       |    CASE WHEN len(w) >= $SpanN THEN len(w) - ${SpanN - 1} ELSE 0 END AS n_spans
+       |  FROM toks)
+       |SELECT t.doc_id, t.n_spans,
+       |  COALESCE(s.n_shared_occ, 0) AS n_shared_occ,
+       |  COALESCE(s.n_shared_kinds, 0) AS n_shared_kinds
+       |FROM tot t LEFT JOIN shared s USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val occ = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the md5-heavy explode — see wordShingleDocs
+      .select(col("doc_id"), explode(TextAnalysis.shingles(toks, SpanN)).as("sp"))
+      .select(col("doc_id"), graft.functions.Md5PrefixLong(col("sp"), 15).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byh = occ.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val shared = occ.join(byh.filter(col("n_docs") >= 2), "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_shared_occ"), count(lit(1)).as("n_shared_kinds"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(size(toks) >= SpanN, size(toks) - (SpanN - 1)).otherwise(0)
+          .cast("long").as("n_spans"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared_occ"), lit(0L)).as("n_shared_occ"),
+        coalesce(col("n_shared_kinds"), lit(0L)).as("n_shared_kinds"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- PII redaction over planted synthetic PII ------------------------------
   // The corpus plants no PII (honest testdata), so the declared query
   // derives a deterministic PII-bearing frame from `events` columns —
@@ -621,6 +687,7 @@ object ExtQueries {
     "q_source_overlap" -> q_source_overlap,
     "q_mix_epochs" -> q_mix_epochs,
     "q_corpus_filter" -> q_corpus_filter,
+    "q_repeated_spans" -> q_repeated_spans,
     "q_redact" -> q_redact,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all

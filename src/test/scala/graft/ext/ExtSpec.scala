@@ -321,6 +321,40 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(3).getAs[String]("clean") shouldBe "nothing sensitive here"
   }
 
+  test("repeated_spans finds exactly the cross-doc shared 10-token spans") {
+    val rows = ExtQueries.q_repeated_spans.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared_occ"),
+          r.getAs[Long]("n_shared_kinds")))).toMap
+    // every doc appears exactly once, shared counts bounded by totals
+    rows.keySet shouldBe graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.values.foreach { case (n, occ, kinds) =>
+      occ should be <= n
+      kinds should be <= occ
+    }
+    // the sf0.001 corpus plants near-dup docs — long shared runs exist
+    rows.values.map(_._2).sum should be > 0L
+    // driver-side reference on a small slice: recompute shared spans for
+    // the 40 lowest docs against the WHOLE corpus via brute force
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def spans(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 10) Seq.empty else w.sliding(10).map(_.mkString(" ")).toSeq
+    }
+    val bySpan = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, t) <- docs; sp <- spans(t).distinct)
+      bySpan.getOrElseUpdate(sp, scala.collection.mutable.Set()) += id
+    for (id <- docs.keys.toSeq.sorted.take(40)) {
+      val ss = spans(docs(id))
+      val sharedOcc = ss.count(sp => bySpan(sp).size >= 2)
+      val sharedKinds = ss.distinct.count(sp => bySpan(sp).size >= 2)
+      rows(id) shouldBe ((ss.length.toLong, sharedOcc.toLong, sharedKinds.toLong))
+    }
+  }
+
   test("phone pattern keeps numeric non-PII intact (ADVICE r4 over-redaction)") {
     // phone-shaped structures mask; timestamps, versions, IDs, and loose
     // number sequences pass through untouched
