@@ -114,6 +114,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // -- int8-quantized exact top-k -------------------------------------------
+  // The quantized-vector path a 100 TB vector store actually serves from:
+  // unit-normalize, then symmetric int8 quantization q[i] = round(v[i] /
+  // ||v|| * 127). Ranking by the INTEGER dot q_a·q_b orders pairs by
+  // quantized cosine (unit vectors make the per-pair scale a constant
+  // 1/127²), the stored index shrinks ~4-16x vs float arrays (packing
+  // the small ints to bytes is storage engineering on top of these
+  // semantics), and the kernel ([[graft.functions.IntDot]], one fused
+  // codegen loop) is EXACT integer arithmetic — the cross-engine
+  // contract needs no float fold at all, any engine that multiplies
+  // integers hash-matches. Same one-pass TopKOrdered ranking shape as
+  // the float baseline; ExtSpec pins q8-vs-float recall.
+  val q_similarity_topk_q8: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q8 AS (SELECT vec_id, list_transform(range(1, $Dim + 1),
+       |    i -> CAST(round(CAST(v[i] AS DOUBLE) / nrm * 127) AS BIGINT)) AS qv
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id < $NQueries),
+       |s AS (SELECT query_id, q8.vec_id,
+       |    list_reduce(list_transform(range(1, $Dim + 1), i -> qq[i] * qv[i]), (x, y) -> x + y) AS d
+       |  FROM q, q8 WHERE query_id <> q8.vec_id),
+       |r AS (SELECT query_id, vec_id, d,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, d AS dot_q8, rnk
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x.cast("double") / col("nrm") * 127).cast("long")).as("qv"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        graft.functions.IntDot(col("qq"), col("qv")).cast("double").as("cos"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKOrdered(col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t").getField("id").as("vec_id"),
+        col("t").getField("score").cast("long").as("dot_q8"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // -- LSH random-hyperplane bucketed ANN -----------------------------------
   /** Hyperplane weights are md5-derived integers, reproducible in SQL:
     * w[j][i] = CAST('0x' || substr(md5('hp<j>|<i>'), 1, 4) AS INT) - 32768.
@@ -565,6 +612,7 @@ object Similarity {
 
   val all: Map[String, QueryDef] = Map(
     "q_similarity_topk" -> q_similarity_topk,
+    "q_similarity_topk_q8" -> q_similarity_topk_q8,
     "q_similarity_ann" -> q_similarity_ann,
     "q_embed_nn_join" -> q_embed_nn_join,
     "q_similarity_ivf" -> q_similarity_ivf,

@@ -114,6 +114,17 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("int8-quantized top-k agrees with the float baseline on most entries") {
+    def topSet(q: graft.queries.QueryDef) = q.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val f = topSet(Similarity.q_similarity_topk)
+    val q8 = topSet(Similarity.q_similarity_topk_q8)
+    q8.size shouldBe f.size
+    // int8 on unit vectors perturbs each component by <= 1/254 of the
+    // norm — neighbor sets stay mostly intact; pin a conservative floor
+    (f.intersect(q8).size.toDouble / f.size) should be >= 0.6
+  }
+
   test("semdedup drop rule: dropped iff a smaller-id same-cell neighbor above tau") {
     val rows = Similarity.q_semdedup.fn(spark, sf).collect()
     rows.length should be > 0

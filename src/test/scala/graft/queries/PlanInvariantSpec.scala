@@ -21,7 +21,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     * shuffle of the big side, bounded by design).
     */
   private val allowNestedLoop =
-    Set("q_similarity_topk", "q_similarity_ivf", "q_semdedup",
+    Set("q_similarity_topk", "q_similarity_topk_q8", "q_similarity_ivf", "q_semdedup",
       // q_boilerplate_strip: two deliberate ONE-ROW broadcast cross joins
       // (the corpus-count scalar into the DF threshold; the flagged-token
       // array against the corpus scan) — each moves a single row.
