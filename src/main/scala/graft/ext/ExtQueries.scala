@@ -539,6 +539,42 @@ object ExtQueries {
       .orderBy(col("source"))
   }
 
+  // -- overlapping-window chunking --------------------------------------------
+  // Per-doc sliding-window chunker (context-window prep for training /
+  // retrieval): fixed CHUNK-token windows at STRIDE steps, so adjacent
+  // chunks overlap by CHUNK - STRIDE tokens. Chunks whose tokens are
+  // entirely contained in the previous window (tail fragments of length
+  // <= overlap) are dropped — except a document's FIRST chunk, which
+  // always survives, so short docs chunk to themselves. Distinct from
+  // H24 `q_pack_chunks` (cross-doc concat-and-chunk): this is the
+  // per-doc overlapping shape retrieval pipelines index.
+  // Scale: per-row bounded explode (<= n_tokens/STRIDE + 1 chunks/doc),
+  // zero shuffle before the output ordering.
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  val q_chunk_overlap: QueryDef = QueryDef(
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, CAST(s AS BIGINT) AS start_tok,
+       |    CAST(LEAST($ChunkTokens, len(w) - s + 1) AS BIGINT) AS n_tok,
+       |    array_to_string(list_transform(range(s, s + LEAST($ChunkTokens, len(w) - s + 1)), i -> w[i]), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS s FROM toks) x)
+       |SELECT doc_id, start_tok, n_tok, chunk_text FROM c
+       |WHERE start_tok = 1 OR n_tok > ${ChunkTokens - ChunkStride}
+       |ORDER BY doc_id, start_tok""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(ChunkStride))).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("start_tok"),
+        least(lit(ChunkTokens), size(col("w")) - col("s") + 1).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("w"), col("s"),
+          least(lit(ChunkTokens), size(col("w")) - col("s") + 1))).as("chunk_text"))
+      .filter(col("start_tok") === 1 || col("n_tok") > (ChunkTokens - ChunkStride))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   // -- span-level exact-substring dedup ---------------------------------------
   // Cross-doc repeated k-token spans — the exact-substring dedup signal
   // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -688,6 +724,7 @@ object ExtQueries {
     "q_mix_epochs" -> q_mix_epochs,
     "q_corpus_filter" -> q_corpus_filter,
     "q_repeated_spans" -> q_repeated_spans,
+    "q_chunk_overlap" -> q_chunk_overlap,
     "q_redact" -> q_redact,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all

@@ -332,6 +332,35 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(3).getAs[String]("clean") shouldBe "nothing sensitive here"
   }
 
+  test("chunk_overlap: stride tiling covers every token; overlaps are exact") {
+    val chunks = ExtQueries.q_chunk_overlap.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_tok"), r.getAs[String]("chunk_text")))
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val w = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // first chunk starts at 1; every token is covered by some chunk
+      sorted.head._2 shouldBe 1L
+      val covered = sorted.flatMap(c => c._2 until (c._2 + c._3)).toSet
+      covered shouldBe (1L to w.length.toLong).toSet
+      // chunk text is exactly the token slice; length bounded by CHUNK
+      sorted.foreach { case (_, s, n, t) =>
+        n should be <= 64L
+        t shouldBe w.slice((s - 1).toInt, (s - 1 + n).toInt).mkString(" ")
+      }
+      // adjacent regular chunks overlap by exactly CHUNK - STRIDE when full
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1, _), (_, s2, _, _)) =>
+          s2 - s1 shouldBe 48L
+          if (n1 == 64L) (s1 + n1 - s2) shouldBe 16L
+        case _ => ()
+      }
+    }
+    chunks.length should be > docs.size // corpus docs are longer than one stride
+  }
+
   test("repeated_spans finds exactly the cross-doc shared 10-token spans") {
     val rows = ExtQueries.q_repeated_spans.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
