@@ -575,6 +575,51 @@ object ExtQueries {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  // -- bigram language-model likelihood score ---------------------------------
+  // Perplexity-style fluency filter (the KenLM role in public pipelines
+  // like CCNet/RefinedWeb, expressed engine-natively): train bigram counts
+  // on the corpus, score each document by its average conditional bigram
+  // probability P(w2|w1) = C(w1 w2)/C(w1). The score is the integer
+  // rational avg((n12 * 1e6) div n1) — ranking-equivalent to average
+  // probability and bit-stable cross-engine, where a float log-prob would
+  // hash-flip on one ulp of libm disagreement (the TF-IDF precedent).
+  // Self-scoring (model trained on the scored corpus itself) keeps the
+  // query closed over one table; production trains counts on a held-out
+  // reference corpus — the plan is identical, the join inputs differ.
+  // Scale shape: one bounded per-row explode (n_tokens-1 bigrams/doc),
+  // two model aggregations (vocabulary²-bounded, far below corpus scale),
+  // then scoring joins co-partitioned on (w1, w2) / (w1) — three
+  // corpus-scale shuffles total, no window, no driver state. Docs with
+  // <2 tokens have no bigrams and no row (both engines drop them).
+  val q_lm_score: QueryDef = QueryDef(
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) x),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(CAST(sum(n12 * 1000000 // n1) AS BIGINT) // count(*) AS BIGINT) AS lm_score
+      |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val big = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      // guard the sequence: size < 2 would make sequence(1, size-1) DESCEND
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum((n12 * 1000000) div n1)").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- span-level exact-substring dedup ---------------------------------------
   // Cross-doc repeated k-token spans — the exact-substring dedup signal
   // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -725,6 +770,7 @@ object ExtQueries {
     "q_corpus_filter" -> q_corpus_filter,
     "q_repeated_spans" -> q_repeated_spans,
     "q_chunk_overlap" -> q_chunk_overlap,
+    "q_lm_score" -> q_lm_score,
     "q_redact" -> q_redact,
     "q_sketch_stats" -> q_sketch_stats) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all

