@@ -539,6 +539,49 @@ object ExtQueries {
       .orderBy(col("source"))
   }
 
+  // -- count-min sketch: frequency estimation with bounded state -------------
+  // The OTHER sketch class (q_sketch_stats covers cardinality/quantiles;
+  // this is frequency): a d×w grid of counters where every item increments
+  // one counter per row and its estimate is the MIN across rows — always
+  // >= exact, within eps·N with probability 1−δ (d=4, w=256 here). Unlike
+  // HLL/GK, a count-min built from md5-derived bucket hashes is FULLY
+  // DETERMINISTIC, so the whole sketch — not a tolerance boolean — is
+  // oracle-hashable: both engines build the identical grid and identical
+  // estimates, and the driver hash-gates the approximation itself.
+  // Scale shape: the grid is d·w integers built by one groupBy (mergeable
+  // across partitions, batches, and days — the streaming/pre-agg
+  // frequency summary when key cardinality makes exact per-key state
+  // impossible); the exact column here is the demonstration baseline the
+  // estimate is judged against at test scale, not part of the production
+  // operator.
+  val q_countmin_freq: QueryDef = QueryDef(
+    """WITH h AS (SELECT user_id, i,
+      |    CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+      |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i)),
+      |grid AS (SELECT i, b, count(*) AS c FROM h GROUP BY i, b),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |uh AS (SELECT user_id, i,
+      |    CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS b
+      |  FROM users, (SELECT unnest([0, 1, 2, 3]) AS i)),
+      |est AS (SELECT user_id, CAST(min(c) AS BIGINT) AS est FROM uh JOIN grid USING (i, b) GROUP BY user_id),
+      |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id)
+      |SELECT user_id, exact, est FROM ex JOIN est USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val rows = array((0 to 3).map(lit): _*)
+    def bucket = pmod(graft.functions.Md5PrefixLong(
+      concat(lit("cm"), col("i").cast("string"), lit("|"),
+        col("user_id").cast("string")), 15), lit(256L)).as("b")
+    val ev = Tables.events(s, dir).select("user_id")
+    val grid = ev.withColumn("i", explode(rows)).withColumn("b", bucket)
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+    val est = ev.distinct().withColumn("i", explode(rows)).withColumn("b", bucket)
+      .join(grid, Seq("i", "b"))
+      .groupBy(col("user_id")).agg(min("c").cast("long").as("est"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      .join(est, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // -- overlapping-window chunking --------------------------------------------
   // Per-doc sliding-window chunker (context-window prep for training /
   // retrieval): fixed CHUNK-token windows at STRIDE steps, so adjacent
@@ -772,6 +815,7 @@ object ExtQueries {
     "q_chunk_overlap" -> q_chunk_overlap,
     "q_lm_score" -> q_lm_score,
     "q_redact" -> q_redact,
-    "q_sketch_stats" -> q_sketch_stats) ++
+    "q_sketch_stats" -> q_sketch_stats,
+    "q_countmin_freq" -> q_countmin_freq) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

@@ -1000,6 +1000,51 @@ object CoreQueries {
     }
   }
 
+  // -- OLAP: rollup grouping sets --------------------------------------------
+  // Subtotals + grand total in ONE pass: GROUP BY ROLLUP expands each row
+  // into its grouping-set combinations BEFORE the exchange, and partial
+  // aggregation collapses them map-side — one shuffle carries detail,
+  // subtotal, and total rows together (vs 3 separate scans + a union).
+  // grouping_id() disambiguates a real NULL key from a rolled-up one;
+  // Spark and DuckDB share the bitmask convention (0 detail, 1 last-col
+  // rolled, 3 grand total).
+  val q_rollup_report: QueryDef = QueryDef(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // -- OLAP: pivot (long -> wide) --------------------------------------------
+  // Event counts per user pivoted to one column per event type. The pivot
+  // value list is EXPLICIT — with it, Spark plans a single groupBy with
+  // one conditional aggregate per value (no extra distinct-values scan,
+  // which at 100 TB would be a full pass just to learn the column set).
+  // Absent combinations become 0 on both engines (na.fill / ELSE 0).
+  val q_pivot_events: QueryDef = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    QueryDef(
+      s"""SELECT user_id,
+         |${types.map(t => s"  CAST(sum(CASE WHEN event_type='$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"").mkString(",\n")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy(col("user_id"))
+    }
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q1_agg" -> q1_agg,
     "q_orders_report" -> q_orders_report,
@@ -1044,5 +1089,7 @@ object CoreQueries {
     "q_range_join" -> q_range_join,
     "q_asof_join" -> q_asof_join,
     "q_ivm_agg" -> q_ivm_agg,
-    "q_zorder_layout" -> q_zorder_layout)
+    "q_zorder_layout" -> q_zorder_layout,
+    "q_rollup_report" -> q_rollup_report,
+    "q_pivot_events" -> q_pivot_events)
 }

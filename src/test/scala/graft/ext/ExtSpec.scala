@@ -361,6 +361,18 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     chunks.length should be > docs.size // corpus docs are longer than one stride
   }
 
+  test("count-min estimates never undercount and overestimate within eps*N") {
+    val rows = ExtQueries.q_countmin_freq.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("exact"), r.getAs[Long]("est")))
+    rows.length should be > 10
+    rows.foreach { case (exact, est) => est should be >= exact } // CM invariant
+    val n = rows.map(_._1).sum
+    // classic bound: overestimate <= (e / w) * N with prob 1 - (1/2)^d;
+    // assert the MEAN is comfortably inside (all-rows bound is probabilistic)
+    val meanOver = rows.map { case (ex, es) => es - ex }.sum.toDouble / rows.length
+    meanOver should be <= (math.E / 256.0) * n
+  }
+
   test("lm_score ranks a corpus-typical doc above an all-rare-bigram doc") {
     // semantic sanity on the real corpus: the doc whose bigrams are the
     // corpus's most common should outscore the doc with the rarest. The
