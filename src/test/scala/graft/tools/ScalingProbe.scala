@@ -8,7 +8,7 @@ import graft.graph.GraphOps
 import graft.streaming.StateStore
 import graft.temporal.Selection
 
-/** Measured scaling curves for the five scale-critical operator families
+/** Measured scaling curves for the seven scale-critical operator families
   * (VERDICT r4 next #3): synthesize k x copies of the sf0.1 corpus by
   * explode-with-salt and time each family at that k. One JVM per k —
   * run `Test/runMain graft.tools.ScalingProbe <sfDir> <k>` once per
@@ -57,13 +57,21 @@ object ScalingProbe {
       .repartition(32)
       .localCheckpoint(true)
 
-  /** k copies of events: ids offset per copy, payload columns untouched. */
+  /** k copies of events: ids offset per copy; timestamps offset by 40 days
+    * per copy so k x data occupies a k x LONGER history (the production
+    * growth shape) — a fixed span with k x density would make any
+    * time-window join k² pairs BY WORKLOAD DEFINITION, measuring the data
+    * shape instead of the operator.
+    */
   private def scaleEvents(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.events(s, dir)
       .withColumn("i", explode(array((0 until k).map(lit): _*)))
       .select(
         (col("event_id") + col("i").cast("long") * 1000000000L).as("event_id"),
         (col("user_id") + col("i").cast("long") * 100000L).as("user_id"),
+        (col("ts").cast("long") + col("i").cast("long") * 3456000L)
+          .cast("timestamp").as("ts"),
+        col("event_type"),
         col("value"))
       .repartition(32)
       .localCheckpoint(true)
@@ -145,6 +153,37 @@ object ScalingProbe {
     record("store_1key_read", timeMin(3, spark) {
       val p = StateStore.readPartialLatest(spark, root, 0L, cand, cfg).get
       p.state.assets.count()
+    })
+
+    // 6. range join: 1 h incident windows vs the full stream — candidate
+    // fan-out must track interval density per cell (constant here), so
+    // wall time tracks rows, not rows x intervals
+    record("range_join", timeMin(3, spark) {
+      val inc = events.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val pts = events.select(col("event_id"), col("ts"), col("user_id"))
+      graft.temporal.TemporalJoins.pointInInterval(pts, "ts", inc, "w_start", "w_end")
+        .groupBy(col("incident_id")).agg(count(lit(1)).as("n"))
+        .count()
+    })
+
+    // 7. bigram LM: model build (vocabulary-scale aggs — copies share no
+    // tokens, so vocabulary grows k x too) + co-partitioned scoring joins
+    record("lm_score", timeMin(3, spark) {
+      val big = docs
+        .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"), expr("sum((n12 * 1000000) div n1)").as("s"))
+        .count()
     })
 
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
