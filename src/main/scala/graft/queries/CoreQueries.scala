@@ -434,6 +434,64 @@ object CoreQueries {
       .orderBy(col("desc_id"), col("depth"))
   }
 
+  // -- C12/C13: whole-graph analytics on a co-occurrence graph ---------------
+  // Parts co-purchased within one order form an undirected graph (bounded
+  // per-order fan-out: basket² pairs per order, never corpus²); the `% 10`
+  // part filter is pushed to the parquet scan and bounds the derived graph
+  // at any SF. Shared between the triangle and PageRank queries below.
+  private val coPurchaseCtes: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS item
+      |  FROM lineitem WHERE l_partkey % 10 = 0),
+      |e AS (SELECT DISTINCT x.item AS a, y.item AS b
+      |  FROM li x JOIN li y ON x.k = y.k AND x.item < y.item)""".stripMargin
+
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.graph.GraphAnalytics.coOccurrenceEdges(
+      Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0),
+      "l_orderkey", "l_partkey")
+
+  // C12 — triangle participation counts. Spark side uses degree-ordered
+  // orientation (wedge fan-out bounded by O(sqrt(m)) out-degree; see
+  // [[GraphAnalytics.triangleCounts]]); the oracle uses plain
+  // id-orientation — per-node counts are orientation-invariant, so the two
+  // ALGORITHMS differ while the answers hash-match.
+  val q_triangle_count: QueryDef = QueryDef(
+    s"""$coPurchaseCtes,
+       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |nodes AS (SELECT u AS part FROM tri
+       |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+       |SELECT part, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM nodes GROUP BY part ORDER BY part""".stripMargin) { (s, dir) =>
+    graft.graph.GraphAnalytics.triangleCounts(coPurchaseEdges(s, dir))
+      .orderBy(col("part"))
+  }
+
+  // C13 — 5-iteration integer PageRank (damping 0.85, rank scaled to ppm).
+  // Every step is integer `div` arithmetic, so both engines walk identical
+  // lattices — a float PageRank agrees only to ~1e-15 and can never
+  // hash-gate. The oracle unrolls the Pregel loop as 5 chained CTEs; the
+  // Spark side iterates the SAME dataflow (join on src + groupBy dst).
+  val q_pagerank: QueryDef = QueryDef {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT s.dst AS v,
+         |  CAST(150000 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS BIGINT) AS r
+         |  FROM sym s JOIN r${i - 1} r ON s.src = r.v JOIN deg d ON d.src = s.src
+         |  GROUP BY s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$coPurchaseCtes,
+       |sym AS (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b AS src, a AS dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+       |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iterCtes
+       |SELECT v, r AS rank_ppm FROM r5 ORDER BY v""".stripMargin
+  } { (s, dir) =>
+    graft.graph.GraphAnalytics.pageRankInt(coPurchaseEdges(s, dir), iters = 5)
+      .orderBy(col("v"))
+  }
+
   val q_owners_join: QueryDef = QueryDef(
     s"""${Synth.withAllSql}
        |SELECT o.asset_id, o.team_id, t.identifier AS team_identifier,
@@ -650,6 +708,56 @@ object CoreQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     Temporal.lastWriterPerKey(Tables.events(s, dir), Seq("user_id"), "event_id")
       .orderBy(col("user_id"))
+  }
+
+  // -- D13: SCD type-2 intervalization ---------------------------------------
+  // Build slowly-changing-dimension history from the event stream: one row
+  // per (user, version) with [valid_from, valid_to) epochs — valid_to NULL
+  // marks the current version. ONE shuffle on the key, one window pass
+  // (row_number + lead share the same WindowSpec, so Spark plans a single
+  // Window operator); ordering pinned to (ts, event_id) on both engines so
+  // tie-rows version identically.
+  val q_scd2: QueryDef = QueryDef(
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+      |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS valid_to_epoch,
+      |  event_type
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("user_id"),
+      row_number().over(w).cast("long").as("version"),
+      col("ts").cast("long").as("valid_from_epoch"),
+      lead(col("ts").cast("long"), 1).over(w).as("valid_to_epoch"),
+      col("event_type"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  // -- D14: rolling time-RANGE window ----------------------------------------
+  // Trailing-7-day activity per event (count + integer-cents sum): a
+  // value-RANGE frame over epoch seconds, not a ROWS frame — peers at the
+  // same timestamp land in each other's frames identically on both engines,
+  // so the result is tie-order-independent (a ROWS frame would not be).
+  // One shuffle on the key; the frame slides in one sorted pass per key.
+  val q_rolling_range: QueryDef = QueryDef(
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-604800L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("cents")).over(w).as("cents_7d"))
+      .orderBy(col("event_id"))
   }
 
   // -- D4: top-k per group ---------------------------------------------------
@@ -966,6 +1074,38 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
+  // -- incremental view maintenance: JOIN view -------------------------------
+  // Delta-join maintenance of the order-line detail view: the stored view
+  // is frozen (localCheckpoint — provably not re-fused into one recompute)
+  // and the batch applies ΔV = (Δorders ⋈ lineitem_new) ∪ (orders_old ⋈
+  // Δlineitem) — work sized by the deltas' fan-out, not the view. The
+  // orders/lineitem splits use INDEPENDENT cutoffs (order date vs ship
+  // date), so all four old×new quadrants are exercised; the oracle
+  // recomputes the full join from raw rows — the hash proves
+  // view_old ⊕ delta == full.
+  val q_ivm_join: QueryDef = QueryDef(
+    """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber, o_custkey,
+      |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |ORDER BY o_orderkey, linenumber""".stripMargin) { (s, dir) =>
+    val cut = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val lines = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        col("l_shipdate"))
+    val aOld = ords.filter(col("o_orderdate") < cut).drop("o_orderdate")
+    val dA = ords.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+    val bOld = lines.filter(col("l_shipdate") < cut).drop("l_shipdate")
+    val dB = lines.filter(col("l_shipdate") >= cut).drop("l_shipdate")
+    val viewOld = aOld.join(bOld, Seq("o_orderkey")).localCheckpoint(true)
+    Ivm.joinDelta(viewOld, aOld, dA, bOld.unionByName(dB), dB, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("linenumber"), col("o_custkey"), col("qty_cents"))
+      .orderBy(col("o_orderkey"), col("linenumber"))
+  }
+
   // -- data layout: Z-order (Morton) clustering stats ------------------------
   // Multi-dimensional layout for scan pruning: order 100 TB by the
   // bit-interleave of (user cell, time cell) and every written file covers
@@ -1069,6 +1209,8 @@ object CoreQueries {
     "q_parents_join" -> q_parents_join,
     "q_children_join" -> q_children_join,
     "q_ancestors_closure" -> q_ancestors_closure,
+    "q_triangle_count" -> q_triangle_count,
+    "q_pagerank" -> q_pagerank,
     "q_owners_join" -> q_owners_join,
     "q_expire_cascade" -> q_expire_cascade,
     "q_expire_cascade_edges" -> q_expire_cascade_edges,
@@ -1081,6 +1223,8 @@ object CoreQueries {
     "q_owns_diff" -> q_owns_diff,
     "q_funnel" -> q_funnel,
     "q_topk_per_group" -> q_topk_per_group,
+    "q_scd2" -> q_scd2,
+    "q_rolling_range" -> q_rolling_range,
     "q_percentiles" -> q_percentiles,
     "q_percentiles_dist" -> q_percentiles_dist,
     "q_window_tumbling" -> q_window_tumbling,
@@ -1089,6 +1233,7 @@ object CoreQueries {
     "q_range_join" -> q_range_join,
     "q_asof_join" -> q_asof_join,
     "q_ivm_agg" -> q_ivm_agg,
+    "q_ivm_join" -> q_ivm_join,
     "q_zorder_layout" -> q_zorder_layout,
     "q_rollup_report" -> q_rollup_report,
     "q_pivot_events" -> q_pivot_events)

@@ -46,4 +46,25 @@ object Ivm {
       maxCols.map(c => greatest(col(s"__b_$c"), col(s"__d_$c")).as(c))
     merged.select(keys.map(col) ++ outs: _*)
   }
+
+  /** Incremental maintenance of a JOIN view `V = A ⋈ B`.
+    *
+    * Given the stored view and this batch's deltas, the delta-join rule
+    * `ΔV = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)` (with `B_new = B_old ∪ ΔB`, so the
+    * ΔA⋈ΔB cross-term lands exactly once) maintains the view with work
+    * proportional to the DELTAS' join fan-out — the 100 TB view is
+    * appended to, never rejoined. Both delta joins shuffle only the delta
+    * side plus the matched keys of the big side; at scale the stored
+    * tables should be bucketed on the key so even that shuffle drops to a
+    * co-located probe (see BucketedJoinSpec).
+    *
+    * Exactly correct for inner equi-joins (insert-only deltas); deletions
+    * need keyed retractions (the tombstone path of `StateStore`), and
+    * outer joins need null-row repair — both out of this helper's scope.
+    */
+  def joinDelta(viewOld: DataFrame, aOld: DataFrame, deltaA: DataFrame,
+      bNew: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame =
+    viewOld
+      .unionByName(deltaA.join(bNew, keys))
+      .unionByName(aOld.join(deltaB, keys))
 }

@@ -40,4 +40,24 @@ class IvmSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     e.getMessage should include("mx")
   }
+
+  test("joinDelta == full join across all four old×new quadrants") {
+    // splits chosen so every quadrant has matches: key 1 old×old,
+    // key 2 old-A×new-B, key 3 new-A×old-B, key 4 new-A×new-B,
+    // key 5 never matches (A-only), key 6 B-only — inner join drops both
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (5L, "a5")).toDF("k", "av")
+    val dA = Seq((3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val bOld = Seq((1L, 10L), (3L, 30L)).toDF("k", "bv")
+    val dB = Seq((2L, 20L), (4L, 40L), (6L, 60L)).toDF("k", "bv")
+
+    val viewOld = aOld.join(bOld, Seq("k"))
+    val maintained = Ivm.joinDelta(viewOld, aOld, dA,
+      bOld.unionByName(dB), dB, Seq("k"))
+      .as[(Long, String, Long)].collect().sorted
+    val full = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+      .as[(Long, String, Long)].collect().sorted
+    maintained shouldBe full
+    // the ΔA⋈ΔB cross-term (key 4) appears exactly once, not twice
+    maintained.count(_._1 == 4L) shouldBe 1
+  }
 }
