@@ -62,6 +62,9 @@ object GraphAnalytics {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      // referenced three times below (both wedge legs + the closing probe);
+      // materialize once instead of recomputing the degree joins per use
+      .localCheckpoint(true)
 
     val wedges = oriented.alias("e1")
       .join(oriented.alias("e2"),
@@ -99,8 +102,10 @@ object GraphAnalytics {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    // adjacency with the source's out-degree inlined; one shuffle, reused
-    val adj = sym.join(deg, "src").localCheckpoint(true)
+    // adjacency with the source's out-degree inlined, pre-partitioned on
+    // the iteration join key so each iteration exchanges only the (much
+    // smaller) rank vector, never the adjacency; one shuffle, reused
+    val adj = sym.join(deg, "src").repartition(col("src")).localCheckpoint(true)
 
     val base = 15L * scale / 100L // (1-d) * scale with d = 0.85
     var ranks = deg.select(col("src").as("v"), lit(scale).as("r")).localCheckpoint(true)

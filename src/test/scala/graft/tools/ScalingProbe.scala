@@ -8,7 +8,7 @@ import graft.graph.GraphOps
 import graft.streaming.StateStore
 import graft.temporal.Selection
 
-/** Measured scaling curves for the seven scale-critical operator families
+/** Measured scaling curves for the eight scale-critical operator families
   * (VERDICT r4 next #3): synthesize k x copies of the sf0.1 corpus by
   * explode-with-salt and time each family at that k. One JVM per k —
   * run `Test/runMain graft.tools.ScalingProbe <sfDir> <k>` once per
@@ -183,6 +183,27 @@ object ScalingProbe {
       big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nb"), expr("sum((n12 * 1000000) div n1)").as("s"))
+        .count()
+    })
+
+    // 8. triangle counting over the co-purchase graph: k DISJOINT copies
+    // (order AND part ids offset per copy, offsets divisible by 10 so the
+    // q_triangle_count part filter's subgraph structure is preserved) —
+    // per-copy degree distribution is identical, so total work is exactly
+    // k x one copy; a super-linear curve would indict the wedge join, not
+    // the data
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("i", explode(array((0 until k).map(lit): _*)))
+      .select(
+        (col("l_orderkey") + col("i").cast("long") * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + col("i").cast("long") * 10000000L).as("l_partkey"))
+      .repartition(32)
+      .localCheckpoint(true)
+    record("triangles", timeMin(3, spark) {
+      graft.graph.GraphAnalytics.triangleCounts(
+        graft.graph.GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
         .count()
     })
 
