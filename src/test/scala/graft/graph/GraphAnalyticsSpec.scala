@@ -56,6 +56,24 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe naiveCounts(g)
   }
 
+  test("property: degree-ordered == naive id-ordered counts on random graphs") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { _ =>
+      val n = 6 + rnd.nextInt(15)
+      val p = 0.2 + rnd.nextDouble() * 0.5
+      val pairs = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < p
+      } yield (a, b)
+      if (pairs.nonEmpty) {
+        val g = edges(pairs: _*)
+        val got = GraphAnalytics.triangleCounts(g)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe naiveCounts(g)
+      }
+    }
+  }
+
   test("pagerank: star center outranks leaves; ranks are deterministic") {
     val star = edges((1L to 10L).map(i => (0L, i)): _*)
     val r1 = GraphAnalytics.pageRankInt(star, iters = 5)

@@ -60,4 +60,24 @@ class IvmSpec extends AnyFunSuite with SparkSpec with Matchers {
     // the ΔA⋈ΔB cross-term (key 4) appears exactly once, not twice
     maintained.count(_._1 == 4L) shouldBe 1
   }
+
+  test("property: joinDelta == full join on random multisets and splits") {
+    // duplicate keys on both sides (join fan-out) and random row-level
+    // splits — the maintenance rule must hold for any batch boundary
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 6).foreach { _ =>
+      val aRows = (1 to 40).map(i => (rnd.nextInt(12).toLong, s"a$i"))
+      val bRows = (1 to 40).map(i => (rnd.nextInt(12).toLong, i.toLong))
+      val (aOldR, dAR) = aRows.partition(_ => rnd.nextBoolean())
+      val (bOldR, dBR) = bRows.partition(_ => rnd.nextBoolean())
+      val (aOld, dA) = (aOldR.toDF("k", "av"), dAR.toDF("k", "av"))
+      val (bOld, dB) = (bOldR.toDF("k", "bv"), dBR.toDF("k", "bv"))
+      val maintained = Ivm.joinDelta(aOld.join(bOld, Seq("k")), aOld, dA,
+        bOld.unionByName(dB), dB, Seq("k"))
+        .as[(Long, String, Long)].collect().sorted
+      val full = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+        .as[(Long, String, Long)].collect().sorted
+      maintained shouldBe full
+    }
+  }
 }
