@@ -82,6 +82,31 @@ object GraphAnalytics {
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-node counts of the NEW triangles created by inserting edge batch
+    * `dE` into a graph whose union is `eNew` (both `(a, b), a < b`
+    * normalized, `dE` disjoint from the old edges) — the incremental
+    * maintenance step for a stored [[triangleCounts]] view: merge this
+    * delta into the stored counts (`Ivm.mergeAdditive`, additive column)
+    * instead of recounting the corpus graph.
+    *
+    * Every new triangle contains >= 1 delta edge, so enumerating common
+    * neighbors of each delta edge's endpoints in `eNew` finds them all;
+    * the sorted-triple distinct collapses triangles holding 2 or 3 delta
+    * edges (discovered once per delta edge) to exactly one row. Work is
+    * O(|dE| x avg-degree) — delta-sized, never corpus-sized.
+    */
+  def triangleDeltaCounts(dE: DataFrame, eNew: DataFrame): DataFrame = {
+    val sym = eNew.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(eNew.select(col("b").as("x"), col("a").as("y")))
+    val tris = dE
+      .join(sym.select(col("x").as("a"), col("y").as("w")), "a")
+      .join(sym.select(col("x").as("b"), col("y").as("w")), Seq("b", "w"))
+      .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+      .distinct()
+    tris.select(explode(col("t")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Fixed-iteration integer PageRank over an undirected edge set
     * `(a, b), a < b` — `(v, rank_ppm)` scaled to parts-per-million, damping
     * 0.85, every arithmetic step an integer `div` so the result is

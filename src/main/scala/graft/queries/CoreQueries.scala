@@ -468,6 +468,34 @@ object CoreQueries {
       .orderBy(col("part"))
   }
 
+  // C14 — incremental triangle-view maintenance. The stored per-node
+  // triangle counts (3/4 of the orders' co-purchase graph, frozen via
+  // localCheckpoint) absorb the remaining orders' edge batch through
+  // [[GraphAnalytics.triangleDeltaCounts]] + the additive IVM merge —
+  // delta-sized work, no corpus recount. The oracle recounts the FULL
+  // graph from scratch: the hash proves stored ⊕ delta == full.
+  val q_triangle_delta: QueryDef = QueryDef(
+    s"""$coPurchaseCtes,
+       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |nodes AS (SELECT u AS part FROM tri
+       |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+       |SELECT part, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM nodes GROUP BY part ORDER BY part""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0)
+    val eNew = graft.graph.GraphAnalytics.coOccurrenceEdges(
+      li, "l_orderkey", "l_partkey").localCheckpoint(true)
+    val eOld = graft.graph.GraphAnalytics.coOccurrenceEdges(
+      li.filter(col("l_orderkey") % 4 =!= 0), "l_orderkey", "l_partkey")
+    val dE = eNew.join(eOld, Seq("a", "b"), "left_anti")
+    val stored = graft.graph.GraphAnalytics.triangleCounts(eOld).localCheckpoint(true)
+    Ivm.mergeAdditive(stored,
+      graft.graph.GraphAnalytics.triangleDeltaCounts(dE, eNew),
+      keys = Seq("part"), addCols = Seq("n_tri"))
+      .orderBy(col("part"))
+  }
+
   // C13 — 5-iteration integer PageRank (damping 0.85, rank scaled to ppm).
   // Every step is integer `div` arithmetic, so both engines walk identical
   // lattices — a float PageRank agrees only to ~1e-15 and can never
@@ -1210,6 +1238,7 @@ object CoreQueries {
     "q_children_join" -> q_children_join,
     "q_ancestors_closure" -> q_ancestors_closure,
     "q_triangle_count" -> q_triangle_count,
+    "q_triangle_delta" -> q_triangle_delta,
     "q_pagerank" -> q_pagerank,
     "q_owners_join" -> q_owners_join,
     "q_expire_cascade" -> q_expire_cascade,

@@ -74,6 +74,30 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("property: stored ⊕ triangleDeltaCounts == full recount on random splits") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 8).foreach { _ =>
+      val n = 8 + rnd.nextInt(10)
+      val pairs = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.45
+      } yield (a, b)
+      if (pairs.size >= 2) {
+        val (oldR, dR) = pairs.partition(_ => rnd.nextBoolean())
+        val eNew = edges(pairs: _*)
+        val merged = graft.state.Ivm.mergeAdditive(
+          GraphAnalytics.triangleCounts(edges(oldR: _*)),
+          GraphAnalytics.triangleDeltaCounts(edges(dR: _*), eNew),
+          keys = Seq("part"), addCols = Seq("n_tri"))
+          .filter(col("n_tri") > 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = GraphAnalytics.triangleCounts(eNew)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        merged shouldBe full
+      }
+    }
+  }
+
   test("pagerank: star center outranks leaves; ranks are deterministic") {
     val star = edges((1L to 10L).map(i => (0L, i)): _*)
     val r1 = GraphAnalytics.pageRankInt(star, iters = 5)
