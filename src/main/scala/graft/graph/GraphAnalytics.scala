@@ -107,6 +107,49 @@ object GraphAnalytics {
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** k-core of an undirected edge set `(a, b), a < b` — the maximal
+    * subgraph in which every vertex has degree >= k, as `(v, deg)` rows
+    * with `deg` the vertex's degree INSIDE the core. Classic iterative
+    * peel: drop vertices of degree < k, drop their incident edges, repeat
+    * until no vertex is under-degree. The fixpoint is unique (the k-core
+    * is well-defined independent of peel order), so any engine peeling in
+    * any order hash-matches.
+    *
+    * Scale shape per round: one degree groupBy + two anti-joins of the
+    * edge frame against the under-degree vertex set — all equi-joins on
+    * vertex ids, no corpus-scale broadcast (the under-degree set is
+    * corpus-sized in round 1). Each round's survivor frame is
+    * localCheckpoint'ed so lineage stays flat. Rounds are bounded by
+    * `maxRounds` with a loud failure, mirroring `ancestorsClosure`'s
+    * contract: real-world graphs peel in a handful of rounds, but a
+    * k=2 peel of a long path needs O(length) rounds — callers with deep
+    * pathological graphs must raise the cap consciously.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("a").as("v")).unionAll(ed.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val bad = degrees(e).filter(col("deg") < k).select("v").localCheckpoint(true)
+      if (bad.isEmpty) converged = true
+      else {
+        require(rounds < maxRounds,
+          s"k-core peel still removing after $maxRounds rounds — deep " +
+            "pathological graph? raise maxRounds consciously")
+        e = e.join(bad.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("v").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    degrees(e)
+  }
+
   /** Fixed-iteration integer PageRank over an undirected edge set
     * `(a, b), a < b` — `(v, rank_ppm)` scaled to parts-per-million, damping
     * 0.85, every arithmetic step an integer `div` so the result is

@@ -496,6 +496,38 @@ object CoreQueries {
       .orderBy(col("part"))
   }
 
+  // C15 — k-core (k=8) of the co-purchase graph: iterative peel to the
+  // unique fixpoint. The k-core is peel-order-independent, so Spark's
+  // batch peel (all under-degree vertices per round) and the oracle's
+  // unrolled per-round CTE chain hash-match; rounds past the fixpoint are
+  // no-ops, so unrolling maxRounds=24 rounds is exact at every SF where
+  // the peel converges within 24 (measured: 5 rounds at sf0.01, 17 at
+  // sf0.1 — KCoreProbe).
+  val q_kcore: QueryDef = QueryDef {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's frames 2-3 times, so DuckDB's default CTE inlining would
+    // expand the 24-round chain ~5x per round (5^24 scans of lineitem —
+    // "too many open files" long before it finishes).
+    val peelCtes = (1 to 24).map { i =>
+      s"""keep${i - 1} AS MATERIALIZED (SELECT v FROM d${i - 1} WHERE d >= 8),
+         |r$i AS MATERIALIZED (SELECT a, b FROM r${i - 1}
+         |  WHERE a IN (SELECT v FROM keep${i - 1})
+         |    AND b IN (SELECT v FROM keep${i - 1})),
+         |d$i AS MATERIALIZED (SELECT v, count(*) AS d FROM (SELECT a AS v FROM r$i
+         |  UNION ALL SELECT b FROM r$i) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""$coPurchaseCtes,
+       |r0 AS MATERIALIZED (SELECT a, b FROM e),
+       |d0 AS MATERIALIZED (SELECT v, count(*) AS d FROM (SELECT a AS v FROM r0
+       |  UNION ALL SELECT b FROM r0) GROUP BY v),
+       |$peelCtes
+       |SELECT v, CAST(d AS BIGINT) AS deg FROM d24 ORDER BY v""".stripMargin
+  } { (s, dir) =>
+    graft.graph.GraphAnalytics.kCore(coPurchaseEdges(s, dir), k = 8, maxRounds = 24)
+      .select(col("v"), col("deg").cast("long").as("deg"))
+      .orderBy(col("v"))
+  }
+
   // C13 — 5-iteration integer PageRank (damping 0.85, rank scaled to ppm).
   // Every step is integer `div` arithmetic, so both engines walk identical
   // lattices — a float PageRank agrees only to ~1e-15 and can never
@@ -1239,6 +1271,7 @@ object CoreQueries {
     "q_ancestors_closure" -> q_ancestors_closure,
     "q_triangle_count" -> q_triangle_count,
     "q_triangle_delta" -> q_triangle_delta,
+    "q_kcore" -> q_kcore,
     "q_pagerank" -> q_pagerank,
     "q_owners_join" -> q_owners_join,
     "q_expire_cascade" -> q_expire_cascade,

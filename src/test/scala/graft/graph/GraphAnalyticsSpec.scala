@@ -98,6 +98,68 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  /** Reference k-core: sequential peel over in-memory adjacency. */
+  private def refKCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = pairs.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+      val bad = deg.collect { case (v, d) if d < k => v }.toSet
+      changed = bad.nonEmpty
+      es = es.filterNot(e => bad(e._1) || bad(e._2))
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+  }
+
+  test("kCore: K5 with a pendant path — path peels away, K5 survives at k=3") {
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val g = edges((k5 ++ Seq((5L, 6L), (6L, 7L))): _*)
+    val got = GraphAnalytics.kCore(g, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe (1L to 5L).map(_ -> 4L).toMap
+  }
+
+  test("kCore: cascading peel — chain of corners needs multiple rounds") {
+    // path 1-2-3-4-5 at k=2: endpoints peel first, then the cascade
+    // unzips the whole path to empty — multi-round convergence
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    GraphAnalytics.kCore(g, k = 2).collect() shouldBe empty
+    // same path plus a closing edge = cycle: everything survives at k=2
+    val cyc = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val got = GraphAnalytics.kCore(cyc, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe (1L to 5L).map(_ -> 2L).toMap
+  }
+
+  test("kCore: maxRounds exceeded fails loudly") {
+    // k=2 peel of a path unzips one vertex pair per round — a length-9
+    // path needs 4 peel rounds, so maxRounds=2 must throw
+    val g = edges((1L to 9L).map(i => (i, i + 1)): _*)
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnalytics.kCore(g, k = 2, maxRounds = 2).collect()
+    }
+    ex.getMessage should include("maxRounds")
+  }
+
+  test("property: kCore == sequential reference peel on random graphs") {
+    val rnd = new scala.util.Random(580L)
+    (1 to 6).foreach { _ =>
+      val n = 8 + rnd.nextInt(10)
+      val pairs = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)
+      if (pairs.nonEmpty) {
+        val k = 2 + rnd.nextInt(3)
+        val got = GraphAnalytics.kCore(edges(pairs: _*), k, maxRounds = 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe refKCore(pairs, k)
+      }
+    }
+  }
+
   test("pagerank: star center outranks leaves; ranks are deterministic") {
     val star = edges((1L to 10L).map(i => (0L, i)): _*)
     val r1 = GraphAnalytics.pageRankInt(star, iters = 5)
