@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.queries.QueryDef
 
@@ -429,6 +430,42 @@ object ExtQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  // -- deterministic epoch shuffle (training-order assignment) --------------
+  // A trainer needs each epoch's global document order to be (a) a
+  // different permutation per epoch, (b) reproducible bit-for-bit across
+  // reruns and engines, (c) computable WITHOUT a global sort. Standard
+  // md5-sharded shuffle: per (epoch, doc) a 60-bit hash key orders docs;
+  // shard = key % n_shards gives the file/worker assignment, position =
+  // row_number within the (epoch, shard) window gives the read order.
+  // Scale shape: one corpus scan, one hash-partition exchange on
+  // (epoch, shard); each window sorts only corpus/n_shards rows — at
+  // 100 TB n_shards is set in the thousands so per-shard sorts fit an
+  // executor, and hash-uniform keys keep shards balanced (no skew; no
+  // single-partition window anywhere). The trailing global orderBy is
+  // presentation-only for the oracle compare.
+  val q_epoch_shuffle: QueryDef = QueryDef(
+    """WITH x AS (SELECT doc_id, e.epoch,
+      |    CAST('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || '|'
+      |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+      |SELECT epoch, doc_id, skey % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, skey % 8
+      |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM x
+      |ORDER BY epoch, shard, pos""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("skey", graft.functions.Md5PrefixLong(
+        concat(lit("ep"), col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string")), 15))
+      .withColumn("shard", col("skey") % 8)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   // -- the capstone: one query that ships the filtered training corpus ------
   // Every hygiene operator composed the way a production pipeline chains
   // them: drop the held-out benchmark slice, drop non-canonical near-dup
@@ -810,6 +847,7 @@ object ExtQueries {
     "q_boilerplate_strip" -> q_boilerplate_strip,
     "q_source_overlap" -> q_source_overlap,
     "q_mix_epochs" -> q_mix_epochs,
+    "q_epoch_shuffle" -> q_epoch_shuffle,
     "q_corpus_filter" -> q_corpus_filter,
     "q_repeated_spans" -> q_repeated_spans,
     "q_chunk_overlap" -> q_chunk_overlap,

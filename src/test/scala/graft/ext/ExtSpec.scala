@@ -420,6 +420,25 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("epoch_shuffle: per-shard positions tile 1..n; epochs permute differently") {
+    val out = ExtQueries.q_epoch_shuffle.fn(spark, sf).collect()
+    val nDocs = out.map(_.getLong(1)).distinct.length
+    out.length shouldBe nDocs * 2 // every doc appears once per epoch
+    // within each (epoch, shard): contiguous positions 1..n
+    out.groupBy(r => (r.getInt(0), r.getLong(2))).foreach { case (_, rows) =>
+      rows.map(_.getLong(3)).sorted shouldBe (1L to rows.length).toSeq
+    }
+    // epochs produce genuinely different permutations: the (shard, pos)
+    // assignment of at least one doc differs between epoch 0 and 1
+    val byEpoch = out.groupBy(_.getInt(0)).map { case (e, rows) =>
+      e -> rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    }
+    byEpoch(0) should not equal byEpoch(1)
+    // deterministic: a fresh plan replays the identical assignment
+    val again = ExtQueries.q_epoch_shuffle.fn(spark, sf).collect()
+    again.map(_.toString).toSeq shouldBe out.map(_.toString).toSeq
+  }
+
   test("phone pattern keeps numeric non-PII intact (ADVICE r4 over-redaction)") {
     // phone-shaped structures mask; timestamps, versions, IDs, and loose
     // number sequences pass through untouched
