@@ -902,6 +902,48 @@ object CoreQueries {
       .orderBy(col("p"))
   }
 
+  // -- D14: integer-exact statistical outlier flagging ----------------------
+  // The pre-training cleaning op: flag events whose value deviates from
+  // their key's mean by more than 2 standard deviations. The test
+  // (v - mu)^2 > 4*sigma^2 multiplies out to (v*n - S)^2 > 4*(SS*n - S^2)
+  // with v in cents — EXACT BIGINT arithmetic on both engines, where any
+  // float z-score would drift in the last ulp and break the hash gate.
+  // Bounds (documented, funnel-cap style): products stay in int64 while
+  // n_key * v_max_cents < ~3e9 (n <= 3e4 events/key at v <= $1000); at
+  // larger per-key volumes rescale cents -> dollars or shard the window.
+  // The oracle MUST cast its sums back to BIGINT (DuckDB sum(BIGINT) is
+  // HUGEINT; Spark would wrap where DuckDB widens and the engines split).
+  // Scale shape: one per-key stats aggregate joined back on the key —
+  // both sides hash-partition on user_id (the stats side is key-
+  // cardinality, not broadcast: user dims are corpus-scale at 100 TB) —
+  // then a pushed-down per-row integer predicate. No window, no sort.
+  val q_outlier_events: QueryDef = QueryDef(
+    """WITH v AS (SELECT event_id, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |st AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS ss
+      |  FROM v GROUP BY user_id)
+      |SELECT event_id, v.user_id, cents, n,
+      |  (cents * n - s) * (cents * n - s) AS dev2_n2,
+      |  4 * (ss * n - s * s) AS four_var_n2
+      |FROM v JOIN st ON v.user_id = st.user_id
+      |WHERE n >= 2 AND (cents * n - s) * (cents * n - s) > 4 * (ss * n - s * s)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val v = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val st = v.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(expr("cents * cents")).as("ss"))
+    val dev = col("cents") * col("n") - col("s")
+    val fourVar = lit(4L) * (col("ss") * col("n") - col("s") * col("s"))
+    v.join(st, "user_id")
+      .filter(col("n") >= 2 && dev * dev > fourVar)
+      .select(col("event_id"), col("user_id"), col("cents"), col("n"),
+        (dev * dev).as("dev2_n2"), fourVar.as("four_var_n2"))
+      .orderBy(col("event_id"))
+  }
+
   // -- D5: temporal snapshot diff (audit: what changed between T1 and T2) ----
   // The temporal-graph audit query: which ownership edges are active at T2
   // but not T1 ("added") or vice versa ("removed"). An edge ENDS when its
@@ -1288,6 +1330,7 @@ object CoreQueries {
     "q_scd2" -> q_scd2,
     "q_rolling_range" -> q_rolling_range,
     "q_percentiles" -> q_percentiles,
+    "q_outlier_events" -> q_outlier_events,
     "q_percentiles_dist" -> q_percentiles_dist,
     "q_window_tumbling" -> q_window_tumbling,
     "q_window_sliding" -> q_window_sliding,
