@@ -1061,6 +1061,63 @@ object CoreQueries {
       .orderBy(col("ws_epoch"))
   }
 
+  // -- D15: concurrency curve (max concurrent sessions per day) --------------
+  // Sweep-line over presence intervals ([ts, ts+30 min) per event) done
+  // the scale-correct way: the corpus collapses FIRST to per-minute net
+  // deltas (+1 at start minute, -1 at end minute — one groupBy whose
+  // output is timeline-bounded: <= 525k minutes/year whatever the corpus
+  // size), then the cumulative sum runs two-level — a within-day window
+  // over <= 1440 minute rows per partition plus a carry-in prefix over
+  // the (calendar-bounded) day dimension — so NO single-partition window
+  // ever sees more than a day of minutes or a calendar of days. The
+  // naive form (global ORDER BY over raw events) is a one-reducer sort
+  // of the corpus. Peak tie-break: the EARLIEST minute achieving the
+  // day's max, exact on both engines.
+  val q_concurrency: QueryDef = QueryDef(
+    """WITH mins AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m FROM events),
+      |deltas AS (SELECT m, 1 AS d FROM mins
+      |  UNION ALL SELECT m + 30, -1 FROM mins),
+      |per_min AS (SELECT m, m // 1440 AS day, CAST(sum(d) AS BIGINT) AS d
+      |  FROM deltas GROUP BY m),
+      |within AS (SELECT m, day, CAST(sum(d) OVER (PARTITION BY day ORDER BY m
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM per_min),
+      |day_tot AS (SELECT day, CAST(sum(d) AS BIGINT) AS dt FROM per_min GROUP BY day),
+      |carry AS (SELECT day, COALESCE(CAST(sum(dt) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cin
+      |  FROM day_tot),
+      |active AS (SELECT w.m, w.day, w.cum + c.cin AS active
+      |  FROM within w JOIN carry c ON w.day = c.day),
+      |mx AS (SELECT day, max(active) AS max_concurrent FROM active GROUP BY day)
+      |SELECT a.day * 86400 AS day_epoch, mx.max_concurrent,
+      |  min(a.m) * 60 AS peak_epoch
+      |FROM active a JOIN mx ON a.day = mx.day AND a.active = mx.max_concurrent
+      |GROUP BY a.day, mx.max_concurrent
+      |ORDER BY day_epoch""".stripMargin) { (s, dir) =>
+    val mins = Tables.events(s, dir)
+      .select(expr("CAST(ts AS LONG) div 60").as("m"))
+    val deltas = mins.select(col("m"), lit(1L).as("d"))
+      .unionAll(mins.select((col("m") + 30).as("m"), lit(-1L).as("d")))
+    val perMin = deltas.groupBy(col("m")).agg(sum("d").as("d"))
+      .withColumn("day", expr("m div 1440"))
+    val within = perMin.withColumn("cum", sum("d").over(
+      Window.partitionBy(col("day")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dayTot = perMin.groupBy(col("day")).agg(sum("d").as("dt"))
+    val carry = dayTot.withColumn("cin", coalesce(sum("dt").over(
+      Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val active = within.join(carry.select(col("day"), col("cin")), "day")
+      .withColumn("active", col("cum") + col("cin"))
+    val mx = active.groupBy(col("day")).agg(max("active").as("max_concurrent"))
+    active.join(mx, "day")
+      .filter(col("active") === col("max_concurrent"))
+      .groupBy(col("day"), col("max_concurrent"))
+      .agg(min(col("m")).as("peak_min"))
+      .select((col("day") * 86400).as("day_epoch"), col("max_concurrent"),
+        (col("peak_min") * 60).as("peak_epoch"))
+      .orderBy(col("day_epoch"))
+  }
+
   // -- E6: session window (30-min gap), gaps-and-islands form ----------------
   val q_session_window: QueryDef = QueryDef(
     """WITH flagged AS (

@@ -148,6 +148,45 @@ object StreamAnalytics {
       }
   }
 
+  /** Streaming twin of `CoreQueries.q_outlier_events` (D14): ONLINE
+    * 2-sigma flagging — each event is tested against the integer
+    * (n, S, SS) statistics of its key's stream SO FAR (itself included),
+    * the causal semantics a live pipeline can actually compute (the
+    * batch query sees the whole corpus's stats; this sees the prefix).
+    * Same multiplied-out BIGINT predicate, (v*n - S)^2 > 4*(SS*n - S^2),
+    * same documented int64 bounds. State per key is THREE longs —
+    * bounded by key cardinality however long the stream runs.
+    *
+    * Ordering contract matches [[streamingFunnel]]: rows sorted (ep, ord)
+    * within a batch, per-key order across batches from the transport.
+    * Redelivery is NOT idempotent here (a replayed event re-enters the
+    * running sums) — run behind [[dedupWithinWatermark]] or an
+    * exactly-once source when the transport can redeliver.
+    */
+  final case class CentsEvent(user_id: Long, ep: Long, ord: Long, cents: Long)
+  final case class OutlierState(n: Long, s: Long, ss: Long)
+  final case class OutlierFlag(user_id: Long, ep: Long, ord: Long, cents: Long,
+      n_so_far: Long, flagged: Boolean)
+
+  def streamingOutliers(events: Dataset[CentsEvent]): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OutlierState, OutlierFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CentsEvent], state: GroupState[OutlierState]) =>
+          var st = state.getOption.getOrElse(OutlierState(0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ep, e.ord)).map { e =>
+            st = OutlierState(st.n + 1, st.s + e.cents, st.ss + e.cents * e.cents)
+            val dev = e.cents * st.n - st.s
+            val flagged = st.n >= 2 && dev * dev > 4L * (st.ss * st.n - st.s * st.s)
+            OutlierFlag(user, e.ep, e.ord, e.cents, st.n, flagged)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)

@@ -34,7 +34,20 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // q_boilerplate_strip: the flagged-token set is collapsed to ONE array
     // row by a global collect_list — the exchange moves per-partition
     // partials of a tiny high-DF term set, not the corpus.
-    "q_boilerplate_strip")
+    "q_boilerplate_strip",
+    // q_concurrency: the day-carry prefix window runs over the DAY
+    // dimension — calendar-bounded (365 rows/year whatever the corpus
+    // size); the corpus itself collapsed to per-minute deltas two
+    // operators earlier.
+    "q_concurrency")
+
+  /** Deliberate unpartitioned window: ONLY over dimension frames whose
+    * cardinality is bounded by something other than the corpus (the
+    * calendar), never over corpus-scale rows.
+    */
+  private val allowGlobalWindow = Set(
+    // q_concurrency: prefix sum over per-DAY totals (calendar-bounded).
+    "q_concurrency")
 
   /** A SinglePartition exchange is a violation UNLESS it feeds a
     * bloom_filter_agg — Spark's injected runtime row-filter aggregates a
@@ -91,7 +104,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
           s"$name: unexpected Exchange SinglePartition"),
         // (?m): Window nodes are mid-plan lines, never the end of the
         // whole plan string — without MULTILINE the anchor can never match
-        Option.when(raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined)(
+        Option.when(raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined
+            && !allowGlobalWindow(name))(
           s"$name: Window without partitionBy")
       ).flatten
     }

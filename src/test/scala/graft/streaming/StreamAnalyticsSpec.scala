@@ -155,6 +155,46 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     batch shouldBe streaming
   }
 
+  test("streaming outliers equal a sequential prefix-stats fold across batches") {
+    import StreamAnalytics.CentsEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[CentsEvent]
+    val q = StreamAnalytics.streamingOutliers(src.toDS())
+      .writeStream.format("memory").queryName("soutlier").outputMode(OutputMode.Append())
+      .start()
+    // user 1: steady 100s then a spike; user 2: too few events to flag
+    val b1 = Seq(CentsEvent(1, 10, 1, 100), CentsEvent(1, 20, 2, 102),
+      CentsEvent(1, 30, 3, 98), CentsEvent(2, 10, 1, 500))
+    val b2 = Seq(CentsEvent(1, 40, 4, 101), CentsEvent(1, 50, 5, 5000),
+      CentsEvent(2, 60, 2, 500))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("soutlier").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ep"),
+        r.getAs[Long]("ord")) -> ((r.getAs[Long]("n_so_far"),
+        r.getAs[Boolean]("flagged")))).toMap
+
+    // sequential reference: per key in (ep, ord) order, integer prefix
+    // stats including the current event
+    val ref = (b1 ++ b2).groupBy(_.user_id).flatMap { case (_, evs) =>
+      var (n, s, ss) = (0L, 0L, 0L)
+      evs.sortBy(e => (e.ep, e.ord)).map { e =>
+        n += 1; s += e.cents; ss += e.cents * e.cents
+        val dev = e.cents * n - s
+        (e.user_id, e.ep, e.ord) -> ((n, n >= 2 && dev * dev > 4L * (ss * n - s * s)))
+      }
+    }.toMap
+    got shouldBe ref
+    // the spike is flagged; the steady prefix is not; n=1 rows never flag
+    got((1L, 50L, 5L))._2 shouldBe true
+    got((1L, 30L, 3L))._2 shouldBe false
+    got((1L, 10L, 1L))._2 shouldBe false
+    got((2L, 10L, 1L))._1 shouldBe 1L
+  }
+
   test("stateful operators run on the RocksDB state store (not executor heap)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Ev]
