@@ -136,11 +136,16 @@ object Bench {
     // a partial success must not inflate the headline number the failure
     // accounting says to discount
     def ok(ts: Seq[Double], err: Option[String]) = err.isEmpty && ts.nonEmpty
+    // 3-decimal medians: the driver persists only the LAST 2000 chars of
+    // this line (BENCH_r04/r05 both arrived truncated with zero medians
+    // visible), so the line is laid out metadata-first / medians-LAST and
+    // values are kept compact — the tail window then covers nearly the
+    // whole queries dict instead of none of it
     val qs = results.map { case (k, ts, err) =>
-      "\"" + k + "\":" + (if (ok(ts, err)) median(ts) else "null")
+      "\"" + k + "\":" + (if (ok(ts, err)) f"${median(ts)}%.3f" else "null")
     }.mkString("{", ",", "}")
     val mins = results.map { case (k, ts, err) =>
-      "\"" + k + "\":" + (if (ok(ts, err)) ts.min else "null")
+      "\"" + k + "\":" + (if (ok(ts, err)) f"${ts.min}%.3f" else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
@@ -151,9 +156,22 @@ object Bench {
     val contaminated =
       math.max(cpuPre, cpuPost) > 3 * CleanCpuSecs ||
         math.max(parPre, parPost) > 3 * CleanParSecs
-    val calib = s"""{"cpu_pre":$cpuPre,"cpu_post":$cpuPost,"par_pre":$parPre,""" +
-      s""""par_post":$parPost,"cpu_clean":$CleanCpuSecs,"par_clean":$CleanParSecs}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"materialize_secs":$materializeSecs,"materialize_detail":$materializeDetail,"calibration":$calib,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    val calib = f"""{"cpu_pre":$cpuPre%.3f,"cpu_post":$cpuPost%.3f,"par_pre":$parPre%.3f,""" +
+      f""""par_post":$parPost%.3f,"cpu_clean":$CleanCpuSecs,"par_clean":$CleanParSecs}"""
+    val meta = f""""value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
+      s""""n_failed":$nFailed,"failed":$failed,"contaminated":$contaminated,""" +
+      f""""materialize_secs":$materializeSecs%.3f,"materialize_detail":$materializeDetail,""" +
+      s""""calibration":$calib"""
+    val line = s"""{"metric":"total",$meta,"queries":$qs}"""
+    println(line)
+    // The complete record (incl. per-query minimums) cannot fit the tail
+    // window; persist it in the repo so the full per-query picture is
+    // reviewable even when stdout is clipped.
+    try {
+      val full = s"""{"metric":"total",$meta,"queries_min":$mins,"queries":$qs}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -40,6 +40,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parquet written with isAdjustedToUTC=false must still read as an
+      // instant (TIMESTAMP, session TZ = UTC above), not TIMESTAMP_NTZ:
+      // the whole temporal operator set (window(), epoch casts, RFC3339
+      // formatting) and the DuckDB oracle treat stored micros as UTC wall
+      // clock. Spark 4's NTZ inference would instead surface such columns
+      // as TIMESTAMP_NTZ, where `cast(ts AS LONG)` is not even definable —
+      // the engine pins instant semantics whatever the writer's flag.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -21,12 +21,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` carries a parquet TIMESTAMP(NANOS) `ts` column, which
-    * Spark 4.x refuses to read as a timestamp (`PARQUET_TYPE_ILLEGAL`).
-    * Read nanos as a raw long and truncate to microseconds — the same view
-    * DuckDB takes of the file (its TIMESTAMP is micros), so oracle
-    * comparisons agree. Integer `div` (not `/`) keeps the conversion exact:
-    * nanos-since-epoch ≈ 1.7e18 overflows double's 53-bit mantissa.
+  /** `events.parquet`'s `ts` column has shipped in two physical encodings
+    * across driver testdata generations; both must read as a plain UTC
+    * TIMESTAMP:
+    *  - TIMESTAMP(NANOS), which Spark 4.x refuses to read as a timestamp
+    *    (`PARQUET_TYPE_ILLEGAL`): read nanos as a raw long
+    *    (`nanosAsLong`, GraftSession) and truncate to micros — the same
+    *    view DuckDB takes (its TIMESTAMP is micros). Integer `div` (not
+    *    `/`) keeps it exact: ~1.7e18 nanos overflows double's mantissa.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4.x would
+    *    infer as TIMESTAMP_NTZ: GraftSession pins
+    *    `inferTimestampNTZ.enabled=false` so it reads as an instant,
+    *    matching the oracle's treatment of stored micros as UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

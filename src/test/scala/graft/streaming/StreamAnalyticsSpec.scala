@@ -162,11 +162,15 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val q = StreamAnalytics.streamingOutliers(src.toDS())
       .writeStream.format("memory").queryName("soutlier").outputMode(OutputMode.Append())
       .start()
-    // user 1: steady 100s then a spike; user 2: too few events to flag
+    // user 1: steady 100s then a spike; user 2: too few events to flag.
+    // The spike needs n >= 6: the prefix stats INCLUDE the spike, and a
+    // single extreme value among n-1 steady ones tends to exactly
+    // (n-1)/sqrt(n-1) = sqrt(n-1) sigma from below — at n = 5 a lone
+    // spike can NEVER exceed 2 sigma, however large (sqrt(4) = 2).
     val b1 = Seq(CentsEvent(1, 10, 1, 100), CentsEvent(1, 20, 2, 102),
       CentsEvent(1, 30, 3, 98), CentsEvent(2, 10, 1, 500))
-    val b2 = Seq(CentsEvent(1, 40, 4, 101), CentsEvent(1, 50, 5, 5000),
-      CentsEvent(2, 60, 2, 500))
+    val b2 = Seq(CentsEvent(1, 40, 4, 101), CentsEvent(1, 45, 5, 99),
+      CentsEvent(1, 50, 6, 5000), CentsEvent(2, 60, 2, 500))
     try {
       src.addData(b1); q.processAllAvailable()
       src.addData(b2); q.processAllAvailable()
@@ -189,7 +193,7 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.toMap
     got shouldBe ref
     // the spike is flagged; the steady prefix is not; n=1 rows never flag
-    got((1L, 50L, 5L))._2 shouldBe true
+    got((1L, 50L, 6L))._2 shouldBe true
     got((1L, 30L, 3L))._2 shouldBe false
     got((1L, 10L, 1L))._2 shouldBe false
     got((2L, 10L, 1L))._1 shouldBe 1L
