@@ -189,10 +189,59 @@ object AnalyticsQueries {
       .orderBy(col("split"), col("source"))
   }
 
+  // -- D19: join-key skew diagnostic -----------------------------------------
+  // The pre-flight check before keying ANY 100 TB shuffle on a column:
+  // the heaviest keys and their corpus share (ppm — integral, hash-
+  // stable). A key above ~1/partitions share names the row that needs
+  // Skew.saltedJoin or AQE skew splitting BEFORE the job runs, not after
+  // a straggler task spills for an hour. Key-cardinality aggregate + one
+  // broadcast scalar + TakeOrdered(20) — never a global sort.
+  val q_key_skew: QueryDef = QueryDef(
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+      |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum("cnt").as("total"))
+    c.crossJoin(broadcast(t))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"))
+      // unique user_id breaks cnt ties -> the LIMIT boundary is total-
+      // ordered and engine-independent
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+  }
+
+  // -- D20: column completeness profile --------------------------------------
+  // The dataset-card summary a curation pipeline emits per snapshot:
+  // row count, per-column non-null counts, key cardinalities, id range —
+  // one corpus scan, one row out. count(DISTINCT a), count(DISTINCT b)
+  // in one aggregate costs an Expand (x2 scan rows) — accepted and named
+  // here; the sketch family (H23) is the one-pass alternative when ±2%
+  // suffices.
+  val q_column_profile: QueryDef = QueryDef(
+    """SELECT count(*) AS n_rows, count(ts) AS ts_nonnull,
+      |  count(value) AS value_nonnull, count(props) AS props_nonnull,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT event_type) AS n_types,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"), count(col("ts")).as("ts_nonnull"),
+      count(col("value")).as("value_nonnull"), count(col("props")).as("props_nonnull"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_retention_cohorts" -> q_retention_cohorts,
     "q_churn_weekly" -> q_churn_weekly,
     "q_cooccur_assoc" -> q_cooccur_assoc,
     "q_degree_hist" -> q_degree_hist,
-    "q_train_test_split" -> q_train_test_split)
+    "q_train_test_split" -> q_train_test_split,
+    "q_key_skew" -> q_key_skew,
+    "q_column_profile" -> q_column_profile)
 }

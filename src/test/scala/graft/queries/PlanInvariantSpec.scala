@@ -25,7 +25,16 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       // q_boilerplate_strip: two deliberate ONE-ROW broadcast cross joins
       // (the corpus-count scalar into the DF threshold; the flagged-token
       // array against the corpus scan) — each moves a single row.
-      "q_boilerplate_strip")
+      "q_boilerplate_strip",
+      // q_churn_weekly: the max-observed-week scalar (one row) broadcast
+      // against the week-cardinality report to exclude the last week.
+      "q_churn_weekly",
+      // q_cooccur_assoc: the n_docs scalar (one row) broadcast into the
+      // vocab²-bounded pair frame for the ppm association score.
+      "q_cooccur_assoc",
+      // q_key_skew: the corpus-total scalar (one row) broadcast against
+      // the key-cardinality count frame for the ppm share.
+      "q_key_skew")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
@@ -39,7 +48,12 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // dimension — calendar-bounded (365 rows/year whatever the corpus
     // size); the corpus itself collapsed to per-minute deltas two
     // operators earlier.
-    "q_concurrency")
+    "q_concurrency",
+    // q_churn_weekly / q_cooccur_assoc / q_key_skew / q_column_profile:
+    // the single-partition exchange feeds a SCALAR final aggregate (max
+    // week / corpus count / corpus total / the one-row profile) — it
+    // moves one partial row per upstream partition, never data-scale rows.
+    "q_churn_weekly", "q_cooccur_assoc", "q_key_skew", "q_column_profile")
 
   /** Deliberate unpartitioned window: ONLY over dimension frames whose
     * cardinality is bounded by something other than the corpus (the

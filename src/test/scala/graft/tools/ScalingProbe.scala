@@ -228,6 +228,22 @@ object ScalingProbe {
         keys = Seq("part"), addCols = Seq("n_tri")).count()
     })
 
+    // 10. user-week analytics (the cohort-retention / churn core): the
+    // corpus collapses FIRST to distinct (user, week) — everything
+    // downstream is user-cardinality. k x users over a k x longer history
+    // -> k x user-week pairs; the churn anti-join and the week rollup are
+    // both co-partitioned with that frame's own exchange, so the curve
+    // must track the initial distinct, ~linearly.
+    record("user_week_churn", timeMin(3, spark) {
+      val uw = events
+        .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+        .distinct()
+      val nxt = uw.select(col("user_id"), (col("wk") - 1).as("wk"))
+      uw.join(nxt, Seq("user_id", "wk"), "left_anti")
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+        .count()
+    })
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
