@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Full query catalog: Spark impl + optional DuckDB oracle per query. */
   def catalog: Map[String, QueryDef] =
-    CoreQueries.all ++ graft.ext.ExtQueries.all ++ graft.queries.AnalyticsQueries.all
+    CoreQueries.all ++ graft.ext.ExtQueries.all ++
+      graft.queries.AnalyticsQueries.all ++ graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

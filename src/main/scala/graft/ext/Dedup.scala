@@ -226,13 +226,30 @@ object Dedup {
     // twice (measured 9 s vs 25 s run-to-run jitter without it).
     val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
+    verifyJaccard(candidatePairs(docs, bands, r), docs)
+  }
+
+  /** Distinct LSH candidate pairs from the band self-join (pre-verify). */
+  private def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandRows = bandRowsOf(docs, bands, r)
-    val pairs = bandRows.as("a").join(bandRows.as("b"),
+    bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(pairs, docs)
+  }
+
+  /** Candidate pairs with exact intersection size but NO Jaccard gate —
+    * the shared front half of [[verifyJaccard]], for scorers (containment)
+    * whose keep-predicate is not Jaccard. `docs` must already be
+    * persisted/checkpointed (both callers pass [[corpusShingles]]).
+    */
+  private[ext] def lshCandidateInter(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+    def lookup(p: DataFrame, side: String): DataFrame =
+      p.join(docs.select(col("doc_id").as(side), col("hs").as(s"hs_${side.last}")), side)
+    lookup(lookup(candidatePairs(docs, bands, r), "doc_a"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
   }
 
   /** The CTE chain of the pipeline as DuckDB SQL, ending in `jv` =
@@ -452,6 +469,75 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // -- cross-doc duplicated-text ratio --------------------------------------
+  // The RefinedWeb/CCNet curation signal the pair-emitting ops above don't
+  // give: PER DOCUMENT, what fraction of its text is shared with ANY other
+  // document (shingles whose hash occurs in >1 doc, as ppm of the doc's
+  // shingle set). A doc can evade pairwise near-dup detection (no single
+  // partner above the Jaccard bar) while still being 80% boilerplate
+  // assembled from many partners — this op catches exactly that. Scale
+  // shape: one shingle-cardinality groupBy for the doc-frequency side,
+  // one h-keyed join back (both sides shingle-cardinality, never doc
+  // text), one doc_id-keyed aggregate; the corpus text is read zero times
+  // beyond the shared materialized shingle table.
+  val q_dup_span_ratio: QueryDef = QueryDef(
+    s"""WITH hs AS (${wordShingleSql.replace("\n", "\n      ")}),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |dfh AS (SELECT h, count(*) AS dcnt FROM ex GROUP BY h)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN dcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN dcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // count(*) AS dup_ppm
+       |FROM ex JOIN dfh USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ex = corpusShingles(s, dir) // checkpointed once per (session, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    // hs is distinct-per-doc, so count(*) per h = number of docs holding it
+    val dfh = ex.groupBy(col("h")).agg(count(lit(1)).as("dcnt"))
+    ex.join(dfh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dcnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("n_dup * 1000000 div n_shingles").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -- asymmetric containment over the LSH candidate set --------------------
+  // Jaccard misses subset duplication: a short doc fully contained in a
+  // long one scores |A|/|B| — below any sensible Jaccard bar — yet is
+  // exactly the quote/excerpt duplication a training corpus wants flagged.
+  // Containment C(A,B) = |A∩B|/|A| (and the mirror /|B|) scores the pair
+  // from each side. Candidates come from the SAME materialized band join
+  // as q_minhash_lsh_pairs but WITHOUT its Jaccard≥0.5 gate — the verify
+  // join recomputes inter over the candidate pairs only (candidate-
+  // cardinality work; the corpus is never paired all-vs-all).
+  val q_minhash_containment: QueryDef = QueryDef(
+    s"""WITH ${duckLshJaccardCtes(wordShingleSql, bands = 8, r = 2)}
+       |SELECT j.doc_a, j.doc_b, j.inter,
+       |  len(da.hs) AS size_a, len(db.hs) AS size_b,
+       |  j.inter * 1000000 // len(da.hs) AS contain_a_ppm,
+       |  j.inter * 1000000 // len(db.hs) AS contain_b_ppm
+       |FROM j JOIN d da ON j.doc_a = da.doc_id
+       |       JOIN d db ON j.doc_b = db.doc_id
+       |WHERE j.inter * 10 >= 9 * least(len(da.hs), len(db.hs))
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val hs = corpusShingles(s, dir)
+    val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
+    // unfiltered candidate verification (inter per band-join candidate):
+    // reuse the materialized UNGATED pair frame when present, else the
+    // gated frame's parent — lshCandidateInter recomputes from the
+    // checkpointed shingle table either way
+    lshCandidateInter(hs, bands = 8, r = 2)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .filter(col("inter") * 10 >= lit(9) * least(col("size_a"), col("size_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"),
+        expr("inter * 1000000 div size_a").as("contain_a_ppm"),
+        expr("inter * 1000000 div size_b").as("contain_b_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_minhash_sig" -> q_minhash_sig,
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
@@ -459,5 +545,7 @@ object Dedup {
     "q_simhash_pairs" -> q_simhash_pairs,
     "q_ngram_jaccard" -> q_ngram_jaccard,
     "q_dedup_components" -> q_dedup_components,
-    "q_dedup_apply" -> q_dedup_apply)
+    "q_dedup_apply" -> q_dedup_apply,
+    "q_dup_span_ratio" -> q_dup_span_ratio,
+    "q_minhash_containment" -> q_minhash_containment)
 }

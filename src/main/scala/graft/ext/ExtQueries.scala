@@ -208,6 +208,72 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- Bloom-filter semijoin decontamination --------------------------------
+  // q_decontaminate broadcasts the EXACT benchmark shingle-hash set; at
+  // 100 TB with a large benchmark suite that set stops broadcasting —
+  // the production fix is a Bloom filter (m bits, k hashes: fixed size
+  // whatever the benchmark cardinality, one-sided error). This op runs
+  // that plan with a DETERMINISTIC bloom (k=3 seeded md5 positions into
+  // m=4096 bits, derived cross-engine from the same hash60 contract) and
+  // REPORTS the error honestly: per flagged doc, bloom hits next to true
+  // hits, so the false-positive overcount is measured, not assumed.
+  // Plan shape: the bit set builds from the benchmark side only (bench-
+  // cardinality x k, distinct to <= m rows); membership is 3 broadcast
+  // hash-joins on integer positions (never an array scan per token); the
+  // corpus is touched once. A native production variant would pack the
+  // positions into spark.util.sketch.BloomFilter's bitmask — the plan
+  // (build small side, broadcast, semijoin probe) is identical.
+  private def bloomPosSql(seed: Int): String =
+    s"(CAST('0x' || substr(md5('$seed|' || CAST(h AS VARCHAR)), 1, 15) AS BIGINT) % 4096)"
+  private def bloomPos(seed: Int) =
+    (TextAnalysis.hash60(col("h").cast("string"), seed) % 4096).as(s"pos$seed")
+  val q_bloom_semijoin: QueryDef = QueryDef(
+    s"""WITH hs AS (${Dedup.wordShingleSql.replace("\n", "\n      ")}),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 37 = 0),
+       |bits AS (SELECT DISTINCT pos FROM (
+       |  ${Seq(201, 202, 203).map(s => s"SELECT ${bloomPosSql(s)} AS pos FROM bench")
+            .mkString("\n  UNION ALL ")})),
+       |corpus AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+       |  FROM hs WHERE doc_id % 37 <> 0),
+       |bh AS (SELECT doc_id, n_shingles,
+       |    CASE WHEN ${Seq(201, 202, 203)
+              .map(s => s"${bloomPosSql(s)} IN (SELECT pos FROM bits)")
+              .mkString("\n      AND ")} THEN 1 ELSE 0 END AS bloom_hit,
+       |    CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END AS true_hit
+       |  FROM corpus)
+       |SELECT doc_id, n_shingles, CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       |  CAST(sum(true_hit) AS BIGINT) AS n_true_hits
+       |FROM bh GROUP BY doc_id, n_shingles
+       |HAVING sum(bloom_hit) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hs = Dedup.corpusShingles(s, dir) // checkpointed once per (session, dir)
+    val bench = hs.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bits = Seq(201, 202, 203)
+      .map(sd => bench.select(bloomPos(sd).as("pos")))
+      .reduce(_ unionAll _).distinct()
+    val corpus = hs.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+    // k broadcast probe joins: match column non-null <=> position present
+    val probed = Seq(201, 202, 203).foldLeft(
+        corpus.select(col("doc_id"), col("n_shingles"), col("h"),
+          bloomPos(201), bloomPos(202), bloomPos(203))) { (acc, sd) =>
+      acc.join(broadcast(bits.select(col("pos").as(s"pos$sd"), lit(1).as(s"m$sd"))),
+        Seq(s"pos$sd"), "left")
+    }
+    probed
+      .withColumn("bloom_hit",
+        when(col("m201").isNotNull && col("m202").isNotNull && col("m203").isNotNull, 1L)
+          .otherwise(0L))
+      .join(broadcast(bench.withColumn("true1", lit(1L))), Seq("h"), "left")
+      .withColumn("true_hit", coalesce(col("true1"), lit(0L)))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(col("bloom_hit")).as("n_bloom_hits"), sum(col("true_hit")).as("n_true_hits"))
+      .filter(col("n_bloom_hits") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"), col("n_true_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- repetition score: duplicate word-2-gram fraction ---------------------
   // Gopher-style boilerplate/repetition quality signal: the fraction of a
   // document's word bigrams that are repeats of an earlier bigram. Pure
@@ -854,6 +920,7 @@ object ExtQueries {
     "q_lm_score" -> q_lm_score,
     "q_redact" -> q_redact,
     "q_sketch_stats" -> q_sketch_stats,
-    "q_countmin_freq" -> q_countmin_freq) ++
+    "q_countmin_freq" -> q_countmin_freq,
+    "q_bloom_semijoin" -> q_bloom_semijoin) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all
 }

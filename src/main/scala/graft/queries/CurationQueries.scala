@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.TextAnalysis
+
+/** Second wave of curation/reporting operators: sessionization, equi-depth
+  * binning, blocked fuzzy record linkage, co-purchase connected components,
+  * and a rational (log-free) BM25 relevance scorer.
+  *
+  * Same cross-engine exactness rules as [[CoreQueries]]/[[AnalyticsQueries]]:
+  * BIGINT arithmetic in hashed output, integral `div`, total-ordered LIMIT
+  * boundaries, deterministic md5 where hashing is needed.
+  */
+object CurationQueries {
+
+  // -- D21: per-event sessionization ----------------------------------------
+  // The event-level twin of q_session_window: assign every event its
+  // user-local session ordinal (new session when >30 min elapsed since
+  // the user's previous event), so downstream ops can join on
+  // (user_id, session_seq) instead of re-deriving gaps. Classic two-pass
+  // window: a lag() break flag, then a running sum of breaks — BOTH over
+  // the same (user_id) partitioning, so Catalyst plans ONE exchange and
+  // sorts once. Scale: parallelism is user-cardinality (q_key_skew is
+  // the pre-flight for a hot user); nothing global.
+  val q_sessionize: QueryDef = QueryDef(
+    """WITH x AS (SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |b AS (SELECT event_id, user_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      |SELECT event_id, user_id,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT)
+      |    AS session_seq
+      |FROM b ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("CAST(ts AS LONG)").as("sec"))
+      .withColumn("brk",
+        when(lag(col("sec"), 1).over(w).isNull
+          || col("sec") - lag(col("sec"), 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(w))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // -- D22: equi-depth quantile bins ----------------------------------------
+  // The feature-discretization table: per event_type, quartile boundaries
+  // by NTILE (equal row counts per bin) with each bin's exact [lo, hi]
+  // value range and population. The emitted 4-row-per-type table is what
+  // a training pipeline BROADCASTS to bin the full corpus — computing it
+  // is one window over (event_type)-partitioned data. Scale: per-group
+  // windows parallelize by type-cardinality; for the single-huge-group
+  // shape use the histogram-narrowing path (temporal/Selection.scala, the
+  // q_percentiles_dist plan) instead of any sort. Ties broken by
+  // event_id, so the NTILE assignment is total-ordered on both engines.
+  val q_quantile_bins: QueryDef = QueryDef(
+    """WITH b AS (SELECT event_type, value, ntile(4) OVER
+      |    (PARTITION BY event_type ORDER BY value, event_id) AS bin FROM events)
+      |SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n_events,
+      |  min(value) AS lo, max(value) AS hi
+      |FROM b GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  // -- C17: blocked fuzzy record linkage ------------------------------------
+  // Entity resolution the way it survives 100 TB: NEVER all-pairs. Names
+  // dedup to name-cardinality first, a deterministic blocking key (last
+  // token) partitions the candidate space, pairs form only WITHIN a
+  // block, and the edit-distance gate runs on that bounded candidate set.
+  // Catalyst plans the self-join as a hash join on the block key; fan-out
+  // is max-block-size bounded (q_key_skew on the block column is the
+  // pre-flight). The pattern is Dedup.lshJaccardPairs with (block key,
+  // levenshtein) in place of (band key, Jaccard).
+  val q_entity_match: QueryDef = QueryDef(
+    """WITH n AS (SELECT p_name, count(*) AS n_rows FROM part GROUP BY p_name),
+      |b AS (SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk FROM n)
+      |SELECT x.p_name AS name_a, y.p_name AS name_b, x.blk AS block_key,
+      |  CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS edit_dist,
+      |  x.n_rows AS rows_a, y.n_rows AS rows_b
+      |FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
+      |WHERE levenshtein(x.p_name, y.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+    val n = Tables.part(s, dir).groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val b = n.withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    b.as("x").join(b.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+      .withColumn("edit_dist",
+        levenshtein(col("x.p_name"), col("y.p_name")).cast("long"))
+      .filter(col("edit_dist") <= 3)
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+        col("x.blk").as("block_key"), col("edit_dist"),
+        col("x.n_rows").as("rows_a"), col("y.n_rows").as("rows_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  // -- C18: connected components of the co-purchase graph -------------------
+  // The general-graph face of the dedup cluster collapse: same
+  // [[graft.ext.Components]] min-label propagation (one equi-join + one
+  // aggregation per round, O(1) convergence check, lineage truncated per
+  // round), here over the co-purchase item graph instead of near-dup
+  // pairs. Oracle: recursive reachability CTE — a different algorithm
+  // arriving at the same fixpoint.
+  val q_graph_cc: QueryDef = QueryDef(
+    s"""${CoreQueries.coPurchaseCtes.replace("WITH ", "WITH RECURSIVE ")},
+       |u AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+       |r AS (SELECT src AS id, dst AS m FROM u
+       |  UNION SELECT r.id, u.dst FROM r JOIN u ON r.m = u.src)
+       |SELECT id AS part, least(id, min(m)) AS component_id
+       |FROM r GROUP BY id ORDER BY part""".stripMargin) { (s, dir) =>
+    graft.ext.Components
+      .connectedComponents(CoreQueries.coPurchaseEdges(s, dir), "a", "b")
+      .select(col("id").as("part"), col("cluster_id").as("component_id"))
+      .orderBy(col("part"))
+  }
+
+  // -- H37: rational BM25 relevance scoring ---------------------------------
+  // Retrieval-style relevance of every document against a deterministic
+  // query-term set (df-ranked terms 5-8 — past the boilerplate head,
+  // still corpus-frequent enough to hit many docs). BM25's tf saturation
+  // (k1=1.2) and length normalization (b=0.75) are computed EXACTLY in
+  // integers: with A = avgdl = sum_dl div n_docs,
+  //   tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/A))
+  //           = 44*tf*A   / (20*tf*A + 6*A + 18*dl)      (x20/x20)
+  // emitted in ppm; the idf log is replaced by its (monotone) argument
+  // (2(N-df)+1)*1e6 div (2df+1) — per-term rank-equivalent to BM25's idf
+  // and hash-gateable where a cross-engine float ln never is (documented
+  // delta: the SUM weights high-idf terms more than log-BM25 would).
+  // Scale shape: the q-term set broadcasts (4 rows), the tf join keys on
+  // term, the dl join on doc_id rides the tf aggregate's own exchange,
+  // and the top-20 is TakeOrdered with a doc_id tiebreak — no global
+  // sort, one corpus tokenize pass shared via the persisted tf frame.
+  val q_bm25_rational: QueryDef = QueryDef(
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+      |g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+      |qt AS (SELECT term, df FROM (SELECT term, df,
+      |    row_number() OVER (ORDER BY df DESC, term) AS rnk FROM d)
+      |  WHERE rnk BETWEEN 5 AND 8)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |  CAST(sum(((2 * (g.n_docs - qt.df) + 1) * 1000000 // (2 * qt.df + 1))
+      |    * ((44 * t.tf * (g.sum_dl // g.n_docs)) * 1000000
+      |       // (20 * t.tf * (g.sum_dl // g.n_docs)
+      |          + 6 * (g.sum_dl // g.n_docs) + 18 * dl.dl))
+      |    // 1000000) AS BIGINT) AS score_ppm
+      |FROM t JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+      |GROUP BY t.doc_id
+      |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = docs
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count() // eager barrier — see Dedup.lshJaccardPairs
+    val d = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = t.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // df ranks 5-8 without a global window (PlanInvariantSpec): two
+    // TakeOrdered heads over the vocab-sized frame, anti-joined
+    val top8 = d.orderBy(col("df").desc, col("term")).limit(8)
+    val top4 = d.orderBy(col("df").desc, col("term")).limit(4)
+    val qt = top8.join(top4.select("term"), Seq("term"), "left_anti")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sumDl = dl.agg(sum(col("dl")).as("sum_dl"))
+    t.join(broadcast(qt.withColumnRenamed("df", "df")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(sumDl))
+      .withColumn("contrib", expr(
+        """((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1))
+          | * ((44 * tf * (sum_dl div n_docs)) * 1000000
+          |    div (20 * tf * (sum_dl div n_docs)
+          |         + 6 * (sum_dl div n_docs) + 18 * dl))
+          | div 1000000""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_sessionize" -> q_sessionize,
+    "q_quantile_bins" -> q_quantile_bins,
+    "q_entity_match" -> q_entity_match,
+    "q_graph_cc" -> q_graph_cc,
+    "q_bm25_rational" -> q_bm25_rational)
+}

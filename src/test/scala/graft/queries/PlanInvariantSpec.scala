@@ -34,7 +34,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       "q_cooccur_assoc",
       // q_key_skew: the corpus-total scalar (one row) broadcast against
       // the key-cardinality count frame for the ppm share.
-      "q_key_skew")
+      "q_key_skew",
+      // q_bm25_rational: the n_docs and sum_dl scalars (one row each)
+      // broadcast into the per-(doc, q-term) scoring frame.
+      "q_bm25_rational")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
@@ -53,7 +56,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // the single-partition exchange feeds a SCALAR final aggregate (max
     // week / corpus count / corpus total / the one-row profile) — it
     // moves one partial row per upstream partition, never data-scale rows.
-    "q_churn_weekly", "q_cooccur_assoc", "q_key_skew", "q_column_profile")
+    "q_churn_weekly", "q_cooccur_assoc", "q_key_skew", "q_column_profile",
+    // q_bm25_rational: same scalar-aggregate shape (corpus doc count +
+    // total token count), one partial row per upstream partition.
+    "q_bm25_rational")
 
   /** Deliberate unpartitioned window: ONLY over dimension frames whose
     * cardinality is bounded by something other than the corpus (the
