@@ -187,6 +187,42 @@ object StreamAnalytics {
       }
   }
 
+  /** Streaming twin of `CurationQueries.q_sessionize` (D21): assign each
+    * event its user-local session ordinal ONLINE — a new session opens
+    * when >gapSecs elapsed since the user's previous event. State per key
+    * is TWO longs (last event epoch + current ordinal), bounded by key
+    * cardinality however long the stream runs; the batch query's lag()
+    * window needs the user's whole history in one sort — this fold sees
+    * each event once. Ordering contract matches [[streamingFunnel]]:
+    * rows sorted (ep, ord) within a batch, per-key order across batches
+    * guaranteed by the transport. Replaying a prefix yields identical
+    * ordinals (the fold is prefix-deterministic), which is what makes the
+    * differential batch-vs-stream test meaningful.
+    */
+  final case class SessEvent(user_id: Long, ep: Long, ord: Long)
+  final case class SessState(lastEp: Long, seq: Long)
+  final case class SessAssign(user_id: Long, ep: Long, ord: Long, session_seq: Long)
+
+  def streamingSessionize(
+      events: Dataset[SessEvent],
+      gapSecs: Long = 1800L): Dataset[SessAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(0L, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ep, e.ord)).map { e =>
+            val fresh = st.seq == 0L || e.ep - st.lastEp > gapSecs
+            st = SessState(e.ep, if (fresh) st.seq + 1 else st.seq)
+            SessAssign(user, e.ep, e.ord, st.seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)

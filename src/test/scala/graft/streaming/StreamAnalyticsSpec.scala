@@ -155,6 +155,35 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     batch shouldBe streaming
   }
 
+  test("streaming sessionize equals the batch window assignment on ordered replay") {
+    import StreamAnalytics.SessEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real sf0.001 corpus, replayed in two time-ordered batches: the
+    // epoch-threshold split preserves per-key order across batches (the
+    // transport contract), so the streaming fold must land on EXACTLY the
+    // batch window query's assignment for all 1000 events
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "CAST(ts AS LONG) AS ep", "event_id AS ord")
+      .as[SessEvent].collect().sortBy(e => (e.ep, e.ord))
+    val cut = evs(evs.length / 2).ep
+    val (b1, b2) = evs.partition(_.ep <= cut)
+    val src = MemoryStream[SessEvent]
+    val q = StreamAnalytics.streamingSessionize(src.toDS())
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("ssess").collect()
+      .map(r => r.getAs[Long]("ord") -> r.getAs[Long]("session_seq")).toMap
+    val batch = graft.queries.CurationQueries.q_sessionize
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    streaming.size shouldBe evs.length
+    batch shouldBe streaming
+  }
+
   test("streaming outliers equal a sequential prefix-stats fold across batches") {
     import StreamAnalytics.CentsEvent
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

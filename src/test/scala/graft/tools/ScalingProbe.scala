@@ -244,6 +244,16 @@ object ScalingProbe {
         .count()
     })
 
+    // 11. connected components over the same k-copy co-purchase graph:
+    // component structure repeats per copy (per-copy diameters identical),
+    // so the min-label propagation's ROUND COUNT is k-invariant and each
+    // round's join+agg handles k x rows — the curve must track the edge
+    // count ~linearly; a super-linear curve would indict the per-round
+    // join or the convergence check, not the data.
+    record("graph_cc", timeMin(3, spark) {
+      graft.ext.Components.connectedComponents(eNewS, "a", "b").count()
+    })
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
