@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.{SparkSpec, Tables}
+
+/** PQ semantics the hash gate can't articulate: the compressed index is
+  * really M small codes per vector, and ADC over it really finds near
+  * neighbors (recall vs the exact L2 scan, pinned).
+  */
+class PqSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("codes: every vector gets M codes drawn from <=Ksub centroids per subspace") {
+    val codes = Pq.q_pq_codes.fn(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    codes.count() shouldBe n
+    for (s <- 0 until 4) {
+      val k = codes.select(countDistinct(col(s"c$s"))).head.getLong(0)
+      k should be <= 16L
+      k should be >= 2L // training produced a real partition, not one blob
+    }
+  }
+
+  test("shortlist+re-rank recall@3 beats raw ADC and meets the pinned floor") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val l2 = aggregate(zip_with(col("qv"), col("v"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), l2.as("d"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKOrdered(-col("d"), col("vec_id"), 3).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val raw = recallOf(Pq.q_pq_adc.fn(spark, sf))
+    val rer = recallOf(Pq.q_pq_rerank.fn(spark, sf))
+    info(f"recall@3: raw ADC $raw%.2f, shortlist+re-rank $rer%.2f")
+    // raw ADC collapses on this corpus BY CONSTRUCTION (10 tight label
+    // clusters -> cluster members share the query's code tuple, distances
+    // tie exactly, and the id tiebreak picks the "top" 3: measured 0.13).
+    // The re-rank path (R=50 shortlist, exact re-rank: measured 0.73) is
+    // the production read; the pins are regression floors AND the ordering
+    // claim raw < rerank — the documented reason q_pq_rerank exists.
+    rer should be >= 0.6
+    rer should be > raw
+  }
+}
