@@ -187,4 +187,38 @@ object GraphAnalytics {
     }
     ranks.select(col("v"), col("r").as("rank_ppm"))
   }
+
+  /** Synchronous label-propagation community detection over an undirected
+    * `(a, b)` edge set: every vertex starts labeled with its own id; each
+    * round it adopts the PLURALITY label among its neighbors, ties to the
+    * smallest label. A FIXED round count is the semantic contract (sync
+    * LP can oscillate on bipartite-ish structures, so "run to
+    * convergence" is not well-defined — the fixed-round fold is
+    * deterministic on every engine and is how LP is deployed in practice).
+    *
+    * Scale shape per round: one equi-join of the label vector against the
+    * pre-partitioned adjacency (only the label vector moves) + two
+    * aggregations. The plurality argmax is `max(struct(cnt, -lbl))` —
+    * lexicographic max = highest count then smallest label, one
+    * aggregate, no window, integer-only (hash-gateable cross-engine).
+    * Lineage stays flat via per-round eager checkpoints (the
+    * [[pageRankInt]] contract).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    var lbl = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      lbl = sym.join(lbl.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("v").as("part"), col("lbl").as("community"))
+  }
 }

@@ -123,6 +123,36 @@ object CurationQueries {
       .orderBy(col("part"))
   }
 
+  // -- C19: label-propagation communities -----------------------------------
+  // The community-detection layer between q_graph_cc (components = the
+  // coarsest communities) and q_kcore (cohesion cores): synchronous
+  // plurality-label propagation, FIXED 3 rounds (sync LP can oscillate,
+  // so a fixed-round fold IS the deterministic contract — see
+  // GraphAnalytics.labelPropagation). Oracle: the 3 rounds unrolled as
+  // chained CTEs with a row_number argmax — count-desc then label-asc,
+  // exactly the lexicographic max(struct(cnt, -lbl)) the Spark side
+  // aggregates (no window on corpus-scale data in the Spark plan).
+  val q_label_prop: QueryDef = QueryDef {
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (SELECT v, lbl FROM (
+         |    SELECT s.dst AS v, l.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY s.dst
+         |        ORDER BY count(*) DESC, l.lbl ASC) AS rk
+         |    FROM sym s JOIN l${i - 1} l ON l.v = s.src
+         |    GROUP BY s.dst, l.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${CoreQueries.coPurchaseCtes},
+       |sym AS (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b AS src, a AS dst FROM e),
+       |l0 AS (SELECT src AS v, src AS lbl FROM sym GROUP BY src),
+       |$rounds
+       |SELECT v AS part, lbl AS community FROM l3 ORDER BY part""".stripMargin
+  } { (s, dir) =>
+    graft.graph.GraphAnalytics
+      .labelPropagation(CoreQueries.coPurchaseEdges(s, dir), iters = 3)
+      .orderBy(col("part"))
+  }
+
   // -- H37: rational BM25 relevance scoring ---------------------------------
   // Retrieval-style relevance of every document against a deterministic
   // query-term set (df-ranked terms 5-8 — past the boilerplate head,
@@ -198,5 +228,6 @@ object CurationQueries {
     "q_quantile_bins" -> q_quantile_bins,
     "q_entity_match" -> q_entity_match,
     "q_graph_cc" -> q_graph_cc,
+    "q_label_prop" -> q_label_prop,
     "q_bm25_rational" -> q_bm25_rational)
 }

@@ -67,6 +67,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("label_prop: communities refine connected components") {
+    val cc = CurationQueries.q_graph_cc.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = CurationQueries.q_label_prop.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    lp.length shouldBe cc.size
+    // a community label is itself a vertex, and it must live in the same
+    // component as every member (labels only travel along edges)
+    lp.foreach { case (part, community) => cc(community) shouldBe cc(part) }
+    // refinement: at least as many communities as components
+    lp.map(_._2).distinct.length should be >= cc.values.toSeq.distinct.length
+  }
+
   test("bm25: top-20 is positive-scored, descending, and every scored doc holds a query term") {
     val rows = CurationQueries.q_bm25_rational.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
