@@ -538,6 +538,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -- dedup savings report -------------------------------------------------
+  // The number the dedup pipeline is RUN FOR: per near-dup cluster size,
+  // how many clusters, how many documents the collapse drops, and how
+  // many chars of storage/compute those drops save. This is the report a
+  // 100 TB curation run publishes next to its corpus release. Scale
+  // shape: everything after the (contamination-scale) component frame is
+  // cluster-cardinality; the only corpus touch is one hash join of the
+  // member ids against documents for n_chars.
+  val q_dedup_stats: QueryDef = QueryDef(
+    s"""WITH RECURSIVE ${duckLshJaccardCtes(wordShingleSql, bands = 8, r = 2)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jv
+       |  UNION SELECT doc_b, doc_a FROM jv),
+       |r AS (SELECT src AS id, dst AS m FROM e
+       |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.m = e.src),
+       |comp AS (SELECT id, least(id, min(m)) AS cid FROM r GROUP BY id),
+       |sz AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid),
+       |x AS (SELECT sz.cid, sz.csize,
+       |    CAST(sum(CASE WHEN comp.id <> sz.cid THEN d.n_chars ELSE 0 END) AS BIGINT) AS dupc
+       |  FROM comp JOIN sz USING (cid) JOIN documents d ON d.doc_id = comp.id
+       |  GROUP BY sz.cid, sz.csize)
+       |SELECT csize AS cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(csize - 1) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(dupc) AS BIGINT) AS dup_chars
+       |FROM x GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+    val comp = Components.connectedComponents(
+      corpusLshPairs(s, dir, bands = 8, r = 2).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    comp.join(sz, "cluster_id")
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        comp("id") === col("doc_id"))
+      .groupBy(col("cluster_id"), col("csize"))
+      .agg(sum(when(col("id") =!= col("cluster_id"), col("n_chars")).otherwise(0L)).as("dupc"))
+      .groupBy(col("csize").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize") - 1).as("n_dup_docs"),
+        sum(col("dupc")).as("dup_chars"))
+      .orderBy(col("cluster_size"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_minhash_sig" -> q_minhash_sig,
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
@@ -547,5 +586,6 @@ object Dedup {
     "q_dedup_components" -> q_dedup_components,
     "q_dedup_apply" -> q_dedup_apply,
     "q_dup_span_ratio" -> q_dup_span_ratio,
-    "q_minhash_containment" -> q_minhash_containment)
+    "q_minhash_containment" -> q_minhash_containment,
+    "q_dedup_stats" -> q_dedup_stats)
 }

@@ -525,8 +525,12 @@ object Similarity {
   private def duckDotFD(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]), (x, y) -> x + y)"
 
-  val q_similarity_ivf: QueryDef = QueryDef(
-    s"""WITH e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+  /** The shared oracle head: embeddings → corpus-derived nlist → seeded
+    * init → two Lloyd rounds → final cell assignment (`asg`). Reused by
+    * the search query and the cell-histogram health check.
+    */
+  private lazy val ivfHeadSql: String =
+    s"""e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |$nlistSql,
        |$cn0Sql,
@@ -536,7 +540,10 @@ object Similarity {
        |    SELECT e.vec_id, cn2.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${duckDotFD("e.v", "cn2.cv")} / (e.nrm * cn2.cn) DESC, cn2.cell) AS crk
-       |    FROM e, cn2) WHERE crk = 1),
+       |    FROM e, cn2) WHERE crk = 1)""".stripMargin
+
+  val q_similarity_ivf: QueryDef = QueryDef(
+    s"""WITH $ivfHeadSql,
        |q AS (SELECT e.vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
        |probe AS (SELECT query_id, cell FROM (
        |    SELECT q.query_id, cn2.cell,
@@ -610,11 +617,31 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // -- IVF index health: cell-size histogram ---------------------------------
+  // The check an operator runs BEFORE serving from an IVF index: the
+  // cell-population histogram. A skewed quantizer (one giant cell) makes
+  // every probe of that cell corpus-scale — the vector-index analog of
+  // q_key_skew — and the fix (re-train, raise nlist) is cheap at build
+  // time and impossible at query time. One aggregate over the cached
+  // (vec_id, cell) assignment; the histogram key space is bounded by
+  // distinct cell sizes <= nlist.
+  val q_ivf_cells: QueryDef = QueryDef(
+    s"""WITH $ivfHeadSql,
+       |c AS (SELECT cell, count(*) AS cell_size FROM asg GROUP BY cell)
+       |SELECT cell_size, count(*) AS n_cells
+       |FROM c GROUP BY cell_size ORDER BY cell_size""".stripMargin) { (s, dir) =>
+    ivfIndex(s, dir).ec
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+      .groupBy(col("cell_size")).agg(count(lit(1)).as("n_cells"))
+      .orderBy(col("cell_size"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_topk_q8" -> q_similarity_topk_q8,
     "q_similarity_ann" -> q_similarity_ann,
     "q_embed_nn_join" -> q_embed_nn_join,
     "q_similarity_ivf" -> q_similarity_ivf,
+    "q_ivf_cells" -> q_ivf_cells,
     "q_semdedup" -> q_semdedup)
 }
