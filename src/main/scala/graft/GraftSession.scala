@@ -37,6 +37,10 @@ object GraftSession {
 
   def builder(shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
+      // plan guardrails (graft.plans.Guardrails): inert until the session
+      // sets spark.graft.guardrails=warn|fail — then cartesian joins and
+      // global windows over possibly-large inputs are caught at PLAN time
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

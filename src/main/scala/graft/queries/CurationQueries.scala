@@ -46,6 +46,42 @@ object CurationQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  // -- D23: session statistics ----------------------------------------------
+  // The aggregate layer over D21: one row per (user, session) with event
+  // count, bounds, and duration — the frame engagement metrics join
+  // against. The two windows AND the final groupBy all key on user_id,
+  // so Catalyst plans ONE exchange for the whole query; the session
+  // rollup rides the sessionize windows' sort for free.
+  val q_session_stats: QueryDef = QueryDef(
+    """WITH x AS (SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |b AS (SELECT event_id, user_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |s AS (SELECT event_id, user_id, sec,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT)
+      |      AS session_seq
+      |  FROM b)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(sec) AS start_sec, max(sec) AS end_sec,
+      |  max(sec) - min(sec) AS duration_secs
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("CAST(ts AS LONG)").as("sec"))
+      .withColumn("brk",
+        when(lag(col("sec"), 1).over(w).isNull
+          || col("sec") - lag(col("sec"), 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        (max(col("sec")) - min(col("sec"))).as("duration_secs"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   // -- D22: equi-depth quantile bins ----------------------------------------
   // The feature-discretization table: per event_type, quartile boundaries
   // by NTILE (equal row counts per bin) with each bin's exact [lo, hi]
@@ -207,7 +243,7 @@ object CurationQueries {
     val qt = top8.join(top4.select("term"), Seq("term"), "left_anti")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val sumDl = dl.agg(sum(col("dl")).as("sum_dl"))
-    t.join(broadcast(qt.withColumnRenamed("df", "df")), "term")
+    t.join(broadcast(qt), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(sumDl))
@@ -225,6 +261,7 @@ object CurationQueries {
 
   val all: Map[String, QueryDef] = Map(
     "q_sessionize" -> q_sessionize,
+    "q_session_stats" -> q_session_stats,
     "q_quantile_bins" -> q_quantile_bins,
     "q_entity_match" -> q_entity_match,
     "q_graph_cc" -> q_graph_cc,
