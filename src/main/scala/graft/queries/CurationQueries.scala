@@ -107,6 +107,28 @@ object CurationQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  // -- B10: schema-flexible JSON via VariantType ----------------------------
+  // The schema-on-read complement to B3's fixed-schema from_json: Spark
+  // 4's VARIANT parses once into a binary semi-structured value and
+  // extracts fields by path WITHOUT declaring the full schema up front —
+  // the right decode when producers add props keys faster than consumers
+  // re-deploy schemas (from_json silently nulls unknown shapes; variant
+  // keeps them queryable). parse_json + variant_get stay codegen'd
+  // columnar ops; the aggregate is an ordinary hash agg per event type.
+  val q_variant_props: QueryDef = QueryDef(
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k", variant_get(parse_json(col("props")), "$.k", "bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   // -- C17: blocked fuzzy record linkage ------------------------------------
   // Entity resolution the way it survives 100 TB: NEVER all-pairs. Names
   // dedup to name-cardinality first, a deterministic blocking key (last
@@ -262,6 +284,7 @@ object CurationQueries {
   val all: Map[String, QueryDef] = Map(
     "q_sessionize" -> q_sessionize,
     "q_session_stats" -> q_session_stats,
+    "q_variant_props" -> q_variant_props,
     "q_quantile_bins" -> q_quantile_bins,
     "q_entity_match" -> q_entity_match,
     "q_graph_cc" -> q_graph_cc,
