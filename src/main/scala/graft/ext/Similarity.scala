@@ -617,6 +617,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // -- hard-negative mining for contrastive training -------------------------
+  // The offline pipeline step behind every contrastive/embedding training
+  // run: per anchor, the HIGHEST-similarity vectors with a DIFFERENT
+  // label — the near-boundary negatives that carry the gradient signal
+  // random negatives don't. Same broadcast-anchors + one-corpus-scan +
+  // bounded TopKOrdered shape as the exact top-k; the label gate is a
+  // pushed filter inside the scored scan, so mining k negatives costs
+  // exactly one corpus pass whatever k. (At 100 TB the exact scan swaps
+  // for the IVF/PQ probe — the gate and ranking are unchanged.)
+  val q_hard_negatives: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+       |  FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT query_id, vec_id, CAST(e.label AS BIGINT) AS neg_label,
+       |    ${duckDot("qv", "v")} / (qn * nrm) AS cos
+       |  FROM q, e WHERE e.label <> q.qlabel),
+       |r AS (SELECT query_id, vec_id, neg_label, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, neg_label, round(cos, 6) AS cosine, rnk
+       |FROM r WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // TopKOrdered ids are longs: pack (vec_id, label) as vec_id*1000+label
+    // — labels are small non-negative ints, so packed order == vec_id
+    // order and the tie semantics match the oracle's row_number exactly
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"),
+        (col("vec_id") * 1000 + col("label").cast("long")).as("pid"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKOrdered(col("cos"), col("pid"), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), expr("t.id div 1000").as("vec_id"),
+        (col("t.id") % 1000).as("neg_label"),
+        round(col("t").getField("score"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // -- IVF index health: cell-size histogram ---------------------------------
   // The check an operator runs BEFORE serving from an IVF index: the
   // cell-population histogram. A skewed quantizer (one giant cell) makes
@@ -643,5 +690,6 @@ object Similarity {
     "q_embed_nn_join" -> q_embed_nn_join,
     "q_similarity_ivf" -> q_similarity_ivf,
     "q_ivf_cells" -> q_ivf_cells,
+    "q_hard_negatives" -> q_hard_negatives,
     "q_semdedup" -> q_semdedup)
 }

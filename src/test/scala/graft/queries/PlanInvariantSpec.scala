@@ -22,9 +22,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     */
   private val allowNestedLoop =
     Set("q_similarity_topk", "q_similarity_topk_q8", "q_similarity_ivf", "q_semdedup",
-      // q_pq_adc / q_pq_rerank: the NQueries-row query frame broadcast
-      // against the codes frame — same shape as q_similarity_topk.
-      "q_pq_adc", "q_pq_rerank",
+      // q_pq_adc / q_pq_rerank / q_hard_negatives: the NQueries-row query
+      // frame broadcast against the corpus scan — same shape as
+      // q_similarity_topk.
+      "q_pq_adc", "q_pq_rerank", "q_hard_negatives",
       // q_boilerplate_strip: two deliberate ONE-ROW broadcast cross joins
       // (the corpus-count scalar into the DF threshold; the flagged-token
       // array against the corpus scan) — each moves a single row.
