@@ -52,11 +52,11 @@ object Pq {
     aggregate(zip_with(vs, cv, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Argmin code over an id-ordered literal codebook: strict-< fold keeps
-    * the FIRST (= lowest id) among distance ties — the oracle's
-    * `ORDER BY d ASC, code ASC`.
+  /** Argmin fold over an id-ordered literal codebook: strict-< keeps the
+    * FIRST (= lowest id) among distance ties — the oracle's
+    * `ORDER BY d ASC, code ASC`. Returns struct(id, d).
     */
-  private def argminCode(vs: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+  private def argminStruct(vs: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val arr = array(cents.sortBy(_._1).map { case (id, cv) =>
       struct(lit(id).as("id"), typedlit(cv).as("cv"))
     }: _*)
@@ -66,8 +66,24 @@ object Pq {
         val d = distSq(vs, c.getField("cv"))
         when(d < acc.getField("d"),
           struct(c.getField("id").cast("long").as("id"), d.as("d"))).otherwise(acc)
-      }).getField("id")
+      })
   }
+
+  private def argminCode(vs: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    argminStruct(vs, cents).getField("id")
+
+  /** Squared reconstruction error of a full vector against frozen
+    * codebooks: Σ_s min_c ||v_s − c||² — the quantization-quality signal
+    * the drift monitor watches. Pure projection (codebooks are plan
+    * literals).
+    */
+  def reconstructionError(v: Column, books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    (0 until M).map(s => argminStruct(subVec(v, s), books(s)).getField("d"))
+      .reduce(_ + _)
+
+  /** The trained codebooks for external monitors (bounded: M × Ksub). */
+  private[graft] def codebooks(s: SparkSession, dir: String): Seq[Seq[(Long, Seq[Double])]] =
+    pqIndex(s, dir).books
 
   /** Train one subspace's codebook: md5-ranked seeded init (the same
     * pseudo-random sample rule as the IVF quantizer), then `iters` Lloyd

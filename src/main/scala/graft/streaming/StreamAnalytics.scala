@@ -223,6 +223,34 @@ object StreamAnalytics {
       }
   }
 
+  /** Quantizer drift monitor — the index-maintenance loop a production
+    * vector store runs beside its ingest: every windowed batch of arriving
+    * vectors is scored against the FROZEN PQ codebooks
+    * ([[graft.ext.Pq.reconstructionError]], a pure projection — the
+    * codebooks are plan literals, nothing shuffles but the window
+    * aggregate), and the window's mean error is emitted next to the
+    * train-time baseline as a ppm ratio. A ratio drifting above ~1 says
+    * the arriving distribution has left the codebook's geometry — retrain
+    * BEFORE recall quietly degrades (the failure is silent otherwise:
+    * codes still assign, searches still return, results just get worse).
+    * Watermarked tumbling windows bound state exactly like
+    * [[tumblingCounts]].
+    */
+  def pqDriftMonitor(
+      vectors: DataFrame, // (ts timestamp, v array<float>)
+      books: Seq[Seq[(Long, Seq[Double])]],
+      baselineErr: Double,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame =
+    vectors
+      .withColumn("err", graft.ext.Pq.reconstructionError(col("v"), books))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("err")).as("mean_err"))
+      .select(col("window.start").as("win_start"), col("n_vectors"),
+        col("mean_err"),
+        (col("mean_err") * 1000000.0 / baselineErr).cast("long").as("drift_ppm"))
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)
