@@ -46,6 +46,33 @@ object CurationQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  // -- D24: source freshness / completeness report --------------------------
+  // The ingestion-health dashboard row: per event type, row count, first/
+  // last event epoch, and lag behind the globally freshest type — the
+  // first thing an on-call looks at when a pipeline "looks stale". One
+  // type-cardinality aggregate + one broadcast scalar; integral seconds
+  // end-to-end.
+  val q_freshness: QueryDef = QueryDef(
+    """WITH s AS (SELECT event_type, count(*) AS n_events,
+      |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+      |  FROM events GROUP BY event_type),
+      |g AS (SELECT max(last_sec) AS tip FROM s)
+      |SELECT event_type, n_events, first_sec, last_sec,
+      |  g.tip - last_sec AS lag_secs
+      |FROM s CROSS JOIN g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val st = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(ts AS LONG)").as("sec"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("sec")).as("first_sec"),
+        max(col("sec")).as("last_sec"))
+    val tip = st.agg(max(col("last_sec")).as("tip"))
+    st.crossJoin(broadcast(tip))
+      .select(col("event_type"), col("n_events"), col("first_sec"), col("last_sec"),
+        (col("tip") - col("last_sec")).as("lag_secs"))
+      .orderBy(col("event_type"))
+  }
+
   // -- D23: session statistics ----------------------------------------------
   // The aggregate layer over D21: one row per (user, session) with event
   // count, bounds, and duration — the frame engagement metrics join
@@ -285,6 +312,7 @@ object CurationQueries {
     "q_sessionize" -> q_sessionize,
     "q_session_stats" -> q_session_stats,
     "q_variant_props" -> q_variant_props,
+    "q_freshness" -> q_freshness,
     "q_quantile_bins" -> q_quantile_bins,
     "q_entity_match" -> q_entity_match,
     "q_graph_cc" -> q_graph_cc,

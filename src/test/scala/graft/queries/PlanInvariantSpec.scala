@@ -41,7 +41,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       "q_key_skew",
       // q_bm25_rational: the n_docs and sum_dl scalars (one row each)
       // broadcast into the per-(doc, q-term) scoring frame.
-      "q_bm25_rational")
+      "q_bm25_rational",
+      // q_freshness: the global-tip scalar (one row) broadcast against
+      // the type-cardinality report for the lag column.
+      "q_freshness")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
@@ -63,7 +66,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q_churn_weekly", "q_cooccur_assoc", "q_key_skew", "q_column_profile",
     // q_bm25_rational: same scalar-aggregate shape (corpus doc count +
     // total token count), one partial row per upstream partition.
-    "q_bm25_rational")
+    "q_bm25_rational",
+    // q_freshness: the global-tip scalar aggregate.
+    "q_freshness")
 
   /** Deliberate unpartitioned window: ONLY over dimension frames whose
     * cardinality is bounded by something other than the corpus (the
