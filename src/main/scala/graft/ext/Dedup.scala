@@ -239,17 +239,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs with exact intersection size but NO Jaccard gate —
-    * the shared front half of [[verifyJaccard]], for scorers (containment)
-    * whose keep-predicate is not Jaccard. `docs` must already be
-    * persisted/checkpointed (both callers pass [[corpusShingles]]).
+  /** Candidate pairs with exact intersection AND union sizes but NO
+    * Jaccard gate — the shared front half of [[verifyJaccard]], for
+    * scorers (containment, threshold sweeps) whose keep-predicate is not
+    * the fixed J >= 1/2. `docs` must already be persisted/checkpointed
+    * (all callers pass [[corpusShingles]]).
     */
   private[ext] def lshCandidateInter(docs: DataFrame, bands: Int, r: Int): DataFrame = {
     def lookup(p: DataFrame, side: String): DataFrame =
       p.join(docs.select(col("doc_id").as(side), col("hs").as(s"hs_${side.last}")), side)
     lookup(lookup(candidatePairs(docs, bands, r), "doc_a"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).as("uni"))
   }
 
   /** The CTE chain of the pipeline as DuckDB SQL, ending in `jv` =
@@ -577,6 +579,25 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  // -- Jaccard threshold sensitivity sweep ----------------------------------
+  // The tune-the-bar report: how many candidate pairs survive at each
+  // Jaccard threshold. Moving the dedup bar from 0.5 to 0.8 is a
+  // corpus-size decision someone has to sign off on — this one-scan
+  // sweep over the ALREADY-VERIFIED candidate frame (five conditional
+  // aggregates, zero extra joins) is the evidence that decision reads.
+  val q_jaccard_sweep: QueryDef = QueryDef(
+    s"""WITH ${duckLshJaccardCtes(wordShingleSql, bands = 8, r = 2)}
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       |  ${Seq(50, 60, 70, 80, 90).map(t =>
+            s"CAST(sum(CASE WHEN inter * 100 >= $t * uni THEN 1 ELSE 0 END) AS BIGINT) AS j$t")
+            .mkString(",\n  ")}
+       |FROM j""".stripMargin) { (s, dir) =>
+    lshCandidateInter(corpusShingles(s, dir), bands = 8, r = 2)
+      .agg(count(lit(1)).as("n_candidates"),
+        Seq(50, 60, 70, 80, 90).map(t =>
+          sum(when(col("inter") * 100 >= lit(t) * col("uni"), 1L).otherwise(0L)).as(s"j$t")): _*)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_minhash_sig" -> q_minhash_sig,
     "q_minhash_lsh_pairs" -> q_minhash_lsh_pairs,
@@ -587,5 +608,6 @@ object Dedup {
     "q_dedup_apply" -> q_dedup_apply,
     "q_dup_span_ratio" -> q_dup_span_ratio,
     "q_minhash_containment" -> q_minhash_containment,
-    "q_dedup_stats" -> q_dedup_stats)
+    "q_dedup_stats" -> q_dedup_stats,
+    "q_jaccard_sweep" -> q_jaccard_sweep)
 }

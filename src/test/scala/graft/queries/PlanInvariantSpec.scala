@@ -68,7 +68,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // total token count), one partial row per upstream partition.
     "q_bm25_rational",
     // q_freshness: the global-tip scalar aggregate.
-    "q_freshness")
+    "q_freshness",
+    // q_jaccard_sweep: the one-row sweep is itself a scalar aggregate
+    // over the candidate frame — partials only through the exchange.
+    "q_jaccard_sweep")
 
   /** Deliberate unpartitioned window: ONLY over dimension frames whose
     * cardinality is bounded by something other than the corpus (the
