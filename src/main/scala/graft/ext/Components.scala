@@ -56,7 +56,7 @@ object Components {
     // null on an empty graph — treat as 0 so empty input converges in one
     // round instead of NPEing
     def lblSum(df: DataFrame): Long = {
-      val v = df.agg(sum(col("lbl"))).head.get(0)
+      val v = df.agg(sum(col("lbl"))).head().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
 

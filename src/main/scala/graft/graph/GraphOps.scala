@@ -146,7 +146,7 @@ object GraphOps {
       // ONE driver-side row per round decides convergence: pair count
       // stable AND total depth stable (pairs only ever appear, depths
       // only ever decrease — (count, sum) is a monotone measure)
-      val stats = cl.agg(count(lit(1)), sum(col("depth"))).head
+      val stats = cl.agg(count(lit(1)), sum(col("depth"))).head()
       val (n, dSum) = (stats.getLong(0), stats.getLong(1))
       converged = n == prevCount && dSum == prevDepthSum
       prevCount = n

@@ -83,7 +83,7 @@ object Skew {
     }
     if (!duplicateSafe) saltedCore(left, right, keys, factor, joinType)
     else {
-      val collapsed = left.groupBy(left.columns.map(col): _*)
+      val collapsed = left.groupBy(left.columns.toIndexedSeq.map(col): _*)
         .agg(count(lit(1)).as("__cnt"))
       saltedCore(collapsed, right, keys, factor, joinType)
         .withColumn("__i", explode(sequence(lit(1L), col("__cnt"))))
@@ -108,7 +108,7 @@ object Skew {
       !left.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
     require(hashable.nonEmpty, "saltedJoin needs at least one non-map left column to salt on")
     val l = left.withColumn("__salt",
-      pmod(hash(hashable.map(col): _*), lit(factor)))
+      pmod(hash(hashable.toIndexedSeq.map(col): _*), lit(factor)))
     val r = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

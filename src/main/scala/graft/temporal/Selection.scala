@@ -44,7 +44,7 @@ object Selection {
       nBuckets: Int = 4096, directLimit: Long = 65536): (Long, Seq[Long]) = {
     val v = col(valueCol)
     val base = df.select(v.as("v")).where(v.isNotNull)
-    val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head
+    val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head()
     val (lo0, hi0, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
     val ks = ksOf(n)
     ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))

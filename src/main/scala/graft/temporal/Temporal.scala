@@ -58,7 +58,7 @@ object Temporal {
     * in neither run-to-run nor against per-column-max_by oracles.
     */
   def lastWriterPerKey(df: DataFrame, key: Seq[String], seq: String): DataFrame = {
-    val payload = struct(df.columns.filterNot(key.contains).map(col): _*)
+    val payload = struct(df.columns.filterNot(key.contains).toIndexedSeq.map(col): _*)
     df.groupBy(key.map(col): _*)
       .agg(max_by(payload, col(seq)).as("__last"))
       .select(key.map(col) ++

@@ -132,7 +132,7 @@ object TemporalJoins {
       keys.map(col) ++ Seq(
         col(ptCol).as("__t"), lit(1).as("__k"),
         lit(null).cast(payloadType).as("__p"),
-        struct(points.columns.map(col): _*).as("__pt")): _*)
+        struct(points.columns.toIndexedSeq.map(col): _*).as("__pt")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__k"))
