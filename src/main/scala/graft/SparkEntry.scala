@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full query catalog: Spark impl + optional DuckDB oracle per query. */
   def catalog: Map[String, QueryDef] =
     CoreQueries.all ++ graft.ext.ExtQueries.all ++
-      graft.queries.AnalyticsQueries.all ++ graft.queries.CurationQueries.all
+      graft.queries.AnalyticsQueries.all ++ graft.queries.CurationQueries.all ++
+      graft.ext.ReleaseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,378 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Release-preparation operators — the last-mile ops a 100 TB curation run
+  * executes between "dedup pairs exist" and "dataset ships": segment-level
+  * dedup with document reassembly, incremental (new-docs-only) near-dup
+  * discovery, BPE merge-candidate counting, the benchmark-x-source
+  * contamination matrix, a dedup-cluster cohesion audit, and the per-source
+  * dataset card.
+  *
+  * Same cross-engine exactness rules as [[ExtQueries]]: BIGINT arithmetic
+  * in hashed output, integral `div`, md5-derived determinism, total-ordered
+  * LIMIT boundaries. No scalar UDFs, no corpus-scale global windows, no
+  * all-pairs joins (every pair space is LSH-band- or hash-bucketed).
+  */
+object ReleaseQueries {
+
+  private val SegTokens = 12
+
+  // -- H45: segment-level dedup with reassembly -----------------------------
+  // CCNet-style paragraph dedup (Wenzek et al. 2020 dedupe by paragraph
+  // hash; here "paragraph" = 12-token segment, the corpus has no newline
+  // structure): a segment survives only in its FIRST corpus occurrence
+  // (min (doc_id, seg_idx)); every document is rebuilt from its surviving
+  // segments. Catches cross-document boilerplate that doc-level near-dup
+  // never drops (J(doc_a, doc_b) stays tiny when only one paragraph is
+  // shared) and, unlike q_repeated_spans (which REPORTS duplicated spans),
+  // actually EMITS the cleaned corpus.
+  //
+  // Scale shape: segments explode once (corpus token count rows across
+  // all segments); first-occurrence election is a window MIN partitioned
+  // by the 60-bit segment hash — ONE exchange keyed on seg hash, partition
+  // sizes = duplication count per segment (bounded, skew-salted upstream
+  // if a segment goes mega-viral); reassembly is ONE exchange back on
+  // doc_id. No joins, no corpus²: 2 shuffles total at any corpus size.
+  // The keeper key packs (doc_id, seg_idx) into one BIGINT (seg_idx <
+  // 100000 = docs up to 1.2M tokens) so the window MIN is a single-column
+  // fold on both engines.
+  val q_paragraph_dedup: QueryDef = QueryDef(
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |seg AS (SELECT doc_id,
+       |    unnest(range(0, CAST((len(toks) + ${SegTokens - 1}) // $SegTokens AS BIGINT)))
+       |      AS seg_idx, toks
+       |  FROM t),
+       |sh AS (SELECT doc_id, seg_idx,
+       |    array_to_string(toks[seg_idx*$SegTokens+1 : (seg_idx+1)*$SegTokens], ' ') AS seg_text,
+       |    CAST('0x' || substr(md5(
+       |      array_to_string(toks[seg_idx*$SegTokens+1 : (seg_idx+1)*$SegTokens], ' ')
+       |    ), 1, 15) AS BIGINT) AS h
+       |  FROM seg),
+       |k AS (SELECT doc_id, seg_idx, seg_text,
+       |    (doc_id*100000 + seg_idx) = min(doc_id*100000 + seg_idx) OVER (PARTITION BY h)
+       |      AS kept
+       |  FROM sh)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg_idx), '')
+       |    AS new_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val segs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the md5 projection — see Dedup.wordShingleDocs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(CAST(0 AS BIGINT), CAST((size(toks) + ${SegTokens - 1}) DIV $SegTokens - 1 AS BIGINT))"))
+          .as("seg_idx"))
+      .withColumn("seg_text",
+        concat_ws(" ", slice(col("toks"), (col("seg_idx") * SegTokens + 1).cast("int"), lit(SegTokens))))
+      .withColumn("h", graft.functions.Md5PrefixLong(col("seg_text"), 15))
+    val keyCol = col("doc_id") * 100000L + col("seg_idx")
+    segs
+      .withColumn("kept", keyCol === min(keyCol).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg_text"))))),
+          x => x.getField("seg_text"))).as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -- H46: incremental near-dup discovery (the daily-crawl path) -----------
+  // A 100 TB corpus is not re-deduped from scratch per crawl: the new
+  // increment (here doc_id % 10 = 0, ~10% of the corpus) hashes ONCE, its
+  // band rows join against the accumulated band index (old UNION new), and
+  // only candidate pairs TOUCHING a new doc are verified — O(new x bucket)
+  // work per increment instead of O(corpus²) re-runs. This is the batch
+  // twin of StreamDedup's per-microbatch fold, declared as a query so the
+  // oracle pins the exactly-equal contract: incremental pairs == the full
+  // run's pairs filtered to new-touching (an LSH candidate (a,b) shares a
+  // band bucket, so any pair with a new side is found by the new-side
+  // band join — no recall loss from incrementality).
+  val q_dedup_incremental: QueryDef = QueryDef(
+    s"""WITH ${Dedup.duckLshJaccardCtes(Dedup.wordShingleSql, bands = 8, r = 2)}
+       |SELECT doc_a, doc_b, inter, uni FROM jv
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = Dedup.corpusShingles(s, dir)
+    val band = Dedup.bandRowsOf(sh, bands = 8, r = 2)
+    val bandNew = band.filter(col("doc_id") % 10 === 0)
+    val cand = bandNew.as("a").join(band.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    Dedup.verifyJaccard(cand, sh)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- H47: BPE merge-candidate counting (tokenizer training, step 1) -------
+  // The first iteration of byte-pair encoding (Sennrich et al. 2016): count
+  // adjacent symbol pairs over the word-frequency table and rank merge
+  // candidates. The corpus collapses to its VOCABULARY first (one token
+  // explode + word-cardinality aggregate) and the per-position pair
+  // explode runs over vocab-sized data weighted by word counts — at
+  // 100 TB the pair counting is vocabulary-work, not corpus-work, which
+  // is exactly why production BPE trainers operate on word-count tables.
+  // Top-30 = TakeOrdered with a pair tiebreak, no global sort.
+  val q_bpe_pairs: QueryDef = QueryDef(
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |  WHERE w <> '' GROUP BY w),
+      |p AS (SELECT cnt,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
+      |  FROM wf)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+      |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 30""".stripMargin) { (s, dir) =>
+    val wf = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    wf.select(col("cnt"), explode(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => concat(col("w").substr(i, lit(1)), lit(" "), col("w").substr(i + 1, lit(1)))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(30)
+  }
+
+  // -- H49: benchmark-suite x corpus-source contamination matrix ------------
+  // q_decontaminate answers "which docs are contaminated"; this answers the
+  // release-review question "which SOURCE leaks which BENCHMARK" — the
+  // matrix that decides whether a source is dropped wholesale or
+  // spot-cleaned. Two deterministic synthetic suites (doc_id % 97 / % 89)
+  // stand in for held-out benchmarks; suite members are excluded from
+  // their own corpus side so hits measure leakage, not identity.
+  //
+  // Scale shape: benchmark shingle sets are MB-scale at any corpus size
+  // (suites are fixed-size) -> broadcast; the corpus's shingle explode
+  // reuses the SHARED materialized shingle table; only hit rows (contamination-
+  // scale) reach the doc join and the (suite, source) rollup.
+  val q_contamination_matrix: QueryDef = QueryDef(
+    s"""WITH d AS (${Dedup.wordShingleSql}),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM d),
+       |bench AS (SELECT DISTINCT suite, h FROM (
+       |  SELECT 'suiteA' AS suite, h FROM ex WHERE doc_id % 97 = 0
+       |  UNION ALL SELECT 'suiteB', h FROM ex WHERE doc_id % 89 = 0)),
+       |hits AS (SELECT b.suite, e.doc_id, count(*) AS n
+       |  FROM ex e JOIN bench b ON e.h = b.h
+       |  WHERE NOT (b.suite = 'suiteA' AND e.doc_id % 97 = 0)
+       |    AND NOT (b.suite = 'suiteB' AND e.doc_id % 89 = 0)
+       |  GROUP BY b.suite, e.doc_id)
+       |SELECT suite, source, CAST(count(*) AS BIGINT) AS n_docs_hit,
+       |  CAST(sum(n) AS BIGINT) AS n_shingle_hits
+       |FROM hits JOIN documents USING (doc_id)
+       |GROUP BY suite, source ORDER BY suite, source""".stripMargin) { (s, dir) =>
+    val ex = Dedup.corpusShingles(s, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val bench = ex.filter(col("doc_id") % 97 === 0)
+      .select(lit("suiteA").as("suite"), col("h"))
+      .unionAll(ex.filter(col("doc_id") % 89 === 0)
+        .select(lit("suiteB").as("suite"), col("h")))
+      .distinct()
+    val hits = ex.join(broadcast(bench), "h")
+      .filter(!(col("suite") === "suiteA" && col("doc_id") % 97 === 0)
+        && !(col("suite") === "suiteB" && col("doc_id") % 89 === 0))
+      .groupBy(col("suite"), col("doc_id")).agg(count(lit(1)).as("n"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(hits), "doc_id")
+      .groupBy(col("suite"), col("source"))
+      .agg(count(lit(1)).as("n_docs_hit"), sum(col("n")).as("n_shingle_hits"))
+      .orderBy(col("suite"), col("source"))
+  }
+
+  // -- H52: dedup-cluster cohesion audit ------------------------------------
+  // The QA gate on the cluster collapse: per near-dup cluster, member
+  // count, verified-pair count, and min/avg/max pairwise Jaccard (ppm).
+  // A cluster whose min_j_ppm sits at the 500000 threshold while n_pairs
+  // << n_docs*(n_docs-1)/2 is a CHAIN (a~b~c with a!~c) — transitive
+  // over-collapse that silently deletes non-duplicates; this report is
+  // how a curation run catches it before shipping. Everything past the
+  // shared materialized pair frame is contamination-scale: the component
+  // frame broadcasts into the pair join, aggregates are cluster-cardinality.
+  val q_cluster_audit: QueryDef = QueryDef(
+    s"""WITH RECURSIVE ${Dedup.duckLshJaccardCtes(Dedup.wordShingleSql, bands = 8, r = 2)},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jv
+       |  UNION SELECT doc_b, doc_a FROM jv),
+       |r AS (SELECT src AS id, dst AS m FROM e
+       |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.m = e.src),
+       |c AS (SELECT id, least(id, min(m)) AS cluster_id FROM r GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY cluster_id),
+       |pj AS (SELECT c.cluster_id, inter * 1000000 // uni AS j_ppm
+       |  FROM jv JOIN c ON jv.doc_a = c.id),
+       |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(min(j_ppm) AS BIGINT) AS min_j_ppm,
+       |    CAST(max(j_ppm) AS BIGINT) AS max_j_ppm,
+       |    CAST(sum(j_ppm) // count(*) AS BIGINT) AS avg_j_ppm
+       |  FROM pj GROUP BY cluster_id)
+       |SELECT cluster_id, n_docs, n_pairs, min_j_ppm, max_j_ppm, avg_j_ppm
+       |FROM a JOIN sz USING (cluster_id) ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.corpusLshPairs(s, dir, bands = 8, r = 2)
+    val comp = Components
+      .connectedComponents(pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(comp.select(col("id").as("doc_a"), col("cluster_id"))), "doc_a")
+      .withColumn("j_ppm", expr("CAST(inter AS BIGINT) * 1000000 div uni"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j_ppm")).as("min_j_ppm"), max(col("j_ppm")).as("max_j_ppm"),
+        expr("sum(j_ppm) div count(1)").as("avg_j_ppm"))
+      .join(broadcast(sizes), "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+        col("min_j_ppm"), col("max_j_ppm"), col("avg_j_ppm"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // -- H51: per-source dataset card -----------------------------------------
+  // The release artifact published next to a corpus drop (Gebru et al.
+  // 2021 datasheets): one row per source with volume (docs/tokens/chars),
+  // language spread (distinct langs + plurality lang), exact-duplicate
+  // exposure, and token density. One corpus scan feeds the volume
+  // aggregate; the plurality lang is a window over source-cardinality
+  // groups (bounded partitions, never corpus-wide); exact-dup counts ride
+  // a window partitioned by the text hash (the q_dedup_exact shuffle);
+  // the final assembly joins source-cardinality frames (broadcast).
+  val q_dataset_card: QueryDef = QueryDef(
+    """WITH tl AS (SELECT source, lang, count(*) AS cnt FROM documents
+      |  GROUP BY source, lang),
+      |top AS (SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+      |    FROM tl) WHERE rk = 1),
+      |th AS (SELECT doc_id, source,
+      |    count(*) OVER (PARTITION BY md5(text)) AS n_same FROM documents),
+      |dup AS (SELECT source,
+      |    CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs
+      |  FROM th GROUP BY source),
+      |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents GROUP BY source)
+      |SELECT b.source, n_docs, n_tokens, total_chars, n_langs, top_lang, exact_dup_docs,
+      |  n_tokens * 1000000 // n_docs AS tokens_per_doc_ppm
+      |FROM base b JOIN top USING (source) JOIN dup USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val tl = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    val top = tl
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val dup = docs
+      .repartition(col("doc_id")) // spread the md5 projection over the single input split
+      .select(col("source"), md5(col("text")).as("th"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("th"))))
+      .groupBy(col("source"))
+      .agg(sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("exact_dup_docs"))
+    base.join(broadcast(top), "source").join(broadcast(dup), "source")
+      .withColumn("tokens_per_doc_ppm", expr("n_tokens * 1000000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  // -- H53: quality-bucketed mixture (CCNet head/middle/tail) ---------------
+  // The composition step after perplexity scoring (Wenzek et al. 2020):
+  // split the corpus into score tertiles — head (most fluent), middle,
+  // tail — and downsample each bucket at its own rate (100% / 50% / 10%),
+  // with a pure-md5 keep decision (reproducible, growth-stable for
+  // surviving docs, zero RNG). Composes H31's bigram LM score with H19b's
+  // distributed exact selection: the tertile thresholds come from
+  // [[graft.temporal.Selection.kthSmallest]] — O(levels) scans, driver
+  // memory O(buckets), NO global sort — and land in the plan as two
+  // literals, so bucketing is a per-row projection on one scan of the
+  // scored frame. The oracle recomputes the identical thresholds by
+  // exact rank, so a drift in the selection path FAILS the hash gate.
+  val q_quality_mix: QueryDef = QueryDef(
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) x),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |    CAST(CAST(sum(n12 * 1000000 // n1) AS BIGINT) // count(*) AS BIGINT) AS lm_score
+      |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
+      |g AS (SELECT count(*) AS n FROM sc),
+      |rk AS (SELECT lm_score AS v, row_number() OVER (ORDER BY lm_score) AS rn FROM sc),
+      |t1 AS (SELECT v FROM rk, g WHERE rn = greatest(n // 3, 1)),
+      |t2 AS (SELECT v FROM rk, g WHERE rn = greatest(2 * n // 3, 1)),
+      |b AS (SELECT doc_id,
+      |    CASE WHEN lm_score >= (SELECT v FROM t2) THEN 'head'
+      |         WHEN lm_score >= (SELECT v FROM t1) THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sc),
+      |k AS (SELECT doc_id, bucket,
+      |    CASE bucket WHEN 'head' THEN 100 WHEN 'middle' THEN 50 ELSE 10 END AS rate,
+      |    CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      |      AS r
+      |  FROM b)
+      |SELECT bucket, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN r < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(CASE WHEN r < rate
+      |    THEN len(string_split(text, ' ')) END), 0) AS BIGINT) AS kept_tokens
+      |FROM k JOIN documents USING (doc_id)
+      |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin) { (s, dir) =>
+    val big = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2) // sequence(1, size-1) must not descend
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val sc = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum((n12 * 1000000) div n1) div count(1)").as("lm_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tertile thresholds WITHOUT a global sort: recursive histogram
+    // narrowing; two longs reach the driver, by design (Selection.scala)
+    val (_, Seq(t1, t2)) = graft.temporal.Selection.kthSmallestBy(
+      sc, "lm_score", n => Seq(math.max(n / 3, 1L), math.max(2 * n / 3, 1L)))
+    val out = sc
+      .withColumn("bucket",
+        when(col("lm_score") >= t2, "head")
+          .when(col("lm_score") >= t1, "middle")
+          .otherwise("tail"))
+      .withColumn("rate",
+        when(col("bucket") === "head", 100L)
+          .when(col("bucket") === "middle", 50L).otherwise(10L))
+      .withColumn("r",
+        graft.functions.Md5PrefixLong(
+          concat(lit("mix|"), col("doc_id").cast("string")), 15) % 100)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks")), "doc_id")
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("r") < col("rate"), col("n_toks"))), lit(0L))
+          .cast("long").as("kept_tokens"))
+      .orderBy(col("bucket"), col("source"))
+    out
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_quality_mix" -> q_quality_mix,
+    "q_paragraph_dedup" -> q_paragraph_dedup,
+    "q_dedup_incremental" -> q_dedup_incremental,
+    "q_bpe_pairs" -> q_bpe_pairs,
+    "q_contamination_matrix" -> q_contamination_matrix,
+    "q_cluster_audit" -> q_cluster_audit,
+    "q_dataset_card" -> q_dataset_card)
+}

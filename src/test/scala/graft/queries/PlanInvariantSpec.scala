@@ -135,8 +135,15 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
         Option.when(straySinglePartition(plan) && !allowSinglePartition(name))(
           s"$name: unexpected Exchange SinglePartition"),
         // (?m): Window nodes are mid-plan lines, never the end of the
-        // whole plan string — without MULTILINE the anchor can never match
-        Option.when(raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined
+        // whole plan string — without MULTILINE the anchor can never match.
+        // A two-bracket Window line is global ONLY when its trailing
+        // bracket is an ORDER spec (carries a sort direction) — a
+        // partitioned-but-unordered window (e.g. min() over partitionBy
+        // with no orderBy) also prints two brackets, but its partition
+        // spec holds plain attributes with no ASC/DESC.
+        Option.when(
+          raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]* (?:ASC|DESC)[^\]]*\]$$".r
+            .findFirstIn(plan).isDefined
             && !allowGlobalWindow(name))(
           s"$name: Window without partitionBy")
       ).flatten
