@@ -327,19 +327,7 @@ object ReleaseQueries {
       |    THEN len(string_split(text, ' ')) END), 0) AS BIGINT) AS kept_tokens
       |FROM k JOIN documents USING (doc_id)
       |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin) { (s, dir) =>
-    val big = Tables.documents(s, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 2) // sequence(1, size-1) must not descend
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    val sc = big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .groupBy(col("doc_id"))
-      .agg(expr("sum((n12 * 1000000) div n1) div count(1)").as("lm_score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = ExtQueries.lmScores(s, dir).select(col("doc_id"), col("lm_score"))
     // tertile thresholds WITHOUT a global sort: recursive histogram
     // narrowing; two longs reach the driver, by design (Selection.scala)
     val (_, Seq(t1, t2)) = graft.temporal.Selection.kthSmallestBy(

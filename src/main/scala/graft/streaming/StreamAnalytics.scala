@@ -251,6 +251,41 @@ object StreamAnalytics {
         col("mean_err"),
         (col("mean_err") * 1000000.0 / baselineErr).cast("long").as("drift_ppm"))
 
+  /** E14 — streaming count-min sketch: the incremental twin of the batch
+    * `q_countmin_freq` grid. Each micro-batch explodes its keys into the
+    * d seeded md5 bucket hashes and a streaming aggregation keeps the
+    * running (row, bucket) counters — state is EXACTLY d*w integers
+    * whatever the key cardinality or stream length, which is the whole
+    * point of the sketch (per-key streaming state is impossible when
+    * keys are unbounded). Complete-mode output: the grid IS the result.
+    * The same md5 derivation as the batch grid means the streamed
+    * counters converge to the batch grid exactly once all rows are
+    * processed (pinned by StreamCountMinSpec's prefix-equality replay).
+    */
+  def countMinStream(
+      keyed: DataFrame, // one column `key` (string-castable)
+      depth: Int = 4,
+      width: Long = 256L): DataFrame =
+    keyed
+      .withColumn("i", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("b", pmod(graft.functions.Md5PrefixLong(
+        concat(lit("cm"), col("i").cast("string"), lit("|"),
+          col("key").cast("string")), 15), lit(width)))
+      .groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimate of one key against a collected count-min grid —
+    * min over the key's d cells (driver-side; the grid is d*w ints).
+    */
+  def countMinEstimate(
+      grid: Map[(Int, Long), Long], key: String,
+      depth: Int = 4, width: Long = 256L): Long =
+    (0 until depth).map { i =>
+      val h = java.lang.Long.parseLong(
+        graft.ext.TextAnalysis.md5hexJvm(s"cm$i|$key").substring(0, 15), 16)
+      grid.getOrElse((i, ((h % width) + width) % width), 0L)
+    }.min
+
   /** Per-user running totals with explicit state. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)

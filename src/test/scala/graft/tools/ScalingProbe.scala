@@ -254,6 +254,30 @@ object ScalingProbe {
       graft.ext.Components.connectedComponents(eNewS, "a", "b").count()
     })
 
+    // 12. segment-level dedup (q_paragraph_dedup): segments explode once,
+    // first-occurrence election is a window MIN partitioned by the 60-bit
+    // segment hash, reassembly groups back by doc — 2 exchanges whatever
+    // the corpus size. Copies share ZERO segments (token suffixing), so
+    // the duplication structure repeats per copy: the curve must track
+    // the segment count ~linearly; a super-linear curve would indict the
+    // hash-partitioned window (partition-size blow-up), not the data.
+    record("paragraph_dedup", timeMin(3, spark) {
+      val segs = docs
+        .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), explode(expr(
+          "sequence(CAST(0 AS BIGINT), CAST((size(toks)+11) DIV 12 - 1 AS BIGINT))")).as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("toks"), (col("i") * 12 + 1).cast("int"), lit(12))).as("t"))
+        .withColumn("h", graft.functions.Md5PrefixLong(col("t"), 15))
+      val key = col("doc_id") * 100000L + col("i")
+      segs
+        .withColumn("kept", key === min(key).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .count()
+    })
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
