@@ -355,8 +355,43 @@ object ReleaseQueries {
     out
   }
 
+  // -- H54: near-dup breakdown by source pair -------------------------------
+  // The diagnosis layer between pair emission (H3) and the source-overlap
+  // shingle matrix (H26): verified near-dup PAIRS attributed to source
+  // pairs — (s, s) rows are internal duplication (crawler re-fetch,
+  // mirror paths), (s, t) rows are cross-source scraping; the two have
+  // different fixes (dedup within ingest vs drop/trace the copying
+  // source), which is why the release review wants them separated.
+  // Scale shape: the verified pair frame is contamination-scale ->
+  // broadcast into two doc_id-keyed joins against single corpus scans
+  // (the corpus is never shuffled); the rollup output is <= n_sources².
+  val q_dup_breakdown: QueryDef = QueryDef(
+    s"""WITH ${Dedup.duckLshJaccardCtes(Dedup.wordShingleSql, bands = 8, r = 2)},
+       |sa AS (SELECT inter, uni, da.source AS s_a, db.source AS s_b
+       |  FROM jv JOIN documents da ON jv.doc_a = da.doc_id
+       |          JOIN documents db ON jv.doc_b = db.doc_id)
+       |SELECT least(s_a, s_b) AS source_a, greatest(s_a, s_b) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(inter * 1000000 // uni) // count(*) AS BIGINT) AS avg_j_ppm
+       |FROM sa GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.corpusLshPairs(s, dir, bands = 8, r = 2)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val p1 = src.join(broadcast(pairs), src("doc_id") === pairs("doc_a"))
+      .select(col("doc_b"), col("inter"), col("uni"), col("source").as("s_a"))
+    val p2 = src.join(broadcast(p1), src("doc_id") === p1("doc_b"))
+      .select(col("s_a"), col("source").as("s_b"), col("inter"), col("uni"))
+    p2.select(least(col("s_a"), col("s_b")).as("source_a"),
+        greatest(col("s_a"), col("s_b")).as("source_b"),
+        col("inter"), col("uni"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(CAST(inter AS BIGINT) * 1000000 div uni) div count(1)").as("avg_j_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_quality_mix" -> q_quality_mix,
+    "q_dup_breakdown" -> q_dup_breakdown,
     "q_paragraph_dedup" -> q_paragraph_dedup,
     "q_dedup_incremental" -> q_dedup_incremental,
     "q_bpe_pairs" -> q_bpe_pairs,

@@ -274,6 +274,29 @@ object StreamAnalytics {
       .groupBy(col("i"), col("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** E15 — streaming decontamination gate: H20's ingest-time twin. Each
+    * arriving document's distinct word 3-gram shingle hashes are checked
+    * against the benchmark hash set INSIDE the row (array_intersect with
+    * the set as a plan literal — benchmark suites are MB-scale at any
+    * corpus size, the same bound that lets the batch query broadcast
+    * them), so the operator is STATELESS: a pure per-row projection +
+    * filter, append-mode, no watermark, no state store — a contaminated
+    * doc is quarantined in the micro-batch it arrives in, and
+    * redelivering a batch re-emits identical verdicts. Same md5 contract
+    * as the batch decontaminate, pinned batch-equal by
+    * StreamDecontamSpec.
+    */
+  def decontaminationGate(docs: DataFrame, benchHashes: Seq[Long]): DataFrame = {
+    val hs = array_distinct(transform(
+      graft.ext.TextAnalysis.shingles(graft.ext.TextAnalysis.tokens(col("text")), 3),
+      x => graft.functions.Md5PrefixLong(x, 15)))
+    docs
+      .withColumn("n_hits",
+        size(array_intersect(hs, typedlit(benchHashes))).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   /** Point estimate of one key against a collected count-min grid —
     * min over the key's d cells (driver-side; the grid is d*w ints).
     */

@@ -122,6 +122,16 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("dup breakdown conserves the verified pair count") {
+    val total = Dedup.q_minhash_lsh_pairs.fn(spark, sf).count()
+    val rows = ReleaseQueries.q_dup_breakdown.fn(spark, sf).collect()
+    rows.map(_.getAs[Long]("n_pairs")).sum shouldBe total
+    // source_a <= source_b: the matrix is upper-triangular
+    rows.foreach { r =>
+      r.getAs[String]("source_a") should be <= r.getAs[String]("source_b")
+    }
+  }
+
   test("dataset card covers every source and conserves doc counts") {
     val card = ReleaseQueries.q_dataset_card.fn(spark, sf)
     val docs = graft.Tables.documents(spark, sf)
