@@ -32,14 +32,18 @@ object ReleaseQueries {
   // actually EMITS the cleaned corpus.
   //
   // Scale shape: segments explode once (corpus token count rows across
-  // all segments); first-occurrence election is a window MIN partitioned
-  // by the 60-bit segment hash — ONE exchange keyed on seg hash, partition
-  // sizes = duplication count per segment (bounded, skew-salted upstream
-  // if a segment goes mega-viral); reassembly is ONE exchange back on
-  // doc_id. No joins, no corpus²: 2 shuffles total at any corpus size.
-  // The keeper key packs (doc_id, seg_idx) into one BIGINT (seg_idx <
-  // 100000 = docs up to 1.2M tokens) so the window MIN is a single-column
-  // fold on both engines.
+  // all segments); first-occurrence election is a groupBy(h).min(key) +
+  // equi-join back on the 60-bit segment hash — NOT a window MIN: the
+  // aggregate's partial (map-side) combine collapses a mega-duplicated
+  // segment to one row per map task before the exchange, and the join
+  // back is AQE-skew-splittable, where a window partitioned by h would
+  // pin ALL copies of a viral segment (think: the empty-boilerplate
+  // paragraph repeated 10⁹ times at 100 TB) onto ONE task with no
+  // splitting mechanism. Big-frame exchanges: segs by h (join), segs by
+  // doc_id (reassembly) — the keeper frame's own exchange moves
+  // map-task-collapsed rows only. The keeper key packs (doc_id, seg_idx)
+  // into one BIGINT (seg_idx < 100000 = docs up to 1.2M tokens) so the
+  // election is a single-column MIN on both engines.
   val q_paragraph_dedup: QueryDef = QueryDef(
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |seg AS (SELECT doc_id,
@@ -72,8 +76,10 @@ object ReleaseQueries {
         concat_ws(" ", slice(col("toks"), (col("seg_idx") * SegTokens + 1).cast("int"), lit(SegTokens))))
       .withColumn("h", graft.functions.Md5PrefixLong(col("seg_text"), 15))
     val keyCol = col("doc_id") * 100000L + col("seg_idx")
+    val keeper = segs.groupBy(col("h")).agg(min(keyCol).as("keeper_key"))
     segs
-      .withColumn("kept", keyCol === min(keyCol).over(Window.partitionBy(col("h"))))
+      .join(keeper, "h")
+      .withColumn("kept", keyCol === col("keeper_key"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

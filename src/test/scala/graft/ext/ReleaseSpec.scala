@@ -42,6 +42,28 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(joined) shouldBe true
   }
 
+  test("paragraph dedup survives a mega-duplicated segment (skew case)") {
+    // one 12-token segment repeated across 20k docs — the viral-boilerplate
+    // shape; the election must keep exactly doc 0's copy and every doc must
+    // come back (the join form's map-side combine handles this; a window
+    // partitioned by h would hit one 20k-row task here and an unsplittable
+    // mega-task at corpus scale)
+    import spark.implicits._
+    val viral = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 20000L).map(i => (i, viral)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", expr("CAST(length(text) AS BIGINT)"))
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ReleaseQueries.q_paragraph_dedup.fn(spark, tmp)
+    out.count() shouldBe 20000L
+    out.agg(sum("n_kept")).collect()(0).getLong(0) shouldBe 1L
+    out.filter(col("doc_id") === 0).select("new_text")
+      .as[String].collect()(0) shouldBe viral
+    out.filter(col("doc_id") === 1).select("new_text")
+      .as[String].collect()(0) shouldBe ""
+  }
+
   test("incremental dedup pairs == full pairs filtered to new-touching") {
     val full = Dedup.q_minhash_lsh_pairs.fn(spark, sf)
       .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)

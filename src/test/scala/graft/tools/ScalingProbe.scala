@@ -255,12 +255,12 @@ object ScalingProbe {
     })
 
     // 12. segment-level dedup (q_paragraph_dedup): segments explode once,
-    // first-occurrence election is a window MIN partitioned by the 60-bit
-    // segment hash, reassembly groups back by doc — 2 exchanges whatever
-    // the corpus size. Copies share ZERO segments (token suffixing), so
-    // the duplication structure repeats per copy: the curve must track
-    // the segment count ~linearly; a super-linear curve would indict the
-    // hash-partitioned window (partition-size blow-up), not the data.
+    // first-occurrence election is groupBy(h).min + join back (map-side
+    // combine collapses duplicated segments, the join is AQE-skew-
+    // splittable), reassembly groups back by doc. Copies share ZERO
+    // segments (token suffixing), so the duplication structure repeats
+    // per copy: the curve must track the segment count ~linearly; a
+    // super-linear curve would indict the election join, not the data.
     record("paragraph_dedup", timeMin(3, spark) {
       val segs = docs
         .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
@@ -270,11 +270,10 @@ object ScalingProbe {
           concat_ws(" ", slice(col("toks"), (col("i") * 12 + 1).cast("int"), lit(12))).as("t"))
         .withColumn("h", graft.functions.Md5PrefixLong(col("t"), 15))
       val key = col("doc_id") * 100000L + col("i")
-      segs
-        .withColumn("kept", key === min(key).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      val keeper = segs.groupBy(col("h")).agg(min(key).as("kk"))
+      segs.join(keeper, "h")
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .agg(sum(when(key === col("kk"), 1L).otherwise(0L)).as("n_kept"))
         .count()
     })
 
