@@ -281,10 +281,15 @@ object ReleaseQueries {
         Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))))
       .filter(col("rk") === 1)
       .select(col("source"), col("lang").as("top_lang"))
-    val dup = docs
+    // exact-dup exposure via groupBy + join back (NOT a window over the
+    // text hash): map-side combine collapses mass-duplicated texts before
+    // the exchange and the join is AQE-skew-splittable — the same
+    // viral-boilerplate argument as q_paragraph_dedup's keeper election
+    val docTh = docs
       .repartition(col("doc_id")) // spread the md5 projection over the single input split
       .select(col("source"), md5(col("text")).as("th"))
-      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("th"))))
+    val thCounts = docTh.groupBy(col("th")).agg(count(lit(1)).as("n_same"))
+    val dup = docTh.join(thCounts, "th")
       .groupBy(col("source"))
       .agg(sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("exact_dup_docs"))
     base.join(broadcast(top), "source").join(broadcast(dup), "source")
@@ -395,9 +400,48 @@ object ReleaseQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // -- H55: out-of-vocabulary rate by source --------------------------------
+  // Tokenizer-health metric: per source, the fraction of token
+  // occurrences outside the corpus-trained top-V vocabulary (V=16 here —
+  // half this synthetic corpus's 31-token vocabulary, so the signal is
+  // non-trivial; production uses the tokenizer's real V, same plan). A
+  // source whose OOV rate spikes fragments into byte-fallback tokens,
+  // inflating its effective token cost and degrading training — this is
+  // the pre-flight that catches it. Scale shape: one token explode, a
+  // vocabulary-scale frequency aggregate, the top-V head via TakeOrdered
+  // (vocab-sized, broadcast), one left join on the token, one
+  // source-cardinality rollup.
+  val q_oov_rate: QueryDef = QueryDef(
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT source, w FROM tok WHERE w <> ''),
+      |tf AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+      |v AS (SELECT w, 1 AS inv FROM tf ORDER BY cnt DESC, w LIMIT 16)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*)
+      |    AS BIGINT) AS oov_ppm
+      |FROM t LEFT JOIN v USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = t.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(16)
+      .select(col("w"), lit(1).as("inv"))
+    t.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_quality_mix" -> q_quality_mix,
     "q_dup_breakdown" -> q_dup_breakdown,
+    "q_oov_rate" -> q_oov_rate,
     "q_paragraph_dedup" -> q_paragraph_dedup,
     "q_dedup_incremental" -> q_dedup_incremental,
     "q_bpe_pairs" -> q_bpe_pairs,

@@ -161,4 +161,18 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec with Matchers {
     card.count() shouldBe docs.select("source").distinct().count()
     card.filter(col("n_tokens") <= 0 || col("total_chars") <= 0).count() shouldBe 0
   }
+
+  test("oov rate: token counts conserve; zero OOV under a full vocabulary") {
+    val oov = ReleaseQueries.q_oov_rate.fn(spark, sf)
+    val totalToks = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    oov.agg(sum("n_tokens")).collect()(0).getLong(0) shouldBe totalToks
+    // the top-16 vocab leaves real OOV mass on this 31-token corpus
+    oov.agg(sum("n_oov")).collect()(0).getLong(0) should be > 0L
+    oov.collect().foreach { r =>
+      r.getAs[Long]("n_oov") should be <= r.getAs[Long]("n_tokens")
+      r.getAs[Long]("oov_ppm") should be <= 1000000L
+    }
+  }
 }
