@@ -127,28 +127,110 @@ object ReleaseQueries {
   // 100 TB the pair counting is vocabulary-work, not corpus-work, which
   // is exactly why production BPE trainers operate on word-count tables.
   // Top-30 = TakeOrdered with a pair tiebreak, no global sort.
-  val q_bpe_pairs: QueryDef = QueryDef(
-    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
-      |  WHERE w <> '' GROUP BY w),
-      |p AS (SELECT cnt,
-      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
-      |  FROM wf)
-      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
-      |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 30""".stripMargin) { (s, dir) =>
-    val wf = Tables.documents(s, dir)
+  /** Word-frequency table (w, cnt) — the corpus collapsed to its
+    * vocabulary; shared front half of the BPE pair/apply queries.
+    */
+  private def wordFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
       .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    wf.select(col("cnt"), explode(
+
+  /** Adjacent char-pair frequencies over the word-frequency table
+    * (vocab-work, not corpus-work), unordered.
+    */
+  private def bpePairFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    wordFreqs(s, dir).select(col("cnt"), explode(
         when(length(col("w")) >= 2,
           transform(sequence(lit(1), length(col("w")) - 1),
             i => concat(col("w").substr(i, lit(1)), lit(" "), col("w").substr(i + 1, lit(1)))))
           .otherwise(array().cast("array<string>"))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+
+  private val duckBpeCtes =
+    """tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |  WHERE w <> '' GROUP BY w),
+      |p AS (SELECT cnt,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
+      |  FROM wf),
+      |pf AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p GROUP BY pair)""".stripMargin
+
+  val q_bpe_pairs: QueryDef = QueryDef(
+    s"""WITH $duckBpeCtes
+       |SELECT pair, freq FROM pf ORDER BY freq DESC, pair LIMIT 30""".stripMargin) { (s, dir) =>
+    bpePairFreqs(s, dir)
       .orderBy(col("freq").desc, col("pair"))
       .limit(30)
+  }
+
+  // -- H56: BPE merge application (tokenizer training, step 2) --------------
+  // Apply the top-R ranked merges to the vocabulary and report each
+  // word's resulting pieces — the segmentation the trained tokenizer
+  // would emit after R merge steps, next to the per-word occurrence
+  // count that weights its corpus-wide token cost. EXACT BPE semantics
+  // per rule via sentinel-delimited single-pass replace: each token is
+  // wrapped `|tok|` and a merge `x y` rewrites `|x| |y|` -> `|xy|` —
+  // the sentinels make cross-token false matches impossible (`|lo| |w|`
+  // never matches `|o| |w|`), and one left-to-right non-overlapping
+  // replace pass IS the fixpoint (replacing `x y` with `xy` can never
+  // create a new `x`-`y` adjacency), identically on both engines.
+  // Scale shape: everything runs on the VOCABULARY (the corpus collapsed
+  // first, the production BPE-trainer layout); the R merge rules are a
+  // bounded driver collect (R rows — the kthSmallest precedent) landing
+  // in the plan as literals. Deliberate one-shot variant: the R merges
+  // come from ONE pair count (a full trainer recounts pairs after each
+  // merge — that is R sequential count-rank-apply rounds of this exact
+  // plan, driver-looped like ancestorsClosure's rounds).
+  private val BpeMerges = 3
+
+  val q_bpe_apply: QueryDef = QueryDef {
+    val applied = (1 to BpeMerges).foldLeft("s0") { (acc, r) =>
+      s"""replace($acc,
+         |  '|' || string_split((SELECT pair FROM m WHERE rk = $r), ' ')[1] ||
+         |    '| |' || string_split((SELECT pair FROM m WHERE rk = $r), ' ')[2] || '|',
+         |  '|' || replace((SELECT pair FROM m WHERE rk = $r), ' ', '') || '|')""".stripMargin
+    }
+    s"""WITH $duckBpeCtes,
+       |m AS (SELECT pair, row_number() OVER (ORDER BY freq DESC, pair) AS rk
+       |  FROM pf QUALIFY rk <= $BpeMerges),
+       |spaced AS (SELECT w, cnt,
+       |    '|' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), '| |') || '|'
+       |      AS s0
+       |  FROM wf),
+       |ap AS (SELECT w, cnt, $applied AS sn FROM spaced)
+       |SELECT w, cnt, replace(replace(sn, '| |', ' '), '|', '') AS pieces,
+       |  CAST(len(string_split(replace(replace(sn, '| |', ' '), '|', ''), ' ')) AS BIGINT)
+       |    AS n_pieces
+       |FROM ap ORDER BY w""".stripMargin
+  } { (s, dir) =>
+    // the ranked merge list: BpeMerges rows to the driver, by design
+    val merges = bpePairFreqs(s, dir)
+      .orderBy(col("freq").desc, col("pair")).limit(BpeMerges)
+      .collect().map(_.getString(0)).toSeq
+    // fewer distinct pairs than merge rules would NULL-poison the
+    // oracle's rank-r scalar subqueries — fail loudly instead
+    require(merges.size == BpeMerges,
+      s"corpus has ${merges.size} distinct char pairs < $BpeMerges merge rules")
+    val spaced = concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), "| |"),
+      lit("|"))
+    val applied = merges.foldLeft(spaced) { (c, m) =>
+      val Array(x, y) = m.split(' ')
+      // merge strings come from corpus tokens; the sentinel rewrite uses
+      // literal (non-regex) replace on both engines
+      call_function("replace", c, lit(s"|$x| |$y|"), lit(s"|$x$y|"))
+    }
+    wordFreqs(s, dir)
+      .withColumn("pieces",
+        call_function("replace",
+          call_function("replace", applied, lit("| |"), lit(" ")),
+          lit("|"), lit("")))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast("long"))
+      .select(col("w"), col("cnt"), col("pieces"), col("n_pieces"))
+      .orderBy(col("w"))
   }
 
   // -- H49: benchmark-suite x corpus-source contamination matrix ------------
@@ -442,6 +524,7 @@ object ReleaseQueries {
     "q_quality_mix" -> q_quality_mix,
     "q_dup_breakdown" -> q_dup_breakdown,
     "q_oov_rate" -> q_oov_rate,
+    "q_bpe_apply" -> q_bpe_apply,
     "q_paragraph_dedup" -> q_paragraph_dedup,
     "q_dedup_incremental" -> q_dedup_incremental,
     "q_bpe_pairs" -> q_bpe_pairs,

@@ -89,6 +89,24 @@ class ReleaseSpec extends AnyFunSuite with SparkSpec with Matchers {
     out("e r") shouldBe 1
   }
 
+  test("bpe apply: greedy left-to-right merging, no cross-token false matches") {
+    import spark.implicits._
+    // 'a a' dominates (freq 40); 'e r' and 'l o' tie at 2, rank by pair asc
+    val docs = (Seq.fill(10)("aaaaa") ++ Seq("lower", "lower"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", expr("CAST(length(text) AS BIGINT)"))
+    val tmp = java.nio.file.Files.createTempDirectory("bpeapply").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ReleaseQueries.q_bpe_apply.fn(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    // greedy non-overlapping: 5 a's -> aa aa a (NOT a aa aa or aaaa a)
+    out("aaaaa") shouldBe ("aa aa a", 3L)
+    // 'e r' (rank 2) then 'l o' (rank 3); merged 'lo' must NOT chain with
+    // 'w' via any cross-token match
+    out("lower") shouldBe ("lo w er", 3L)
+  }
+
   test("contamination matrix matches an array-intersect differential (suiteA)") {
     // Different algorithm, same answer: per-doc array_intersect against the
     // driver-collected suiteA shingle set vs the query's explode+equi-join.
