@@ -44,7 +44,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       "q_bm25_rational",
       // q_freshness: the global-tip scalar (one row) broadcast against
       // the type-cardinality report for the lag column.
-      "q_freshness")
+      "q_freshness",
+      // q_stat_drift: the temporal-midpoint scalar (one row) broadcast
+      // against the corpus scan for the era split — same shape as
+      // q_key_skew's total.
+      "q_stat_drift")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
@@ -71,7 +75,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q_freshness",
     // q_jaccard_sweep: the one-row sweep is itself a scalar aggregate
     // over the candidate frame — partials only through the exchange.
-    "q_jaccard_sweep")
+    "q_jaccard_sweep",
+    // q_stat_drift: the min/max-epoch midpoint is a scalar aggregate —
+    // one partial row per upstream partition through the exchange.
+    "q_stat_drift")
 
   /** Deliberate unpartitioned window: ONLY over dimension frames whose
     * cardinality is bounded by something other than the corpus (the
