@@ -56,7 +56,7 @@ object OpsQueries {
   // priority u^(1/w) (heavier docs draw stochastically smaller
   // priorities), reproducible run-to-run and engine-to-engine where a
   // float -ln(u)/w would diverge in the last ulp and flip ranks at the
-  // cut boundary. One corpus scan; the per-stratum top-50 is a bounded
+  // cut boundary. One corpus scan; the per-stratum top-10 is a bounded
   // window (scale path for huge strata: per-partition heap + re-rank of
   // the k·partitions survivors, as in topKPerGroup).
   val q_weighted_sample: QueryDef = QueryDef(
@@ -67,7 +67,7 @@ object OpsQueries {
       |SELECT source, doc_id, n_chars, priority,
       |  CAST(row_number() OVER (PARTITION BY source
       |    ORDER BY priority, doc_id) AS BIGINT) AS rnk
-      |FROM w QUALIFY rnk <= 50
+      |FROM w QUALIFY rnk <= 10
       |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .filter(col("n_chars") >= 1)
@@ -77,7 +77,7 @@ object OpsQueries {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("priority"), col("doc_id"))).cast("long"))
-      .filter(col("rnk") <= 50)
+      .filter(col("rnk") <= 10)
       .select(col("source"), col("doc_id"), col("n_chars"), col("priority"),
         col("rnk"))
       .orderBy(col("source"), col("rnk"))

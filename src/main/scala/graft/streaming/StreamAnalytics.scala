@@ -223,6 +223,40 @@ object StreamAnalytics {
       }
   }
 
+  /** Streaming twin of `OpsQueries.q_transition_matrix` (D25): emit each
+    * consecutive per-user (from, to) event-type transition ONLINE. State
+    * per key is ONE (type, ep, ord) triple — the last event seen — bounded
+    * by user cardinality however long the stream runs; the batch query's
+    * lead() window sorts each user's whole history, this fold sees each
+    * event once and joins it to its stored predecessor. Downstream the
+    * pairs aggregate to the same matrix the batch query computes (the
+    * differential spec counts them). Ordering contract matches
+    * [[streamingFunnel]]: rows sorted (ep, ord) within a batch, per-key
+    * order across batches from the transport.
+    */
+  final case class TypedEvent(user_id: Long, ep: Long, ord: Long, et: String)
+  final case class LastTyped(et: String, ep: Long, ord: Long)
+  final case class Transition(user_id: Long, from_type: String, to_type: String,
+      ep: Long)
+
+  def streamingTransitions(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTyped, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[LastTyped]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ep, e.ord)).flatMap { e =>
+            val t = last.map(l => Transition(user, l.et, e.et, e.ep))
+            last = Some(LastTyped(e.et, e.ep, e.ord))
+            t
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Quantizer drift monitor — the index-maintenance loop a production
     * vector store runs beside its ingest: every windowed batch of arriving
     * vectors is scored against the FROZEN PQ codebooks

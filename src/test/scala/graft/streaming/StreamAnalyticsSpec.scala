@@ -184,6 +184,34 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     batch shouldBe streaming
   }
 
+  test("streaming transitions aggregate to the batch Markov matrix on ordered replay") {
+    import StreamAnalytics.TypedEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the real sf0.001 corpus replayed in two time-ordered batches (per-key
+    // order across batches = the transport contract); the streamed pair
+    // stream, aggregated, must equal q_transition_matrix's counts exactly
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "CAST(ts AS LONG) AS ep", "event_id AS ord",
+        "event_type AS et")
+      .as[TypedEvent].collect().sortBy(e => (e.ep, e.ord))
+    val cut = evs(evs.length / 2).ep
+    val (b1, b2) = evs.partition(_.ep <= cut)
+    val src = MemoryStream[TypedEvent]
+    val q = StreamAnalytics.streamingTransitions(src.toDS())
+      .writeStream.format("memory").queryName("strans")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("strans").groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.queries.OpsQueries.q_transition_matrix
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    batch shouldBe streamed
+  }
+
   test("streaming outliers equal a sequential prefix-stats fold across batches") {
     import StreamAnalytics.CentsEvent
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
