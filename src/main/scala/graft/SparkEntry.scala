@@ -10,7 +10,8 @@ object SparkEntry {
   def catalog: Map[String, QueryDef] =
     CoreQueries.all ++ graft.ext.ExtQueries.all ++
       graft.queries.AnalyticsQueries.all ++ graft.queries.CurationQueries.all ++
-      graft.ext.ReleaseQueries.all ++ graft.queries.OpsQueries.all
+      graft.ext.ReleaseQueries.all ++ graft.queries.OpsQueries.all ++
+      graft.ext.RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

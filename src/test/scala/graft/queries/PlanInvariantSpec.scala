@@ -48,7 +48,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       // q_stat_drift: the temporal-midpoint scalar (one row) broadcast
       // against the corpus scan for the era split — same shape as
       // q_key_skew's total.
-      "q_stat_drift")
+      "q_stat_drift",
+      // q_rrf_fusion: the NQueries-row quantized-query frame broadcast
+      // against one corpus scan for the vector shortlist — same shape as
+      // q_similarity_topk_q8.
+      "q_rrf_fusion")
 
   /** Deliberate single-partition exchange: a point lookup returning ≤1 row
     * (the exchange moves one row, not the table).
