@@ -520,7 +520,151 @@ object ReleaseQueries {
       .orderBy(col("source"))
   }
 
+  // -- H62: train/test split leakage through near-dup clusters ---------------
+  // The evaluation-integrity gate the split alone can't give: a doc and
+  // its near-duplicate landing on OPPOSITE sides of the train/test split
+  // leaks test content into training even after H20's exact-overlap
+  // decontamination. Verified near-dup pairs (the shared LSH frame)
+  // joined to the SAME md5 split assignment as q_train_test_split,
+  // rolled up by (split, split) cell — any off-diagonal row is leakage;
+  // the fix is cluster-aware splitting (assign whole dedup components,
+  // H15, to one side). Scale shape = q_dup_breakdown's: the pair frame
+  // is contamination-scale and broadcasts into two doc_id-keyed joins
+  // against corpus scans; rollup is 3x3.
+  val q_split_leakage: QueryDef = QueryDef(
+    s"""WITH ${Dedup.duckLshJaccardCtes(Dedup.wordShingleSql, bands = 8, r = 2)},
+       |sp AS (SELECT doc_id, CASE WHEN sk < 900 THEN 'train'
+       |    WHEN sk < 950 THEN 'valid' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % 1000 AS sk FROM documents)),
+       |pa AS (SELECT inter, uni, sa.split AS sp_a, sb.split AS sp_b
+       |  FROM jv JOIN sp sa ON jv.doc_a = sa.doc_id
+       |          JOIN sp sb ON jv.doc_b = sb.doc_id)
+       |SELECT least(sp_a, sp_b) AS split_a, greatest(sp_a, sp_b) AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(inter * 1000000 // uni) // count(*) AS BIGINT) AS avg_j_ppm
+       |FROM pa GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.corpusLshPairs(s, dir, bands = 8, r = 2)
+    val sp = Tables.documents(s, dir)
+      .withColumn("sk",
+        graft.functions.Md5PrefixLong(
+          concat(lit("split|"), col("doc_id").cast("string")), 15) % 1000)
+      .select(col("doc_id"),
+        when(col("sk") < 900, "train").when(col("sk") < 950, "valid")
+          .otherwise("test").as("split"))
+    val p1 = sp.join(broadcast(pairs), sp("doc_id") === pairs("doc_a"))
+      .select(col("doc_b"), col("inter"), col("uni"), col("split").as("sp_a"))
+    val p2 = sp.join(broadcast(p1), sp("doc_id") === p1("doc_b"))
+      .select(col("sp_a"), col("split").as("sp_b"), col("inter"), col("uni"))
+    p2.select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"),
+        col("inter"), col("uni"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(CAST(inter AS BIGINT) * 1000000 div uni) div count(1)").as("avg_j_ppm"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  // -- D28: k-anonymity release gate -----------------------------------------
+  // The privacy review a dataset release runs over its event exhaust:
+  // users grouped by quasi-identifier (event type x value band x week) —
+  // any group with < k distinct users is re-identifiable and must be
+  // suppressed or generalized before release. Per event type: group
+  // counts, under-k groups, rows they'd suppress, suppression ppm.
+  // Scale shape: corpus -> quasi-id groups in one two-phase aggregate
+  // (the distinct-user count is the usual partial-distinct expand), then
+  // a type-cardinality rollup; nothing after the first aggregate is
+  // corpus-scale.
+  val q_k_anonymity: QueryDef = QueryDef(
+    """WITH q AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) // 2000 AS vband,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk, user_id
+      |  FROM events),
+      |g AS (SELECT event_type, vband, wk,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_small_groups,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS suppressed_rows,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) * 1000000
+      |    // sum(n_rows) AS BIGINT) AS suppression_ppm
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) div 2000").as("vband"),
+        expr("CAST(ts AS LONG) div 604800").as("wk"), col("user_id"))
+      .groupBy(col("event_type"), col("vband"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_rows"))
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L))
+          .as("suppressed_rows"),
+        sum(col("n_rows")).as("total_rows"))
+      .withColumn("suppression_ppm",
+        expr("suppressed_rows * 1000000 div total_rows"))
+      .drop("total_rows")
+      .orderBy(col("event_type"))
+  }
+
+  // -- H63: Kneser-Ney count export (LM training, the smoothing inputs) ------
+  // The count tables a KN-smoothed n-gram LM trains from, exported
+  // exactly: per term, its left-position unigram count, its continuation
+  // count |{w' : c(w', w) > 0}| (the KN numerator — how many DISTINCT
+  // contexts precede it, the quantity that demotes "Francisco"-style
+  // words frequent only after one context), and its right diversity
+  // |{w' : c(w, w') > 0}|. One bounded bigram explode, one distinct, three
+  // vocab-sized aggregates left-joined onto the term universe — every
+  // output integral, no probability floats (the smoothed model divides
+  // these at query time).
+  val q_kn_counts: QueryDef = QueryDef(
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) x),
+      |d AS (SELECT DISTINCT w1, w2 FROM big),
+      |terms AS (SELECT DISTINCT term FROM (
+      |    SELECT w1 AS term FROM big UNION ALL SELECT w2 FROM big)),
+      |uni AS (SELECT w1 AS term, CAST(count(*) AS BIGINT) AS c_left
+      |  FROM big GROUP BY 1),
+      |pred AS (SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n_pred
+      |  FROM d GROUP BY 1),
+      |succ AS (SELECT w1 AS term, CAST(count(*) AS BIGINT) AS n_succ
+      |  FROM d GROUP BY 1)
+      |SELECT term, COALESCE(uni.c_left, 0) AS c_left,
+      |  COALESCE(pred.n_pred, 0) AS n_pred,
+      |  COALESCE(succ.n_succ, 0) AS n_succ
+      |FROM terms LEFT JOIN uni USING (term) LEFT JOIN pred USING (term)
+      |  LEFT JOIN succ USING (term)
+      |ORDER BY term""".stripMargin) { (s, dir) =>
+    val big = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2) // sequence(1, size-1) would descend below 2
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val d = big.distinct()
+    val terms = big.select(col("w1").as("term"))
+      .unionAll(big.select(col("w2").as("term"))).distinct()
+    val uni = big.groupBy(col("w1").as("term")).agg(count(lit(1)).as("c_left"))
+    val pred = d.groupBy(col("w2").as("term")).agg(count(lit(1)).as("n_pred"))
+    val succ = d.groupBy(col("w1").as("term")).agg(count(lit(1)).as("n_succ"))
+    terms.join(uni, Seq("term"), "left").join(pred, Seq("term"), "left")
+      .join(succ, Seq("term"), "left")
+      .na.fill(0L, Seq("c_left", "n_pred", "n_succ"))
+      .orderBy(col("term"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q_split_leakage" -> q_split_leakage,
+    "q_k_anonymity" -> q_k_anonymity,
+    "q_kn_counts" -> q_kn_counts,
     "q_quality_mix" -> q_quality_mix,
     "q_dup_breakdown" -> q_dup_breakdown,
     "q_oov_rate" -> q_oov_rate,
