@@ -15,6 +15,8 @@ import graft.ext.TextAnalysis
   */
 object CurationQueries {
 
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
   // -- D21: per-event sessionization ----------------------------------------
   // The event-level twin of q_session_window: assign every event its
   // user-local session ordinal (new session when >30 min elapsed since
@@ -44,6 +46,68 @@ object CurationQueries {
       .withColumn("session_seq", sum(col("brk")).over(w))
       .select(col("event_id"), col("user_id"), col("session_seq"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // -- D29: metadata-vs-content language mismatch audit ----------------------
+  // The catalog-trust check: per (source, declared lang), how many docs
+  // the stopword-ratio detector (H13's q_lang_id heuristic) DISAGREES
+  // with, in ppm — a source whose declared metadata diverges from its
+  // content is mislabeled upstream and silently poisons every lang-
+  // filtered mixture built from the catalog column. One corpus scan
+  // (per-row HOF detector, no explode), one (source, lang)-cardinality
+  // rollup.
+  val q_lang_mismatch: QueryDef = QueryDef(
+    s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_mismatch,
+       |  CAST(sum(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS mismatch_ppm
+       |FROM (
+       |  SELECT source, lang,
+       |    CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) * 5
+       |           >= len(string_split(text, ' '))
+       |         THEN 'en' ELSE 'other' END AS predicted
+       |  FROM documents) t
+       |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        when(TextAnalysis.stopwordCount(toks) * 5 >= size(toks), "en")
+          .otherwise("other").as("predicted"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_ppm", expr("n_mismatch * 1000000 div n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  // -- D30: corpus growth report ---------------------------------------------
+  // The capacity-planning curve: events per (type, week) with the week-
+  // over-week delta in ppm — the input to "when does this topic outgrow
+  // its partition budget". The corpus collapses to a (type, week) frame
+  // in one aggregate; the lag() window runs over that calendar-bounded
+  // frame (weeks x types, never corpus rows), partitioned by type.
+  val q_growth_report: QueryDef = QueryDef(
+    """WITH w AS (SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, wk * 604800 AS week_epoch, CAST(n AS BIGINT) AS n_events,
+      |  CAST(COALESCE((n - lag(n) OVER (PARTITION BY event_type ORDER BY wk))
+      |    * 1000000 // lag(n) OVER (PARTITION BY event_type ORDER BY wk), 0)
+      |    AS BIGINT) AS wow_delta_ppm
+      |FROM w ORDER BY event_type, week_epoch""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wow_delta_ppm",
+        coalesce(expr("(n - lag(n) OVER (PARTITION BY event_type ORDER BY wk)) " +
+          "* 1000000 div lag(n) OVER (PARTITION BY event_type ORDER BY wk)"),
+          lit(0L)))
+      .select(col("event_type"), (col("wk") * 604800).as("week_epoch"),
+        col("n").as("n_events"), col("wow_delta_ppm"))
+      .orderBy(col("event_type"), col("week_epoch"))
   }
 
   // -- D24: source freshness / completeness report --------------------------
@@ -309,6 +373,8 @@ object CurationQueries {
   }
 
   val all: Map[String, QueryDef] = Map(
+    "q_lang_mismatch" -> q_lang_mismatch,
+    "q_growth_report" -> q_growth_report,
     "q_sessionize" -> q_sessionize,
     "q_session_stats" -> q_session_stats,
     "q_variant_props" -> q_variant_props,

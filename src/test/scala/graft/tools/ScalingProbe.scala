@@ -277,6 +277,47 @@ object ScalingProbe {
         .count()
     })
 
+    // 13. skip-gram extraction (q_skipgram_pairs): positions explode once,
+    // the top-50 vocab (a corpus-wide TakeOrdered over the k x-larger
+    // vocabulary — copies share no tokens) broadcasts back, then the
+    // doc-keyed pair join has window-bounded <=3 x fan-out. The explode +
+    // vocabulary aggregate are the linear backbone; the pair join's input
+    // SHRINKS as k grows (top-50 of a k x vocabulary covers fewer
+    // occurrences), so any super-linear curve would indict the explode or
+    // the vocab aggregate.
+    record("skipgram", timeMin(3, spark) {
+      val t = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+        .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(50).select("term")
+      val tv = t.join(broadcast(vocab), "term").select("doc_id", "term", "pos")
+      tv.as("x").join(tv.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            (col("y.pos") - col("x.pos")).between(1, 3))
+        .groupBy(col("x.term").as("center"), col("y.term").as("context"))
+        .agg(count(lit(1)).as("n"))
+        .count()
+    })
+
+    // 14. event-transition matrix (q_transition_matrix): ONE user-keyed
+    // window shuffle (per-user sort INSIDE partitions — k x users of the
+    // same per-user history length, never a global sort) + a
+    // type²-bounded pair aggregate. The curve must track the event count
+    // ~linearly; a super-linear curve would indict the window sort.
+    record("transitions", timeMin(3, spark) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .count()
+    })
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
