@@ -97,6 +97,9 @@ object Pq {
       .limit(Ksub)
       .select(col("vec_id"), transform(col("vs"), x => x.cast("double")).as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+    // empty corpus: one zero codeword keeps the argmin literal typed;
+    // the codes frame has no rows to assign, so consumers emit zero rows
+    if (cents.isEmpty) return Seq((0L, List.fill(SubDim)(0.0)))
     for (_ <- 1 to iters) {
       cents = es.select(col("vec_id"), col("vs"), argminCode(col("vs"), cents).as("code"))
         .groupBy(col("code"))

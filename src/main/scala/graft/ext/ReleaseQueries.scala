@@ -209,15 +209,20 @@ object ReleaseQueries {
     val merges = bpePairFreqs(s, dir)
       .orderBy(col("freq").desc, col("pair")).limit(BpeMerges)
       .collect().map(_.getString(0)).toSeq
-    // fewer distinct pairs than merge rules would NULL-poison the
-    // oracle's rank-r scalar subqueries — fail loudly instead
-    require(merges.size == BpeMerges,
+    // a PARTIALLY short merge list (0 < pairs < rules) would NULL-poison
+    // the oracle's rank-r scalar subqueries against live vocab rows —
+    // fail loudly. A fully EMPTY corpus is fine: pad with sentinel rules
+    // that can never match; both engines emit zero vocab rows, so the
+    // padded rules are never applied.
+    require(merges.isEmpty || merges.size == BpeMerges,
       s"corpus has ${merges.size} distinct char pairs < $BpeMerges merge rules")
+    val rules = if (merges.nonEmpty) merges
+      else (1 to BpeMerges).map(r => s"\u0001$r \u0001$r")
     val spaced = concat(lit("|"),
       array_join(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))), "| |"),
       lit("|"))
-    val applied = merges.foldLeft(spaced) { (c, m) =>
+    val applied = rules.foldLeft(spaced) { (c, m) =>
       val Array(x, y) = m.split(' ')
       // merge strings come from corpus tokens; the sentinel rewrite uses
       // literal (non-regex) replace on both engines
@@ -423,8 +428,11 @@ object ReleaseQueries {
     val sc = ExtQueries.lmScores(s, dir).select(col("doc_id"), col("lm_score"))
     // tertile thresholds WITHOUT a global sort: recursive histogram
     // narrowing; two longs reach the driver, by design (Selection.scala)
-    val (_, Seq(t1, t2)) = graft.temporal.Selection.kthSmallestBy(
+    val (nScored, tertiles) = graft.temporal.Selection.kthSmallestBy(
       sc, "lm_score", n => Seq(math.max(n / 3, 1L), math.max(2 * n / 3, 1L)))
+    // empty corpus: no tertile exists; 0/0 placeholders are never applied
+    // to a row, and the report correctly emits zero rows
+    val Seq(t1, t2) = if (nScored == 0) Seq(0L, 0L) else tertiles
     val out = sc
       .withColumn("bucket",
         when(col("lm_score") >= t2, "head")

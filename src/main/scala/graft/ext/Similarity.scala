@@ -383,6 +383,14 @@ object Similarity {
     */
   private[graft] def ivfCentroidsKmeans(e: DataFrame, nlist: Int = NList,
       iters: Int = KmeansIters): DataFrame = {
+    // empty corpus (routine at 100 TB: a new tenant, day one of a topic):
+    // one synthetic zero centroid keeps every downstream plan typed and
+    // the k-means loop skipped — no vector exists to assign, so every
+    // consumer query correctly emits zero rows
+    if (e.isEmpty) {
+      import e.sparkSession.implicits._
+      return Seq((0L, Seq.fill(Dim)(0.0), 0.0)).toDF("cell", "cv", "cn")
+    }
     var cents = e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("cell"),

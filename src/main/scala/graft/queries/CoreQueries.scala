@@ -918,10 +918,14 @@ object CoreQueries {
     // ranks derive from the count inside the selection's own head
     // aggregation — no separate count() job, and all three ranks share
     // each recursion level's single histogram scan
-    val (_, vals) = Selection.kthSmallestBy(base, "v",
+    val (n, vals) = Selection.kthSmallestBy(base, "v",
       n => ps.map(p => (n * p + 99) / 100))
     import s.implicits._
-    ps.zip(vals).toDF("p", "value_cents")
+    // empty corpus: the oracle's scalar subqueries yield NULL per rank —
+    // mirror that exactly rather than erroring
+    val rows = if (n == 0) ps.map(p => (p, None: Option[Long]))
+      else ps.zip(vals).map { case (p, v) => (p, Some(v)) }
+    rows.toDF("p", "value_cents")
       .select(col("p").cast("int").as("p"), col("value_cents"))
       .orderBy(col("p"))
   }

@@ -45,7 +45,11 @@ object Selection {
     val v = col(valueCol)
     val base = df.select(v.as("v")).where(v.isNotNull)
     val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head()
-    val (lo0, hi0, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val n = head.getLong(2)
+    // empty (or all-NULL) input: no rank exists — callers get (0, empty)
+    // and decide their own empty-output shape (routine at 100 TB scale)
+    if (n == 0) return (0L, Seq.empty)
+    val (lo0, hi0) = (head.getLong(0), head.getLong(1))
     val ks = ksOf(n)
     ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
     // a range wider than 2^63 (full-range longs, e.g. raw hashes) would
