@@ -20,13 +20,18 @@ import org.apache.spark.storage.StorageLevel
   * comparing one aggregated long per round (a single-row collect) detects
   * it exactly — no row-level diff join.
   *
-  * Round count is the cluster diameter. LSH near-dup clusters are
-  * near-cliques (every member shares a band key with most others), so 2-4
-  * rounds close them; for adversarial high-diameter graphs the published
-  * fix is alternating large-star/small-star (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"), which converges in O(log n)
-  * rounds at ~2x the per-round cost — not needed for the dedup shape this
-  * serves, noted for the general case.
+  * Round count: plain hash-min alone needs diameter-many rounds, which on
+  * a general graph (long chains in the sf0.1 co-purchase graph put
+  * q_graph_cc at 5.2 s) is the scale risk — 100 TB graphs have long paths.
+  * Each round therefore ALSO folds in the label's own label (pointer
+  * jumping: lbl(lbl(id)) via one node-sized self-join), so label paths
+  * halve every round and convergence is O(log diameter) — same fixpoint,
+  * labels still monotonically non-increasing, so the O(1) sum-based
+  * convergence check is unchanged. This is the hash-min + pointer-jumping
+  * hybrid from Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" (their two-phase variant); LSH near-dup clusters are
+  * near-cliques that close in 2-3 rounds either way, general graphs drop
+  * from O(d) to O(log d).
   */
 object Components {
 
@@ -66,12 +71,18 @@ object Components {
     while (!converged && round < maxRounds) {
       val prop = edges.join(lbl.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("lbl"))
+      // pointer jump: every label IS a node id (the min seen so far), so
+      // looking the label up in lbl itself is a total inner join on two
+      // node-sized frames — far smaller than the edge join above
+      val jump = lbl.select(col("id"), col("lbl").as("j"))
+        .join(lbl.withColumnRenamed("id", "j"), "j")
+        .select(col("id"), col("lbl"))
       // localCheckpoint (eager) TRUNCATES LINEAGE each round — next's plan
       // references lbl's plan twice (union + join), so without truncation
       // the logical tree doubles per round and plan rendering alone OOMs
       // the driver after ~8 rounds. Checkpointed blocks are row-sized
       // (one per node), dropped when the frame is GC'd.
-      val next = lbl.union(prop)
+      val next = lbl.union(prop).union(jump)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val s = lblSum(next)

@@ -2,8 +2,11 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-level plan guardrails — the library's PlanInvariantSpec checks
   * productionized as a Catalyst extension (`SparkSessionExtensions`), so a
@@ -70,8 +73,64 @@ object Guardrails {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the guardrail rule plus SQL
+  * registration of the library's native codegen expressions, so a pure
+  * `spark.sql(...)` caller (no Scala imports) gets the same operators the
+  * DataFrame API exposes:
+  *
+  *  - `graft_dot(array<float>, array<float>) -> double` — fused dot product
+  *  - `graft_int_dot(array<int>, array<int>) -> bigint` — integer dot
+  *  - `graft_md5_prefix_long(string, nibbles_lit) -> bigint` — 4·n-bit
+  *    md5-prefix hash, the dedup/LSH key primitive
+  *  - `graft_topk_ordered(score, id, k_lit) -> array<struct<score,id>>` —
+  *    bounded top-k aggregate under (score DESC, id ASC)
+  *
+  * Static arguments (`nibbles`, `k`) must be integer literals — they
+  * parameterize the expression instance itself, exactly like the literal
+  * arguments of builtin `approx_count_distinct`.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new SparkException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.size != n) throw new SparkException(
+      s"$fn expects $n arguments, got ${es.size}")
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => Guardrails.GuardrailRule())
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays"),
+      (es: Seq[Expression]) => {
+        arity("graft_dot", es, 2); graft.functions.DotProduct(es(0), es(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot", "graft_int_dot(a, b) - dot product of two int arrays"),
+      (es: Seq[Expression]) => {
+        arity("graft_int_dot", es, 2); graft.functions.IntDot(es(0), es(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_md5_prefix_long"),
+      info("graft_md5_prefix_long",
+        "graft_md5_prefix_long(s, nibbles) - first `nibbles` hex chars of md5(s) as bigint"),
+      (es: Seq[Expression]) => {
+        arity("graft_md5_prefix_long", es, 2)
+        graft.functions.Md5PrefixLong(es(0),
+          intLit(es(1), "graft_md5_prefix_long", "nibbles"))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_topk_ordered"),
+      info("graft_topk_ordered",
+        "graft_topk_ordered(score, id, k) - top-k (score DESC, id ASC) as array<struct>"),
+      (es: Seq[Expression]) => {
+        arity("graft_topk_ordered", es, 3)
+        graft.functions.TopKOrdered(es(0), es(1),
+          intLit(es(2), "graft_topk_ordered", "k"))
+      }))
+  }
 }

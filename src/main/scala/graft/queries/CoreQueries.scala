@@ -445,10 +445,24 @@ object CoreQueries {
       |e AS (SELECT DISTINCT x.item AS a, y.item AS b
       |  FROM li x JOIN li y ON x.k = y.k AND x.item < y.item)""".stripMargin
 
-  private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.graph.GraphAnalytics.coOccurrenceEdges(
-      Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0),
-      "l_orderkey", "l_partkey")
+  // Built ONCE per (session, sfDir) and shared by the whole graph-analytics
+  // family (triangles, k-core, PageRank, label propagation, connected
+  // components): the lineitem scan + basket self-join + corpus-scale
+  // distinct is identical across them, so rebuilding it per query repaid
+  // the most expensive shuffle 5x — the shingle-table precedent applies.
+  // localCheckpoint materializes the edge rows; consumers re-derive only
+  // their own downstream plan.
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent((s, dir), { _ =>
+      graft.Materialize.timed("copurchase_edges") {
+        graft.graph.GraphAnalytics.coOccurrenceEdges(
+          Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint(true)
+      }
+    })
 
   // C12 — triangle participation counts. Spark side uses degree-ordered
   // orientation (wedge fan-out bounded by O(sqrt(m)) out-degree; see
@@ -852,9 +866,21 @@ object CoreQueries {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
-    Temporal.topKPerGroup(
-      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
-      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    // Bounded-heap aggregate instead of the row_number window: the window
+    // shuffles AND sorts every order row per custkey partition; the
+    // TypedImperativeAggregate keeps a 3-row buffer per key inside the
+    // PARTIAL aggregation, so the exchange moves <= 3 rows per (map task,
+    // key) and nothing is ever sorted group-wide — the plan that survives
+    // a customer with 10^8 orders. (score DESC, id ASC) is exactly the
+    // window's ORDER BY, so the result is row-identical; Temporal
+    // .topKPerGroup keeps the window form for callers with general
+    // multi-column orderings.
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKOrdered(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"), (col("pos") + 1).as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
