@@ -43,7 +43,15 @@ object Components {
     *        rather than silently emitting partial components.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, srcCol, dstCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of rounds the fixpoint took —
+    * the observable that lets a test PIN the O(log diameter) convergence
+    * (a depth-64 chain must close in ~log2(64) rounds, not 64).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 25): (DataFrame, Int) = {
     // materialize the input ONCE before orienting: `fwd` is referenced
     // twice (forward + reversed union) and the caller's pairs frame is
     // typically an expensive pipeline (the LSH verify chain) — without
@@ -94,6 +102,6 @@ object Components {
     }
     edges.unpersist()
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    lbl.select(col("id"), col("lbl").as("cluster_id"))
+    (lbl.select(col("id"), col("lbl").as("cluster_id")), round)
   }
 }

@@ -61,6 +61,16 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("pointer jumping closes a depth-64 chain in O(log d) rounds, not 64") {
+    val chain = (1L to 64L).map(i => (i, i + 1))
+    val (df, rounds) =
+      Components.connectedComponentsWithRounds(chain.toDF("a", "b"), "a", "b")
+    df.collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+    // reach roughly doubles per round; +1 detection round, +slack for the
+    // first identity round — far under the 65 plain hash-min would need
+    rounds should be <= 10
+  }
+
   test("an unconverged graph throws instead of emitting partial components") {
     // diameter 5 cannot converge in 2 rounds (round 1 halves it at best)
     val chain = (1L to 5L).map(i => (i, i + 1))

@@ -134,6 +134,18 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should include("graft_argmax_cell")
   }
 
+  test("top-k per group is a bounded heap aggregate, not a window sort") {
+    // the D4 scale contract: the plan must aggregate (partial heaps ship
+    // <= k rows per map task per key through the exchange) — a Window
+    // node here would mean every row of a group shuffles to one reducer
+    // and sorts, the shape that dies on a key with 10^8 rows
+    val plan = SparkEntry.queries("q_topk_per_group")(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    plan should include("graft_topk_ordered")
+  }
+
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, dir).queryExecution.executedPlan.toString

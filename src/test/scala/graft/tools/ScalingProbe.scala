@@ -318,6 +318,27 @@ object ScalingProbe {
         .count()
     })
 
+    // 15. top-k over ONE corpus-sized key — the degenerate group the D4
+    // scale argument is about. The bounded-heap aggregate's partial mode
+    // reduces every map task to <= k rows before the exchange, so its
+    // curve must stay ~linear with full parallelism; the row_number
+    // window form ships ALL k x rows of the key to one reducer and sorts
+    // there — same answer, single-threaded tail that grows with k. The
+    // pair is recorded so SCALING.md can show the measured gap, not just
+    // assert it.
+    val oneKey = events.select(lit(1L).as("g"), col("value"), col("event_id"))
+      .localCheckpoint(true)
+    record("topk_1key_heap", timeMin(3, spark) {
+      oneKey.groupBy(col("g"))
+        .agg(graft.functions.TopKOrdered(col("value"), col("event_id"), 3).as("t"))
+        .select(col("g"), explode(col("t"))).count()
+    })
+    record("topk_1key_window", timeMin(3, spark) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("value").desc, col("event_id"))
+      oneKey.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    })
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
