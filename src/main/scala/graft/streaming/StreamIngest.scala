@@ -77,6 +77,26 @@ object StreamIngest {
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
     kafkaSource(spark, KafkaSourceConfig(servers, topic))
 
+  /** Local replay twin of [[kafkaSource]] over the `graft-replay`
+    * DataSource V2 source ([[graft.sources.ReplayLog]]): a line-delimited
+    * envelope log replayed with real offsets, decoded here — downstream of
+    * the source, exactly where the Kafka path decodes — into the SAME
+    * envelope frame `(key, value, metadata, offset)`, so everything from
+    * [[start]] down is source-agnostic. `maxOffsetsPerTrigger` rides
+    * Spark's admission-control API, as on the Kafka source (E5).
+    */
+  def replaySource(spark: SparkSession, logPath: String,
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    maxOffsetsPerTrigger.foldLeft(
+        spark.readStream.format("graft-replay").option("path", logPath)) {
+        (r, n) => r.option("maxOffsetsPerTrigger", n.toString)
+      }
+      .load()
+      .select(from_json(col("value"), graft.schema.Schemas.envelopeSchema).as("env"),
+        col("offset"))
+      .select(col("env.key").as("key"), col("env.value").as("value"),
+        col("env.metadata").as("metadata"), col("offset"))
+
   // -- A5/E4: sink status/error mapping + retry -----------------------------
   // The reference maps HTTP statuses to typed errors (ErrAlreadyExists /
   // ErrNotFound / InvalidStatusError, inventory.go:34-43) and its run loop

@@ -61,6 +61,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     collectShape(streamed) shouldBe collectShape(batch)
   }
 
+  test("the DSv2 replay source drives the full ingest to the exact batch-replay state") {
+    // scenario fixture → graft-replay log → SupportsAdmissionControl-paced
+    // micro-batches → Pipeline fold → versioned store: the whole ingest
+    // path over Spark's own source API (no MemoryStream shortcut), rate
+    // limit forcing a multi-batch run, final state byte-equal to batch
+    // replay
+    val base = Files.createTempDirectory("graft_replay_e2e").toString
+    val log = base + "/scenario.jsonl"
+    val fixture = getClass.getResource("/fixtures/scenario.json").getPath
+    graft.sources.ReplayLog.toLog(spark, fixture, log)
+    val stateDir = base + "/state"
+    val ckptDir = base + "/ckpt"
+    val src = StreamIngest.replaySource(spark, log, maxOffsetsPerTrigger = Some(7L))
+    val query = StreamIngest.start(src, stateDir, ckptDir)
+    val paced =
+      try {
+        query.processAllAvailable()
+        query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      } finally query.stop()
+    // the rate limit actually paced the run into multiple micro-batches
+    paced.max should be <= 7L
+    paced.length should be >= 3
+
+    val streamed = StreamIngest.loadLatestState(spark, stateDir, Long.MaxValue).get
+    val batch = Pipeline.replay(spark, Fixtures.loadJson(spark, fixture))
+    collectShape(streamed) shouldBe collectShape(batch)
+  }
+
   test("a NEW query on the same checkpoint resumes mid-scenario (crash/restart)") {
     // the closest analog of the reference's resume-after-crash consumer
     // test (kafka_test.go:136-211): the first query is STOPPED mid-
