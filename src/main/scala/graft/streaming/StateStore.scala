@@ -402,6 +402,45 @@ object StateStore {
       loaded, paths))
   }
 
+  // --- DSv2 planning surface (graft.sources.StoreTable) --------------------
+
+  /** Everything the `graft-store` DataSource V2 table needs at PLAN time:
+    * the resolved version, the table's canonical schema, its bucket column
+    * and modulus, and bucket id → resolved bucket directory (through the
+    * manifest pointers, so untouched buckets read from the version that
+    * last wrote them).
+    */
+  private[graft] final case class ScanPlan(version: Long, schema: StructType,
+      bucketCol: String, buckets: Int, bucketDirs: Map[Int, String])
+
+  private[graft] def planScan(spark: SparkSession, statePath: String,
+      table: String, version: Option[Long]): ScanPlan = {
+    val all = tables :+ idxTable
+    val spec = all.find(_.name == table).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown table '$table' — one of ${all.map(_.name).mkString(", ")}"))
+    val v = version.getOrElse(
+      committedVersions(spark, statePath, Long.MaxValue).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed version under $statePath")))
+    val m = readManifest(spark, statePath, v).getOrElse(
+      throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
+    ScanPlan(v, spec.schema, spec.bucketCols.head, m.buckets,
+      m.pointers.getOrElse(table, Map.empty).map { case (pt, pv) =>
+        pt -> s"$statePath/v$pv/$table/pt=$pt"
+      })
+  }
+
+  /** Driver-side twin of [[bucket]] for ONE key value: Spark's `hash` is
+    * seed-42 Murmur3, evaluated here through the same Catalyst expression
+    * so the two can never drift.
+    */
+  private[graft] def bucketIdFor(value: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal.create(value, StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % buckets) + buckets) % buckets
+  }
+
   // --- version diff (manifest-pruned) --------------------------------------
 
   /** Row-level diff of one table between two committed versions, plus the

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.graph.GraphOps.State
+import graft.ingest.Pipeline
+import graft.state.ChangeSet
+import graft.streaming.StateStore
+
+/** The `graft-store` DataSource V2 table: SQL-facing time travel over the
+  * versioned store plus bucket pruning from pushed-down key filters — the
+  * DSv2 face of StateStore.read/readPartialLatest's guarantees.
+  */
+class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  private def mkState(n: Int, bump: Set[String] = Set.empty): State = {
+    val assets = (0 until n).map { i =>
+      val id = s"a$i"
+      (id, "T", id, t0, if (bump(id)) t1 else t0, graft.schema.Schemas.Unexpired)
+    }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+    Pipeline.emptyState(spark).copy(assets = assets)
+  }
+
+  private def store(buckets: Int = 8): (String, StateStore.Config) = {
+    val root = Files.createTempDirectory("graft_dsv2_store").toString
+    val cfg = StateStore.Config(buckets)
+    StateStore.write(spark, root, 0L, mkState(64), None, cfg)
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(64, bump = Set("a5")), Some(ch), cfg)
+    (root, cfg)
+  }
+
+  private def load(root: String, version: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft-store")
+      .option("path", root).option("table", "assets")
+    version.fold(r)(v => r.option("version", v)).load()
+  }
+
+  private def shape(df: DataFrame): Set[(String, Timestamp)] =
+    df.select("id", "last_seen").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+
+  test("the DSv2 table reads exactly what StateStore.read resolves, latest by default") {
+    val (root, _) = store()
+    shape(load(root)) shouldBe shape(StateStore.read(spark, root, 1L).assets)
+    load(root).schema shouldBe graft.schema.Schemas.assetSchema
+  }
+
+  test("time travel: each version reads its own committed state through pointers") {
+    val (root, _) = store()
+    shape(load(root, Some(0L))) shouldBe shape(mkState(64).assets)
+    shape(load(root, Some(1L))) shouldBe shape(mkState(64, bump = Set("a5")).assets)
+    // v1 rewrote ONE bucket; the other 63 keys read through v0 pointers
+    load(root, Some(1L)).where(col("id") =!= "a5").count() shouldBe 63L
+  }
+
+  test("an equality filter on the bucket key prunes partitions to one bucket") {
+    val (root, _) = store()
+    val all = load(root)
+    val one = all.where(col("id") === "a5")
+    // a5 landed alone in the v1 bucket rewrite; every populated bucket of
+    // an 8-bucket/64-key store would otherwise contribute its files
+    one.rdd.getNumPartitions should be < all.rdd.getNumPartitions
+    one.collect().map(_.getString(0)) shouldBe Array("a5")
+    one.head().getTimestamp(4) shouldBe t1
+    // the scan itself advertises the pruning: 1 of 8 buckets survived
+    one.queryExecution.executedPlan.toString should include("buckets=1/8")
+  }
+
+  test("an IN filter prunes to the union of the keys' buckets; rows still exact") {
+    val (root, _) = store()
+    val sel = load(root).where(col("id").isin("a3", "a17", "a42"))
+    sel.rdd.getNumPartitions should be < load(root).rdd.getNumPartitions
+    sel.collect().map(_.getString(0)).sorted shouldBe Array("a17", "a3", "a42")
+  }
+
+  test("SQL face: a temp view over the table answers point lookups") {
+    val (root, _) = store()
+    load(root, Some(1L)).createOrReplaceTempView("store_assets_v1")
+    val row = spark.sql(
+      "SELECT id, last_seen FROM store_assets_v1 WHERE id = 'a5'").head()
+    (row.getString(0), row.getTimestamp(1)) shouldBe ("a5", t1)
+  }
+
+  test("unknown table and uncommitted version fail loudly") {
+    val (root, _) = store()
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-store").option("path", root)
+        .option("table", "nope").load()
+    }
+    e1.getMessage should include("unknown table")
+    val e2 = intercept[Exception] { load(root, Some(99L)).collect() }
+    e2.getMessage should include("no committed manifest")
+  }
+}
