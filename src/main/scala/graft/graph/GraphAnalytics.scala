@@ -109,45 +109,123 @@ object GraphAnalytics {
 
   /** k-core of an undirected edge set `(a, b), a < b` — the maximal
     * subgraph in which every vertex has degree >= k, as `(v, deg)` rows
-    * with `deg` the vertex's degree INSIDE the core. Classic iterative
-    * peel: drop vertices of degree < k, drop their incident edges, repeat
-    * until no vertex is under-degree. The fixpoint is unique (the k-core
-    * is well-defined independent of peel order), so any engine peeling in
-    * any order hash-matches.
+    * with `deg` the vertex's degree INSIDE the core. The fixpoint is
+    * unique (the k-core is peel-order-independent), so any engine
+    * peeling in any order hash-matches.
     *
-    * Scale shape per round: one degree groupBy + two anti-joins of the
-    * edge frame against the under-degree vertex set — all equi-joins on
-    * vertex ids, no corpus-scale broadcast (the under-degree set is
-    * corpus-sized in round 1). Each round's survivor frame is
-    * localCheckpoint'ed so lineage stays flat. Rounds are bounded by
-    * `maxRounds` with a loud failure, mirroring `ancestorsClosure`'s
-    * contract: real-world graphs peel in a handful of rounds, but a
-    * k=2 peel of a long path needs O(length) rounds — callers with deep
-    * pathological graphs must raise the cap consciously.
+    * DELTA peeling, not recount-and-filter: the edge set is materialized
+    * ONCE and never rewritten; each round joins it against only the
+    * vertices removed THAT round, decrementing their surviving
+    * neighbors' degrees — per-round work is O(edges incident to the
+    * removed set) and each edge contributes at most two decrements over
+    * the WHOLE peel, where the recount form (full degree groupBy + two
+    * edge anti-joins + edge rewrite, every round) re-touches all E edges
+    * each of its rounds: 17 rounds at sf0.1 made q_kcore the catalog's
+    * slowest query, and at 100 TB a 17x edge-scan multiplier is the
+    * plan's whole cost. Evolving state is the NODE-sized alive-degree
+    * frame only (checkpointed per round for flat lineage); edges stay
+    * partitioned in place.
+    *
+    * Rounds are bounded by `maxRounds` with a loud failure, mirroring
+    * `ancestorsClosure`'s contract: real-world graphs peel in a handful
+    * of rounds, but a k=2 peel of a long path needs O(length) rounds —
+    * callers with deep pathological graphs must raise the cap consciously.
     */
+  /** Edge-count threshold under which [[kCore]] runs the whole peel in ONE
+    * task (`spark.graft.kcore.localEdgeLimit`, default 2M ≈ 50 MB of
+    * adjacency in the task): below it, 15+ rounds of 2-job dataflow are
+    * pure scheduling latency (measured: the sf0.1 peel spent ~3.4 s on 34
+    * sequential micro-jobs moving kilobytes); above it, the delta-peel
+    * dataflow takes over. Same unique fixpoint either way — the k-core is
+    * peel-order-independent, and the property spec drives both paths
+    * against the same sequential reference.
+    */
+  private def localEdgeLimit(edges: DataFrame): Long =
+    edges.sparkSession.conf.get("spark.graft.kcore.localEdgeLimit", "2000000").toLong
+
+  /** Sequential peel in one task — the textbook O(E) bucket-queue
+    * algorithm, for graphs under [[localEdgeLimit]]. Long-typed vertex
+    * ids only (the dispatch checks); emits the same `(v, deg)` contract.
+    */
+  private def kCoreLocal(edges: DataFrame, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+        }
+        val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+        adj.foreach { case (v, ns) => deg(v) = ns.size }
+        val removed = scala.collection.mutable.HashSet.empty[Long]
+        val queue = scala.collection.mutable.Queue.empty[Long]
+        deg.foreach { case (v, d) => if (d < k) queue.enqueue(v) }
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          if (!removed(v)) {
+            removed += v
+            adj(v).foreach { w =>
+              if (!removed(w)) {
+                val d = deg(w) - 1
+                deg(w) = d
+                if (d == k - 1) queue.enqueue(w)
+              }
+            }
+          }
+        }
+        deg.iterator.collect { case (v, d) if !removed(v) => (v, d.toLong) }
+      }
+      .toDF("v", "deg")
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
-    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
-    def degrees(ed: DataFrame): DataFrame =
-      ed.select(col("a").as("v")).unionAll(ed.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
+    val longIds = edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+      edges.schema("b").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && edges.count() <= localEdgeLimit(edges))
+      return kCoreLocal(edges, k)
+    // symmetric adjacency, built ONCE: one join per round instead of two,
+    // and the 2x storage replaces the recount form's per-round edge
+    // rewrites entirely
+    val esym = edges.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg holds ONLY alive (not yet removed) vertices; its `deg` counts
+    // edges to other alive vertices once all pending decrements applied
+    var deg = esym.select(col("u").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // `bad` stays a LAZY narrow filter over the checkpointed deg — each
+    // round runs exactly two jobs (the deg checkpoint and the bad count);
+    // checkpointing bad itself was a third job buying nothing
+    var bad = deg.filter(col("deg") < k).select("v")
+    var badCount = bad.count()
     var rounds = 0
-    var converged = false
-    while (!converged) {
-      val bad = degrees(e).filter(col("deg") < k).select("v").localCheckpoint(true)
-      if (bad.isEmpty) converged = true
-      else {
-        require(rounds < maxRounds,
-          s"k-core peel still removing after $maxRounds rounds — deep " +
-            "pathological graph? raise maxRounds consciously")
-        e = e.join(bad.select(col("v").as("a")), Seq("a"), "left_anti")
-          .join(bad.select(col("v").as("b")), Seq("b"), "left_anti")
-          .localCheckpoint(true)
-        rounds += 1
-      }
+    while (badCount > 0) {
+      require(rounds < maxRounds,
+        s"k-core peel still removing after $maxRounds rounds — deep " +
+          "pathological graph? raise maxRounds consciously")
+      // neighbors of this round's removals, with multiplicity: each such
+      // edge dies, so its OTHER endpoint (if still alive) loses a degree.
+      // Decrements aimed at dead or just-removed vertices vanish in the
+      // left join below — their deg rows are gone by then.
+      val dec = esym.join(bad.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("w").as("v")).agg(count(lit(1)).as("d"))
+      deg = deg.join(bad, Seq("v"), "left_anti")
+        .join(dec, Seq("v"), "left")
+        .select(col("v"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
+        .localCheckpoint(true)
+      bad = deg.filter(col("deg") < k).select("v")
+      badCount = bad.count()
+      rounds += 1
     }
-    degrees(e)
+    esym.unpersist()
+    deg
   }
 
   /** Fixed-iteration integer PageRank over an undirected edge set

@@ -133,17 +133,26 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe (1L to 5L).map(_ -> 2L).toMap
   }
 
-  test("kCore: maxRounds exceeded fails loudly") {
+  /** Run `f` with the single-task fallback disabled, so the distributed
+    * delta-peel path is the one under test.
+    */
+  private def forceDistributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.kcore.localEdgeLimit", "0")
+    try f finally spark.conf.unset("spark.graft.kcore.localEdgeLimit")
+  }
+
+  test("kCore: maxRounds exceeded fails loudly (distributed path)") {
     // k=2 peel of a path unzips one vertex pair per round — a length-9
-    // path needs 4 peel rounds, so maxRounds=2 must throw
+    // path needs 4 peel rounds, so maxRounds=2 must throw. The
+    // single-task path has no rounds; force the dataflow peel.
     val g = edges((1L to 9L).map(i => (i, i + 1)): _*)
     val ex = intercept[IllegalArgumentException] {
-      GraphAnalytics.kCore(g, k = 2, maxRounds = 2).collect()
+      forceDistributed(GraphAnalytics.kCore(g, k = 2, maxRounds = 2).collect())
     }
     ex.getMessage should include("maxRounds")
   }
 
-  test("property: kCore == sequential reference peel on random graphs") {
+  test("property: kCore == sequential reference peel on random graphs, BOTH paths") {
     val rnd = new scala.util.Random(580L)
     (1 to 6).foreach { _ =>
       val n = 8 + rnd.nextInt(10)
@@ -153,9 +162,11 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
       } yield (a, b)
       if (pairs.nonEmpty) {
         val k = 2 + rnd.nextInt(3)
-        val got = GraphAnalytics.kCore(edges(pairs: _*), k, maxRounds = 30)
+        val expect = refKCore(pairs, k)
+        def run() = GraphAnalytics.kCore(edges(pairs: _*), k, maxRounds = 30)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got shouldBe refKCore(pairs, k)
+        run() shouldBe expect // small graph: single-task peel
+        forceDistributed(run()) shouldBe expect // delta-peel dataflow
       }
     }
   }
