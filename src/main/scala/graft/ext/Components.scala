@@ -50,6 +50,40 @@ object Components {
     * the observable that lets a test PIN the O(log diameter) convergence
     * (a depth-64 chain must close in ~log2(64) rounds, not 64).
     */
+  /** Edge-count threshold under which the whole labeling runs as ONE
+    * task of union-find (`spark.graft.cc.localEdgeLimit`, default 2M):
+    * below it, log-diameter rounds of join dataflow are pure scheduling
+    * latency; above it, the hash-min + pointer-jumping dataflow takes
+    * over. Union-by-min-root makes every final root the component's min
+    * id — the identical fixpoint (and identical to ComponentsSpec's
+    * reference). The local path reports rounds = 0.
+    */
+  private def localEdgeLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.cc.localEdgeLimit", "2000000").toLong
+
+  private def ccLocal(fwd: DataFrame): DataFrame = {
+    val spark = fwd.sparkSession
+    import spark.implicits._
+    fwd.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // roots merge toward the smaller id, so a set's root IS its min
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keysIterator.map(v => (v, find(v))).toArray.iterator
+    }.toDF("id", "cluster_id")
+  }
+
   def connectedComponentsWithRounds(pairs: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 25): (DataFrame, Int) = {
     // materialize the input ONCE before orienting: `fwd` is referenced
@@ -59,6 +93,7 @@ object Components {
     // -> 3.1 s on q_dedup_components at sf0.1)
     val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    if (fwd.count() <= localEdgeLimit(fwd)) return (ccLocal(fwd), 0)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

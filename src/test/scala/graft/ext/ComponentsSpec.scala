@@ -18,10 +18,18 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec with Matchers {
     Components.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Run `f` with the single-task union-find fallback disabled, so the
+    * hash-min + pointer-jumping dataflow is the path under test.
+    */
+  private def forceDistributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try f finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+  }
+
   test("a chain needs multiple propagation rounds and still collapses to its min") {
     // 9 <- 8 <- ... <- 1: min label must travel the full diameter
     val chain = (1L to 8L).map(i => (i, i + 1))
-    val got = cc(chain)
+    val got = forceDistributed(cc(chain))
     got.keySet shouldBe (1L to 9L).toSet
     got.values.toSet shouldBe Set(1L)
   }
@@ -57,23 +65,32 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      withClue(s"seed=$seed: ") { cc(edges) shouldBe expected }
+      withClue(s"seed=$seed (single-task path): ") { cc(edges) shouldBe expected }
+      withClue(s"seed=$seed (dataflow path): ") {
+        forceDistributed(cc(edges)) shouldBe expected
+      }
     }
   }
 
   test("pointer jumping closes a depth-64 chain in O(log d) rounds, not 64") {
     val chain = (1L to 64L).map(i => (i, i + 1))
-    val (df, rounds) =
-      Components.connectedComponentsWithRounds(chain.toDF("a", "b"), "a", "b")
-    df.collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+    val (df, rounds) = forceDistributed {
+      val (d, r) =
+        Components.connectedComponentsWithRounds(chain.toDF("a", "b"), "a", "b")
+      (d.collect(), r)
+    }
+    df.map(_.getLong(1)).toSet shouldBe Set(1L)
     // reach roughly doubles per round; +1 detection round, +slack for the
     // first identity round — far under the 65 plain hash-min would need
+    rounds should be > 0
     rounds should be <= 10
   }
 
   test("an unconverged graph throws instead of emitting partial components") {
-    // diameter 5 cannot converge in 2 rounds (round 1 halves it at best)
+    // diameter 5 cannot converge in 2 rounds (round 1 halves it at best);
+    // the single-task path has no rounds — force the dataflow
     val chain = (1L to 5L).map(i => (i, i + 1))
-    an[IllegalArgumentException] should be thrownBy cc(chain, maxRounds = 2)
+    an[IllegalArgumentException] should be thrownBy
+      forceDistributed(cc(chain, maxRounds = 2))
   }
 }

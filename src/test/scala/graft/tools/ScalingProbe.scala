@@ -250,9 +250,14 @@ object ScalingProbe {
     // round's join+agg handles k x rows — the curve must track the edge
     // count ~linearly; a super-linear curve would indict the per-round
     // join or the convergence check, not the data.
+    // the family measures the DATAFLOW labeling's curve — pin it past the
+    // single-task union-find fallback, which would otherwise absorb every
+    // leg at these sizes
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
     record("graph_cc", timeMin(3, spark) {
       graft.ext.Components.connectedComponents(eNewS, "a", "b").count()
     })
+    spark.conf.unset("spark.graft.cc.localEdgeLimit")
 
     // 12. segment-level dedup (q_paragraph_dedup): segments explode once,
     // first-occurrence election is groupBy(h).min + join back (map-side
