@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.streaming.StateStore
+
+/** `graft-store-cdc` — the versioned store's CHANGE FEED as a DataSource
+  * V2 micro-batch stream: every newly committed version becomes a
+  * micro-batch of its row-level changes, the streaming face of
+  * [[StateStore.diffVersions]] (batch) and `Inventory.changesSince`
+  * (REST paging):
+  *
+  * {{{
+  * spark.readStream.format("graft-store-cdc")
+  *   .option("path", statePath).option("table", "assets")
+  *   .option("startingVersion", -1)   // -1 = genesis; omit = only future versions
+  *   .load()                          // table columns + change STRING + version BIGINT
+  * }}}
+  *
+  * Offsets are committed version numbers, checkpointed by the engine, so
+  * a restarted stream resumes at the exact version it left off.
+  * Planning is manifest-pruned like the batch diff: a bucket whose
+  * pointer is unchanged between two versions is byte-identical by shadow
+  * paging and is never read — per-version read I/O is bounded by that
+  * version's WRITE I/O, not by state size. Each input partition diffs
+  * ONE changed bucket (old multiset vs new, `exceptAll` semantics —
+  * an update appears as its removed old row plus its added new row);
+  * a bucket fits a task by the store's own sizing contract. The base
+  * version must still be committed — a pruned base fails loudly instead
+  * of silently skipping changes (the changesSince retention contract).
+  */
+object StoreCdc {
+  val ShortName = "graft-store-cdc"
+
+  def schemaFor(table: String): StructType =
+    StructType(StateStore.tableSchema(table).fields.toSeq ++ Seq(
+      StructField("change", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+}
+
+class StoreCdcProvider extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = StoreCdc.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StoreCdc.schemaFor(Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-store-cdc requires option 'table'")))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StoreCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+class StoreCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-store-cdc requires option 'path'"))
+  private val table = Option(options.get("table")).getOrElse(
+    throw new IllegalArgumentException("graft-store-cdc requires option 'table'"))
+
+  override def name(): String = s"${StoreCdc.ShortName}:$table@$path"
+  override def schema(): StructType = StoreCdc.schemaFor(table)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = StoreCdc.schemaFor(table)
+        override def description(): String = s"StoreCdcScan($table)"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StoreCdcStream(path, table,
+            Option(opts.get("startingVersion")).map(_.toLong))
+      }
+    }
+}
+
+/** Offset = highest committed version whose changes have been emitted. */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class StoreCdcStream(path: String, table: String, startingVersion: Option[Long])
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def chain: Seq[Long] =
+    StateStore.committedVersions(spark, path, Long.MaxValue)
+
+  /** No explicit start => only versions committed AFTER the stream first
+    * starts (the checkpoint then pins this choice forever).
+    */
+  override def initialOffset(): Offset =
+    VersionOffset(startingVersion.getOrElse(chain.lastOption.getOrElse(-1L)))
+
+  override def latestOffset(): Offset = {
+    val last = chain.lastOption.getOrElse(-1L)
+    VersionOffset(math.max(last, startingVersion.getOrElse(-1L)))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    StateStore.planCdc(spark, path, table,
+        start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+      .map(s => StoreCdcPartition(s.version, s.oldDir, s.newDir,
+        StateStore.tableSchema(table)): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = new StoreCdcReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class StoreCdcPartition(version: Long, oldDir: Option[String],
+    newDir: Option[String], tableSchema: StructType) extends InputPartition
+
+class StoreCdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StoreCdcPartition]
+    new PartitionReader[InternalRow] {
+      private val added = UTF8String.fromString("added")
+      private val removed = UTF8String.fromString("removed")
+
+      private def mkRow(vals: Array[Any], change: UTF8String): InternalRow =
+        new GenericInternalRow((vals :+ (change: Any)) :+ (p.version: Any))
+
+      // one changed bucket: old rows into a multiset, new rows matched off
+      // against it — leftovers on either side are the exceptAll diff
+      private val rows: Iterator[InternalRow] = {
+        val old = scala.collection.mutable.HashMap.empty[List[Any], (Array[Any], Int)]
+        p.oldDir.iterator.flatMap(StoreParquet.readDir(_, p.tableSchema)).foreach { r =>
+          val k = r.toList
+          old.updateWith(k) {
+            case Some((row, c)) => Some((row, c + 1))
+            case None => Some((r, 1))
+          }
+        }
+        val addedRows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        p.newDir.iterator.flatMap(StoreParquet.readDir(_, p.tableSchema)).foreach { r =>
+          val k = r.toList
+          old.get(k) match {
+            case Some((_, c)) if c > 0 =>
+              if (c == 1) old.remove(k) else old(k) = (old(k)._1, c - 1)
+            case _ => addedRows += mkRow(r, added)
+          }
+        }
+        val removedRows = old.valuesIterator.flatMap { case (row, c) =>
+          Iterator.fill(c)(mkRow(row, removed))
+        }
+        addedRows.iterator ++ removedRows
+      }
+
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

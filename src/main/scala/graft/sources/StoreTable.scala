@@ -158,34 +158,62 @@ class StoreReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = { current = reader.read(); current != null }
 
-      override def get(): InternalRow = {
-        val g = current
-        val t = g.getType
-        val vals = p.required.fields.map { f =>
-          val i = t.getFieldIndex(f.name)
-          if (g.getFieldRepetitionCount(i) == 0) null
-          else f.dataType match {
-            case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-            case TimestampType =>
-              t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
-                case PrimitiveTypeName.INT64 => g.getLong(i, 0) // already µs
-                case PrimitiveTypeName.INT96 => // legacy: nanos-of-day + julian day
-                  val b = g.getInt96(i, 0).getBytes
-                  val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val nanosOfDay = buf.getLong
-                  val julianDay = buf.getInt
-                  (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
-                case other => throw new IllegalStateException(
-                  s"unsupported parquet timestamp physical type $other in ${p.file}")
-              }
-            case other => throw new IllegalStateException(
-              s"graft-store reader supports STRING and TIMESTAMP columns, got $other")
-          }
-        }
-        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-      }
+      override def get(): InternalRow =
+        new GenericInternalRow(StoreParquet.convert(current, p.required, p.file))
 
       override def close(): Unit = reader.close()
     }
+  }
+}
+
+/** Shared Group-API parquet access for the store's DSv2 readers. */
+private[sources] object StoreParquet {
+
+  /** One parquet Group → Spark-internal values in `required` field order. */
+  def convert(g: org.apache.parquet.example.data.Group, required: StructType,
+      file: String): Array[Any] = {
+    val t = g.getType
+    required.fields.map { f =>
+      val i = t.getFieldIndex(f.name)
+      if (g.getFieldRepetitionCount(i) == 0) null
+      else f.dataType match {
+        case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case TimestampType =>
+          t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 => g.getLong(i, 0) // already µs
+            case PrimitiveTypeName.INT96 => // legacy: nanos-of-day + julian day
+              val b = g.getInt96(i, 0).getBytes
+              val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nanosOfDay = buf.getLong
+              val julianDay = buf.getInt
+              (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+            case other => throw new IllegalStateException(
+              s"unsupported parquet timestamp physical type $other in $file")
+          }
+        case other => throw new IllegalStateException(
+          s"graft-store reader supports STRING and TIMESTAMP columns, got $other")
+      }
+    }.asInstanceOf[Array[Any]]
+  }
+
+  /** All rows of every parquet file under `dir` (absent dir = no rows) —
+    * bucket-dir granularity, bounded by the store's one-bucket-fits-a-task
+    * sizing contract.
+    */
+  def readDir(dir: String, schema: StructType): Iterator[Array[Any]] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return Iterator.empty
+    fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap { s =>
+        @annotation.nowarn("cat=deprecation")
+        val reader = ParquetReader.builder(new GroupReadSupport(), s.getPath)
+          .withConf(new Configuration()).build()
+        Iterator.continually(reader.read()).takeWhile(_ != null)
+          .map(g => convert(g, schema, s.getPath.toString)) ++ {
+          reader.close(); Iterator.empty
+        }
+      }
   }
 }

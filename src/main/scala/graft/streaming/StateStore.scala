@@ -430,6 +430,66 @@ object StateStore {
       })
   }
 
+  /** One changed bucket of one version transition — the planning unit of
+    * the `graft-store-cdc` streaming source. `oldDir` is absent when the
+    * bucket first appears at `version`; `newDir` absent when the version
+    * dropped it.
+    */
+  private[graft] final case class CdcSlice(version: Long, bucket: Int,
+      oldDir: Option[String], newDir: Option[String])
+
+  /** Plan the row-level change feed of `table` for every committed
+    * version in `(fromExclusive, toInclusive]`: one [[CdcSlice]] per
+    * (version, pointer-changed bucket), each diffed against that
+    * version's committed predecessor — the streaming face of
+    * [[diffVersions]], manifest-pruned the same way (same-pointer buckets
+    * are byte-identical by shadow paging and never read).
+    *
+    * `fromExclusive = -1` means genesis: the chain's first version diffs
+    * against empty. Any other base must still be committed — a pruned
+    * base would silently skip its changes, so it fails loudly instead
+    * (the [[graft.graph.Inventory.changesSince]] retention contract).
+    */
+  private[graft] def planCdc(spark: SparkSession, statePath: String,
+      table: String, fromExclusive: Long, toInclusive: Long): Seq[CdcSlice] = {
+    require(tables.exists(_.name == table),
+      s"unknown table '$table' — one of ${tables.map(_.name).mkString(", ")}")
+    val chain = committedVersions(spark, statePath, Long.MaxValue)
+    val emit = chain.filter(v => v > fromExclusive && v <= toInclusive)
+    if (emit.isEmpty) return Nil
+    val base = chain.filter(_ <= fromExclusive).lastOption
+    if (base.isEmpty && fromExclusive >= 0)
+      throw new IllegalStateException(
+        s"CDC base version <= $fromExclusive is no longer committed under " +
+          s"$statePath (pruned?) — reseed from a full read, as with changesSince")
+    def mf(v: Long): Manifest = readManifest(spark, statePath, v).getOrElse(
+      throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
+    var prev = base
+    emit.flatMap { v =>
+      val mNew = mf(v)
+      val pOld = prev.map { pv =>
+        val m = mf(pv)
+        require(m.buckets == mNew.buckets,
+          s"bucket count differs (v$pv=${m.buckets}, v$v=${mNew.buckets}): " +
+            "CDC across a rebucket is not expressible bucket-wise")
+        m.pointers.getOrElse(table, Map.empty)
+      }.getOrElse(Map.empty[Int, Long])
+      val pNew = mNew.pointers.getOrElse(table, Map.empty)
+      prev = Some(v)
+      (pOld.keySet ++ pNew.keySet).filter(pt => pOld.get(pt) != pNew.get(pt))
+        .toSeq.sorted.map { pt =>
+          CdcSlice(v, pt,
+            pOld.get(pt).map(pv => s"$statePath/v$pv/$table/pt=$pt"),
+            pNew.get(pt).map(nv => s"$statePath/v$nv/$table/pt=$pt"))
+        }
+    }
+  }
+
+  private[graft] def tableSchema(table: String): StructType =
+    tables.find(_.name == table).map(_.schema).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown table '$table' — one of ${tables.map(_.name).mkString(", ")}"))
+
   /** Driver-side twin of [[bucket]] for ONE key value: Spark's `hash` is
     * seed-42 Murmur3, evaluated here through the same Catalyst expression
     * so the two can never drift.

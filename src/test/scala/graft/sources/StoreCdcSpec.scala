@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.graph.GraphOps.State
+import graft.ingest.Pipeline
+import graft.state.ChangeSet
+import graft.streaming.StateStore
+
+/** The `graft-store-cdc` DataSource V2 change-feed stream: version-offset
+  * semantics, genesis vs future-only starts, checkpointed restart, batch
+  * diffVersions equivalence, and the pruned-base retention contract.
+  */
+class StoreCdcSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  private def mkState(n: Int, bump: Map[String, Timestamp] = Map.empty): State = {
+    val assets = (0 until n).map { i =>
+      val id = s"a$i"
+      (id, "T", id, t0, bump.getOrElse(id, t0), graft.schema.Schemas.Unexpired)
+    }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+    Pipeline.emptyState(spark).copy(assets = assets)
+  }
+
+  private val cfg = StateStore.Config(buckets = 8)
+
+  private def writeV(root: String, v: Long, n: Int,
+      bump: Map[String, Timestamp], changedIds: Seq[String]): Unit =
+    StateStore.write(spark, root, v, mkState(n, bump),
+      if (changedIds.isEmpty) None
+      else Some(ChangeSet.empty(spark).copy(assets = changedIds.toDF("id"))), cfg)
+
+  private def stream(root: String, startingVersion: Option[Long]): DataFrame = {
+    val r = spark.readStream.format("graft-store-cdc")
+      .option("path", root).option("table", "assets")
+    startingVersion.fold(r)(v => r.option("startingVersion", v)).load()
+  }
+
+  private def rowsOf(df: DataFrame): Seq[(String, Timestamp, String, Long)] =
+    df.select("id", "last_seen", "change", "version").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("genesis stream emits v0 all-added, then each version's row-level diff") {
+    val base = Files.createTempDirectory("graft_cdc_genesis").toString
+    val root = base + "/store"
+    writeV(root, 0L, 64, Map.empty, Nil)
+    writeV(root, 1L, 64, Map("a5" -> t1), Seq("a5"))
+    val q = stream(root, Some(-1L))
+      .writeStream.format("memory").queryName("cdc_genesis")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("cdc_genesis"))
+      got.count(_._4 == 0L) shouldBe 64 // genesis: every v0 row added
+      got.filter(_._4 == 0L).forall(_._3 == "added") shouldBe true
+      // v1: the a5 update = removed old row + added new row, nothing else
+      got.filter(_._4 == 1L).toSet shouldBe Set(
+        ("a5", t0, "removed", 1L), ("a5", t1, "added", 1L))
+    } finally q.stop()
+  }
+
+  test("default start emits only versions committed after the stream starts") {
+    val base = Files.createTempDirectory("graft_cdc_future").toString
+    val root = base + "/store"
+    writeV(root, 0L, 16, Map.empty, Nil)
+    writeV(root, 1L, 16, Map("a3" -> t1), Seq("a3"))
+    val q = stream(root, None)
+      .writeStream.format("memory").queryName("cdc_future")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("cdc_future").count() shouldBe 0 // history not replayed
+      writeV(root, 2L, 16, Map("a3" -> t1, "a7" -> t1), Seq("a7"))
+      q.processAllAvailable()
+      rowsOf(spark.table("cdc_future")).toSet shouldBe Set(
+        ("a7", t0, "removed", 2L), ("a7", t1, "added", 2L))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes at the committed version") {
+    val base = Files.createTempDirectory("graft_cdc_restart").toString
+    val root = base + "/store"
+    val out = base + "/out"
+    writeV(root, 0L, 16, Map.empty, Nil)
+    writeV(root, 1L, 16, Map("a3" -> t1), Seq("a3"))
+    def run(): Unit = {
+      val q = stream(root, Some(-1L))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    spark.read.parquet(out).count() shouldBe (16 + 2)
+    writeV(root, 2L, 16, Map("a3" -> t1, "a9" -> t1), Seq("a9"))
+    run()
+    val all = spark.read.parquet(out)
+    all.count() shouldBe (16 + 2 + 2) // v2 only — nothing re-emitted
+    rowsOf(all.where("version = 2")).toSet shouldBe Set(
+      ("a9", t0, "removed", 2L), ("a9", t1, "added", 2L))
+  }
+
+  test("stream batches match diffVersions' batch semantics exactly") {
+    val base = Files.createTempDirectory("graft_cdc_equiv").toString
+    val root = base + "/store"
+    writeV(root, 0L, 32, Map.empty, Nil)
+    writeV(root, 1L, 32, Map("a1" -> t1, "a11" -> t1), Seq("a1", "a11"))
+    val q = stream(root, Some(0L)) // changes strictly after v0
+      .writeStream.format("memory").queryName("cdc_equiv")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = rowsOf(spark.table("cdc_equiv")).map(r => (r._1, r._2, r._3)).toSet
+    val batch = StateStore.diffVersions(spark, root, 0L, 1L)
+      .find(_.table == "assets").get.changed
+      .select("id", "last_seen", "change").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    streamed shouldBe batch
+  }
+
+  test("a pruned base version fails loudly instead of skipping changes") {
+    val base = Files.createTempDirectory("graft_cdc_pruned").toString
+    val root = base + "/store"
+    writeV(root, 0L, 16, Map.empty, Nil)
+    writeV(root, 1L, 16, Map("a3" -> t1), Seq("a3"))
+    writeV(root, 2L, 16, Map("a3" -> t1, "a5" -> t1), Seq("a5"))
+    StateStore.prune(spark, root, keepFrom = 2L)
+    val q = stream(root, Some(0L))
+      .writeStream.format("memory").queryName("cdc_pruned")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    messages should include("reseed")
+  }
+}
