@@ -147,9 +147,21 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
-    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, dir).queryExecution.executedPlan.toString
-    }
+    // audit the SCALE path: the size-adaptive graph ops (kCore, connected
+    // components) dispatch to a deliberate single-task kernel under their
+    // edge thresholds — at sf0.001 every graph fits, which would flag
+    // their repartition(1) in seven queries. Pin the dispatch to the
+    // dataflow form here; the local kernels are property-tested against
+    // the same fixpoints in their own specs, and their SinglePartition is
+    // bounded BY the threshold conf, not by data.
+    Seq("spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit")
+      .foreach(spark.conf.set(_, "0"))
+    val plans =
+      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> fn(spark, dir).queryExecution.executedPlan.toString
+      }
+      finally Seq("spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit")
+        .foreach(spark.conf.unset)
     val violations = plans.flatMap { case (name, plan) =>
       Seq(
         Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),

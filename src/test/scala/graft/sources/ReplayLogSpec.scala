@@ -88,6 +88,34 @@ class ReplayLogSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows(6)._2 shouldBe "extra6"
   }
 
+  test("an empty log reads as zero rows in batch and yields no stream batches") {
+    val base = tmpDir("empty")
+    val log = base + "/log.jsonl"
+    writeLog(log, Seq.empty)
+    spark.read.format("graft-replay").option("path", log).load().count() shouldBe 0
+    val q = spark.readStream.format("graft-replay").option("path", log).load()
+      .writeStream.format("memory").queryName("replay_empty")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("replay_empty").count() shouldBe 0
+    } finally q.stop()
+  }
+
+  test("a missing path or missing log file fails loudly, not as empty data") {
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-replay").load()
+    }
+    e1.getMessage should include("path")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-replay")
+        .option("path", tmpDir("absent") + "/nope.jsonl").load().count()
+    }
+    (e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase should include("nope.jsonl")
+  }
+
   test("the raw value decodes downstream with the fixture envelope schema") {
     val base = tmpDir("decode")
     val fixture = getClass.getResource("/fixtures/valid_assets.json").getPath

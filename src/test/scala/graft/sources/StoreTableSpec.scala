@@ -84,6 +84,14 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     sel.collect().map(_.getString(0)).sorted shouldBe Array("a17", "a3", "a42")
   }
 
+  test("a filter on a non-bucket column prunes nothing and stays exact") {
+    val (root, _) = store()
+    val all = load(root)
+    val sel = all.where(col("last_seen") === t1) // only a5 was bumped in v1
+    sel.rdd.getNumPartitions shouldBe all.rdd.getNumPartitions // no pruning claimed
+    sel.collect().map(_.getString(0)) shouldBe Array("a5")
+  }
+
   test("SQL face: a temp view over the table answers point lookups") {
     val (root, _) = store()
     load(root, Some(1L)).createOrReplaceTempView("store_assets_v1")

@@ -155,6 +155,21 @@ object ScalingProbe {
       p.state.assets.count()
     })
 
+    // 5b. one-key version diff (the CDC read path): manifest pruning must
+    // bound diff read I/O by the version's WRITE I/O — one bucket here —
+    // whatever the store size, so the curve must stay ~flat as the store
+    // grows k x (bucket count tracks the corpus, one bucket stays
+    // ~constant-sized)
+    val tBump = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val bumped = st.copy(assets = assets.withColumn("last_seen",
+      when(col("id") === "a7", lit(tBump)).otherwise(col("last_seen"))))
+    StateStore.write(spark, root, 1L, bumped, // untimed build
+      Some(graft.state.ChangeSet.empty(spark).copy(assets = Seq("a7").toDF("id"))), cfg)
+    record("store_diff_1key", timeMin(3, spark) {
+      StateStore.diffVersions(spark, root, 0L, 1L)
+        .find(_.table == "assets").get.changed.count()
+    })
+
     // 6. range join: 1 h incident windows vs the full stream — candidate
     // fan-out must track interval density per cell (constant here), so
     // wall time tracks rows, not rows x intervals
