@@ -243,8 +243,58 @@ object GraphAnalytics {
     * of re-planning i joins at iteration i. Undirected symmetrization
     * means every vertex has out-degree >= 1 — no dangling-mass term.
     */
+  /** Shared size-adaptive dispatch for the FIXED-ITERATION graph ops
+    * (PageRank, label propagation): under the edge threshold the whole
+    * integer-lattice fold runs in one task — k iterations of join
+    * dataflow on a small graph are pure scheduling latency — and the
+    * sequential twin replays the SAME integer arithmetic step for step,
+    * so the result is bit-identical (both ops are deterministic folds,
+    * not fixpoints: there is no peel-order freedom to rely on, which is
+    * exactly why the twins mirror the lattice ops literally and the
+    * property specs drive both paths against each other).
+    */
+  private def localLimit(edges: DataFrame, conf: String): Long =
+    edges.sparkSession.conf.get(conf, "2000000").toLong
+
+  private def longPairs(edges: DataFrame): Option[DataFrame] =
+    if (edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+      edges.schema("b").dataType == org.apache.spark.sql.types.LongType)
+      Some(edges.select(col("a"), col("b"))) else None
+
+  private def pageRankLocal(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val base = 15L * scale / 100L
+    edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      it.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      var r = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keysIterator.foreach(v => r(v) = scale)
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+        adj.foreach { case (u, ns) =>
+          val c = r(u) / ns.size // `div` on non-negative longs = /
+          ns.foreach(w => contrib(w) = contrib.getOrElse(w, 0L) + c)
+        }
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        contrib.foreach { case (v, s) => next(v) = base + 85L * s / 100L }
+        r = next
+      }
+      r.iterator
+    }.toDF("v", "rank_ppm")
+  }
+
   def pageRankInt(edges: DataFrame, iters: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    longPairs(edges) match {
+      case Some(e) if e.count() <= localLimit(edges, "spark.graft.pagerank.localEdgeLimit") =>
+        return pageRankLocal(e, iters, scale)
+      case _ =>
+    }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -282,8 +332,44 @@ object GraphAnalytics {
     * Lineage stays flat via per-round eager checkpoints (the
     * [[pageRankInt]] contract).
     */
+  private def labelPropLocal(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      it.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      var lbl = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keysIterator.foreach(v => lbl(v) = v)
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        adj.foreach { case (v, ns) =>
+          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+          ns.foreach { w =>
+            val l = lbl(w); counts(l) = counts.getOrElse(l, 0L) + 1L
+          }
+          // plurality, ties to the SMALLEST label — max(struct(cnt, -lbl))
+          next(v) = counts.foldLeft((0L, Long.MaxValue)) {
+            case ((bc, bl), (l, c)) =>
+              if (c > bc || (c == bc && l < bl)) (c, l) else (bc, bl)
+          }._2
+        }
+        lbl = next
+      }
+      lbl.iterator
+    }.toDF("part", "community")
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    longPairs(edges) match {
+      case Some(e) if e.count() <= localLimit(edges, "spark.graft.labelprop.localEdgeLimit") =>
+        return labelPropLocal(e, iters)
+      case _ =>
+    }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).localCheckpoint(true)

@@ -171,6 +171,40 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("property: pagerank local twin == dataflow, bit-identical, random graphs") {
+    val rnd = new scala.util.Random(77L)
+    (1 to 3).foreach { _ =>
+      val n = 6 + rnd.nextInt(8)
+      val pairs = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)) ++ Seq((1L, 2L)) // never empty
+      def run() = GraphAnalytics.pageRankInt(edges(pairs: _*), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = run()
+      spark.conf.set("spark.graft.pagerank.localEdgeLimit", "0")
+      val dist = try run() finally spark.conf.unset("spark.graft.pagerank.localEdgeLimit")
+      local shouldBe dist // same integer lattice, step for step
+    }
+  }
+
+  test("property: label propagation local twin == dataflow, random graphs") {
+    val rnd = new scala.util.Random(78L)
+    (1 to 3).foreach { _ =>
+      val n = 6 + rnd.nextInt(8)
+      val pairs = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)) ++ Seq((1L, 2L))
+      def run() = GraphAnalytics.labelPropagation(edges(pairs: _*), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = run()
+      spark.conf.set("spark.graft.labelprop.localEdgeLimit", "0")
+      val dist = try run() finally spark.conf.unset("spark.graft.labelprop.localEdgeLimit")
+      local shouldBe dist
+    }
+  }
+
   test("pagerank: star center outranks leaves; ranks are deterministic") {
     val star = edges((1L to 10L).map(i => (0L, i)): _*)
     val r1 = GraphAnalytics.pageRankInt(star, iters = 5)

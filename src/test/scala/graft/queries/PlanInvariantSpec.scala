@@ -154,14 +154,15 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // dataflow form here; the local kernels are property-tested against
     // the same fixpoints in their own specs, and their SinglePartition is
     // bounded BY the threshold conf, not by data.
-    Seq("spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit")
-      .foreach(spark.conf.set(_, "0"))
+    val adaptiveConfs = Seq(
+      "spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit",
+      "spark.graft.pagerank.localEdgeLimit", "spark.graft.labelprop.localEdgeLimit")
+    adaptiveConfs.foreach(spark.conf.set(_, "0"))
     val plans =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> fn(spark, dir).queryExecution.executedPlan.toString
       }
-      finally Seq("spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit")
-        .foreach(spark.conf.unset)
+      finally adaptiveConfs.foreach(spark.conf.unset)
     val violations = plans.flatMap { case (name, plan) =>
       Seq(
         Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
