@@ -56,6 +56,59 @@ object GraphOps {
     *        cycle (or a deeper graph than the caller vouched for); throws
     *        rather than emitting a silently truncated closure.
     */
+  /** One-task twin of the BFS closure for graphs under
+    * `spark.graft.closure.localEdgeLimit` (long ids only): the SAME
+    * frontier iteration — per-round distinct, no visited-set subtraction,
+    * min-depth fold, throw on a frontier alive at maxDepth — executed in
+    * memory, where height-many rounds of join dataflow are pure
+    * scheduling latency. Work and memory match the dataflow's own
+    * materialized sets (frontier and accumulator are identical round for
+    * round), so the gate bounds both paths the same way.
+    */
+  private def closureLocal(e: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val out = e.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val init = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      it.foreach { case (c, p) =>
+        adj.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += p
+        init += ((c, p))
+      }
+      val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+      var frontier: scala.collection.Set[(Long, Long)] = init
+      init.foreach(k => acc(k) = 1)
+      var depth = 1
+      while (frontier.nonEmpty && depth < maxDepth) {
+        val next = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        frontier.foreach { case (c, p) =>
+          adj.get(p).foreach(_.foreach(p2 => next += ((c, p2))))
+        }
+        depth += 1
+        next.foreach { k =>
+          val d = acc.getOrElse(k, depth)
+          acc(k) = math.min(d, depth)
+        }
+        frontier = next
+      }
+      require(frontier.isEmpty,
+        s"ancestor closure still expanding at depth $maxDepth — cycle or deeper graph?")
+      acc.iterator.map { case ((c, p), d) => (c, p, d) }
+    }.toDF("c", "p", "depth")
+    // eager materialization; a task-side require arrives wrapped in
+    // SparkException — unwrap so the caller-facing contract (an
+    // IllegalArgumentException on cycles/too-deep) matches the dataflow
+    try out.localCheckpoint(true)
+    catch {
+      case ex: Throwable =>
+        Iterator.iterate(ex.getCause)(_.getCause).takeWhile(_ != null)
+          .collectFirst { case iae: IllegalArgumentException => iae }
+          .foreach(iae => throw new IllegalArgumentException(iae.getMessage))
+        throw ex
+    }
+  }
+
   def ancestorsClosure(edges: DataFrame, childCol: String, parentCol: String,
       maxDepth: Int = 64): DataFrame = {
     val e = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
@@ -65,7 +118,16 @@ object GraphOps {
     // every round becomes a shuffle-free map-side join (height × shuffle
     // scheduling overhead was the measured cost of the whole closure);
     // the count doubles as the persist's eager barrier
-    val eJoin = if (e.count() <= 100000) broadcast(e) else e
+    val eCount = e.count()
+    val longIds = e.schema("c").dataType == org.apache.spark.sql.types.LongType &&
+      e.schema("p").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && eCount <=
+        e.sparkSession.conf.get("spark.graft.closure.localEdgeLimit", "200000").toLong) {
+      val local = closureLocal(e, maxDepth)
+      e.unpersist()
+      return local
+    }
+    val eJoin = if (eCount <= 100000) broadcast(e) else e
     var frontier = e.select(col("c"), col("p"), lit(1).as("depth")).localCheckpoint(true)
     var acc = frontier
     var depth = 1

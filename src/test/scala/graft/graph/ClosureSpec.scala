@@ -17,8 +17,25 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
     GraphOps.ancestorsClosure(edges.toDF("c", "p"), "c", "p", maxDepth)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  /** Run `f` with the one-task fallback disabled, so the BFS join
+    * dataflow is the path under test.
+    */
+  private def forceDistributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.closure.localEdgeLimit", "0")
+    try f finally spark.conf.unset("spark.graft.closure.localEdgeLimit")
+  }
+
+  /** Both execution paths must agree — the one-task twin mirrors the
+    * frontier iteration literally.
+    */
+  private def bothPaths(edges: Seq[(Long, Long)], maxDepth: Int = 64): Set[(Long, Long, Int)] = {
+    val local = closure(edges, maxDepth)
+    forceDistributed(closure(edges, maxDepth)) shouldBe local
+    local
+  }
+
   test("a chain yields every ancestor with its hop count") {
-    closure(Seq((3L, 2L), (2L, 1L), (1L, 0L))) shouldBe Set(
+    bothPaths(Seq((3L, 2L), (2L, 1L), (1L, 0L))) shouldBe Set(
       (3L, 2L, 1), (3L, 1L, 2), (3L, 0L, 3),
       (2L, 1L, 1), (2L, 0L, 2),
       (1L, 0L, 1))
@@ -26,17 +43,19 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("a diamond DAG reports the SHORTEST path to a shared ancestor") {
     // 4 -> {3, 2}, 3 -> 2: node 2 reachable from 4 at depth 1 and 2
-    closure(Seq((4L, 3L), (4L, 2L), (3L, 2L))) shouldBe Set(
+    bothPaths(Seq((4L, 3L), (4L, 2L), (3L, 2L))) shouldBe Set(
       (4L, 3L, 1), (4L, 2L, 1), (3L, 2L, 1))
   }
 
   test("duplicate edges do not duplicate closure rows") {
-    closure(Seq((2L, 1L), (2L, 1L))) shouldBe Set((2L, 1L, 1))
+    bothPaths(Seq((2L, 1L), (2L, 1L))) shouldBe Set((2L, 1L, 1))
   }
 
-  test("a cycle throws instead of looping or truncating silently") {
+  test("a cycle throws instead of looping or truncating silently, both paths") {
     an[IllegalArgumentException] should be thrownBy
       closure(Seq((1L, 2L), (2L, 1L)), maxDepth = 8)
+    an[IllegalArgumentException] should be thrownBy
+      forceDistributed(closure(Seq((1L, 2L), (2L, 1L)), maxDepth = 8))
   }
 
   private def closureDoubling(edges: Seq[(Long, Long)], maxRounds: Int = 40): Set[(Long, Long, Int)] =
@@ -87,6 +106,6 @@ class ClosureSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     val expect = edges.map(_._1).distinct
       .flatMap(s => bfs(s).map { case (p, d) => (s, p, d) }).toSet
-    closure(edges) shouldBe expect
+    bothPaths(edges) shouldBe expect
   }
 }

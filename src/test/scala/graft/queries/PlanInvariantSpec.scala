@@ -156,7 +156,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // bounded BY the threshold conf, not by data.
     val adaptiveConfs = Seq(
       "spark.graft.kcore.localEdgeLimit", "spark.graft.cc.localEdgeLimit",
-      "spark.graft.pagerank.localEdgeLimit", "spark.graft.labelprop.localEdgeLimit")
+      "spark.graft.pagerank.localEdgeLimit", "spark.graft.labelprop.localEdgeLimit",
+      "spark.graft.closure.localEdgeLimit")
     adaptiveConfs.foreach(spark.conf.set(_, "0"))
     val plans =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -119,9 +119,13 @@ object ScalingProbe {
       .filter(col("c") % 16 =!= 0)
       .select(col("c"), (col("c") - 1).as("p"))
       .localCheckpoint(true)
+    // the family measures the BFS join dataflow — pin it past the
+    // one-task fallback, which would otherwise absorb the k=1 leg
+    spark.conf.set("spark.graft.closure.localEdgeLimit", "0")
     record("closure", timeMin(3, spark) {
       GraphOps.ancestorsClosure(edges, "c", "p", maxDepth = 20).count()
     })
+    spark.conf.unset("spark.graft.closure.localEdgeLimit")
 
     // 4. distributed exact selection (p50/p90/p99) over ONE huge group
     record("percentiles_dist", timeMin(3, spark) {
