@@ -884,6 +884,34 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  // -- D4b: the SQL face, end-to-end ----------------------------------------
+  // The same top-k-per-group computed ENTIRELY through spark.sql over a
+  // temp view, using the extension-registered functions
+  // (graft_topk_ordered aggregate + graft_md5_prefix_long scalar) — the
+  // injectFunction surface proven inside the driver's oracle gate, not
+  // just unit tests. Same bounded-heap plan as q_topk_per_group (the SQL
+  // and DataFrame forms resolve to the identical aggregate); the hash
+  // column pins the scalar function cross-engine.
+  val q_sql_topk: QueryDef = QueryDef(
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn,
+      |  CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) AS okey_h
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT o_custkey, e.col.id AS o_orderkey, e.col.score AS o_totalprice,
+        |  e.pos + 1 AS rn,
+        |  graft_md5_prefix_long(CAST(e.col.id AS STRING), 12) AS okey_h
+        |FROM (SELECT o_custkey, graft_topk_ordered(o_totalprice, o_orderkey, 3) AS top
+        |      FROM graft_orders_v GROUP BY o_custkey)
+        |LATERAL VIEW posexplode(top) e
+        |ORDER BY o_custkey, rn""".stripMargin)
+  }
+
   // -- exact ordinal percentiles (nearest-rank p50/p90/p99) ------------------
   // Distribution roll-up over the event stream. Nearest-rank ordinals
   // (value at rank ceil(p·n/100)) instead of interpolated quantiles: the
@@ -1438,6 +1466,7 @@ object CoreQueries {
     "q_owns_diff" -> q_owns_diff,
     "q_funnel" -> q_funnel,
     "q_topk_per_group" -> q_topk_per_group,
+    "q_sql_topk" -> q_sql_topk,
     "q_scd2" -> q_scd2,
     "q_rolling_range" -> q_rolling_range,
     "q_percentiles" -> q_percentiles,
