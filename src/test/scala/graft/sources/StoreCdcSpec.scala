@@ -129,6 +129,48 @@ class StoreCdcSpec extends AnyFunSuite with SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("the change feed incrementally maintains an aggregate that converges to the store") {
+    // the IVM loop the CDC source exists for: a count-by-type view folded
+    // from adds (+1) and removes (-1) must equal a fresh aggregate of the
+    // LATEST store version after the stream drains — updates arrive as
+    // remove+add pairs and cancel, drops arrive as bare removes
+    val base = Files.createTempDirectory("graft_cdc_ivm").toString
+    val root = base + "/store"
+    def typed(ids: Seq[Int], bump: Map[String, Timestamp]): State = {
+      val assets = ids.map { i =>
+        val id = s"a$i"
+        (id, s"T${i % 3}", id, t0, bump.getOrElse(id, t0), graft.schema.Schemas.Unexpired)
+      }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+      Pipeline.emptyState(spark).copy(assets = assets)
+    }
+    StateStore.write(spark, root, 0L, typed(0 until 30, Map.empty), None, cfg)
+    StateStore.write(spark, root, 1L, typed(0 until 30, Map("a5" -> t1)),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))), cfg)
+    // v2 drops a0 and a1 entirely
+    StateStore.write(spark, root, 2L, typed(2 until 30, Map("a5" -> t1)),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a0", "a1").toDF("id"))), cfg)
+
+    val view = scala.collection.mutable.HashMap.empty[String, Long]
+    val q = spark.readStream.format("graft-store-cdc")
+      .option("path", root).option("table", "assets").option("startingVersion", -1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("type", "change").count().collect().foreach { r =>
+          val delta = if (r.getString(1) == "added") r.getLong(2) else -r.getLong(2)
+          view.updateWith(r.getString(0))(c => Some(c.getOrElse(0L) + delta))
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val fresh = StateStore.read(spark, root, 2L).assets
+      .groupBy("type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    view.filter(_._2 != 0).toMap shouldBe fresh
+  }
+
   test("a pruned base version fails loudly instead of skipping changes") {
     val base = Files.createTempDirectory("graft_cdc_pruned").toString
     val root = base + "/store"
