@@ -198,7 +198,9 @@ private[sources] object StoreParquet {
 
   /** All rows of every parquet file under `dir` (absent dir = no rows) —
     * bucket-dir granularity, bounded by the store's one-bucket-fits-a-task
-    * sizing contract.
+    * sizing contract, which is also why the eager per-file read (reader
+    * closed in `finally`, no consumer-dependent lifetime) is the right
+    * trade over a lazy iterator that leaks on early termination.
     */
   def readDir(dir: String, schema: StructType): Iterator[Array[Any]] = {
     val p = new Path(dir)
@@ -207,13 +209,15 @@ private[sources] object StoreParquet {
     fs.listStatus(p).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .flatMap { s =>
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
         @annotation.nowarn("cat=deprecation")
         val reader = ParquetReader.builder(new GroupReadSupport(), s.getPath)
           .withConf(new Configuration()).build()
-        Iterator.continually(reader.read()).takeWhile(_ != null)
-          .map(g => convert(g, schema, s.getPath.toString)) ++ {
-          reader.close(); Iterator.empty
-        }
+        try {
+          var g = reader.read()
+          while (g != null) { rows += convert(g, schema, s.getPath.toString); g = reader.read() }
+        } finally reader.close()
+        rows
       }
   }
 }
