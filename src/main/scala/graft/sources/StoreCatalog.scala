@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The versioned store as a real Spark CATALOG (`TableCatalog` plugin), so
+  * pure SQL reaches it with Spark's own TIME TRAVEL syntax — no
+  * `format(...)` boilerplate, and `VERSION AS OF` resolves through the
+  * engine's `loadTable(ident, version)` contract:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graftstore", classOf[StoreCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graftstore.path", statePath)
+  * spark.sql("SELECT * FROM graftstore.assets WHERE id = 'a5'")      // latest, bucket-pruned
+  * spark.sql("SELECT * FROM graftstore.assets VERSION AS OF 3")       // manifest time travel
+  * }}}
+  *
+  * Read-only by design: the store's ONLY writers are the streaming sink's
+  * idempotent versioned batches ([[graft.streaming.StateStore.write]]) —
+  * a SQL INSERT bypassing the manifest protocol would corrupt the
+  * shadow-paging invariants, so every mutation entry point throws.
+  * `TIMESTAMP AS OF` is rejected loudly too: versions are batch ids, not
+  * instants, and silently mapping timestamps to versions would invent an
+  * ordering the store does not promise.
+  */
+class StoreCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var path: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    path = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.path is required (the store's statePath)"))
+  }
+
+  override def name(): String = catalogName
+
+  private val tableNames = Array("assets", "teams", "owns", "parent_of")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tableNames.map(Identifier.of(namespace, _))
+
+  private def mkTable(ident: Identifier, version: Option[Long]): Table = {
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", path)
+    opts.put("table", ident.name)
+    version.foreach(v => opts.put("version", v.toString))
+    new StoreDsTable(new CaseInsensitiveStringMap(opts))
+  }
+
+  override def loadTable(ident: Identifier): Table = mkTable(ident, None)
+
+  /** `VERSION AS OF <v>` — the engine hands the version string through. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    mkTable(ident, Some(version.toLong))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft-store versions are batch ids, not instants — use VERSION AS OF, " +
+        "not TIMESTAMP AS OF")
+
+  override def tableExists(ident: Identifier): Boolean =
+    tableNames.contains(ident.name)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(readOnly)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(readOnly)
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(readOnly)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(readOnly)
+
+  private def readOnly: String =
+    "graft-store is read-only through SQL: state is written exclusively by " +
+      "the versioned streaming sink (StateStore.write), whose manifest " +
+      "protocol a SQL mutation would bypass"
+}

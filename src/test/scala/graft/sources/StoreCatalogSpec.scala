@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.graph.GraphOps.State
+import graft.ingest.Pipeline
+import graft.state.ChangeSet
+import graft.streaming.StateStore
+
+/** The store as a Spark catalog: plain SQL table access, native
+  * `VERSION AS OF` time travel, pushdown surviving the catalog path, and
+  * the read-only + no-TIMESTAMP contracts.
+  */
+class StoreCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  private def mkState(n: Int, bump: Set[String]): State = {
+    val assets = (0 until n).map { i =>
+      val id = s"a$i"
+      (id, "T", id, t0, if (bump(id)) t1 else t0, graft.schema.Schemas.Unexpired)
+    }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+    Pipeline.emptyState(spark).copy(assets = assets)
+  }
+
+  /** Fresh store + a uniquely named catalog pointing at it (the catalog
+    * manager caches initialized catalogs by name).
+    */
+  private def catalogFor(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_cat_$tag").toString
+    val cfg = StateStore.Config(buckets = 8)
+    StateStore.write(spark, root, 0L, mkState(64, Set.empty), None, cfg)
+    StateStore.write(spark, root, 1L, mkState(64, Set("a5")),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))), cfg)
+    val cat = s"graftstore_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", root)
+    cat
+  }
+
+  test("plain SQL reads the latest committed version through the catalog") {
+    val cat = catalogFor("latest")
+    spark.sql(s"SELECT count(*) FROM $cat.assets").head().getLong(0) shouldBe 64L
+    spark.sql(s"SELECT last_seen FROM $cat.assets WHERE id = 'a5'")
+      .head().getTimestamp(0) shouldBe t1
+  }
+
+  test("VERSION AS OF time-travels through the manifest chain") {
+    val cat = catalogFor("tt")
+    spark.sql(s"SELECT last_seen FROM $cat.assets VERSION AS OF 0 WHERE id = 'a5'")
+      .head().getTimestamp(0) shouldBe t0
+    spark.sql(s"SELECT last_seen FROM $cat.assets VERSION AS OF 1 WHERE id = 'a5'")
+      .head().getTimestamp(0) shouldBe t1
+  }
+
+  test("bucket pruning survives the catalog path") {
+    val cat = catalogFor("prune")
+    val all = spark.sql(s"SELECT * FROM $cat.assets")
+    val one = spark.sql(s"SELECT * FROM $cat.assets WHERE id = 'a5'")
+    one.rdd.getNumPartitions should be < all.rdd.getNumPartitions
+    one.queryExecution.executedPlan.toString should include("buckets=1/8")
+  }
+
+  test("mutations and TIMESTAMP AS OF are rejected loudly") {
+    val cat = catalogFor("ro")
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.assets VALUES " +
+        "('x', 'T', 'x', TIMESTAMP'2024-01-01', TIMESTAMP'2024-01-01', TIMESTAMP'2024-01-01')")
+    }
+    e1.getMessage.toLowerCase should (include("read-only") or include("unsupported") or include("does not support"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.assets TIMESTAMP AS OF '2024-01-01'").collect()
+    }
+    e2.getMessage should include("VERSION AS OF")
+  }
+
+  test("the four store tables are listed") {
+    val cat = catalogFor("ls")
+    spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).sorted shouldBe
+      Array("assets", "owns", "parent_of", "teams")
+  }
+}
