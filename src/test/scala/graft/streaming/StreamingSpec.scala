@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     collectShape(streamed) shouldBe collectShape(batch)
   }
 
+  test("a malformed record mid-log halts the strict stream; committed prefix survives") {
+    // E4 over the DSv2 source: the reference halts its consumer on a
+    // handler error with offsets stored only for handled messages — here
+    // the strict fold fails the micro-batch holding the malformed record,
+    // the query dies loudly, and the store still holds exactly the
+    // previously committed prefix
+    val base = Files.createTempDirectory("graft_replay_strict").toString
+    val log = base + "/bad.jsonl"
+    val fixture = getClass.getResource("/fixtures/malformed_mid.json").getPath
+    graft.sources.ReplayLog.toLog(spark, fixture, log)
+    val stateDir = base + "/state"
+    // 2 offsets per trigger: batch 0 = the two valid records (commits),
+    // batch 1 contains the malformed offset 2 (fails)
+    val src = StreamIngest.replaySource(spark, log, maxOffsetsPerTrigger = Some(2L))
+    val query = StreamIngest.start(src, stateDir, base + "/ckpt")
+    val ex = intercept[Exception] {
+      try query.processAllAvailable() finally query.stop()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ") should include("strict")
+
+    val streamed = StreamIngest.loadLatestState(spark, stateDir, Long.MaxValue).get
+    val prefix = Pipeline.replay(spark,
+      Fixtures.loadJson(spark, fixture).filter($"offset" < 2))
+    collectShape(streamed) shouldBe collectShape(prefix)
+  }
+
   test("a NEW query on the same checkpoint resumes mid-scenario (crash/restart)") {
     // the closest analog of the reference's resume-after-crash consumer
     // test (kafka_test.go:136-211): the first query is STOPPED mid-
