@@ -114,29 +114,69 @@ class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
   override def build(): Scan = new StoreScan(plan, required, bucketRestrict)
 }
 
+/** Last planned bucket count — a test observability hook: runtime
+  * (DPP-injected) filters reach [[StoreScan.filter]] during EXECUTION, so
+  * the only faithful way to assert their pruning is to record what
+  * `planInputPartitions` actually planned.
+  */
+private[sources] object StoreScanProbe {
+  @volatile var lastPlannedBuckets: Int = -1
+}
+
 class StoreScan(plan: StateStore.ScanPlan, required: StructType,
-    bucketRestrict: Option[Set[Int]]) extends Scan with Batch {
+    bucketRestrict: Option[Set[Int]]) extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Bucket set narrowed further at EXECUTION time by a runtime filter
+    * (dynamic "partition" pruning: a broadcast join on the bucket key
+    * hands the build side's key values to [[filter]] before partitions
+    * are planned — the store's point-lookup pruning driven by a JOIN
+    * instead of a literal predicate).
+    */
+  @volatile private var runtimeRestrict: Option[Set[Int]] = None
+
+  private def effectiveRestrict: Option[Set[Int]] = (bucketRestrict, runtimeRestrict) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b) => a.orElse(b)
+  }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(plan.bucketCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case EqualTo(c, v: String) if c == plan.bucketCol => Set(v)
+      case In(c, vs) if c == plan.bucketCol && vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.nonEmpty)
+      runtimeRestrict = Some(sets
+        .map(_.map(v => StateStore.bucketIdFor(v, plan.buckets)))
+        .reduce(_ intersect _))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val kept = bucketRestrict.map(_.size).getOrElse(plan.bucketDirs.size)
+    val kept = effectiveRestrict.map(_.size).getOrElse(plan.bucketDirs.size)
     s"StoreScan(v${plan.version}, buckets=$kept/${plan.bucketDirs.size})"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    plan.bucketDirs.toSeq
-      .filter { case (pt, _) => bucketRestrict.forall(_.contains(pt)) }
+    val restrict = effectiveRestrict
+    val kept = plan.bucketDirs.toSeq
+      .filter { case (pt, _) => restrict.forall(_.contains(pt)) }
       .sortBy(_._1)
-      .flatMap { case (_, dir) =>
-        val p = new Path(dir)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => StoreFilePartition(s.getPath.toString, required): InputPartition)
-      }.toArray
+    StoreScanProbe.lastPlannedBuckets = kept.size
+    kept.flatMap { case (_, dir) =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => StoreFilePartition(s.getPath.toString, required): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -92,6 +92,28 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     sel.collect().map(_.getString(0)) shouldBe Array("a5")
   }
 
+  test("runtime filtering: a broadcast join on the bucket key prunes at execution") {
+    // dynamic pruning, the join-driven twin of the literal-filter test:
+    // the dim side's key values reach StoreScan.filter through Spark's
+    // DPP subquery BEFORE partitions are planned, so only those keys'
+    // buckets are read — observable through the planning probe because
+    // the narrowing happens at execution, after plan strings are printed
+    val (root, _) = store()
+    // the dim must be FILE-backed: a local Seq constant-folds to a bare
+    // LocalRelation, and DPP's selective-predicate gate needs a real
+    // Filter-over-scan on the build side
+    val dimPath = Files.createTempDirectory("graft_dsv2_dim").toString + "/dim"
+    Seq("a5", "a17", "zz").toDF("id").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("id").startsWith("a"))
+    val fact = load(root)
+    StoreScanProbe.lastPlannedBuckets = -1
+    val joined = fact.join(broadcast(dim), "id")
+    joined.collect().map(_.getString(0)).sorted shouldBe Array("a17", "a5")
+    // a5 and a17 hash into at most 2 of the 8 populated buckets
+    StoreScanProbe.lastPlannedBuckets should be >= 1
+    StoreScanProbe.lastPlannedBuckets should be <= 2
+  }
+
   test("SQL face: a temp view over the table answers point lookups") {
     val (root, _) = store()
     load(root, Some(1L)).createOrReplaceTempView("store_assets_v1")
