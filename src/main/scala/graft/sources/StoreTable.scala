@@ -125,7 +125,31 @@ private[sources] object StoreScanProbe {
 
 class StoreScan(plan: StateStore.ScanPlan, required: StructType,
     bucketRestrict: Option[Set[Int]]) extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Real on-disk size of the (restricted) bucket dirs — without it the
+    * optimizer assumes `defaultSizeInBytes` for a DSv2 relation and a
+    * small store table can NEVER auto-broadcast; with it, joining a
+    * compact snapshot against a corpus plans the broadcast hash join a
+    * human would write. Row count = unknown (would need a footer pass).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val restrict = bucketRestrict
+    val bytes = plan.bucketDirs.toSeq
+      .filter { case (pt, _) => restrict.forall(_.contains(pt)) }
+      .map { case (_, dir) =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   /** Bucket set narrowed further at EXECUTION time by a runtime filter
     * (dynamic "partition" pruning: a broadcast join on the bucket key

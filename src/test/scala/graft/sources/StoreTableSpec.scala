@@ -114,6 +114,18 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     StoreScanProbe.lastPlannedBuckets should be <= 2
   }
 
+  test("reported statistics let a small store table auto-broadcast, no hint") {
+    val (root, _) = store()
+    // corpus side: a plain parquet frame far over the broadcast threshold
+    // only if stats were unknown — the STORE side reports its real ~KBs,
+    // so the optimizer picks BroadcastHashJoin with the store as build
+    val big = spark.range(0, 1000)
+      .selectExpr("concat('a', CAST(id % 64 AS STRING)) AS id", "id AS payload")
+    val joined = big.join(load(root), "id")
+    joined.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    joined.count() shouldBe 1000L
+  }
+
   test("SQL face: a temp view over the table answers point lookups") {
     val (root, _) = store()
     load(root, Some(1L)).createOrReplaceTempView("store_assets_v1")
