@@ -17,6 +17,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
 import graft.streaming.StateStore
 
 /** `graft-store` — the versioned snapshot store ([[StateStore]]) exposed
@@ -84,11 +85,37 @@ class StoreDsTable(options: CaseInsensitiveStringMap) extends Table with Support
 }
 
 class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = plan.schema
   private var pushed: Array[Filter] = Array.empty
   private var bucketRestrict: Option[Set[Int]] = None
+  private var countPushed = false
+
+  /** Push a bare COUNT(*) (no grouping, no pushed row filters — a filter
+    * would demand row-level evaluation) down to PARQUET FOOTER reads:
+    * each bucket file answers from its metadata row count, zero data
+    * pages touched — how a row count over a 100 TB store should run.
+    * Partial pushdown: each file emits its count, Spark sums.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty && pushed.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countPushed = true
+      required = StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    }
+    ok
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // per-file partial counts; Spark's final aggregation sums them
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.collect {
@@ -110,8 +137,8 @@ class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
   }
 
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new StoreScan(plan, required, bucketRestrict)
+  override def pruneColumns(s: StructType): Unit = if (!countPushed) required = s
+  override def build(): Scan = new StoreScan(plan, required, bucketRestrict, countPushed)
 }
 
 /** Last planned bucket count — a test observability hook: runtime
@@ -121,10 +148,11 @@ class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
   */
 private[sources] object StoreScanProbe {
   @volatile var lastPlannedBuckets: Int = -1
+  @volatile var lastCountMode: String = ""
 }
 
 class StoreScan(plan: StateStore.ScanPlan, required: StructType,
-    bucketRestrict: Option[Set[Int]]) extends Scan with Batch
+    bucketRestrict: Option[Set[Int]], countPushed: Boolean = false) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -183,7 +211,8 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val kept = effectiveRestrict.map(_.size).getOrElse(plan.bucketDirs.size)
-    s"StoreScan(v${plan.version}, buckets=$kept/${plan.bucketDirs.size})"
+    val mode = if (countPushed) ", count=footers" else ""
+    s"StoreScan(v${plan.version}, buckets=$kept/${plan.bucketDirs.size}$mode)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -199,7 +228,7 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => StoreFilePartition(s.getPath.toString, required): InputPartition)
+        .map(s => StoreFilePartition(s.getPath.toString, required, countPushed): InputPartition)
     }.toArray
   }
 
@@ -207,12 +236,26 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
     new StoreReaderFactory
 }
 
-case class StoreFilePartition(file: String, required: StructType)
-  extends InputPartition
+case class StoreFilePartition(file: String, required: StructType,
+    countOnly: Boolean = false) extends InputPartition
 
 class StoreReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StoreFilePartition]
+    if (p.countOnly) return new PartitionReader[InternalRow] {
+      // COUNT(*) from the parquet FOOTER: metadata only, no data pages
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        @annotation.nowarn("cat=deprecation")
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          new Configuration(), new Path(p.file))
+        val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+        StoreScanProbe.lastCountMode = "footers"
+        new GenericInternalRow(Array[Any](rows))
+      }
+      override def close(): Unit = ()
+    }
     new PartitionReader[InternalRow] {
       @annotation.nowarn("cat=deprecation") // builder(ReadSupport, Path): the Group-API form
       private val reader: ParquetReader[org.apache.parquet.example.data.Group] =

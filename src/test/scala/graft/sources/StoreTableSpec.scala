@@ -114,6 +114,19 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     StoreScanProbe.lastPlannedBuckets should be <= 2
   }
 
+  test("COUNT(*) answers from parquet footers, no data pages") {
+    val (root, _) = store()
+    StoreScanProbe.lastCountMode = ""
+    val cnt = load(root).count()
+    cnt shouldBe 64L
+    StoreScanProbe.lastCountMode shouldBe "footers"
+    // a filtered count still evaluates rows (pushed filters veto the
+    // aggregate pushdown — bucket pruning is partition-level, not exact)
+    StoreScanProbe.lastCountMode = ""
+    load(root).where(col("id") === "a5").count() shouldBe 1L
+    StoreScanProbe.lastCountMode shouldBe ""
+  }
+
   test("reported statistics let a small store table auto-broadcast, no hint") {
     val (root, _) = store()
     // corpus side: a plain parquet frame far over the broadcast threshold
