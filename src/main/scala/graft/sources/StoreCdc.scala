@@ -76,7 +76,8 @@ class StoreCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppor
         override def description(): String = s"StoreCdcScan($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new StoreCdcStream(path, table,
-            Option(opts.get("startingVersion")).map(_.toLong))
+            Option(opts.get("startingVersion")).map(_.toLong),
+            Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
       }
     }
 }
@@ -86,8 +87,10 @@ case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-class StoreCdcStream(path: String, table: String, startingVersion: Option[Long])
-  extends MicroBatchStream {
+class StoreCdcStream(path: String, table: String, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def chain: Seq[Long] =
@@ -98,6 +101,25 @@ class StoreCdcStream(path: String, table: String, startingVersion: Option[Long])
     */
   override def initialOffset(): Offset =
     VersionOffset(startingVersion.getOrElse(chain.lastOption.getOrElse(-1L)))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission control in VERSION units: a genesis catch-up over a long
+    * chain should not diff the whole history in one giant micro-batch —
+    * `maxVersionsPerTrigger` bounds how many committed versions each
+    * batch advances (per-version read I/O is already bounded by that
+    * version's write I/O, so versions ARE the right pacing unit here,
+    * where Kafka's is rows).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val pending = chain.filter(_ > from)
+    val capped = maxVersionsPerTrigger.map(pending.take).getOrElse(pending)
+    VersionOffset(capped.lastOption.getOrElse(from))
+  }
 
   override def latestOffset(): Offset = {
     val last = chain.lastOption.getOrElse(-1L)

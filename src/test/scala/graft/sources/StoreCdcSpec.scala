@@ -129,6 +129,30 @@ class StoreCdcSpec extends AnyFunSuite with SparkSpec with Matchers {
     streamed shouldBe batch
   }
 
+  test("maxVersionsPerTrigger paces a genesis catch-up version by version") {
+    val base = Files.createTempDirectory("graft_cdc_pace").toString
+    val root = base + "/store"
+    writeV(root, 0L, 16, Map.empty, Nil)
+    writeV(root, 1L, 16, Map("a3" -> t1), Seq("a3"))
+    writeV(root, 2L, 16, Map("a3" -> t1, "a7" -> t1), Seq("a7"))
+    val q = spark.readStream.format("graft-store-cdc")
+      .option("path", root).option("table", "assets")
+      .option("startingVersion", -1).option("maxVersionsPerTrigger", 1)
+      .load()
+      .writeStream.format("memory").queryName("cdc_pace")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("cdc_pace"))
+      got.count(_._4 == 0L) shouldBe 16
+      got.count(_._4 == 1L) shouldBe 2
+      got.count(_._4 == 2L) shouldBe 2
+      // one version per micro-batch: three non-empty batches
+      q.recentProgress.map(_.numInputRows).count(_ > 0) shouldBe 3
+    } finally q.stop()
+  }
+
   test("the change feed incrementally maintains an aggregate that converges to the store") {
     // the IVM loop the CDC source exists for: a count-by-type view folded
     // from adds (+1) and removes (-1) must equal a fresh aggregate of the
