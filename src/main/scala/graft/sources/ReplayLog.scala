@@ -99,13 +99,27 @@ class ReplayLogTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     }
 }
 
-class ReplayLogScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
+class ReplayLogScan(path: String, options: CaseInsensitiveStringMap) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val minPartitions = options.getInt("minPartitions", 1)
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
 
   override def readSchema(): StructType = ReplayLog.schema
   override def description(): String = s"ReplayLogScan($path)"
+
+  /** Real file size — without it a DSv2 relation costs at the default
+    * estimate and a small replay log joined against a corpus can never
+    * auto-broadcast.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val len = try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    catch { case _: java.io.IOException => 0L }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(len)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =

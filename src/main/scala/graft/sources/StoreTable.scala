@@ -86,7 +86,8 @@ class StoreDsTable(options: CaseInsensitiveStringMap) extends Table with Support
 
 class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = plan.schema
   private var pushed: Array[Filter] = Array.empty
@@ -117,6 +118,16 @@ class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     false // per-file partial counts; Spark's final aggregation sums them
 
+  /** Partition-level LIMIT: each bucket reader stops after n rows, so a
+    * `LIMIT 10` peek at a huge store reads ~10 rows per file instead of
+    * every page. Partial by nature (isPartiallyPushed stays true — Spark
+    * applies the global limit on the capped partitions).
+    */
+  private var limitPushed: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    limitPushed = Some(limit); true
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.collect {
       case f @ EqualTo(c, v: String) if c == plan.bucketCol =>
@@ -138,7 +149,7 @@ class StoreScanBuilder(plan: StateStore.ScanPlan) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = if (!countPushed) required = s
-  override def build(): Scan = new StoreScan(plan, required, bucketRestrict, countPushed)
+  override def build(): Scan = new StoreScan(plan, required, bucketRestrict, countPushed, limitPushed)
 }
 
 /** Last planned bucket count — a test observability hook: runtime
@@ -152,7 +163,8 @@ private[sources] object StoreScanProbe {
 }
 
 class StoreScan(plan: StateStore.ScanPlan, required: StructType,
-    bucketRestrict: Option[Set[Int]], countPushed: Boolean = false) extends Scan with Batch
+    bucketRestrict: Option[Set[Int]], countPushed: Boolean = false,
+    limitPushed: Option[Int] = None) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -228,7 +240,8 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => StoreFilePartition(s.getPath.toString, required, countPushed): InputPartition)
+        .map(s => StoreFilePartition(s.getPath.toString, required, countPushed,
+          limitPushed): InputPartition)
     }.toArray
   }
 
@@ -237,7 +250,7 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
 }
 
 case class StoreFilePartition(file: String, required: StructType,
-    countOnly: Boolean = false) extends InputPartition
+    countOnly: Boolean = false, limit: Option[Int] = None) extends InputPartition
 
 class StoreReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -262,8 +275,14 @@ class StoreReaderFactory extends PartitionReaderFactory {
         ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
           .withConf(new Configuration()).build()
       private var current: org.apache.parquet.example.data.Group = _
+      private var emitted = 0
 
-      override def next(): Boolean = { current = reader.read(); current != null }
+      override def next(): Boolean = {
+        if (p.limit.exists(emitted >= _)) return false // pushed LIMIT: stop early
+        current = reader.read()
+        if (current != null) emitted += 1
+        current != null
+      }
 
       override def get(): InternalRow =
         new GenericInternalRow(StoreParquet.convert(current, p.required, p.file))

@@ -116,6 +116,14 @@ class ReplayLogSpec extends AnyFunSuite with SparkSpec with Matchers {
       .toLowerCase should include("nope.jsonl")
   }
 
+  test("the scan reports the log's real byte size as its statistics") {
+    val log = tmpDir("stats") + "/log.jsonl"
+    writeLog(log, fiveLines)
+    val df = spark.read.format("graft-replay").option("path", log).load()
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong shouldBe
+      java.nio.file.Files.size(java.nio.file.Paths.get(log))
+  }
+
   test("the raw value decodes downstream with the fixture envelope schema") {
     val base = tmpDir("decode")
     val fixture = getClass.getResource("/fixtures/valid_assets.json").getPath

@@ -127,6 +127,15 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     StoreScanProbe.lastCountMode shouldBe ""
   }
 
+  test("a pushed LIMIT caps every bucket reader; global result still exact") {
+    val (root, _) = store()
+    val got = load(root).limit(5).collect()
+    got.length shouldBe 5
+    got.map(_.getString(0)).distinct.length shouldBe 5
+    // full table minus limit still reads everything (no over-pruning)
+    load(root).count() shouldBe 64L
+  }
+
   test("reported statistics let a small store table auto-broadcast, no hint") {
     val (root, _) = store()
     // corpus side: a plain parquet frame far over the broadcast threshold
