@@ -18,7 +18,7 @@ class PqSpec extends AnyFunSuite with SparkSpec with Matchers {
     val n = Tables.embeddings(spark, sf).count()
     codes.count() shouldBe n
     for (s <- 0 until 4) {
-      val k = codes.select(countDistinct(col(s"c$s"))).head.getLong(0)
+      val k = codes.select(countDistinct(col(s"c$s"))).head().getLong(0)
       k should be <= 16L
       k should be >= 2L // training produced a real partition, not one blob
     }

@@ -27,7 +27,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec with Matchers {
       .withColumn("z", expr(ZOrder.interleaveSql("x", "y", bits = 10)))
       .groupBy(expr("z div 4096").as("blk"))
       .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
-      .agg(max("xs"), max("ys")).head
+      .agg(max("xs"), max("ys")).head()
     spans.getLong(0) should be <= 63L
     spans.getLong(1) should be <= 63L
   }

@@ -34,7 +34,7 @@ class SkewSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("the hot key's distinct rows spread over multiple salt cells, deterministically") {
     def salts() = skewed.filter(col("k") === "hot")
-      .withColumn("__salt", pmod(hash(skewed.columns.map(col): _*), lit(8)))
+      .withColumn("__salt", pmod(hash(skewed.columns.toIndexedSeq.map(col): _*), lit(8)))
       .select("__salt").distinct().count()
     salts() should be > 1L
     salts() shouldBe salts() // content hash: a retried task re-derives the same layout

@@ -24,7 +24,7 @@ class StreamPqDriftSpec extends AnyFunSuite with SparkSpec with Matchers {
     // train-time baseline: mean reconstruction error over the corpus
     val baseline = graft.Tables.embeddings(spark, sf)
       .select(graft.ext.Pq.reconstructionError(col("embedding"), books).as("e"))
-      .agg(avg(col("e"))).head.getDouble(0)
+      .agg(avg(col("e"))).head().getDouble(0)
     baseline should be > 0.0
 
     val src = MemoryStream[(java.sql.Timestamp, Array[Float])]

@@ -73,7 +73,7 @@ class StreamTwsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // sentinel far past max+gap+watermark so every real session closes
     val sentinel = Seq(SessEv(-1L, ts(maxEp + 1000000L), 0))
     val out = runBatches("tws_replay", 1800L, "10 minutes")(
-      b1, b2, sentinel, Seq(SessEv(-1L, ts(maxEp + 1000001L), 1)))
+      b1.toSeq, b2.toSeq, sentinel, Seq(SessEv(-1L, ts(maxEp + 1000001L), 1)))
     val streamed = out.filter(_.user_id >= 0)
       .map(c => (c.user_id, c.session_start, c.session_end, c.n_events))
       .toSet

@@ -88,7 +88,7 @@ class StreamVecDedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     def bucketOf(v: Array[Float]): Int =
       Seq(v).toDF("v")
         .select(graft.ext.Similarity.bucketOf(col("v"), Planes).as("b"))
-        .head.getInt(0)
+        .head().getInt(0)
     // search a small eps ladder for a tilt that crosses EXACTLY one
     // hyperplane (all eps here keep cosine = 1/sqrt(1+eps^2) >= 0.958 > tau)
     val b0 = bucketOf(unit(0))
