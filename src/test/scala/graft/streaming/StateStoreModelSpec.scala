@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.graph.GraphOps.State
+import graft.ingest.Pipeline
+import graft.state.ChangeSet
+
+/** Model-based property test for the versioned store: random sequences of
+  * incremental writes (adds, updates, drops) and prunes are replayed
+  * against a driver-side map model, and after every step EVERY surviving
+  * committed version must read back exactly its model snapshot, and every
+  * adjacent version diff must equal the model's row diff. This is the
+  * randomized complement of StateStoreSpec's targeted cases — shadow
+  * paging, pointer chasing, change-set bucket election, and per-bucket
+  * pruning all have to hold simultaneously for the whole CHAIN, not just
+  * the scripted shapes.
+  */
+class StateStoreModelSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  /** Model row: (id, last_seen-bump counter). */
+  private type Model = Map[String, Int]
+
+  private def toState(m: Model): State = {
+    val assets = m.toSeq.sortBy(_._1).map { case (id, bump) =>
+      (id, "T", id, t0, new Timestamp(t0.getTime + bump * 1000L),
+        graft.schema.Schemas.Unexpired)
+    }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+    Pipeline.emptyState(spark).copy(assets = assets)
+  }
+
+  private def readRows(st: State): Map[String, Long] =
+    st.assets.collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Timestamp]("last_seen").getTime).toMap
+
+  private def modelRows(m: Model): Map[String, Long] =
+    m.map { case (id, bump) => id -> (t0.getTime + bump * 1000L) }
+
+  test("property: random write/prune chains read back and diff exactly (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 991L)
+      val root = Files.createTempDirectory(s"graft_model_$seed").toString
+      val cfg = StateStore.Config(buckets = 8)
+      val ids = (0 until 40).map(i => s"a$i")
+
+      var model: Model = ids.take(20).map(_ -> 0).toMap
+      var versions = Vector.empty[(Long, Model)]
+      StateStore.write(spark, root, 0L, toState(model), None, cfg)
+      versions :+= (0L -> model)
+      var keepFrom = 0L
+
+      for (step <- 1 to 6) {
+        // random incremental change: bump some, add some, drop some
+        val bumped = ids.filter(_ => rnd.nextDouble() < 0.15)
+          .filter(model.contains)
+        val added = ids.filterNot(model.contains).filter(_ => rnd.nextDouble() < 0.1)
+        val dropped = model.keys.toSeq.filter(_ => rnd.nextDouble() < 0.05)
+        val next = (model -- dropped) ++
+          bumped.map(id => id -> (model(id) + 1)) ++ added.map(_ -> 0)
+        val changedIds = (bumped ++ added ++ dropped).distinct
+        val changes =
+          if (changedIds.isEmpty) None
+          else Some(ChangeSet.empty(spark).copy(assets = changedIds.toDF("id")))
+        StateStore.write(spark, root, step.toLong, toState(next), changes, cfg)
+        model = next
+        versions :+= (step.toLong -> model)
+
+        // occasionally prune history
+        if (rnd.nextDouble() < 0.3 && step >= 2) {
+          keepFrom = step.toLong - 1
+          StateStore.prune(spark, root, keepFrom)
+        }
+
+        val surviving = versions.filter(_._1 >= keepFrom)
+        withClue(s"seed=$seed step=$step committed listing: ") {
+          StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe
+            surviving.map(_._1)
+        }
+        // every surviving version reads back its exact model snapshot
+        for ((v, m) <- surviving) withClue(s"seed=$seed step=$step v$v: ") {
+          readRows(StateStore.read(spark, root, v)) shouldBe modelRows(m)
+        }
+        // adjacent diffs equal the model's row diff (added/removed labels)
+        for (Seq((vA, mA), (vB, mB)) <- surviving.sliding(2) if surviving.size >= 2) {
+          val diff = StateStore.diffVersions(spark, root, vA, vB)
+            .find(_.table == "assets").get.changed.collect()
+            .map(r => (r.getAs[String]("id"), r.getAs[Timestamp]("last_seen").getTime,
+              r.getAs[String]("change"))).toSet
+          val a = modelRows(mA); val b = modelRows(mB)
+          val expect =
+            b.toSet.diff(a.toSet).map { case (id, ts) => (id, ts, "added") } ++
+              a.toSet.diff(b.toSet).map { case (id, ts) => (id, ts, "removed") }
+          withClue(s"seed=$seed step=$step diff v$vA->v$vB: ") { diff shouldBe expect }
+        }
+      }
+    }
+  }
+}
