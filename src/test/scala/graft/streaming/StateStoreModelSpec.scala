@@ -43,6 +43,59 @@ class StateStoreModelSpec extends AnyFunSuite with SparkSpec with Matchers {
   private def modelRows(m: Model): Map[String, Long] =
     m.map { case (id, bump) => id -> (t0.getTime + bump * 1000L) }
 
+  test("property: the CDC stream replays a random chain version-exactly (2 seeds)") {
+    // the randomized complement of StoreCdcSpec's scripted cases: a
+    // genesis stream over a random 6-version chain must emit, per
+    // version, exactly the model's row diff — and nothing else
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val base = Files.createTempDirectory(s"graft_cdc_model_$seed").toString
+      val root = base + "/store"
+      val cfg = StateStore.Config(buckets = 8)
+      val ids = (0 until 30).map(i => s"a$i")
+      var model: Model = ids.take(15).map(_ -> 0).toMap
+      var versions = Vector(0L -> model)
+      StateStore.write(spark, root, 0L, toState(model), None, cfg)
+      for (step <- 1 to 5) {
+        val bumped = ids.filter(_ => rnd.nextDouble() < 0.2).filter(model.contains)
+        val added = ids.filterNot(model.contains).filter(_ => rnd.nextDouble() < 0.15)
+        val dropped = model.keys.toSeq.filter(_ => rnd.nextDouble() < 0.08)
+        val next = (model -- dropped) ++
+          bumped.map(id => id -> (model(id) + 1)) ++ added.map(_ -> 0)
+        val changedIds = (bumped ++ added ++ dropped).distinct
+        StateStore.write(spark, root, step.toLong, toState(next),
+          if (changedIds.isEmpty) None
+          else Some(ChangeSet.empty(spark).copy(assets = changedIds.toDF("id"))), cfg)
+        model = next
+        versions :+= (step.toLong -> model)
+      }
+
+      val sink = s"cdc_model_$seed"
+      val q = spark.readStream.format("graft-store-cdc")
+        .option("path", root).option("table", "assets").option("startingVersion", -1)
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      val byVersion = spark.table(sink).collect()
+        .map(r => (r.getAs[Long]("version"),
+          (r.getAs[String]("id"), r.getAs[Timestamp]("last_seen").getTime,
+            r.getAs[String]("change"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (Seq((vA, mA), (vB, mB)) <- (Vector(-1L -> Map.empty[String, Int]) ++ versions).sliding(2)) {
+        val a = modelRows(mA); val b = modelRows(mB)
+        val expect =
+          b.toSet.diff(a.toSet).map { case (id, ts) => (id, ts, "added") } ++
+            a.toSet.diff(b.toSet).map { case (id, ts) => (id, ts, "removed") }
+        withClue(s"seed=$seed stream v$vA->v$vB: ") {
+          byVersion.getOrElse(vB, Set.empty) shouldBe expect
+        }
+      }
+    }
+  }
+
   test("property: random write/prune chains read back and diff exactly (3 seeds)") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed * 991L)
