@@ -14,6 +14,13 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val verbose = args.drop(1).toSet
 
+    // audit the SCALE path: pin the size-adaptive graph ops to their
+    // dataflow form, as PlanInvariantSpec does — at sf0.001 every graph
+    // fits the one-task kernels, whose deliberate repartition(1) would
+    // otherwise flag as a SinglePartition in seven queries
+    Seq("kcore", "cc", "pagerank", "labelprop", "closure")
+      .foreach(op => spark.conf.set(s"spark.graft.$op.localEdgeLimit", "0"))
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
