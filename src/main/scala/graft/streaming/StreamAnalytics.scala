@@ -187,6 +187,47 @@ object StreamAnalytics {
       }
   }
 
+  /** Streaming twin of the bounded-heap top-k (D4, `q_topk_per_group`):
+    * maintain each key's k best rows under (score DESC, id ASC) across
+    * micro-batches. State is <= k (score, id) pairs per key however long
+    * the stream runs — the same bound the batch aggregate's partial
+    * buffers hold per task.
+    *
+    * Insert-only top-k is MONOTONE: a row outside the current top can
+    * only fall further behind (nothing is ever deleted), so evicting it
+    * from state is safe forever. `id` must be unique per key (the natural
+    * row key) — it doubles as the idempotence key: a redelivered row
+    * merges into its existing slot instead of inflating the top, so
+    * at-least-once transports need no upstream dedup (unlike
+    * [[streamingOutliers]], whose running sums are genuinely
+    * redelivery-sensitive). Each batch re-emits the key's CURRENT top
+    * (Update mode) — readers take the latest snapshot per key.
+    */
+  final case class ScoredRow(key: Long, score: Double, id: Long)
+  final case class TopKState(scores: Seq[Double], ids: Seq[Long])
+  final case class TopKSnapshot(key: Long, rn: Int, score: Double, id: Long)
+
+  def streamingTopK(rows: Dataset[ScoredRow], k: Int): Dataset[TopKSnapshot] = {
+    import rows.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKState, TopKSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ScoredRow], state: GroupState[TopKState]) =>
+          val entries = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+          state.getOption.foreach(st =>
+            st.ids.zip(st.scores).foreach { case (i, s) => entries(i) = s })
+          it.foreach(r => entries(r.id) = r.score) // id-keyed merge = idempotent
+          val top = entries.toSeq.map { case (i, s) => (s, i) }
+            .sortBy { case (s, i) => (-s, i) }.take(k)
+          state.update(TopKState(top.map(_._1), top.map(_._2)))
+          top.iterator.zipWithIndex.map { case ((s, i), idx) =>
+            TopKSnapshot(key, idx + 1, s, i)
+          }
+      }
+  }
+
   /** Streaming twin of `CurationQueries.q_sessionize` (D21): assign each
     * event its user-local session ordinal ONLINE — a new session opens
     * when >gapSecs elapsed since the user's previous event. State per key

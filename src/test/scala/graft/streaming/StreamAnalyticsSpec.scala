@@ -331,6 +331,51 @@ class StreamAnalyticsSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows should not contain ((1L, "b")) // in-batch dup dropped
     rows should not contain ((1L, "c")) // cross-batch in-window dup dropped
   }
+
+  test("streaming top-k equals the batch heap aggregate; redelivery and eviction safe") {
+    import StreamAnalytics.ScoredRow
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[ScoredRow]
+    val q = StreamAnalytics.streamingTopK(src.toDS(), k = 2)
+      .writeStream.format("memory").queryName("stopk").outputMode(OutputMode.Update())
+      .start()
+    val b1 = Seq(ScoredRow(1, 10.0, 100), ScoredRow(1, 30.0, 101), ScoredRow(2, 5.0, 200))
+    // 102 evicts 100 from key 1's top-2; the tie on 30.0 keeps the lower id first
+    val b2 = Seq(ScoredRow(1, 30.0, 99), ScoredRow(1, 20.0, 102), ScoredRow(2, 7.0, 201))
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      src.addData(Seq(b1(1), b2.head)); q.processAllAvailable() // redelivery: no-op
+    } finally q.stop()
+
+    // latest snapshot per key = rows of the final micro-batch that emitted it
+    val snaps = spark.table("stopk").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Int]("rn"),
+        r.getAs[Double]("score"), r.getAs[Long]("id")))
+    def latest(key: Long): Seq[(Int, Double, Long)] = {
+      // Update-mode memory sink appends; the final state of a key is its
+      // LAST emitted snapshot group — reconstruct by taking the trailing
+      // rows (rn restarts at 1 on each re-emission)
+      val rows = snaps.filter(_._1 == key).map(t => (t._2, t._3, t._4))
+      val lastStart = rows.lastIndexWhere(_._1 == 1)
+      rows.drop(lastStart).toSeq
+    }
+    latest(1L) shouldBe Seq((1, 30.0, 99L), (2, 30.0, 101L))
+    latest(2L) shouldBe Seq((1, 7.0, 201L), (2, 5.0, 200L))
+
+    // differential: the batch bounded-heap aggregate over the SAME deduped
+    // log lands on identical tops
+    import spark.implicits._
+    val batch = (b1 ++ b2).toDF("key", "score", "id")
+      .groupBy($"key")
+      .agg(graft.functions.TopKOrdered($"score", $"id", 2).as("top"))
+      .select($"key", org.apache.spark.sql.functions.posexplode($"top"))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1,
+        r.getStruct(2).getDouble(0), r.getStruct(2).getLong(1)))
+    batch.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq shouldBe latest(1L)
+    batch.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq shouldBe latest(2L)
+  }
+
 }
 
 case class Imp(ts: Timestamp, key: Long, ad: String)
