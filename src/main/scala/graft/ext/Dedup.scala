@@ -117,14 +117,14 @@ object Dedup {
     * force a rebuild — each consumer measures its OPERATOR, not a
     * repeated corpus hashing pass.
     */
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val shingleCache = new graft.SessionCache[String, DataFrame]
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir),
-      _ => graft.Materialize.timed("shingle_table") {
+    shingleCache.getOrBuild(s, dir) {
+      graft.Materialize.timed("shingle_table") {
         wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
-      })
+      }
+    }
 
   /** Verified LSH pair set per (session, sfDir, feature family, bands, r)
     * — q_minhash_lsh_pairs / q_ngram_jaccard EMIT it and
@@ -133,20 +133,21 @@ object Dedup {
     * same reason the signature table is materialized (one band join +
     * one verification per corpus version, however many consumers).
     */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String, Int, Int), DataFrame]
+  private val pairsCache =
+    new graft.SessionCache[(String, String, Int, Int), DataFrame]
 
   private[ext] def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
-    pairsCache.computeIfAbsent((s, dir, "word3", bands, r),
-      _ => graft.Materialize.timed("lsh_pairs_word3") {
+    pairsCache.getOrBuild(s, (dir, "word3", bands, r)) {
+      graft.Materialize.timed("lsh_pairs_word3") {
         lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true)
-      })
+      }
+    }
 
   /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5"). */
   private def charGramLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
-    pairsCache.computeIfAbsent((s, dir, "char5", bands, r), { _ =>
+    pairsCache.getOrBuild(s, (dir, "char5", bands, r)) {
       graft.Materialize.timed("lsh_pairs_char5") {
         val docs = Tables.documents(s, dir)
           .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
@@ -154,7 +155,7 @@ object Dedup {
           .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
         lshJaccardPairs(docs, bands, r).localCheckpoint(true)
       }
-    })
+    }
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {

@@ -745,12 +745,12 @@ object ExtQueries {
     * perplexity-score table for the same reason the shingle table is
     * (Dedup.corpusShingles precedent).
     */
-  private val lmScoreCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val lmScoreCache =
+    new graft.SessionCache[String, org.apache.spark.sql.DataFrame]
 
   private[ext] def lmScores(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    lmScoreCache.computeIfAbsent((s, dir), _ => graft.Materialize.timed("lm_scores") {
+    lmScoreCache.getOrBuild(s, dir) { graft.Materialize.timed("lm_scores") {
       val big = Tables.documents(s, dir)
         .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
@@ -773,7 +773,7 @@ object ExtQueries {
         .localCheckpoint(true)
       big.unpersist()
       out
-    })
+    }}
 
   val q_lm_score: QueryDef = QueryDef(
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -120,11 +120,10 @@ object Pq {
     */
   private final case class PqIndex(books: Seq[Seq[(Long, Seq[Double])]], codes: DataFrame)
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PqIndex]
+  private val cache = new graft.SessionCache[String, PqIndex]
 
   private def pqIndex(s: SparkSession, dir: String): PqIndex =
-    cache.computeIfAbsent((s, dir), { _ =>
+    cache.getOrBuild(s, dir) {
       graft.Materialize.timed("pq_index") {
         val e = Similarity.embFrame(s, dir).localCheckpoint(true)
         val books = (0 until M).map { sub =>
@@ -137,7 +136,7 @@ object Pq {
           .localCheckpoint(true)
         PqIndex(books, codes)
       }
-    })
+    }
 
   // ---- DuckDB oracle fragments --------------------------------------------
 

@@ -189,11 +189,10 @@ object Similarity {
     * Synth.snap / corpusShingles precedent: localCheckpoint(true)
     * survives Bench's clearCache, so each query times its SEARCH).
     */
-  private val lshCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (Int, DataFrame)]
+  private val lshCache = new graft.SessionCache[String, (Int, DataFrame)]
 
   private def lshIndex(s: org.apache.spark.sql.SparkSession, dir: String): (Int, DataFrame) =
-    lshCache.computeIfAbsent((s, dir), { _ =>
+    lshCache.getOrBuild(s, dir) {
       graft.Materialize.timed("lsh_vector_index") {
         // plane count derived from the ACTUAL corpus (metadata-only count),
         // mirroring the oracle's params CTE — sf0.01 and sf0.1 get different
@@ -205,7 +204,7 @@ object Similarity {
           .localCheckpoint(true)
         (planes, e)
       }
-    })
+    }
 
   /** Bucketed ANN search. `queries` = (query_id, qv, qn, bucket). With
     * `multiProbe`, each query also probes its `planes` hamming-1 neighbor
@@ -460,11 +459,10 @@ object Similarity {
     */
   private final case class IvfIndex(e: DataFrame, cents: DataFrame, ec: DataFrame)
 
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), IvfIndex]
+  private val ivfCache = new graft.SessionCache[String, IvfIndex]
 
   private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
-    ivfCache.computeIfAbsent((s, dir), { _ =>
+    ivfCache.getOrBuild(s, dir) {
       graft.Materialize.timed("ivf_index") {
         val e = embFrame(s, dir).localCheckpoint(true)
         // cell count derived from the ACTUAL corpus, mirroring the oracle's
@@ -478,7 +476,7 @@ object Similarity {
           graft.functions.ArgmaxCell(col("v"), col("nrm"), cs)).localCheckpoint(true)
         IvfIndex(e, cents, ec)
       }
-    })
+    }
 
   /** Probe-and-search: assign the corpus to cells, pick each query's
     * `nprobe` best cells, scan only those. Shared by the declared query

@@ -102,7 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects $n arguments, got ${es.size}")
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => Guardrails.GuardrailRule())

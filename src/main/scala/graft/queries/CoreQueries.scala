@@ -452,17 +452,17 @@ object CoreQueries {
   // the most expensive shuffle 5x — the shingle-table precedent applies.
   // localCheckpoint materializes the edge rows; consumers re-derive only
   // their own downstream plan.
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val edgeCache =
+    new graft.SessionCache[String, org.apache.spark.sql.DataFrame]
   private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    edgeCache.computeIfAbsent((s, dir), { _ =>
+    edgeCache.getOrBuild(s, dir) {
       graft.Materialize.timed("copurchase_edges") {
         graft.graph.GraphAnalytics.coOccurrenceEdges(
           Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0),
           "l_orderkey", "l_partkey").localCheckpoint(true)
       }
-    })
+    }
 
   // C12 — triangle participation counts. Spark side uses degree-ordered
   // orientation (wedge fan-out bounded by O(sqrt(m)) out-degree; see
@@ -518,11 +518,10 @@ object CoreQueries {
   private final case class TriStored(
       eOld: org.apache.spark.sql.DataFrame,
       counts: org.apache.spark.sql.DataFrame)
-  private val triCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), TriStored]
+  private val triCache = new graft.SessionCache[String, TriStored]
   private def triStoredView(s: org.apache.spark.sql.SparkSession,
       dir: String): TriStored =
-    triCache.computeIfAbsent((s, dir), { _ =>
+    triCache.getOrBuild(s, dir) {
       graft.Materialize.timed("tri_stored_view") {
         val liOld = Tables.lineitem(s, dir)
           .filter(col("l_partkey") % 10 === 0)
@@ -532,7 +531,7 @@ object CoreQueries {
         TriStored(eOld,
           graft.graph.GraphAnalytics.triangleCounts(eOld).localCheckpoint(true))
       }
-    })
+    }
 
   // C15 — k-core (k=8) of the co-purchase graph: iterative peel to the
   // unique fixpoint. The k-core is peel-order-independent, so Spark's

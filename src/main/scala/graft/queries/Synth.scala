@@ -85,11 +85,10 @@ object Synth {
   private final case class Snap(assets: DataFrame, teams: DataFrame,
       owns: DataFrame, parentOf: DataFrame, tombstones: DataFrame)
 
-  private val snapCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Snap]
+  private val snapCache = new graft.SessionCache[String, Snap]
 
   private def snap(spark: SparkSession, dir: String): Snap =
-    snapCache.computeIfAbsent((spark, dir), { _ => graft.Materialize.timed("synth_snapshot") {
+    snapCache.getOrBuild(spark, dir) { graft.Materialize.timed("synth_snapshot") {
       def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
       Snap(
         assets = ck(Tables.events(spark, dir)
@@ -120,7 +119,7 @@ object Synth {
           .select(lit("T").as("asset_type"), aId.as("asset_identifier"),
             tId.as("team_identifier"))
           .distinct()))
-    }})
+    }}
 
   def assets(spark: SparkSession, dir: String): DataFrame = snap(spark, dir).assets
   def teams(spark: SparkSession, dir: String): DataFrame = snap(spark, dir).teams

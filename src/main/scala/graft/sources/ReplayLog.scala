@@ -170,10 +170,20 @@ class ReplayLogMicroBatchStream(path: String, minPartitions: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = ReplayLog.countLines(path)
     val from = start.asInstanceOf[ReplayOffset].lines
-    limit match {
+    // Trigger.AvailableNow wraps the configured maxRows in a
+    // CompositeReadLimit — unwrap it (as the Kafka source does) so the
+    // rate bound survives composition instead of falling through to
+    // all-available.
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        ReplayOffset(math.min(avail, from + rl.maxRows()))
-      case _ => ReplayOffset(avail)
+        Some(rl.maxRows())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.flatMap(maxRowsOf(_)).minOption
+      case _ => None
+    }
+    maxRowsOf(limit) match {
+      case Some(n) => ReplayOffset(math.min(avail, from + n))
+      case None => ReplayOffset(avail)
     }
   }
 

@@ -53,11 +53,26 @@ class StoreCatalog extends TableCatalog {
     new StoreDsTable(new CaseInsensitiveStringMap(opts))
   }
 
-  override def loadTable(ident: Identifier): Table = mkTable(ident, None)
+  /** TableCatalog contract: an unknown identifier must surface as
+    * NoSuchTableException at resolution time (the analyzer turns it into
+    * the standard TABLE_OR_VIEW_NOT_FOUND error), not as a runtime
+    * failure from scan planning.
+    */
+  private def checkExists(ident: Identifier): Unit =
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    checkExists(ident)
+    mkTable(ident, None)
+  }
 
   /** `VERSION AS OF <v>` — the engine hands the version string through. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkExists(ident)
     mkTable(ident, Some(version.toLong))
+  }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     throw new UnsupportedOperationException(
