@@ -4,27 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // extra args (builder-local iteration only) restrict the dump to the
-    // named queries; the driver always passes exactly (sfDir, outDir)
-    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
-    val only = rest.toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run every declared query (or the `only` subset) against `sfDir` and
+    * write each result to `outDir/<name>` parquet. Returns the failures
+    * as (name, message) — shared by the local[] harness main below and
+    * the multi-JVM [[graft.tools.ClusterProbe]], so the two modes run the
+    * EXACT same catalog surface.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String] = Set.empty): Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(name -> String.valueOf(e.getMessage))
         }
-        // NOT cleared per query (unlike Bench): correctness runs benefit
-        // from cross-query reuse of the cached synth snapshot tables, and
-        // nothing is being timed here
+        // cache NOT cleared per query (unlike Bench): correctness runs
+        // benefit from cross-query reuse of the cached synth snapshot
+        // tables, and nothing is being timed here
       }
+  }
+
+  /** `outDir/oracle_sql.json` — the DuckDB side of the compare. */
+  def dumpOracleSql(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,7 +47,18 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    // extra args (builder-local iteration only) restrict the dump to the
+    // named queries; the driver always passes exactly (sfDir, outDir)
+    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, rest.toSet)
+    dumpOracleSql(outDir)
     spark.stop()
   }
 }
