@@ -113,6 +113,24 @@ object StateStore {
     */
   final case class Manifest(buckets: Int, pointers: Pointers)
 
+  /** Another writer won the commit race (the version's manifest already
+    * exists with different content, or the committed head moved past the
+    * predecessor this write was computed against). RETRYABLE by contract
+    * ([[StreamIngest.isRetryable]] returns true): re-read the new head
+    * and re-run the fold — the store itself is uncorrupted, the losing
+    * attempt's data dirs are superseded or will be pruned.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** A manifest that claims to be committed (END terminator present) but
+    * fails its integrity check — bit rot, torn overwrite, or hand
+    * editing. NOT retryable and never silently skipped: skipping would
+    * resurrect the previous version's rows for this version's buckets.
+    * (A manifest with NO terminator stays a silent skip — that is the
+    * documented crash-during-commit remnant, not corruption.)
+    */
+  final class CorruptManifestException(msg: String) extends RuntimeException(msg)
+
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -122,21 +140,35 @@ object StateStore {
     new Path(s"$statePath/v$version/MANIFEST")
 
   /** Plain-text manifest: `buckets=N`, one `table pt version` line per
-    * live bucket, `END` terminator (a crash mid-write leaves no END and
-    * the version is treated as uncommitted).
+    * live bucket, a `crc=<crc32 hex>` integrity line over everything
+    * above it, then the `END` terminator (a crash mid-write leaves no END
+    * and the version is treated as uncommitted).
+    */
+  private def manifestBody(cfg: Config, pointers: Pointers): String = {
+    val sb = new StringBuilder
+    sb.append(s"buckets=${cfg.buckets}\n")
+    for ((t, m) <- pointers.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
+      sb.append(s"$t $pt $v\n")
+    sb.toString
+  }
+
+  private def crcOf(body: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(body.getBytes("UTF-8"))
+    f"${c.getValue}%08x"
+  }
+
+  /** Write the manifest for `version`. `overwrite = false` is the commit
+    * CAS: exactly ONE racing writer's create succeeds on a correct
+    * FileSystem; the loser sees the winner's file (see [[write]]).
     */
   def writeManifest(spark: SparkSession, statePath: String, version: Long,
-      cfg: Config, pointers: Pointers): Unit = {
+      cfg: Config, pointers: Pointers, overwrite: Boolean = true): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    val out = fs.create(manifestPath(statePath, version), true)
-    try {
-      val sb = new StringBuilder
-      sb.append(s"buckets=${cfg.buckets}\n")
-      for ((t, m) <- pointers.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
-        sb.append(s"$t $pt $v\n")
-      sb.append("END\n")
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
+    val body = manifestBody(cfg, pointers)
+    val out = fs.create(manifestPath(statePath, version), overwrite)
+    try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   def readManifest(spark: SparkSession, statePath: String, version: Long): Option[Manifest] = {
@@ -144,17 +176,39 @@ object StateStore {
     val p = manifestPath(statePath, version)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      catch {
+        // the FS layer's own integrity check (e.g. LocalFileSystem's .crc
+        // sidecar) detecting damage is corruption all the same — loud
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          throw new CorruptManifestException(
+            s"manifest $p: filesystem checksum failure: ${e.getMessage}")
+      } finally in.close()
     val lines = text.split("\n").toSeq
-    if (!lines.contains("END")) return None // incomplete write
+    if (!lines.contains("END")) return None // crash-during-commit remnant
+    // the manifest CLAIMS committed from here on: any integrity failure is
+    // loud — silently skipping would resurrect the previous version's rows
+    def corrupt(why: String): Nothing =
+      throw new CorruptManifestException(s"manifest $p: $why")
+    lines.collectFirst { case l if l.startsWith("crc=") => l.stripPrefix("crc=") }
+      .foreach { stored =>
+        val body = text.substring(0, text.indexOf("crc="))
+        if (crcOf(body) != stored)
+          corrupt(s"crc mismatch (stored=$stored, computed=${crcOf(body)})")
+      }
     val buckets = lines.collectFirst {
       case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").toInt
-    }.getOrElse(return None)
+    }.getOrElse(corrupt("no buckets= line"))
     val entries = lines
-      .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets="))
+      .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") && !l.startsWith("crc="))
       .map { l =>
-        val Array(t, pt, v) = l.split(" ")
-        (t, pt.toInt, v.toLong)
+        l.split(" ") match {
+          case Array(t, pt, v) =>
+            (t, pt.toIntOption.getOrElse(corrupt(s"bad bucket id in '$l'")),
+              v.toLongOption.getOrElse(corrupt(s"bad version in '$l'")))
+          case _ => corrupt(s"malformed pointer line '$l'")
+        }
       }
     Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
@@ -188,8 +242,8 @@ object StateStore {
   def write(spark: SparkSession, statePath: String, version: Long, st: State,
       changes: Option[ChangeSet], cfg: Config = Config(),
       loaded: Option[Map[String, Set[Int]]] = None): Pointers = {
-    val prev = committedVersions(spark, statePath, version - 1).lastOption
-      .flatMap(v => readManifest(spark, statePath, v))
+    val prevVersion = committedVersions(spark, statePath, version - 1).lastOption
+    val prev = prevVersion.flatMap(v => readManifest(spark, statePath, v))
     prev.foreach { pm =>
       require(changes.isEmpty || pm.buckets == cfg.buckets,
         s"bucket count changed (manifest=${pm.buckets}, config=${cfg.buckets}): " +
@@ -229,9 +283,16 @@ object StateStore {
 
     val full = prev.isEmpty || changes.isEmpty
 
+    // data lands in a WRITER-UNIQUE staging dir; commit() moves it under
+    // v<version>/ only after the CAS legs pass — a loser detected at
+    // commit has never touched the winner's committed dirs (the losing
+    // staging dir is deleted; orphans of crashed writers are reclaimed by
+    // prune)
+    val staging =
+      s"$statePath/.staging-v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     def writeDir(df: DataFrame, name: String): Set[Int] = {
-      df.write.mode("overwrite").partitionBy("pt").parquet(s"$statePath/v$version/$name")
-      listBuckets(spark, s"$statePath/v$version/$name")
+      df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
+      listBuckets(spark, s"$staging/$name")
     }
 
     val mainPointers = tables.map { t =>
@@ -283,8 +344,113 @@ object StateStore {
       }
 
     val pointers = mainPointers + (idxTable.name -> idxPointers)
-    writeManifest(spark, statePath, version, cfg, pointers)
+    commit(spark, statePath, version, cfg, pointers, prevVersion, Some(staging))
     pointers
+  }
+
+  /** Manifest commit with the two compare-and-swap legs that make a
+    * single-writer store safe against schedulers retrying jobs:
+    *
+    *  1. the committed head must still be `expectedPrev` — a write whose
+    *     inherited pointers were computed against a superseded head would
+    *     silently drop the interleaver's changes (lost update), so it
+    *     fails with a retryable [[ConcurrentWriteException]] instead;
+    *  2. the version's manifest is created EXCLUSIVELY (overwrite=false)
+    *     — of two racers on the same version, exactly one create
+    *     succeeds. The loser (or a redelivered batch) then compares its
+    *     intended manifest against the winner's: identical content is the
+    *     deterministic at-least-once redelivery case and succeeds
+    *     idempotently; different content is a genuine second writer and
+    *     fails retryably.
+    *
+    * Data isolation: [[write]] stages its table dirs under a
+    * writer-unique `.staging-v<version>-<token>` dir and commit promotes
+    * them (per-table rename) only after both CAS legs pass — a loser
+    * never touches the winner's committed dirs, and its staging dir is
+    * deleted. A manifest file with no END terminator is a
+    * crash-during-commit remnant (never readable) and is simply
+    * overwritten, as are remnant table dirs under its version. Note the
+    * equality check compares POINTERS: under the store's determinism
+    * contract (state is a pure function of predecessor + batch) equal
+    * pointers imply equal data; two non-deterministic writers racing the
+    * same version with identical touched-bucket sets are outside the
+    * contract — use distinct statePaths per pipeline instead. On a plain
+    * filesystem two writers overlapping WITHIN the promote window can
+    * still interleave table dirs; deployments needing hard mutual
+    * exclusion should front the manifest create with a conditional-put
+    * store (the exclusive-create call is the single point to swap).
+    */
+  private[streaming] def commit(spark: SparkSession, statePath: String,
+      version: Long, cfg: Config, pointers: Pointers,
+      expectedPrev: Option[Long], staging: Option[String] = None): Unit = {
+    val (fs, _) = fsFor(spark, statePath)
+    def dropStaging(): Unit =
+      staging.foreach(sd => fs.delete(new Path(sd), true): Unit)
+
+    // CAS leg 1: the head this write inherited pointers from must still
+    // be the head — otherwise the commit would silently drop the
+    // interleaver's changes (lost update)
+    val headNow = committedVersions(spark, statePath, version - 1).lastOption
+    if (headNow != expectedPrev) {
+      dropStaging()
+      throw new ConcurrentWriteException(
+        s"committed head under $statePath moved to ${headNow.fold("none")(v => s"v$v")} " +
+          s"while v$version was computed against ${expectedPrev.fold("none")(v => s"v$v")} — " +
+          "another writer interleaved; re-read the head and re-run the fold")
+    }
+    // pointer comparison ignores tables with no live buckets: the
+    // manifest only records non-empty tables, the computed map carries
+    // them as empty entries
+    def live(ps: Pointers): Pointers = ps.filter(_._2.nonEmpty)
+    def winnerEquals(): Boolean =
+      readManifest(spark, statePath, version)
+        .exists(m => m.buckets == cfg.buckets && live(m.pointers) == live(pointers))
+    def loseTo(how: String): Nothing = {
+      dropStaging()
+      throw new ConcurrentWriteException(
+        s"v$version under $statePath was committed by another writer with " +
+          s"different content ($how) — two distinct folds raced the same version")
+    }
+
+    val p = manifestPath(statePath, version)
+    val committed = fs.exists(p) && readManifest(spark, statePath, version).isDefined
+    if (committed) {
+      if (!winnerEquals()) loseTo("manifest pre-existed")
+      dropStaging() // identical manifest already committed: idempotent
+                    // redelivery — the committed dirs already hold this data
+      return
+    }
+
+    // not committed (absent, or a crash-during-commit remnant): promote
+    // the staged table dirs under v<version>/, reclaiming any remnant dirs
+    // a crashed attempt left behind
+    staging.foreach { sd =>
+      val sp = new Path(sd)
+      if (fs.exists(sp)) {
+        val vDir = new Path(s"$statePath/v$version")
+        fs.mkdirs(vDir)
+        for (td <- fs.listStatus(sp).toSeq.filter(_.isDirectory)) {
+          val dest = new Path(vDir, td.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          if (!fs.rename(td.getPath, dest))
+            loseTo(s"staged '${td.getPath.getName}' rename raced")
+        }
+        fs.delete(sp, true): Unit
+      }
+    }
+    if (fs.exists(p))
+      // remnant manifest (no END): not committed, reclaim in place
+      writeManifest(spark, statePath, version, cfg, pointers, overwrite = true)
+    else {
+      // CAS leg 2: exclusive create — of two racers, exactly one succeeds
+      try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false)
+      catch {
+        case e: java.io.IOException =>
+          // lost the exclusive-create race in the exists-check window
+          if (fs.exists(p)) { if (!winnerEquals()) loseTo("create raced") }
+          else throw e
+      }
+    }
   }
 
   private def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
@@ -559,6 +725,11 @@ object StateStore {
   def prune(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
     val (fs, root) = fsFor(spark, statePath)
     if (!fs.exists(root)) return
+    // reclaim staging dirs orphaned by crashed writers (a completed write
+    // always deletes its own; prune runs when no writer is active)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-"))
+      .foreach(s => fs.delete(s.getPath, true))
     val all = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption)

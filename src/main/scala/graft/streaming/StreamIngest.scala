@@ -118,6 +118,12 @@ object StreamIngest {
   def isRetryable(e: Throwable): Boolean = e match {
     case _: InvalidStateException => false
     case _: IllegalArgumentException => false
+    // a manifest that fails its integrity check will fail it on every
+    // retry — operator intervention, not backoff
+    case _: StateStore.CorruptManifestException => false
+    // another writer winning the commit CAS IS worth retrying: the store
+    // is intact, re-reading the new head resolves the conflict
+    case _: StateStore.ConcurrentWriteException => true
     case scala.util.control.NonFatal(_) => true
     case _ => false
   }

@@ -265,4 +265,88 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
         .orderBy("id").collect().toSeq)
     shape(streamed) shouldBe shape(replayed)
   }
+
+  // --- write-concurrency + corruption (VERDICT r6 next #3) -----------------
+
+  test("two folds racing one version: exactly one wins, loser gets a retryable error") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    // writer A commits v1 (bumps a3); writer B then tries to commit ITS v1
+    // (bumps a5 — a genuinely different fold, not a redelivery)
+    val chA = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(chA), cfg)
+    val chB = ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))
+    val lost = intercept[StateStore.ConcurrentWriteException] {
+      StateStore.write(spark, root, 1L, mkState(8, Set("a5")), Some(chB), cfg)
+    }
+    // the loser's error is RETRYABLE (re-read head, re-run fold) ...
+    StreamIngest.isRetryable(lost) shouldBe true
+    // ... and the winner's committed state is untouched
+    assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
+  }
+
+  test("commit CAS: a head that moved past the write's predecessor fails loudly") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    val p0 = StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    // writer B computed v2 against head=v0; writer A commits v1 in between
+    val chA = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(chA), cfg)
+    // B's commit carries expectedPrev = v0 — the inherited pointers would
+    // silently drop A's v1 changes (lost update), so the CAS rejects it
+    val lost = intercept[StateStore.ConcurrentWriteException] {
+      StateStore.commit(spark, root, 2L, cfg, p0, expectedPrev = Some(0L))
+    }
+    lost.getMessage should include("moved")
+    StreamIngest.isRetryable(lost) shouldBe true
+  }
+
+  test("a garbled manifest (terminator intact) fails loudly, never an empty read") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
+    // flip a pointer digit in v1's manifest, keeping crc/END lines in
+    // place; drop the LocalFileSystem .crc sidecar so the corruption
+    // reaches the manifest's OWN integrity line (bit rot on a filesystem
+    // without its own checksumming)
+    val mp = java.nio.file.Paths.get(s"$root/v1/MANIFEST")
+    val garbled = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replaceFirst("assets (\\d+) 1", "assets $1 0")
+    java.nio.file.Files.write(mp, garbled.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/v1/.MANIFEST.crc"))
+    val e = intercept[StateStore.CorruptManifestException] {
+      StateStore.read(spark, root, 1L)
+    }
+    e.getMessage should include("crc mismatch")
+    // corruption is NOT retryable — backoff cannot repair bit rot
+    StreamIngest.isRetryable(e) shouldBe false
+    // and the chain refuses to silently skip past it too
+    intercept[StateStore.CorruptManifestException] {
+      StateStore.readLatest(spark, root, Long.MaxValue)
+    }
+  }
+
+  test("a manifest with no terminator is a crash remnant: version invisible, predecessor reads") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
+    // truncate v1's manifest mid-write (drop crc+END): the documented
+    // crash-during-commit remnant — not corruption of a COMMITTED manifest
+    val mp = java.nio.file.Paths.get(s"$root/v1/MANIFEST")
+    val text = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+    java.nio.file.Files.write(mp,
+      text.substring(0, text.indexOf("crc=")).getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/v1/.MANIFEST.crc"))
+    val (v, st) = StateStore.readLatest(spark, root, Long.MaxValue).get
+    v shouldBe 0L
+    assetRows(st) shouldBe assetRows(mkState(8))
+    // and a RE-COMMIT of v1 reclaims the remnant (the redelivery path)
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
+    assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
+  }
 }
