@@ -42,17 +42,29 @@ import graft.streaming.StateStore
 object StoreCdc {
   val ShortName = "graft-store-cdc"
 
-  def schemaFor(table: String): StructType =
-    StructType(StateStore.tableSchema(table).fields.toSeq ++ Seq(
+  def withChangeCols(base: StructType): StructType =
+    StructType(base.fields.toSeq ++ Seq(
       StructField("change", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+
+  /** CDC row schema, bound to the store's LATEST committed schema at
+    * stream construction: versions written under an older (subset) schema
+    * null-fill the added columns; a version evolving BEYOND the bound
+    * schema mid-stream fails loudly in planning (see
+    * [[StateStore.planCdc]]) — restart the stream to re-bind.
+    */
+  def schemaFor(spark: SparkSession, path: String, table: String): StructType =
+    withChangeCols(StateStore.latestSchema(spark, path, table))
 }
 
 class StoreCdcProvider extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = StoreCdc.ShortName
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StoreCdc.schemaFor(Option(options.get("table")).getOrElse(
-      throw new IllegalArgumentException("graft-store-cdc requires option 'table'")))
+    StoreCdc.schemaFor(SparkSession.active,
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-store-cdc requires option 'path'")),
+      Option(options.get("table")).getOrElse(
+        throw new IllegalArgumentException("graft-store-cdc requires option 'table'")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new StoreCdcTable(new CaseInsensitiveStringMap(properties))
@@ -64,18 +76,22 @@ class StoreCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   private val table = Option(options.get("table")).getOrElse(
     throw new IllegalArgumentException("graft-store-cdc requires option 'table'"))
 
+  // bound ONCE at table construction: the stream's row schema for its
+  // whole lifetime (the checkpoint pins it across restarts of this query)
+  private val baseSchema = StateStore.latestSchema(SparkSession.active, path, table)
+
   override def name(): String = s"${StoreCdc.ShortName}:$table@$path"
-  override def schema(): StructType = StoreCdc.schemaFor(table)
+  override def schema(): StructType = StoreCdc.withChangeCols(baseSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = StoreCdc.schemaFor(table)
+        override def readSchema(): StructType = StoreCdc.withChangeCols(baseSchema)
         override def description(): String = s"StoreCdcScan($table)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreCdcStream(path, table,
+          new StoreCdcStream(path, table, baseSchema,
             Option(opts.get("startingVersion")).map(_.toLong),
             Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
       }
@@ -87,8 +103,8 @@ case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-class StoreCdcStream(path: String, table: String, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Int] = None)
+class StoreCdcStream(path: String, table: String, baseSchema: StructType,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Int] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -131,9 +147,10 @@ class StoreCdcStream(path: String, table: String, startingVersion: Option[Long],
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     StateStore.planCdc(spark, path, table,
-        start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+        start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
+        streamSchema = Some(baseSchema))
       .map(s => StoreCdcPartition(s.version, s.oldDir, s.newDir,
-        StateStore.tableSchema(table)): InputPartition)
+        baseSchema): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory = new StoreCdcReaderFactory

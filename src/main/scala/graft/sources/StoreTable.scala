@@ -300,6 +300,10 @@ private[sources] object StoreParquet {
       file: String): Array[Any] = {
     val t = g.getType
     required.fields.map { f =>
+      // a file written under an older (subset) schema null-fills columns
+      // added since — the additive-evolution read contract
+      if (!t.containsField(f.name)) null
+      else {
       val i = t.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(i) == 0) null
       else f.dataType match {
@@ -318,6 +322,7 @@ private[sources] object StoreParquet {
           }
         case other => throw new IllegalStateException(
           s"graft-store reader supports STRING and TIMESTAMP columns, got $other")
+      }
       }
     }.asInstanceOf[Array[Any]]
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import graft.graph.GraphOps.State
 import graft.schema.Schemas
 import graft.state.ChangeSet
@@ -109,9 +109,20 @@ object StateStore {
   type Pointers = Map[String, Map[Int, Long]]
 
   /** A committed version's manifest: the bucket modulus it was written
-    * under plus the live bucket pointers (including `parent_of_idx`).
+    * under, the live bucket pointers (including `parent_of_idx`), and the
+    * SCHEMA each table was written under at this version (absent for
+    * pre-evolution manifests → the canonical schema). Reads resolve a
+    * version's rows through ITS recorded schema, so `VERSION AS OF`
+    * returns each version's own shape and inherited buckets written under
+    * an older (subset) schema null-fill the added columns.
     */
-  final case class Manifest(buckets: Int, pointers: Pointers)
+  final case class Manifest(buckets: Int, pointers: Pointers,
+      schemas: Map[String, StructType] = Map.empty) {
+    def schemaOf(table: String): StructType =
+      schemas.getOrElse(table,
+        (tables :+ idxTable).find(_.name == table).map(_.schema).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$table'")))
+  }
 
   /** Another writer won the commit race (the version's manifest already
     * exists with different content, or the committed head moved past the
@@ -144,9 +155,15 @@ object StateStore {
     * above it, then the `END` terminator (a crash mid-write leaves no END
     * and the version is treated as uncommitted).
     */
-  private def manifestBody(cfg: Config, pointers: Pointers): String = {
+  private def manifestBody(cfg: Config, pointers: Pointers,
+      schemas: Map[String, StructType]): String = {
     val sb = new StringBuilder
     sb.append(s"buckets=${cfg.buckets}\n")
+    // StructType.json is single-line; only schemas that DIFFER from the
+    // canonical shape are recorded, so pre-evolution manifests stay
+    // byte-stable (and redelivery equality with them keeps holding)
+    for ((t, sc) <- schemas.toSeq.sortBy(_._1) if sc != tableSchema(t))
+      sb.append(s"schema:$t=${sc.json}\n")
     for ((t, m) <- pointers.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
       sb.append(s"$t $pt $v\n")
     sb.toString
@@ -163,9 +180,10 @@ object StateStore {
     * FileSystem; the loser sees the winner's file (see [[write]]).
     */
   def writeManifest(spark: SparkSession, statePath: String, version: Long,
-      cfg: Config, pointers: Pointers, overwrite: Boolean = true): Unit = {
+      cfg: Config, pointers: Pointers, overwrite: Boolean = true,
+      schemas: Map[String, StructType] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    val body = manifestBody(cfg, pointers)
+    val body = manifestBody(cfg, pointers, schemas)
     val out = fs.create(manifestPath(statePath, version), overwrite)
     try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
     finally out.close()
@@ -200,8 +218,23 @@ object StateStore {
     val buckets = lines.collectFirst {
       case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").toInt
     }.getOrElse(corrupt("no buckets= line"))
+    val schemas = lines
+      .filter(_.startsWith("schema:"))
+      .map { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) corrupt(s"malformed schema line '$l'")
+        val t = l.substring("schema:".length, eq)
+        val sc = try DataType.fromJson(l.substring(eq + 1)) catch {
+          case _: Throwable => corrupt(s"unparseable schema json for '$t'")
+        }
+        sc match {
+          case st: StructType => t -> st
+          case _ => corrupt(s"schema for '$t' is not a struct")
+        }
+      }.toMap
     val entries = lines
-      .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") && !l.startsWith("crc="))
+      .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") &&
+        !l.startsWith("crc=") && !l.startsWith("schema:"))
       .map { l =>
         l.split(" ") match {
           case Array(t, pt, v) =>
@@ -212,7 +245,7 @@ object StateStore {
       }
     Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
-    }))
+    }, schemas))
   }
 
   /** Committed (manifest-complete) versions <= maxVersion, ascending. */
@@ -249,6 +282,28 @@ object StateStore {
         s"bucket count changed (manifest=${pm.buckets}, config=${cfg.buckets}): " +
           "inherited pointers would be bucketed under the old modulus — " +
           "rebucket with a full write (changes=None) instead")
+    }
+
+    // schema evolution contract: each version records the schema its state
+    // frames carried. An INCREMENTAL write must be additive over its
+    // predecessor (every inherited field present, same type) — inherited
+    // buckets' files then null-fill the added columns under the new read
+    // schema. Dropping or retyping a column needs a full write (every
+    // bucket rewritten, no old files left behind the new schema).
+    val schemas: Map[String, StructType] =
+      tables.map(t => t.name -> tableOf(st, t.name).schema).toMap
+    prev.filter(_ => changes.nonEmpty).foreach { pm =>
+      for (t <- tables) {
+        val old = pm.schemaOf(t.name)
+        val nw = schemas(t.name)
+        val missing = old.fields.filterNot(of =>
+          nw.fields.exists(nf => nf.name == of.name && nf.dataType == of.dataType))
+        require(missing.isEmpty,
+          s"incremental write narrows '${t.name}': predecessor fields " +
+            s"${missing.map(_.name).mkString(", ")} absent (or retyped) in the new " +
+            "schema — inherited buckets would silently disagree with new ones; " +
+            "evolve additively, or rewrite every bucket with a full write (changes=None)")
+      }
     }
 
     // A frame with ZERO partitions (an empty-state placeholder or empty
@@ -344,7 +399,7 @@ object StateStore {
       }
 
     val pointers = mainPointers + (idxTable.name -> idxPointers)
-    commit(spark, statePath, version, cfg, pointers, prevVersion, Some(staging))
+    commit(spark, statePath, version, cfg, pointers, prevVersion, Some(staging), schemas)
     pointers
   }
 
@@ -382,7 +437,8 @@ object StateStore {
     */
   private[streaming] def commit(spark: SparkSession, statePath: String,
       version: Long, cfg: Config, pointers: Pointers,
-      expectedPrev: Option[Long], staging: Option[String] = None): Unit = {
+      expectedPrev: Option[Long], staging: Option[String] = None,
+      schemas: Map[String, StructType] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
     def dropStaging(): Unit =
       staging.foreach(sd => fs.delete(new Path(sd), true): Unit)
@@ -440,10 +496,12 @@ object StateStore {
     }
     if (fs.exists(p))
       // remnant manifest (no END): not committed, reclaim in place
-      writeManifest(spark, statePath, version, cfg, pointers, overwrite = true)
+      writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
+        schemas = schemas)
     else {
       // CAS leg 2: exclusive create — of two racers, exactly one succeeds
-      try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false)
+      try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false,
+        schemas = schemas)
       catch {
         case e: java.io.IOException =>
           // lost the exclusive-create race in the exists-check window
@@ -483,7 +541,7 @@ object StateStore {
     val m = readManifest(spark, statePath, version).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$version under $statePath"))
     def tbl(spec: TableSpec): DataFrame =
-      readPaths(spark, spec.schema, bucketPaths(statePath, m, spec.name))
+      readPaths(spark, m.schemaOf(spec.name), bucketPaths(statePath, m, spec.name))
     State(tbl(tables(0)), tbl(tables(1)), tbl(tables(2)), tbl(tables(3)))
   }
 
@@ -562,7 +620,7 @@ object StateStore {
     val paths = tables.map(t =>
       t.name -> bucketPaths(statePath, m, t.name, Some(loaded(t.name)))).toMap
     def tbl(spec: TableSpec): DataFrame =
-      readPaths(spark, spec.schema, paths(spec.name))
+      readPaths(spark, m.schemaOf(spec.name), paths(spec.name))
     Some(Partial(version,
       State(tbl(tables(0)), tbl(tables(1)), tbl(tables(2)), tbl(tables(3))),
       loaded, paths))
@@ -590,7 +648,7 @@ object StateStore {
         throw new IllegalStateException(s"no committed version under $statePath")))
     val m = readManifest(spark, statePath, v).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
-    ScanPlan(v, spec.schema, spec.bucketCols.head, m.buckets,
+    ScanPlan(v, m.schemaOf(spec.name), spec.bucketCols.head, m.buckets,
       m.pointers.getOrElse(table, Map.empty).map { case (pt, pv) =>
         pt -> s"$statePath/v$pv/$table/pt=$pt"
       })
@@ -617,7 +675,8 @@ object StateStore {
     * (the [[graft.graph.Inventory.changesSince]] retention contract).
     */
   private[graft] def planCdc(spark: SparkSession, statePath: String,
-      table: String, fromExclusive: Long, toInclusive: Long): Seq[CdcSlice] = {
+      table: String, fromExclusive: Long, toInclusive: Long,
+      streamSchema: Option[StructType] = None): Seq[CdcSlice] = {
     require(tables.exists(_.name == table),
       s"unknown table '$table' — one of ${tables.map(_.name).mkString(", ")}")
     val chain = committedVersions(spark, statePath, Long.MaxValue)
@@ -641,6 +700,20 @@ object StateStore {
         m.pointers.getOrElse(table, Map.empty)
       }.getOrElse(Map.empty[Int, Long])
       val pNew = mNew.pointers.getOrElse(table, Map.empty)
+      // schema-evolution guard: a version written under a schema WIDER
+      // than the running stream's row schema cannot be emitted — reading
+      // its files through the narrower schema would silently drop the new
+      // columns from the change feed. Fails loudly; restarting the stream
+      // re-binds the evolved schema (older, narrower versions read fine —
+      // their files null-fill under the stream schema).
+      streamSchema.foreach { ss =>
+        val extra = mNew.schemaOf(table).fields.filterNot(f =>
+          ss.fields.exists(sf => sf.name == f.name && sf.dataType == f.dataType))
+        if (extra.nonEmpty) throw new IllegalStateException(
+          s"table '$table' evolved at v$v: fields ${extra.map(_.name).mkString(", ")} " +
+            "are not in this stream's bound schema — emitting would silently drop " +
+            "them from the change feed; restart the stream to bind the evolved schema")
+      }
       prev = Some(v)
       (pOld.keySet ++ pNew.keySet).filter(pt => pOld.get(pt) != pNew.get(pt))
         .toSeq.sorted.map { pt =>
@@ -650,6 +723,16 @@ object StateStore {
         }
     }
   }
+
+  /** Schema of `table` at the LATEST committed version (canonical when
+    * nothing is committed yet) — what a new CDC stream or catalog listing
+    * binds to.
+    */
+  private[graft] def latestSchema(spark: SparkSession, statePath: String,
+      table: String): StructType =
+    committedVersions(spark, statePath, Long.MaxValue).lastOption
+      .flatMap(v => readManifest(spark, statePath, v)).map(_.schemaOf(table))
+      .getOrElse(tableSchema(table))
 
   private[graft] def tableSchema(table: String): StructType =
     tables.find(_.name == table).map(_.schema).getOrElse(
@@ -705,8 +788,17 @@ object StateStore {
         .filter(pt => pOld.get(pt) != pNew.get(pt))
       val pathsOld = bucketPaths(statePath, mOld, t.name, Some(changedPts))
       val pathsNew = bucketPaths(statePath, mNew, t.name, Some(changedPts))
-      val oldRows = readPaths(spark, t.schema, pathsOld)
-      val newRows = readPaths(spark, t.schema, pathsNew)
+      // diff under the NEW version's schema: additive evolution (the write
+      // contract) means old files null-fill added columns — an evolved row
+      // then correctly diffs as removed(old shape)+added(new shape)
+      val sc = mNew.schemaOf(t.name)
+      val older = mOld.schemaOf(t.name).fields.filterNot(of =>
+        sc.fields.exists(nf => nf.name == of.name && nf.dataType == of.dataType))
+      require(older.isEmpty,
+        s"diff of '${t.name}' across a narrowing schema change (v$vOld fields " +
+          s"${older.map(_.name).mkString(", ")} absent in v$vNew) is not defined")
+      val oldRows = readPaths(spark, sc, pathsOld)
+      val newRows = readPaths(spark, sc, pathsNew)
       val changed = newRows.exceptAll(oldRows).withColumn("change", lit("added"))
         .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("removed")))
       TableDiff(t.name, changed, pathsOld, pathsNew)

@@ -213,4 +213,51 @@ class StoreCdcSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(_.getMessage).mkString(" | ")
     messages should include("reseed")
   }
+
+  test("a stream bound after evolution emits older versions null-filled under the evolved schema") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val base = Files.createTempDirectory("graft_cdc_evolve").toString
+    val root = base + "/store"
+    writeV(root, 0L, 8, Map.empty, Nil)
+    val b1 = mkState(8, Map("a3" -> t1))
+    StateStore.write(spark, root, 1L,
+      b1.copy(assets = b1.assets.withColumn("region", when(col("id") === "a3", lit("eu")))),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))), cfg)
+    val q = stream(root, Some(-1L))
+      .writeStream.format("memory").queryName("cdc_evolved")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cdc_evolved")
+      out.schema.fieldNames should contain("region")
+      val got = out.select("id", "change", "version", "region").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), Option(r.getString(3))))
+      // genesis rows (v0, written pre-evolution) null-fill the new column
+      got.filter(_._3 == 0L).foreach(_._4 shouldBe None)
+      // the evolved version's added row carries the value
+      got.find(r => r._3 == 1L && r._2 == "added").get._4 shouldBe Some("eu")
+    } finally q.stop()
+  }
+
+  test("a version evolving beyond the stream's bound schema fails loudly in planning") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = Files.createTempDirectory("graft_cdc_evolve_mid").toString
+    writeV(root, 0L, 8, Map.empty, Nil)
+    val b1 = mkState(8, Map("a3" -> t1))
+    StateStore.write(spark, root, 1L,
+      b1.copy(assets = b1.assets.withColumn("region", when(col("id") === "a3", lit("eu")))),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))), cfg)
+    // a stream BOUND to the pre-evolution schema (started before v1) must
+    // not emit v1 through the narrower shape — that would silently drop
+    // the new column from the change feed
+    val e = intercept[IllegalStateException] {
+      StateStore.planCdc(spark, root, "assets", -1L, 1L,
+        streamSchema = Some(graft.schema.Schemas.assetSchema))
+    }
+    e.getMessage should include("evolved")
+    // the pre-evolution prefix alone still plans fine under the old schema
+    StateStore.planCdc(spark, root, "assets", -1L, 0L,
+      streamSchema = Some(graft.schema.Schemas.assetSchema)) should not be empty
+  }
 }

@@ -166,4 +166,26 @@ class StoreTableSpec extends AnyFunSuite with SparkSpec with Matchers {
     val e2 = intercept[Exception] { load(root, Some(99L)).collect() }
     e2.getMessage should include("no committed manifest")
   }
+
+  test("VERSION AS OF across schema evolution: each version reads its own shape") {
+    val root = Files.createTempDirectory("graft_dsv2_evolve").toString
+    val cfg = StateStore.Config(buckets = 8)
+    StateStore.write(spark, root, 0L, mkState(64), None, cfg)
+    val base = mkState(64, bump = Set("a5"))
+    val st1 = base.copy(assets = base.assets
+      .withColumn("region", when(col("id") === "a5", lit("eu"))))
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))
+    StateStore.write(spark, root, 1L, st1, Some(ch), cfg)
+    // version 0 through the DSv2 table: pre-evolution shape
+    load(root, Some(0L)).schema.fieldNames should not contain "region"
+    // version 1 (and latest): evolved shape; the rewritten bucket carries
+    // the value, inherited buckets' old files null-fill
+    val v1 = load(root, Some(1L))
+    v1.schema.fieldNames should contain("region")
+    val regions = v1.select("id", "region").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    regions("a5") shouldBe Some("eu")
+    regions("a0") shouldBe None
+    load(root).schema.fieldNames should contain("region")
+  }
 }

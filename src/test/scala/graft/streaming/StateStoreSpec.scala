@@ -349,4 +349,48 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
     assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
   }
+
+  // --- schema evolution (VERDICT r6 next #4) -------------------------------
+
+  test("additive schema evolution: inherited buckets null-fill; each version keeps its shape") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    // v1 evolves assets with a nullable `region` column, changing only a3
+    val base = mkState(8, Set("a3"))
+    val st1 = base.copy(assets = base.assets
+      .withColumn("region", when(col("id") === "a3", lit("eu"))))
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    StateStore.write(spark, root, 1L, st1, Some(ch), cfg)
+    // v0 keeps its own (pre-evolution) shape
+    StateStore.read(spark, root, 0L).assets.schema.fieldNames should not contain "region"
+    // v1 reads through ITS schema: changed bucket has the value, inherited
+    // buckets (old files) null-fill
+    val v1 = StateStore.read(spark, root, 1L).assets
+    v1.schema.fieldNames should contain("region")
+    val regions = v1.select("id", "region").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    regions("a3") shouldBe Some("eu")
+    regions("a0") shouldBe None
+  }
+
+  test("narrowing the schema on an incremental write is refused; a full write may") {
+    import org.apache.spark.sql.functions.lit
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    val wide = mkState(8)
+    StateStore.write(spark, root, 0L,
+      wide.copy(assets = wide.assets.withColumn("region", lit("eu"))), None, cfg)
+    val ch = ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))
+    // dropping `region` incrementally would leave inherited buckets
+    // silently disagreeing with rewritten ones
+    val e = intercept[IllegalArgumentException] {
+      StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
+    }
+    e.getMessage should include("narrows")
+    // a FULL write rewrites every bucket — narrowing is then well-defined
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")), None, cfg)
+    StateStore.read(spark, root, 1L).assets.schema.fieldNames should not contain "region"
+  }
 }
