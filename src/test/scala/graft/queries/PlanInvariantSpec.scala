@@ -84,13 +84,20 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // one partial row per upstream partition through the exchange.
     "q_stat_drift")
 
-  /** Deliberate unpartitioned window: ONLY over dimension frames whose
-    * cardinality is bounded by something other than the corpus (the
-    * calendar), never over corpus-scale rows.
+  /** Deliberate unpartitioned windows, as an EXACT per-query node count:
+    * ONLY over dimension frames whose cardinality is bounded by something
+    * other than the corpus (the calendar), never over corpus-scale rows.
+    * These are also the only queries allowed to log Spark's
+    * `WindowExec: No Partition Defined` warning in a bench run.
     */
-  private val allowGlobalWindow = Set(
-    // q_concurrency: prefix sum over per-DAY totals (calendar-bounded).
-    "q_concurrency")
+  private val allowGlobalWindow = Map(
+    // q_concurrency: the ONE day-carry prefix sum over per-DAY totals
+    // (calendar-bounded: 365 rows/year whatever the corpus size). It
+    // shows up TWICE in the physical tree because the `active` frame
+    // holding it feeds both the peak join's probe side and the per-day
+    // max side — same window, two subtree copies (exchange reuse merges
+    // them at execution).
+    "q_concurrency" -> 2)
 
   /** A SinglePartition exchange is a violation UNLESS it feeds a
     * bloom_filter_agg — Spark's injected runtime row-filter aggregates a
@@ -146,6 +153,32 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should include("graft_topk_ordered")
   }
 
+  /** Every unpartitioned WindowExec in a tree, found by WALKING the plan
+    * (crossing AQE wrappers and subqueries) — not by regexing the
+    * rendering, which misses unordered global windows and shifts with
+    * print-format changes. These are the nodes that log Spark's
+    * `WindowExec: No Partition Defined` warning, so the whitelist below
+    * attributes every such warning a bench run can emit.
+    */
+  private def unpartitionedWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => 1
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => 1
+      case _ => 0
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    here + kids.map(unpartitionedWindows).sum +
+      p.subqueries.map(unpartitionedWindows).sum
+  }
+
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
     // audit the SCALE path: the size-adaptive graph ops (kCore, connected
     // components) dispatch to a deliberate single-task kernel under their
@@ -159,11 +192,21 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       "spark.graft.pagerank.localEdgeLimit", "spark.graft.labelprop.localEdgeLimit",
       "spark.graft.closure.localEdgeLimit")
     adaptiveConfs.foreach(spark.conf.set(_, "0"))
-    val plans =
+    val physical =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> fn(spark, dir).queryExecution.executedPlan.toString
+        name -> fn(spark, dir).queryExecution.executedPlan
       }
       finally adaptiveConfs.foreach(spark.conf.unset)
+    // exact-set check: every query's unpartitioned-WindowExec count must
+    // match the whitelist — a NEW corpus-scale global window fails here,
+    // and a whitelisted one that disappears flags the stale entry too
+    val withGlobalWindows = physical
+      .map { case (name, p) => name -> unpartitionedWindows(p) }
+      .filter(_._2 > 0).toMap
+    withClue(s"unpartitioned WindowExec per query: $withGlobalWindows\n") {
+      withGlobalWindows shouldBe allowGlobalWindow
+    }
+    val plans = physical.map { case (n, p) => n -> p.toString }
     val violations = plans.flatMap { case (name, plan) =>
       Seq(
         Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
@@ -181,7 +224,7 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
         Option.when(
           raw"(?m)^.*Window \[[^\]]*\], \[[^,\]]* (?:ASC|DESC)[^\]]*\]$$".r
             .findFirstIn(plan).isDefined
-            && !allowGlobalWindow(name))(
+            && !allowGlobalWindow.contains(name))(
           s"$name: Window without partitionBy")
       ).flatten
     }
