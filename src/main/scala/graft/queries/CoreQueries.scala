@@ -739,6 +739,64 @@ object CoreQueries {
       .orderBy(col("id"), col("change"))
   }
 
+  // -- E1-E5 end-to-end as a DECLARED query: the streaming fold's final
+  // store state. Envelope grid (one asset-refresh message per distinct
+  // (team, asset) key derived from events) → replay log → `graft-replay`
+  // DSv2 source under admission control (multi-batch run) → strict
+  // Pipeline fold → versioned store → `graft-store` DSv2 read. The oracle
+  // reconstructs the same final state relationally: refresh upserts are
+  // idempotent per key, so the folded assets/owns tables are exactly the
+  // DISTINCT key grid — the processing-time columns (first_seen etc.,
+  // one pinned stamp per micro-batch by contract) are excluded from the
+  // declared output. Driver-side work is bounded by the key grid
+  // (7 teams x 50 assets = 350 envelopes at ANY scale factor).
+  val q_stream_fold_state: QueryDef = QueryDef(
+    """WITH pairs AS (SELECT DISTINCT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
+      |  'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id FROM events)
+      |SELECT 'Hostname/' || asset_id AS id, 'Hostname' AS type,
+      |  asset_id AS identifier, count(*) AS n_owners
+      |FROM pairs GROUP BY asset_id ORDER BY id""".stripMargin) { (s, dir) =>
+    val pairs = Tables.events(s, dir)
+      .select(concat(lit("T"), (col("user_id") % 7).cast("string")).as("team_id"),
+        concat(lit("a"), (col("user_id") % 50).cast("string")).as("asset_id"))
+      .distinct()
+    val env = pairs.select(
+      concat(col("team_id"), lit("/"), col("asset_id")).as("key"),
+      to_json(struct(
+        col("asset_id").as("Id"),
+        struct(col("team_id").as("Id"),
+          concat(col("team_id"), lit(" name")).as("Name")).as("Team"),
+        lit("R:0/O:1/L:0/F:1/P:0+S:1").as("Rolfp"),
+        lit(true).as("Scannable"),
+        lit("Hostname").as("AssetType"),
+        col("asset_id").as("Identifier"))).as("value"),
+      array(
+        struct(lit("version").as("key"), lit("0.1.2").as("value")),
+        struct(lit("type").as("key"), lit("Hostname").as("value")),
+        struct(lit("identifier").as("key"), col("asset_id").as("value"))).as("metadata"))
+      .orderBy(col("key"))
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_streamfold_${java.util.UUID.randomUUID()}"
+    SinkCleanup.register(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    graft.sources.ReplayLog.frameToLog(env, s"$base/log.jsonl")
+    // ONE micro-batch here: this query times the end-to-end fold machinery
+    // (source -> checkpoint -> fold -> store commit); admission-controlled
+    // MULTI-batch pacing over this same path is pinned by StreamingSpec/
+    // ReplayLogSpec, and each extra batch re-pays the whole fold's fixed
+    // job chain without changing the declared final state
+    val src = graft.streaming.StreamIngest.replaySource(s, s"$base/log.jsonl",
+      maxOffsetsPerTrigger = None)
+    val query = graft.streaming.StreamIngest.start(src, s"$base/state", s"$base/ckpt",
+      store = StateStore.Config(buckets = 8))
+    try query.processAllAvailable() finally query.stop()
+    def tbl(name: String) = s.read.format("graft-store")
+      .option("path", s"$base/state").option("table", name).load()
+    tbl("assets").select(col("id"), col("type"), col("identifier"))
+      .join(tbl("owns").groupBy(col("asset_id").as("id"))
+        .agg(count(lit(1)).as("n_owners")), "id")
+      .orderBy(col("id"))
+  }
+
   /** JVM-exit cleanup of sink-query scratch directories. */
   private object SinkCleanup {
     private val paths = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
@@ -1458,6 +1516,7 @@ object CoreQueries {
     "q_expire_cascade_edges" -> q_expire_cascade_edges,
     "q_sink_snapshot" -> q_sink_snapshot,
     "q_store_diff" -> q_store_diff,
+    "q_stream_fold_state" -> q_stream_fold_state,
     "q_pagination" -> q_pagination,
     "q_pagination_keyset" -> q_pagination_keyset,
     "q_validat_asof" -> q_validat_asof,

@@ -68,6 +68,21 @@ object ReplayLog {
       String.join("\n", lines: _*).getBytes("UTF-8"))
   }
 
+  /** Write an in-memory envelope frame (`key`, `value`, `metadata`) as a
+    * replay log; row order (as given) becomes offset order. Driver-side
+    * by design: callers pass BOUNDED frames (test fixtures, the
+    * q_stream_fold_state key grid) — a production log is written by the
+    * upstream bus, not this helper.
+    */
+  def frameToLog(envelopes: org.apache.spark.sql.DataFrame, logPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val lines = envelopes
+      .select(to_json(struct(col("key"), col("value"), col("metadata"))))
+      .collect().map(_.getString(0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(logPath),
+      String.join("\n", lines: _*).getBytes("UTF-8")): Unit
+  }
+
   private[sources] def countLines(path: String): Long = {
     val s = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
     try s.count() finally s.close()
