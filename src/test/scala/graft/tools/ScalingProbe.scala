@@ -81,39 +81,50 @@ object ScalingProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(1)
+    // optional family filter (args 3+): run only the named families — the
+    // 64x legs re-measure just the highest-alpha families without paying
+    // for a full sweep at that scale
+    val want = args.drop(2).toSet
+    def on(names: String*): Boolean = want.isEmpty || names.exists(want)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // warm codegen/FS
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def record(family: String, secs: Double): Unit = {
-      out(family) = secs
-      System.err.println(f"[scaling] $family%-18s k=$k%-3d ${secs}%7.2f s")
+    def record(family: String)(secs: => Double): Unit = if (on(family)) {
+      val t = secs
+      out(family) = t
+      System.err.println(f"[scaling] $family%-18s k=$k%-3d ${t}%7.2f s")
       System.gc() // let ContextCleaner reclaim dropped checkpoint blocks
     }
 
-    val docs = scaleDocs(spark, dir, k)
-    val events = scaleEvents(spark, dir, k)
+    // prerequisites are LAZY so a family filter never pays for corpora it
+    // does not touch
+    lazy val docs = scaleDocs(spark, dir, k)
+    lazy val events = scaleEvents(spark, dir, k)
 
     // 1. LSH near-dup pairs (band join + candidate verify), the
     // q_minhash_lsh_pairs constants
-    record("lsh_pairs", timeMin(3, spark) {
+    record("lsh_pairs")(timeMin(3, spark) {
       Dedup.lshJaccardPairs(Dedup.wordShingleDocs(docs), bands = 8, r = 2).count()
     })
 
     // 2. decontamination: corpus shingles exploded once vs a broadcast
     // benchmark set (constant size: copy-0 low-id docs)
+    if (on("decontaminate")) {
     val sh = Dedup.wordShingleDocs(docs).localCheckpoint(true)
     val benchSet = sh.filter(col("doc_id") < 20)
       .select(explode(col("hs")).as("h")).distinct().localCheckpoint(true)
-    record("decontaminate", timeMin(3, spark) {
+    record("decontaminate")(timeMin(3, spark) {
       sh.select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(benchSet), "h")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .count()
     })
+    }
 
     // 3. ancestor closure over fixed-depth chains on the scaled EVENT id
     // space: ~100k nodes per copy, depth constant at <=16
+    if (on("closure")) {
     val edges = events.select(col("event_id").as("c"))
       .distinct()
       .filter(col("c") % 16 =!= 0)
@@ -122,13 +133,14 @@ object ScalingProbe {
     // the family measures the BFS join dataflow — pin it past the
     // one-task fallback, which would otherwise absorb the k=1 leg
     spark.conf.set("spark.graft.closure.localEdgeLimit", "0")
-    record("closure", timeMin(3, spark) {
+    record("closure")(timeMin(3, spark) {
       GraphOps.ancestorsClosure(edges, "c", "p", maxDepth = 20).count()
     })
     spark.conf.unset("spark.graft.closure.localEdgeLimit")
+    }
 
     // 4. distributed exact selection (p50/p90/p99) over ONE huge group
-    record("percentiles_dist", timeMin(3, spark) {
+    record("percentiles_dist")(timeMin(3, spark) {
       Selection.kthSmallestBy(
         events.select((round(col("value") * 100)).cast("long").as("v")),
         "v", n => Seq(50, 90, 99).map(p => (n * p + 99) / 100))
@@ -137,6 +149,7 @@ object ScalingProbe {
     // 5. versioned store, 1-key bucket-pruned read: bucket count tracks
     // the corpus (one bucket stays ~batch-sized), so the candidate read
     // must load ~constant rows whatever the store size
+    if (on("store_1key_read", "store_diff_1key")) {
     val root = java.nio.file.Files.createTempDirectory(s"graft_scale_$k").toString
     val cfg = StateStore.Config(buckets = 64 * k)
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -154,7 +167,7 @@ object ScalingProbe {
       ownsAssetIds = Seq.empty[String].toDF("asset_id"),
       parentIds = Seq.empty[String].toDF("parent_id"),
       childIds = Seq.empty[String].toDF("child_id"))
-    record("store_1key_read", timeMin(3, spark) {
+    record("store_1key_read")(timeMin(3, spark) {
       val p = StateStore.readPartialLatest(spark, root, 0L, cand, cfg).get
       p.state.assets.count()
     })
@@ -169,15 +182,16 @@ object ScalingProbe {
       when(col("id") === "a7", lit(tBump)).otherwise(col("last_seen"))))
     StateStore.write(spark, root, 1L, bumped, // untimed build
       Some(graft.state.ChangeSet.empty(spark).copy(assets = Seq("a7").toDF("id"))), cfg)
-    record("store_diff_1key", timeMin(3, spark) {
+    record("store_diff_1key")(timeMin(3, spark) {
       StateStore.diffVersions(spark, root, 0L, 1L)
         .find(_.table == "assets").get.changed.count()
     })
+    }
 
     // 6. range join: 1 h incident windows vs the full stream — candidate
     // fan-out must track interval density per cell (constant here), so
     // wall time tracks rows, not rows x intervals
-    record("range_join", timeMin(3, spark) {
+    record("range_join")(timeMin(3, spark) {
       val inc = events.filter(col("event_type") === "error")
         .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
@@ -189,7 +203,7 @@ object ScalingProbe {
 
     // 7. bigram LM: model build (vocabulary-scale aggs — copies share no
     // tokens, so vocabulary grows k x too) + co-partitioned scoring joins
-    record("lm_score", timeMin(3, spark) {
+    record("lm_score")(timeMin(3, spark) {
       val big = docs
         .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
@@ -211,7 +225,7 @@ object ScalingProbe {
     // per-copy degree distribution is identical, so total work is exactly
     // k x one copy; a super-linear curve would indict the wedge join, not
     // the data
-    val li = Tables.lineitem(spark, dir)
+    lazy val li = Tables.lineitem(spark, dir)
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
       .withColumn("i", explode(array((0 until k).map(lit): _*)))
@@ -220,7 +234,7 @@ object ScalingProbe {
         (col("l_partkey") + col("i").cast("long") * 10000000L).as("l_partkey"))
       .repartition(32)
       .localCheckpoint(true)
-    record("triangles", timeMin(3, spark) {
+    record("triangles")(timeMin(3, spark) {
       graft.graph.GraphAnalytics.triangleCounts(
         graft.graph.GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
         .count()
@@ -234,18 +248,20 @@ object ScalingProbe {
     // curve has a linear floor (the view scan) but should sit far BELOW
     // the recount family's curve and diverge from it as k grows: the
     // measured "maintain, don't recount" claim.
-    val eNewS = graft.graph.GraphAnalytics
+    lazy val eNewS = graft.graph.GraphAnalytics
       .coOccurrenceEdges(li, "l_orderkey", "l_partkey").localCheckpoint(true)
+    if (on("tri_delta_absorb")) {
     val dE = eNewS.filter(col("a") < 10000000L && (col("a") + col("b")) % 37 === 0)
       .localCheckpoint(true)
     val eOldS = eNewS.join(dE, Seq("a", "b"), "left_anti").localCheckpoint(true)
     val storedTri = graft.graph.GraphAnalytics.triangleCounts(eOldS)
       .localCheckpoint(true) // untimed: the stored view predates the batch
-    record("tri_delta_absorb", timeMin(3, spark) {
+    record("tri_delta_absorb")(timeMin(3, spark) {
       graft.state.Ivm.mergeAdditive(storedTri,
         graft.graph.GraphAnalytics.triangleDeltaCounts(dE, eNewS),
         keys = Seq("part"), addCols = Seq("n_tri")).count()
     })
+    }
 
     // 10. user-week analytics (the cohort-retention / churn core): the
     // corpus collapses FIRST to distinct (user, week) — everything
@@ -253,7 +269,7 @@ object ScalingProbe {
     // -> k x user-week pairs; the churn anti-join and the week rollup are
     // both co-partitioned with that frame's own exchange, so the curve
     // must track the initial distinct, ~linearly.
-    record("user_week_churn", timeMin(3, spark) {
+    record("user_week_churn")(timeMin(3, spark) {
       val uw = events
         .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
         .distinct()
@@ -272,11 +288,13 @@ object ScalingProbe {
     // the family measures the DATAFLOW labeling's curve — pin it past the
     // single-task union-find fallback, which would otherwise absorb every
     // leg at these sizes
+    if (on("graph_cc")) {
     spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
-    record("graph_cc", timeMin(3, spark) {
+    record("graph_cc")(timeMin(3, spark) {
       graft.ext.Components.connectedComponents(eNewS, "a", "b").count()
     })
     spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    }
 
     // 12. segment-level dedup (q_paragraph_dedup): segments explode once,
     // first-occurrence election is groupBy(h).min + join back (map-side
@@ -285,7 +303,7 @@ object ScalingProbe {
     // segments (token suffixing), so the duplication structure repeats
     // per copy: the curve must track the segment count ~linearly; a
     // super-linear curve would indict the election join, not the data.
-    record("paragraph_dedup", timeMin(3, spark) {
+    record("paragraph_dedup")(timeMin(3, spark) {
       val segs = docs
         .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), explode(expr(
@@ -309,7 +327,7 @@ object ScalingProbe {
     // SHRINKS as k grows (top-50 of a k x vocabulary covers fewer
     // occurrences), so any super-linear curve would indict the explode or
     // the vocab aggregate.
-    record("skipgram", timeMin(3, spark) {
+    record("skipgram")(timeMin(3, spark) {
       val t = docs
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
@@ -331,7 +349,7 @@ object ScalingProbe {
     // same per-user history length, never a global sort) + a
     // type²-bounded pair aggregate. The curve must track the event count
     // ~linearly; a super-linear curve would indict the window sort.
-    record("transitions", timeMin(3, spark) {
+    record("transitions")(timeMin(3, spark) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events
@@ -350,18 +368,89 @@ object ScalingProbe {
     // there — same answer, single-threaded tail that grows with k. The
     // pair is recorded so SCALING.md can show the measured gap, not just
     // assert it.
+    if (on("topk_1key_heap", "topk_1key_window")) {
     val oneKey = events.select(lit(1L).as("g"), col("value"), col("event_id"))
       .localCheckpoint(true)
-    record("topk_1key_heap", timeMin(3, spark) {
+    record("topk_1key_heap")(timeMin(3, spark) {
       oneKey.groupBy(col("g"))
         .agg(graft.functions.TopKOrdered(col("value"), col("event_id"), 3).as("t"))
         .select(col("g"), explode(col("t"))).count()
     })
-    record("topk_1key_window", timeMin(3, spark) {
+    record("topk_1key_window")(timeMin(3, spark) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("g")).orderBy(col("value").desc, col("event_id"))
       oneKey.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
     })
+    }
+
+    // 16. planted-skew election join (VERDICT r6 next #5): ONE viral
+    // paragraph hash owns 10% of ALL segments — the pathological
+    // single-hot-key, large-large join shape behind q_paragraph_dedup's
+    // AQE-skew-split claim and the salted verify joins. Both the plain
+    // join (AQE splits the oversized probe partition at runtime) and
+    // Skew.saltedJoin (the salt prevents the pile-up outright) are timed,
+    // and each variant also records its MAX per-task shuffle-read rows in
+    // millions ("..._maxtask_mrows"): per-task max is the number the skew
+    // claim is about — it must stay ~flat (alpha ~0 relative to the 10%
+    // hot share growing k x would mean the hot key rode on one reducer).
+    if (on("skew_viral_aqe", "skew_viral_salted")) {
+      val key = col("doc_id") * 100000L + col("i")
+      val segs = docs
+        .select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), explode(expr(
+          "sequence(CAST(0 AS BIGINT), CAST((size(toks)+11) DIV 12 - 1 AS BIGINT))")).as("i"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("toks"), (col("i") * 12 + 1).cast("int"), lit(12))).as("t"))
+        .withColumn("h",
+          when(pmod(key, lit(10L)) === 0L, lit(42L)) // the viral paragraph
+            .otherwise(graft.functions.Md5PrefixLong(col("t"), 15)))
+        .drop("t")
+        .localCheckpoint(true)
+      val keeper = segs.groupBy(col("h")).agg(min(key).as("kk")).localCheckpoint(true)
+      final class MaxShuffleTask extends org.apache.spark.scheduler.SparkListener {
+        val max = new java.util.concurrent.atomic.AtomicLong(0)
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            max.getAndAccumulate(m.shuffleReadMetrics.recordsRead, math.max(_, _)): Unit
+        }
+      }
+      def measured(name: String)(join: => Long): Unit = if (on(name)) {
+        val l = new MaxShuffleTask
+        spark.sparkContext.addSparkListener(l)
+        try record(name)(timeMin(3, spark)(join))
+        finally {
+          Thread.sleep(500) // listener bus drains async
+          spark.sparkContext.removeSparkListener(l)
+        }
+        out(s"${name}_maxtask_mrows") = l.max.get() / 1e6
+        System.err.println(f"[scaling] ${name}_maxtask_mrows k=$k%-3d ${l.max.get() / 1e6}%7.2f")
+      }
+      // Pin the AT-SCALE plan shape: at 100 TB the keeper side is
+      // corpus-scale (never broadcastable) and AQE's skew split triggers
+      // on its 256 MB-per-task byte threshold. At probe scale the keeper
+      // would broadcast (skew-immune by accident) and the hot partition
+      // sits under the default thresholds — so broadcast is disabled and
+      // the skew thresholds are scaled to the probe's partition sizes,
+      // exercising the same split machinery the claim relies on.
+      val pinned = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
+      pinned.foreach { case (c, v) => spark.conf.set(c, v) }
+      try {
+        measured("skew_viral_aqe") {
+          segs.join(keeper, "h").filter(key === col("kk")).count()
+        }
+        measured("skew_viral_salted") {
+          graft.state.Skew.saltedJoin(segs, keeper, Seq("h"), factor = 32)
+            .filter(key === col("kk")).count()
+        }
+      } finally pinned.keys.foreach(spark.conf.unset)
+    }
 
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
