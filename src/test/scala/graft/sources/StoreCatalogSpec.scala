@@ -86,4 +86,34 @@ class StoreCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).sorted shouldBe
       Array("assets", "owns", "parent_of", "teams")
   }
+
+  test("VERSION AS OF returns each version's own schema after evolution") {
+    val root = Files.createTempDirectory("graft_cat_evolve").toString
+    val cfg = StateStore.Config(buckets = 8)
+    StateStore.write(spark, root, 0L, mkState(64, Set.empty), None, cfg)
+    val base = mkState(64, Set("a5"))
+    StateStore.write(spark, root, 1L,
+      base.copy(assets = base.assets
+        .withColumn("region", when(col("id") === "a5", lit("eu")))),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))), cfg)
+    val cat = "graftstore_evolve"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", root)
+    // pre-evolution version keeps its shape through PLAIN SQL
+    spark.sql(s"SELECT * FROM $cat.assets VERSION AS OF 0")
+      .schema.fieldNames should not contain "region"
+    // evolved version (and latest): new column, inherited buckets null
+    spark.sql(s"SELECT region FROM $cat.assets VERSION AS OF 1 WHERE id = 'a5'")
+      .head().getString(0) shouldBe "eu"
+    spark.sql(s"SELECT region FROM $cat.assets WHERE id = 'a0'")
+      .head().isNullAt(0) shouldBe true
+  }
+
+  test("an unknown table raises the standard analysis error, not a planning failure") {
+    val cat = catalogFor("nosuch")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.no_such_table")
+    }
+    e.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
+  }
 }

@@ -393,4 +393,19 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     StateStore.write(spark, root, 1L, mkState(8, Set("a3")), None, cfg)
     StateStore.read(spark, root, 1L).assets.schema.fieldNames should not contain "region"
   }
+
+  test("prune reclaims staging dirs orphaned by crashed writers") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(8), None, cfg)
+    StateStore.write(spark, root, 1L, mkState(8, Set("a3")),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))), cfg)
+    // a writer that crashed mid-write leaves its staging dir behind
+    val orphan = new java.io.File(s"$root/.staging-v2-deadbeef/assets")
+    orphan.mkdirs() shouldBe true
+    StateStore.prune(spark, root, keepFrom = 1L)
+    new java.io.File(s"$root/.staging-v2-deadbeef").exists() shouldBe false
+    // live data untouched
+    assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
+  }
 }
