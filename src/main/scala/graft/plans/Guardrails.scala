@@ -102,7 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects $n arguments, got ${es.size}")
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "", /* group */ "",
+      /* since */ "", /* deprecated */ "", /* source */ "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => Guardrails.GuardrailRule())

@@ -313,19 +313,20 @@ object StateStore {
     // a big table never pays for the probe.
     def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
 
-    // touched buckets per table, from the batch's changed keys (driver-side
-    // collect of at most `buckets` ints per table)
-    def bucketsOf(df: DataFrame, cols: Seq[String]): Set[Int] =
-      if (provablyNoRows(df)) Set.empty
-      else df.select(bucket(cols, cfg.buckets).as("pt")).distinct()
-        .collect().map(_.getInt(0)).toSet
+    // touched buckets per table, from the batch's changed keys — ONE
+    // tagged union+distinct job for every table's set (driver-side
+    // collect of at most `buckets` ints per table) instead of one job
+    // per table: the collects are fixed PER-BATCH latency on the
+    // streaming hot path, so their count matters at every scale
     val touched: Map[String, Set[Int]] = (prev, changes) match {
       case (Some(_), Some(ch)) =>
-        val base = tables.map { t =>
-          t.name -> bucketsOf(changesOf(ch, t.name), t.bucketCols)
-        }.toMap
         // idx buckets follow the changed edges' child ids
-        base + (idxTable.name -> bucketsOf(ch.parentOf, Seq("child_id")))
+        val frames = tables.map(t => (t.name, changesOf(ch, t.name), t.bucketCols)) :+
+          ((idxTable.name, ch.parentOf, Seq("child_id")))
+        val collected = collectBucketsTagged(
+          frames.map { case (n, df, cols) => (n, df, bucket(cols, cfg.buckets)) })
+        (tables :+ idxTable).map(t =>
+          t.name -> collected.getOrElse(t.name, Set.empty)).toMap
       case _ => (tables :+ idxTable).map(_.name -> Set.empty[Int]).toMap // full write
     }
     loaded.foreach { lm =>
@@ -511,6 +512,22 @@ object StateStore {
     }
   }
 
+  /** One job for MANY tables' touched-bucket sets: tag each key frame,
+    * union, distinct, collect — at most `buckets` ints per tag. Frames
+    * that provably hold no rows (zero partitions) are skipped for free.
+    */
+  private def collectBucketsTagged(
+      frames: Seq[(String, DataFrame, Column)]): Map[String, Set[Int]] = {
+    val nonEmpty = frames.filter { case (_, df, _) => df.rdd.getNumPartitions > 0 }
+    if (nonEmpty.isEmpty) Map.empty
+    else nonEmpty
+      .map { case (n, df, b) => df.select(lit(n).as("t"), b.as("pt")) }
+      .reduce(_ unionByName _).distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
+  }
+
   private def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
     val (fs, p) = fsFor(spark, tableDir)
     if (!fs.exists(p)) Set.empty
@@ -594,26 +611,35 @@ object StateStore {
     require(m.buckets == cfg.buckets,
       s"bucket count mismatch (manifest=${m.buckets}, config=${cfg.buckets})")
 
-    def bucketsOf(df: DataFrame, cols: Seq[String]): Set[Int] = df
-      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
-      .select(bucket(cols, cfg.buckets).as("pt")).distinct()
-      .collect().map(_.getInt(0)).toSet
-
-    val assetB = bucketsOf(cand.assetIds, Seq("id"))
-    val teamB = bucketsOf(cand.teamIds, Seq("identifier"))
-    val ownsB = bucketsOf(cand.ownsAssetIds, Seq("asset_id"))
+    def keyBucket(df: DataFrame, cols: Seq[String]): (DataFrame, Column) =
+      (df.filter(cols.map(col(_).isNotNull).reduce(_ && _)),
+        bucket(cols, cfg.buckets))
+    // ONE job for the five candidate frames' bucket sets (fixed per-batch
+    // latency on the streaming hot path), then one more for the in-edge
+    // discovery join, which needs the index bucket set first
+    val collected = collectBucketsTagged(Seq(
+      ("assets", keyBucket(cand.assetIds, Seq("id"))),
+      ("teams", keyBucket(cand.teamIds, Seq("identifier"))),
+      ("owns", keyBucket(cand.ownsAssetIds, Seq("asset_id"))),
+      ("idx", keyBucket(cand.childIds, Seq("child_id"))),
+      ("parent", keyBucket(cand.parentIds, Seq("parent_id")))
+    ).map { case (n, (df, b)) => (n, df, b) })
+    val assetB = collected.getOrElse("assets", Set.empty)
+    val teamB = collected.getOrElse("teams", Set.empty)
+    val ownsB = collected.getOrElse("owns", Set.empty)
 
     // in-edge discovery: index buckets of the child candidates -> the
     // parent ids of their incoming edges -> those parents' buckets
-    val idxB = bucketsOf(cand.childIds, Seq("child_id"))
+    val idxB = collected.getOrElse("idx", Set.empty)
     val idxPaths = bucketPaths(statePath, m, idxTable.name, Some(idxB))
     val discoveredParentB =
       if (idxPaths.isEmpty) Set.empty[Int]
-      else bucketsOf(
-        readPaths(spark, idxTable.schema, idxPaths)
-          .join(broadcast(cand.childIds.distinct()), Seq("child_id"), "left_semi"),
-        Seq("parent_id"))
-    val parentB = bucketsOf(cand.parentIds, Seq("parent_id")) ++ discoveredParentB
+      else readPaths(spark, idxTable.schema, idxPaths)
+        .join(broadcast(cand.childIds.distinct()), Seq("child_id"), "left_semi")
+        .filter(col("parent_id").isNotNull)
+        .select(bucket(Seq("parent_id"), cfg.buckets).as("pt")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val parentB = collected.getOrElse("parent", Set.empty) ++ discoveredParentB
 
     val loaded = Map("assets" -> assetB, "teams" -> teamB,
       "owns" -> ownsB, "parent_of" -> parentB)
