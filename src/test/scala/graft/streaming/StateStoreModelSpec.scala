@@ -155,4 +155,60 @@ class StateStoreModelSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
     }
   }
+
+  test("property: racing commits leave exactly one winner per version (3 seeds)") {
+    // the randomized complement of StateStoreSpec's scripted CAS cases:
+    // at every version a shuffled set of write attempts races — the true
+    // fold, a conflicting fold touching a DIFFERENT bucket, and random
+    // redeliveries of either — and whatever attempt lands first is the
+    // version's content forever: identical-content attempts succeed
+    // idempotently, different-content attempts get the retryable loss,
+    // the committed chain never forks, and a stale-head commit CAS-fails
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val root = Files.createTempDirectory(s"graft_race_model_$seed").toString
+      val cfg = StateStore.Config(buckets = 8)
+      var model: Model = (0 until 12).map(i => s"a$i" -> 0).toMap
+      StateStore.write(spark, root, 0L, toState(model), None, cfg)
+      for (v <- 1 to 4) {
+        val ids = model.keys.toSeq.sorted
+        val a = ids(rnd.nextInt(ids.size))
+        // the conflicting fold must touch a DIFFERENT bucket: equal
+        // touched-pointer sets are indistinguishable by design (the
+        // determinism contract makes equal pointers mean equal data)
+        val b = ids.find(x => x != a &&
+          StateStore.bucketIdFor(x, 8) != StateStore.bucketIdFor(a, 8)).get
+        def bump(id: String): Model = model.updated(id, model(id) + v)
+        val canon = (bump(a), a)
+        val confl = (bump(b), b)
+        val extras = Seq.fill(rnd.nextInt(2) + 1)(
+          if (rnd.nextBoolean()) canon else confl)
+        val attempts = rnd.shuffle(canon +: confl +: extras)
+        var winner: Option[Model] = None
+        attempts.foreach { case (m, id) =>
+          try {
+            StateStore.write(spark, root, v, toState(m),
+              Some(ChangeSet.empty(spark).copy(assets = Seq(id).toDF("id"))), cfg)
+            winner match {
+              case None => winner = Some(m) // first attempt commits
+              case Some(w) => m shouldBe w // only redelivery may succeed
+            }
+          } catch {
+            case _: StateStore.ConcurrentWriteException =>
+              winner should not be None // a loss implies someone won
+              winner.get should not be m // and the loser differed
+          }
+        }
+        model = winner.get
+        readRows(StateStore.read(spark, root, v)) shouldBe modelRows(model)
+        // a commit computed against a superseded head must CAS-fail
+        intercept[StateStore.ConcurrentWriteException] {
+          StateStore.commit(spark, root, v + 1, cfg, Map.empty,
+            expectedPrev = if (v >= 2) Some(v - 2L) else None)
+        }
+      }
+      StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe (0L to 4L)
+      readRows(StateStore.read(spark, root, 4L)) shouldBe modelRows(model)
+    }
+  }
 }
