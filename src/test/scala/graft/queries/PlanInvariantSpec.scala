@@ -153,31 +153,12 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should include("graft_topk_ordered")
   }
 
-  /** Every unpartitioned WindowExec in a tree, found by WALKING the plan
-    * (crossing AQE wrappers and subqueries) — not by regexing the
-    * rendering, which misses unordered global windows and shifts with
-    * print-format changes. These are the nodes that log Spark's
-    * `WindowExec: No Partition Defined` warning, so the whitelist below
-    * attributes every such warning a bench run can emit.
+  /** See [[graft.tools.PlanWalk.unpartitionedWindows]] — shared with the
+    * PlanAudit diagnostic so tool and enforcement agree on the count.
     */
   private def unpartitionedWindows(
-      p: org.apache.spark.sql.execution.SparkPlan): Int = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val here = p match {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-        if w.partitionSpec.isEmpty => 1
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-        if w.partitionSpec.isEmpty => 1
-      case _ => 0
-    }
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
-      case qs: QueryStageExec => Seq(qs.plan)
-      case other => other.children
-    }
-    here + kids.map(unpartitionedWindows).sum +
-      p.subqueries.map(unpartitionedWindows).sum
-  }
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    graft.tools.PlanWalk.unpartitionedWindows(p)
 
   test("no catalog query plans a cartesian product, stray nested loop, or global window") {
     // audit the SCALE path: the size-adaptive graph ops (kCore, connected

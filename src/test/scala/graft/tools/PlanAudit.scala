@@ -23,14 +23,15 @@ object PlanAudit {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val physical = fn(spark, dir).queryExecution.executedPlan
+        val plan = physical.toString
+        val gw = PlanWalk.unpartitionedWindows(physical)
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           // SinglePartition is legitimate directly under a global limit
           // (TakeOrderedAndProject handles those); flag the rest
           "Exchange SinglePartition" -> plan.contains("Exchange SinglePartition"),
-          "global Window (no partitionBy)" ->
-            raw"Window \[[^\]]*\], \[[^,\]]*\]$$".r.findFirstIn(plan).isDefined,
+          s"unpartitioned WindowExec x$gw" -> (gw > 0),
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
           .collect { case (f, true) => f }
         val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
