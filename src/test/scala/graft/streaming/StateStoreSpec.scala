@@ -408,4 +408,30 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     // live data untouched
     assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
   }
+
+  test("bucket-pruned partial reads resolve through the evolved schema too") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(32), None, cfg)
+    val base = mkState(32, Set("a3"))
+    StateStore.write(spark, root, 1L, base.copy(assets = base.assets
+        .withColumn("region", when(col("id") === "a3", lit("eu")))),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))), cfg)
+    // candidates spanning a REWRITTEN bucket (a3) and an INHERITED one
+    // (some other id): the fold's partial read must see the evolved
+    // column in both, value in the former, null-fill in the latter
+    val cand = StateStore.Candidates(
+      assetIds = Seq("a3", "a7").toDF("id"),
+      teamIds = Seq.empty[String].toDF("identifier"),
+      ownsAssetIds = Seq.empty[String].toDF("asset_id"),
+      parentIds = Seq.empty[String].toDF("parent_id"),
+      childIds = Seq.empty[String].toDF("child_id"))
+    val p = StateStore.readPartialLatest(spark, root, Long.MaxValue, cand, cfg).get
+    p.state.assets.schema.fieldNames should contain("region")
+    val regions = p.state.assets.select("id", "region").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    regions("a3") shouldBe Some("eu")
+    regions("a7") shouldBe None
+  }
 }
