@@ -142,4 +142,43 @@ class InventorySpec extends AnyFunSuite with SparkSpec with Matchers {
     // the still-retained predecessor keeps working
     Inventory.changesSince(spark, stateDir, sinceVersion = 1L).get._1 shouldBe 2L
   }
+
+  test("changesSince spans an additive schema evolution; narrowing is rejected") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.streaming.StateStore
+    import graft.state.ChangeSet
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cdc_evolve").toString
+    val cfg = StateStore.Config(buckets = 8)
+    def mk(n: Int, bump: Set[String]): State = {
+      val assets = (0 until n).map { i =>
+        val id = s"a$i"
+        (id, "T", id, ts("2024-01-01 00:00:00"),
+          if (bump(id)) ts("2024-02-01 00:00:00") else ts("2024-01-01 00:00:00"),
+          Schemas.Unexpired)
+      }.toDF("id", "type", "identifier", "first_seen", "last_seen", "expiration")
+      graft.ingest.Pipeline.emptyState(spark).copy(assets = assets)
+    }
+    StateStore.write(spark, stateDir, 0L, mk(16, Set.empty), None, cfg)
+    val base = mk(16, Set("a3"))
+    StateStore.write(spark, stateDir, 1L, base.copy(assets = base.assets
+        .withColumn("region", when(col("id") === "a3", lit("eu")))),
+      Some(ChangeSet.empty(spark).copy(assets = Seq("a3").toDF("id"))), cfg)
+    // the poller's diff spans the evolution: changed rows arrive in the
+    // NEWER schema — the added row carries the value, the removed
+    // (pre-evolution) row null-fills
+    val (latest, diffs) = Inventory.changesSince(spark, stateDir, sinceVersion = 0L).get
+    latest shouldBe 1L
+    val got = diffs.find(_.table == "assets").get.changed
+      .select("id", "change", "region").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    got shouldBe Set(("a3", "added", Some("eu")), ("a3", "removed", None))
+    // a NARROWING chain is refused at diff time (fields vanish from the
+    // feed otherwise) — full-write v2 back to the canonical shape, then
+    // diff v1 -> v2
+    StateStore.write(spark, stateDir, 2L, mk(16, Set("a3", "a5")), None, cfg)
+    val ex = intercept[IllegalArgumentException] {
+      Inventory.changesSince(spark, stateDir, sinceVersion = 1L)
+    }
+    ex.getMessage should include("narrowing")
+  }
 }
