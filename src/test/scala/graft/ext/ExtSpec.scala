@@ -253,7 +253,7 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("fake media decoder is deterministic and bounded") {
-    val dec = new Multimodal.FakeMediaDecoder()
+    val dec = new Multimodal.MediaDecoder()
     val d = Multimodal.MediaDoc(1L, "text/plain", "hello".getBytes("UTF-8"))
     val f1 = dec.decode(d)
     val f2 = dec.decode(d) // same decoder instance reused — md.reset() works

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Real-decoder coverage for the multimodal pass: hand-built uncompressed
+  * BMP and PCM WAV payloads go through the full Dataset/mapPartitions
+  * path and must come back with the exact header dimensions and exact
+  * pixel/sample statistics (computed independently here); declared-mime
+  * vs actual-container mismatches fail loudly with the doc id.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** 24-bit bottom-up BMP, rows padded to 4 bytes. `pixels(y)(x)` =
+    * (b, g, r) with y=0 the TOP row (written bottom-up as the format
+    * stores it).
+    */
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.size
+    val w = pixels.head.size
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+    out.put('B'.toByte).put('M'.toByte)
+      .put(le32(54 + dataSize)).put(le32(0)).put(le32(54))     // file header
+      .put(le32(40)).put(le32(w)).put(le32(h)).put(le16(1))    // DIB: size,w,h,planes
+      .put(le16(24)).put(le32(0)).put(le32(dataSize))          // bpp, BI_RGB, size
+      .put(le32(2835)).put(le32(2835)).put(le32(0)).put(le32(0))
+    for (y <- (h - 1) to 0 by -1) {                            // bottom-up
+      for ((b, g, r) <- pixels(y))
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+      out.put(new Array[Byte](stride - w * 3))
+    }
+    out.array()
+  }
+
+  /** Mono/stereo PCM-16 WAV with the canonical fmt+data layout. */
+  private def wav(rate: Int, channels: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.size * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+    out.put("RIFF".getBytes).put(le32(36 + dataLen)).put("WAVE".getBytes)
+      .put("fmt ".getBytes).put(le32(16)).put(le16(1)).put(le16(channels))
+      .put(le32(rate)).put(le32(rate * channels * 2))
+      .put(le16(channels * 2)).put(le16(16))
+      .put("data".getBytes).put(le32(dataLen))
+    samples.foreach(s => out.put(le16(s & 0xffff)))
+    out.array()
+  }
+
+  test("BMP decode: exact header dimensions and exact channel means through the Dataset path") {
+    // 2x3 image with known channel content; second row exercises stride padding
+    val px = Seq(
+      Seq((255, 0, 0), (0, 255, 0)),   // top:    pure blue, pure green
+      Seq((0, 0, 255), (0, 0, 0)),     // middle: pure red, black
+      Seq((255, 255, 255), (51, 102, 153)))
+    val doc = Multimodal.MediaDoc(7L, "image/bmp", bmp(px))
+    val f = Multimodal.decodeFeatures(Seq(doc).toDS()).collect().head
+    f.width shouldBe 2
+    f.height shouldBe 3
+    f.n_frames shouldBe 1
+    val flat = px.flatten
+    def mean(pick: ((Int, Int, Int)) => Int): Double =
+      flat.map(pick).sum.toDouble / flat.size / 255.0
+    f.feat0 shouldBe mean(_._1) +- 1e-12 // B
+    f.feat1 shouldBe mean(_._2) +- 1e-12 // G
+    f.feat2 shouldBe mean(_._3) +- 1e-12 // R
+    f.feat3 shouldBe (0.114 * f.feat0 + 0.587 * f.feat1 + 0.299 * f.feat2) +- 1e-12
+  }
+
+  test("WAV decode: exact layout and amplitude statistics") {
+    val samples = Seq(1000, -1000, 2000, 0, -3000, 3000)
+    val doc = Multimodal.MediaDoc(8L, "audio/wav", wav(8000, 1, samples))
+    val f = Multimodal.decodeFeatures(Seq(doc).toDS()).collect().head
+    f.width shouldBe 8000       // sample rate
+    f.height shouldBe 1         // channels
+    f.n_frames shouldBe 6       // per-channel sample frames
+    val vs = samples.map(_ / 32768.0)
+    f.feat0 shouldBe vs.sum / vs.size +- 1e-12
+    f.feat1 shouldBe math.sqrt(vs.map(v => v * v).sum / vs.size) +- 1e-12
+    f.feat2 shouldBe 4.0 / 6.0 +- 1e-12 // sign changes: +- , -+ , +- , -+
+    f.feat3 shouldBe 3000 / 32768.0 +- 1e-12
+  }
+
+  test("stereo WAV pools channels; frames count per channel") {
+    val f = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaDoc(9L, "audio/wav",
+        wav(44100, 2, Seq(100, -100, 200, -200)))).toDS()).collect().head
+    f.height shouldBe 2
+    f.n_frames shouldBe 2
+    f.feat3 shouldBe 200 / 32768.0 +- 1e-12
+  }
+
+  test("a container that does not match its declared mime fails loudly with the doc id") {
+    val notBmp = Multimodal.MediaDoc(42L, "image/bmp", "plainly text".getBytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(Seq(notBmp).toDS()).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ") should include("doc 42")
+    // 8-bit BMP (palette) is refused, not mis-read
+    val bpp8 = bmp(Seq(Seq((1, 2, 3))))
+    bpp8(28) = 8
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaDoc(43L, "image/bmp", bpp8)).toDS()).collect()
+    }
+  }
+
+  test("unparseable formats still take the documented deterministic stand-in") {
+    val f = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaDoc(1L, "video/mp4", Array[Byte](1, 2, 3))).toDS()).collect().head
+    f.n_frames should (be >= 1 and be <= 30)
+  }
+}
