@@ -172,6 +172,25 @@ object Multimodal {
     }
   }
 
+  /** Canonical PCM-16 mono/interleaved WAV writer (RIFF + fmt + data) —
+    * the encode half of the round-trip the decoder reads back. Samples
+    * are 16-bit signed; callers clamp.
+    */
+  def encodeWav(rate: Int, channels: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.size * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => out.putShort(v.toShort))
+    out.array()
+  }
+
   /** The decode pass: one decoder per partition, rows streamed through. */
   def decodeFeatures(docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
@@ -230,7 +249,75 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_id"))
   }
 
+  /** Public (not private): the codegen'd encoder deserializer is emitted
+    * outside this object and must construct it.
+    */
+  final case class UserSamples(user_id: Long, samples: Seq[Int])
+
+  // -- REAL codec round-trip as a declared query ----------------------------
+  // Each user's event values become a PCM-16 mono WAV payload (floor
+  // centering gives mixed signs; per-key sample count capped at 4096 by
+  // the SAME deterministic ordering on both engines), the payload goes
+  // through the real byte-level encode + decode, and the decoded header
+  // layout and amplitude statistics are re-integerized so the DuckDB
+  // oracle can recompute them EXACTLY from events — the mapPartitions
+  // decode path is then driver-gated, not only spec-gated. Scale shape:
+  // one per-user aggregation (sample arrays bounded by the cap), one
+  // mapPartitions pass, zero further shuffles.
+  val q_wav_roundtrip: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    LEAST(GREATEST(CAST(floor(value*100) AS INT) - 24000, -32768), 32767) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |s AS (SELECT * FROM e WHERE rn <= 4096),
+      |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS sum_q,
+      |    CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS sumsq_q,
+      |    CAST(max(abs(v)) AS BIGINT) AS peak_q
+      |  FROM s GROUP BY user_id),
+      |nz AS (SELECT user_id, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sgn, rn
+      |  FROM s WHERE v <> 0),
+      |cr AS (SELECT user_id, CAST(count(*) AS BIGINT) AS crossings FROM (
+      |    SELECT user_id, sgn,
+      |      lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) AS prev FROM nz) x
+      |  WHERE prev IS NOT NULL AND sgn <> prev GROUP BY user_id)
+      |SELECT a.user_id, CAST(44 + 2*n AS BIGINT) AS n_bytes,
+      |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+      |  n AS n_samples, sum_q, sumsq_q,
+      |  COALESCE(cr.crossings, 0) AS crossings, peak_q
+      |FROM agg a LEFT JOIN cr ON a.user_id = cr.user_id
+      |ORDER BY a.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        least(greatest(floor(col("value") * 100).cast("int") - 24000,
+          lit(-32768)), lit(32767)).as("v"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v"))))
+        .as("evs"))
+      .select(col("user_id"),
+        expr("transform(slice(evs, 1, 4096), e -> e.v)").as("samples"))
+      .as[UserSamples]
+    perUser.mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val f = dec.decode(MediaDoc(u.user_id, "audio/wav",
+          encodeWav(8000, 1, u.samples)))
+        val n = u.samples.size.toLong
+        (u.user_id, f.n_bytes.toLong, f.width.toLong, f.height.toLong, n,
+          math.round(f.feat0 * n * 32768.0),
+          math.round(f.feat1 * f.feat1 * n * 32768.0 * 32768.0),
+          math.round(f.feat2 * n),
+          math.round(f.feat3 * 32768.0))
+      }
+    }.toDF("user_id", "n_bytes", "sample_rate", "channels", "n_samples",
+        "sum_q", "sumsq_q", "crossings", "peak_q")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_multimodal_features" -> q_multimodal_features,
-    "q_frame_sample" -> q_frame_sample)
+    "q_frame_sample" -> q_frame_sample,
+    "q_wav_roundtrip" -> q_wav_roundtrip)
 }
