@@ -191,6 +191,31 @@ object Multimodal {
     out.array()
   }
 
+  /** Canonical uncompressed 24-bit BMP writer (bottom-up rows, 4-byte
+    * stride padding) — the encode half of the image round-trip. `pixels`
+    * row-major from the TOP row, each (b, g, r) in 0-255.
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.size == width * height,
+      s"pixel count ${pixels.size} != $width x $height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataSize = stride * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (height - 1) to 0 by -1) {
+      for (x <- 0 until width) {
+        val (b, g, r) = pixels(y * width + x)
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      out.position(out.position() + (stride - width * 3))
+    }
+    out.array()
+  }
+
   /** The decode pass: one decoder per partition, rows streamed through. */
   def decodeFeatures(docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
@@ -316,8 +341,68 @@ object Multimodal {
       .orderBy(col("user_id"))
   }
 
+  /** Public for the same codegen-deserializer reason as [[UserSamples]]. */
+  final case class UserPixels(user_id: Long, pixels: Seq[(Int, Int, Int)])
+
+  // -- image twin of q_wav_roundtrip ----------------------------------------
+  // Each user's first height*8 events (height = min(n div 8, 6)) become
+  // the pixels of an 8-wide 24-bit BMP; the payload goes through the real
+  // byte-level encode + decode (bottom-up rows, stride layout) and the
+  // decoded dimensions + channel sums are re-integerized for the exact
+  // DuckDB recomputation. Users with fewer than 8 events have no image.
+  val q_bmp_roundtrip: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(value*100) AS BIGINT) % 256 AS b,
+      |    CAST(floor(value) AS BIGINT) % 256 AS g,
+      |    event_id % 256 AS r,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |h AS (SELECT user_id, LEAST(count(*) // 8, 6) AS ht FROM e GROUP BY user_id
+      |  HAVING count(*) >= 8)
+      |SELECT e.user_id, CAST(8 AS BIGINT) AS width, CAST(h.ht AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(114*sum(b) + 587*sum(g) + 299*sum(r) AS BIGINT) AS lum_q
+      |FROM e JOIN h ON e.user_id = h.user_id AND e.rn <= h.ht * 8
+      |GROUP BY e.user_id, h.ht
+      |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        (floor(col("value") * 100).cast("long") % 256).cast("int").as("b"),
+        (floor(col("value")).cast("long") % 256).cast("int").as("g"),
+        (col("event_id") % 256).cast("int").as("r"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))
+      .filter(size(col("evs")) >= 8)
+      .select(col("user_id"),
+        expr("transform(slice(evs, 1, least((size(evs) div 8) * 8, 48)), " +
+          "e -> struct(e.b AS _1, e.g AS _2, e.r AS _3))").as("pixels"))
+      .as[UserPixels]
+    perUser.mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val h = u.pixels.size / 8
+        val f = dec.decode(MediaDoc(u.user_id, "image/bmp",
+          encodeBmp(8, h, u.pixels)))
+        val n = u.pixels.size.toLong
+        (u.user_id, f.width.toLong, f.height.toLong, n,
+          math.round(f.feat0 * n * 255.0),
+          math.round(f.feat1 * n * 255.0),
+          math.round(f.feat2 * n * 255.0),
+          math.round(f.feat3 * n * 255.0 * 1000.0))
+      }
+    }.toDF("user_id", "width", "height", "n_pixels",
+        "sum_b", "sum_g", "sum_r", "lum_q")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_multimodal_features" -> q_multimodal_features,
     "q_frame_sample" -> q_frame_sample,
-    "q_wav_roundtrip" -> q_wav_roundtrip)
+    "q_wav_roundtrip" -> q_wav_roundtrip,
+    "q_bmp_roundtrip" -> q_bmp_roundtrip)
 }
