@@ -114,6 +114,35 @@ object ClusterProbe {
       failures :+= s"store fold/CDC cycle: ${e.getClass.getSimpleName}: ${e.getMessage}"
     }
 
+    // ---- 3. task-retry resilience ------------------------------------------
+    // local[] never retries tasks (maxFailures=1), so this is the one
+    // harness where retry is provable: the first attempt of one task
+    // reading the folded store through the DSv2 reader dies, Spark
+    // reschedules it (possibly on the other executor JVM), and the result
+    // must still be exact — partition readers must be re-creatable and
+    // side-effect-free on retry.
+    try {
+      val stateDirs = java.nio.file.Files.list(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
+        .filter(_.getFileName.toString.startsWith("graft_cluster_stream"))
+        .findFirst()
+      val stateDir = stateDirs.map[String](p => s"$p/state").orElseThrow()
+      val stored = spark.read.format("graft-store")
+        .option("path", stateDir).option("table", "assets").load()
+      val expected = stored.count()
+      val survived = stored.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("planted task failure (attempt 0)")
+        it
+      }(stored.encoder).count()
+      if (survived != expected)
+        failures :+= s"task retry: $survived rows after retry != $expected"
+      else println(s"[cluster-probe] task retry: planted failure retried, $survived rows exact")
+    } catch { case e: Throwable =>
+      failures :+= s"task-retry leg: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }
+
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[cluster-probe] FAILURES (${failures.size}):")
