@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Property fuzzing of the real media codecs: random sample streams and
+  * pixel grids go through the byte-level encode + decode (driver-side —
+  * the Dataset path is covered by MultimodalSpec and the round-trip
+  * queries) and the decoded layout + statistics must equal a direct
+  * Scala computation over the same inputs, for every generated shape —
+  * stride padding, odd widths, extreme amplitudes, all-zero streams.
+  */
+class MediaCodecPropsSpec extends AnyFunSuite with Matchers {
+
+  private def samplesOf(gen: Gen[List[Int]], seed: Long): List[Int] =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: WAV encode+decode reproduces exact amplitude statistics (60 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      s <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-32768, 32767), // full range
+        Gen.choose(-3, 3),         // sign-change + zero heavy
+        Gen.const(0)))             // silence runs
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.oneOf(1, 2)
+    } yield (s, rate, ch)
+    for (seed <- 1L to 60L) {
+      val (s, rate, ch) = gen.apply(Gen.Parameters.default, Seed(seed * 31L)).get
+      val samples = if (ch == 2 && s.size % 2 == 1) s :+ 0 else s
+      val f = dec.decode(Multimodal.MediaDoc(seed, "audio/wav",
+        Multimodal.encodeWav(rate, ch, samples)))
+      val n = samples.size
+      withClue(s"seed=$seed n=$n rate=$rate ch=$ch: ") {
+        f.width shouldBe rate
+        f.height shouldBe ch
+        f.n_frames shouldBe n / ch
+        f.n_bytes shouldBe 44 + 2 * n
+        val vs = samples.map(_ / 32768.0)
+        f.feat0 shouldBe vs.sum / n +- 1e-12
+        f.feat1 shouldBe math.sqrt(vs.map(v => v * v).sum / n) +- 1e-12
+        // model zero-crossings exactly as documented: sign changes over
+        // the interleaved stream, zeros skipped
+        val signs = samples.map(v => Integer.signum(v)).filter(_ != 0)
+        val crossings = signs.zip(signs.drop(1)).count { case (a, b) => a != b }
+        f.feat2 shouldBe crossings.toDouble / n +- 1e-12
+        f.feat3 shouldBe vs.map(math.abs).maxOption.getOrElse(0.0) +- 1e-12
+      }
+    }
+  }
+
+  test("property: BMP encode+decode reproduces exact channel means at every shape (60 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      w <- Gen.choose(1, 9) // widths 1..9 hit every stride-padding residue
+      h <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h, for {
+        b <- Gen.choose(0, 255); g <- Gen.choose(0, 255); r <- Gen.choose(0, 255)
+      } yield (b, g, r))
+    } yield (w, h, px)
+    for (seed <- 1L to 60L) {
+      val (w, h, px) = gen.apply(Gen.Parameters.default, Seed(seed * 37L)).get
+      val f = dec.decode(Multimodal.MediaDoc(seed, "image/bmp",
+        Multimodal.encodeBmp(w, h, px)))
+      withClue(s"seed=$seed ${w}x$h: ") {
+        f.width shouldBe w
+        f.height shouldBe h
+        f.n_frames shouldBe 1
+        def mean(pick: ((Int, Int, Int)) => Int): Double =
+          px.map(pick).sum.toDouble / px.size / 255.0
+        f.feat0 shouldBe mean(_._1) +- 1e-12
+        f.feat1 shouldBe mean(_._2) +- 1e-12
+        f.feat2 shouldBe mean(_._3) +- 1e-12
+        f.feat3 shouldBe (0.114 * f.feat0 + 0.587 * f.feat1 + 0.299 * f.feat2) +- 1e-12
+      }
+    }
+  }
+
+  test("property: truncating an encoded payload anywhere fails loudly, never mis-decodes (40 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    for (seed <- 1L to 20L) {
+      val s = samplesOf(Gen.listOfN(16, Gen.choose(-100, 100)), seed)
+      val wavB = Multimodal.encodeWav(8000, 1, s)
+      val cut = 12 + (seed % (wavB.length - 12)).toInt
+      intercept[IllegalArgumentException] {
+        dec.decode(Multimodal.MediaDoc(seed, "audio/wav", wavB.take(cut)))
+      }
+      val bmpB = Multimodal.encodeBmp(2, 2, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)))
+      val cutB = (seed % bmpB.length).toInt
+      intercept[IllegalArgumentException] {
+        dec.decode(Multimodal.MediaDoc(seed, "image/bmp", bmpB.take(cutB)))
+      }
+    }
+  }
+}
