@@ -211,4 +211,88 @@ class StateStoreModelSpec extends AnyFunSuite with SparkSpec with Matchers {
       readRows(StateStore.read(spark, root, 4L)) shouldBe modelRows(model)
     }
   }
+
+  test("property: random chains with additive schema evolution read back exactly (3 seeds)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // model extension: besides the last_seen bump counter, each version
+    // may ADD a fresh nullable string column valued only on that
+    // version's changed keys — every surviving version must read back its
+    // own column set, with nulls exactly where the writing version's
+    // frame had them (changed buckets) or where inherited files predate
+    // the column (old buckets)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 6007L)
+      val root = Files.createTempDirectory(s"graft_evolve_model_$seed").toString
+      val cfg = StateStore.Config(buckets = 8)
+      val ids = (0 until 20).map(i => s"a$i")
+      var model: Model = ids.map(_ -> 0).toMap
+      // (column name -> id -> value) per committed version, cumulative
+      var cols: Vector[String] = Vector.empty
+      var colVals: Map[String, Map[String, String]] = Map.empty
+      var perVersion = Vector((model, cols, colVals))
+      StateStore.write(spark, root, 0L, toState(model), None, cfg)
+      for (v <- 1 to 5) {
+        val changed = ids.filter(_ => rnd.nextDouble() < 0.3) match {
+          case Seq() => Seq(ids(rnd.nextInt(ids.size)))
+          case c => c
+        }
+        model = changed.foldLeft(model)((m, id) => m.updated(id, m(id) + v))
+        if (rnd.nextDouble() < 0.5) {
+          val c = s"x${cols.size}_$seed"
+          cols :+= c
+          colVals += c -> Map.empty
+        }
+        // the new frame carries values for ALL evolved columns on the
+        // CHANGED keys only (an unchanged key's bucket is inherited, so
+        // its frame value is irrelevant — must read back as the value
+        // from the version that last wrote its bucket)
+        colVals = cols.map { c =>
+          c -> (colVals(c) ++ changed.map(id => id -> s"$c=$id@v$v"))
+        }.toMap
+        val frame = cols.foldLeft(toState(model).assets) { (df, c) =>
+          df.withColumn(c,
+            when(col("id").isin(changed: _*), concat_lit(c, v)).otherwise(lit(null)))
+        }
+        StateStore.write(spark, root, v.toLong,
+          graft.ingest.Pipeline.emptyState(spark).copy(assets = frame),
+          Some(ChangeSet.empty(spark).copy(assets = changed.toDF("id"))), cfg)
+        perVersion :+= ((model, cols, colVals))
+
+        // EVERY committed version reads back its own schema + values
+        for (pv <- 0 to v) {
+          val (pm, pcols, _) = perVersion(pv)
+          val got = StateStore.read(spark, root, pv.toLong).assets
+          got.schema.fieldNames.toSet shouldBe
+            (Set("id", "type", "identifier", "first_seen", "last_seen",
+              "expiration") ++ pcols)
+          readRowsOf(got) shouldBe modelRows(pm)
+        }
+        // and the LATEST version's evolved columns hold exactly the value
+        // written by the version that last rewrote each id's bucket
+        val latest = StateStore.read(spark, root, v.toLong).assets
+        val gotCols = latest.select(
+          col("id") +: cols.map(c => col(c)): _*).collect()
+          .map(r => r.getString(0) -> cols.zipWithIndex.map { case (c, i) =>
+            c -> Option(r.getString(i + 1)) }.toMap).toMap
+        // expected: for each id, the value of column c as of the LAST
+        // version that rewrote that id's bucket — conservatively check
+        // only ids changed THIS version (their bucket is fresh):
+        changed.foreach { id =>
+          cols.foreach { c =>
+            gotCols(id)(c) shouldBe Some(s"$c=$id@v$v")
+          }
+        }
+      }
+    }
+  }
+
+  private def concat_lit(c: String, v: Int) = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    concat(lit(s"$c="), col("id"), lit(s"@v$v"))
+  }
+
+  private def readRowsOf(assets: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    assets.collect()
+      .map(r => r.getAs[String]("id") ->
+        r.getAs[java.sql.Timestamp]("last_seen").getTime).toMap
 }
