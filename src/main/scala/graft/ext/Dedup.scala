@@ -103,8 +103,12 @@ object Dedup {
   def wordShingleDocs(df: DataFrame): DataFrame =
     df.repartition(col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
-      .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
+        // fused native pass (window digest streamed from token bytes,
+        // distinct on the 60-bit hashes) — byte-identical to
+        // array_distinct(shingles(toks,3)) mapped through baseHash, which
+        // it replaced (equivalence pinned by DedupSpec); the composed form
+        // paid a shingle STRING per window plus a string-keyed distinct
+        graft.functions.ShingleHashes(TextAnalysis.tokens(col("text")), 3).as("hs"))
 
   /** The corpus's (doc_id, hs) signature-input frame, materialized ONCE
     * per (session, sfDir) — four declared queries (q_minhash_sig,

@@ -82,6 +82,9 @@ object Guardrails {
   *  - `graft_int_dot(array<int>, array<int>) -> bigint` — integer dot
   *  - `graft_md5_prefix_long(string, nibbles_lit) -> bigint` — 4·n-bit
   *    md5-prefix hash, the dedup/LSH key primitive
+  *  - `graft_shingle_hashes(toks, n_lit) -> array<bigint>` — distinct
+  *    60-bit md5-prefix hashes of the n-token windows (the dedup/LSH
+  *    shingle primitive, fused)
   *  - `graft_topk_ordered(score, id, k_lit) -> array<struct<score,id>>` —
   *    bounded top-k aggregate under (score DESC, id ASC)
   *
@@ -125,6 +128,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_md5_prefix_long", es, 2)
         graft.functions.Md5PrefixLong(es(0),
           intLit(es(1), "graft_md5_prefix_long", "nibbles"))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(toks, n) - distinct 60-bit md5-prefix hashes of the n-token windows"),
+      (es: Seq[Expression]) => {
+        arity("graft_shingle_hashes", es, 2)
+        graft.functions.ShingleHashes(es(0),
+          intLit(es(1), "graft_shingle_hashes", "n"))
       }))
     ext.injectFunction((FunctionIdentifier("graft_topk_ordered"),
       info("graft_topk_ordered",

@@ -520,4 +520,31 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
         (ns.max - ns.min) should be <= 1
       }
   }
+
+  test("fused ShingleHashes is byte-identical to the composed distinct+md5 form") {
+    import org.apache.spark.sql.functions._
+    // real corpus plus hand-built edge cases: under 3 tokens, interior
+    // empty tokens (double spaces survive concat_ws), duplicate shingles,
+    // exactly 3 tokens
+    val edge = Seq(
+      (900001L, ""), (900002L, "one"), (900003L, "one two"),
+      (900004L, "a b c"), (900005L, "a  b  c d"),
+      (900006L, "x y z x y z x y z"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edge)
+    val composed = docs
+      .select(col("doc_id"), array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
+      .select(col("doc_id"), transform(col("fs"),
+        x => graft.functions.Md5PrefixLong(x, 15)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = Dedup.wordShingleDocs(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fused.keySet shouldBe composed.keySet
+    // element AND first-occurrence-order identical, per doc
+    fused.foreach { case (id, hs) => withClue(s"doc $id: ") {
+      hs shouldBe composed(id)
+    }}
+  }
 }
