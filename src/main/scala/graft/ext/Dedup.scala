@@ -155,8 +155,10 @@ object Dedup {
       graft.Materialize.timed("lsh_pairs_char5") {
         val docs = Tables.documents(s, dir)
           .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
-          .select(col("doc_id"), TextAnalysis.charNgrams(col("text"), 5).as("fs"))
-          .select(col("doc_id"), transform(col("fs"), x => baseHash(x)).as("hs"))
+          // fused native pass — byte-identical to
+          // array_distinct(charNgrams(text,5)) through baseHash (ExtSpec)
+          .select(col("doc_id"),
+            graft.functions.CharGramHashes(col("text"), 5).as("hs"))
         lshJaccardPairs(docs, bands, r).localCheckpoint(true)
       }
     }

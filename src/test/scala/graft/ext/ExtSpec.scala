@@ -547,4 +547,31 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
       hs shouldBe composed(id)
     }}
   }
+
+  test("fused CharGramHashes is byte-identical to the composed distinct+md5 form") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      (910001L, ""), (910002L, "abc"), (910003L, "abcd"), (910004L, "abcde"),
+      (910005L, "aaaaaaaa"), (910006L, "ab cd ef gh"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edge)
+    // coalesce: composed charNgrams yields NULL under 5 chars where the
+    // fused form yields [] — downstream-equivalent (explode emits nothing
+    // for both), normalized here so the element compare can run
+    val composed = docs
+      .select(col("doc_id"),
+        coalesce(TextAnalysis.charNgrams(col("text"), 5),
+          array().cast("array<string>")).as("fs"))
+      .select(col("doc_id"), transform(col("fs"),
+        x => graft.functions.Md5PrefixLong(x, 15)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = docs
+      .select(col("doc_id"), graft.functions.CharGramHashes(col("text"), 5).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fused.keySet shouldBe composed.keySet
+    fused.foreach { case (id, hs) => withClue(s"doc $id: ") {
+      hs shouldBe composed(id)
+    }}
+  }
 }
