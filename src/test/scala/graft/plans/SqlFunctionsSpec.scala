@@ -73,4 +73,25 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     e2.getMessage should include("expects 2 arguments")
   }
+
+  test("graft_shingle_hashes / graft_chargram equivalents match the composed SQL forms") {
+    Seq((1L, "a b c d"), (2L, "one"), (3L, "x y z x y z"))
+      .toDF("id", "text").createOrReplaceTempView("v_sh")
+    // word-3-gram: the fused function equals distinct shingle strings
+    // hashed through graft_md5_prefix_long, element- and order-exact
+    val fused = spark.sql(
+      "SELECT id, graft_shingle_hashes(split(text, ' '), 3) AS hs FROM v_sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = spark.sql(
+      """SELECT id, transform(
+        |  array_distinct(CASE WHEN size(split(text,' ')) >= 3 THEN
+        |    transform(sequence(1, size(split(text,' ')) - 2),
+        |      i -> concat_ws(' ', element_at(split(text,' '), i),
+        |        element_at(split(text,' '), i+1), element_at(split(text,' '), i+2)))
+        |    ELSE array() END),
+        |  x -> graft_md5_prefix_long(x, 15)) AS hs FROM v_sh""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fused shouldBe composed
+    fused(2L) shouldBe Seq.empty // under 3 tokens: empty, not null
+  }
 }
