@@ -118,7 +118,13 @@ object Multimodal {
       while (at + 8 <= b.length && (dataAt < 0 || channels < 0)) {
         val id = new String(b, at, 4, "US-ASCII")
         val len = i32(b, at + 4)
+        // the chunk length is UNTRUSTED input: a negative value would spin
+        // the scan backwards forever, and a huge one overflows an int
+        // bounds compare — validate in Long arithmetic before advancing
+        if (len < 0 || at.toLong + 8L + len > b.length)
+          bad(d, s"chunk '$id' length $len out of bounds at offset $at")
         if (id == "fmt ") {
+          if (len < 16) bad(d, s"fmt chunk too short ($len bytes)")
           if (u16(b, at + 8) != 1) bad(d, "only PCM (format 1) supported")
           channels = u16(b, at + 10)
           rate = i32(b, at + 12)
@@ -129,7 +135,7 @@ object Multimodal {
       if (channels < 0) bad(d, "no fmt chunk")
       if (dataAt < 0) bad(d, "no data chunk")
       if (bits != 16) bad(d, s"only 16-bit PCM supported, got $bits")
-      if (dataAt + dataLen > b.length) bad(d, "truncated data chunk")
+      if (dataAt.toLong + dataLen > b.length) bad(d, "truncated data chunk")
       val n = dataLen / 2
       if (n == 0) bad(d, "empty data chunk")
       var (sum, sq, peak) = (0.0, 0.0, 0.0)
@@ -352,9 +358,9 @@ object Multimodal {
   // DuckDB recomputation. Users with fewer than 8 events have no image.
   val q_bmp_roundtrip: QueryDef = QueryDef(
     """WITH e AS (SELECT user_id,
-      |    CAST(floor(value*100) AS BIGINT) % 256 AS b,
-      |    CAST(floor(value) AS BIGINT) % 256 AS g,
-      |    event_id % 256 AS r,
+      |    ((CAST(floor(value*100) AS BIGINT) % 256) + 256) % 256 AS b,
+      |    ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS g,
+      |    ((event_id % 256) + 256) % 256 AS r,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events),
       |h AS (SELECT user_id, LEAST(count(*) // 8, 6) AS ht FROM e GROUP BY user_id
@@ -368,11 +374,14 @@ object Multimodal {
       |GROUP BY e.user_id, h.ht
       |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // channels are the NON-NEGATIVE byte residue on both sides (pmod, not
+    // %): the BMP byte round-trip always lands in [0,255], so a signed
+    // residue of a negative `value` would silently diverge from the oracle
     val perUser = Tables.events(s, dir)
       .select(col("user_id"),
-        (floor(col("value") * 100).cast("long") % 256).cast("int").as("b"),
-        (floor(col("value")).cast("long") % 256).cast("int").as("g"),
-        (col("event_id") % 256).cast("int").as("r"),
+        pmod(floor(col("value") * 100).cast("long"), lit(256L)).cast("int").as("b"),
+        pmod(floor(col("value")).cast("long"), lit(256L)).cast("int").as("g"),
+        pmod(col("event_id"), lit(256L)).cast("int").as("r"),
         col("ts"), col("event_id"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(

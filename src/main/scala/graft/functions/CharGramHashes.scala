@@ -4,9 +4,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,12 +33,27 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_chargram_hashes"
 
-  override protected def nullSafeEval(input: Any): Any =
-    CharGramHashes.compute(input.asInstanceOf[UTF8String], n)
+  // null text hashes to the EMPTY hash set, not SQL NULL — drop-in
+  // identical to the composed `when(isNotNull, ...).otherwise(array())`
+  // form (see [[ShingleHashes]] for the consumer rationale)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.CharGramHashes$$.MODULE$$.compute($c, $n)")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.empty()
+    else CharGramHashes.compute(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = ${c.isNull} ?
+        graft.functions.ShingleHashes$$.MODULE$$.empty() :
+        graft.functions.CharGramHashes$$.MODULE$$.compute(${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
     copy(child = newChild)

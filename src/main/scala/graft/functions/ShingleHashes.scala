@@ -4,9 +4,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -36,12 +38,28 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+  // a null token array hashes to the EMPTY hash set, not SQL NULL — the
+  // composed form this fuses (`when(isNotNull, ...).otherwise(array())`)
+  // never returned null, so array consumers (size, array_intersect in the
+  // jaccard paths) see 0 rather than a null that silently propagates
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes$$.MODULE$$.compute($c, $n)")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.empty()
+    else ShingleHashes.compute(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = ${c.isNull} ?
+        graft.functions.ShingleHashes$$.MODULE$$.empty() :
+        graft.functions.ShingleHashes$$.MODULE$$.compute(${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -52,6 +70,9 @@ object ShingleHashes {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   private val Space = Array(' '.toByte)
+
+  /** The null-input result (also called from generated code). */
+  def empty(): ArrayData = new GenericArrayData(Array.emptyLongArray)
 
   def compute(arr: ArrayData, n: Int): ArrayData = {
     val sz = arr.numElements()

@@ -12,9 +12,12 @@ import graft.state.ChangeSet
   * the streaming sink's answer to write amplification (reference sink:
   * a remote graph API, inventory/inventory.go; here: parquet snapshots).
   *
-  * Layout: `statePath/v<batchId>/<table>/pt=<bucket>/...parquet` plus a
-  * `MANIFEST` file per version mapping every live `(table, bucket)` to the
-  * VERSION whose files hold its current rows. A micro-batch rewrites ONLY
+  * Layout: `statePath/v<batchId>/d-<token>/<table>/pt=<bucket>/...parquet`
+  * (the `d-<token>` segment is writer-unique and recorded in the manifest,
+  * so racing writers can never touch each other's data paths; pre-token
+  * stores without the segment keep reading) plus a `MANIFEST` file per
+  * version mapping every live `(table, bucket)` to the VERSION whose files
+  * hold its current rows. A micro-batch rewrites ONLY
   * the buckets its [[ChangeSet]] keys hash into — untouched buckets stay
   * as pointers into earlier versions — so per-batch write I/O is
   * O(touched buckets), not O(state).
@@ -117,7 +120,13 @@ object StateStore {
     * an older (subset) schema null-fill the added columns.
     */
   final case class Manifest(buckets: Int, pointers: Pointers,
-      schemas: Map[String, StructType] = Map.empty) {
+      schemas: Map[String, StructType] = Map.empty,
+      /** version -> writer-unique data dir name under `v<version>/` for
+        * every version the pointers reference (recorded as `dir:` lines).
+        * Absent entries resolve to the legacy flat `v<version>/<table>`
+        * layout, so pre-token stores keep reading.
+        */
+      dirs: Map[Long, String] = Map.empty) {
     def schemaOf(table: String): StructType =
       schemas.getOrElse(table,
         (tables :+ idxTable).find(_.name == table).map(_.schema).getOrElse(
@@ -150,15 +159,29 @@ object StateStore {
   private def manifestPath(statePath: String, version: Long) =
     new Path(s"$statePath/v$version/MANIFEST")
 
+  /** Resolved directory of `table`'s files WRITTEN AT version `v`:
+    * versions committed with a writer-unique dir token nest under
+    * `v<v>/<token>/`, so two writers racing one version can never touch
+    * each other's data paths (the manifest CAS then picks whose dirs are
+    * live); manifests without a recorded token (pre-token stores) resolve
+    * to the legacy flat layout.
+    */
+  private def tableDataDir(statePath: String, dirs: Map[Long, String],
+      v: Long, table: String): String =
+    dirs.get(v).map(d => s"$statePath/v$v/$d/$table")
+      .getOrElse(s"$statePath/v$v/$table")
+
   /** Plain-text manifest: `buckets=N`, one `table pt version` line per
     * live bucket, a `crc=<crc32 hex>` integrity line over everything
     * above it, then the `END` terminator (a crash mid-write leaves no END
     * and the version is treated as uncommitted).
     */
   private def manifestBody(cfg: Config, pointers: Pointers,
-      schemas: Map[String, StructType]): String = {
+      schemas: Map[String, StructType], dirs: Map[Long, String]): String = {
     val sb = new StringBuilder
     sb.append(s"buckets=${cfg.buckets}\n")
+    for ((v, d) <- dirs.toSeq.sortBy(_._1))
+      sb.append(s"dir:$v=$d\n")
     // StructType.json is single-line; only schemas that DIFFER from the
     // canonical shape are recorded, so pre-evolution manifests stay
     // byte-stable (and redelivery equality with them keeps holding)
@@ -181,9 +204,10 @@ object StateStore {
     */
   def writeManifest(spark: SparkSession, statePath: String, version: Long,
       cfg: Config, pointers: Pointers, overwrite: Boolean = true,
-      schemas: Map[String, StructType] = Map.empty): Unit = {
+      schemas: Map[String, StructType] = Map.empty,
+      dirs: Map[Long, String] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    val body = manifestBody(cfg, pointers, schemas)
+    val body = manifestBody(cfg, pointers, schemas, dirs)
     val out = fs.create(manifestPath(statePath, version), overwrite)
     try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
     finally out.close()
@@ -209,12 +233,17 @@ object StateStore {
     // loud — silently skipping would resurrect the previous version's rows
     def corrupt(why: String): Nothing =
       throw new CorruptManifestException(s"manifest $p: $why")
-    lines.collectFirst { case l if l.startsWith("crc=") => l.stripPrefix("crc=") }
-      .foreach { stored =>
-        val body = text.substring(0, text.indexOf("crc="))
-        if (crcOf(body) != stored)
-          corrupt(s"crc mismatch (stored=$stored, computed=${crcOf(body)})")
-      }
+    // the crc line is located by LINE position, not a raw indexOf: a
+    // recorded schema's json (field names, metadata) may legitimately
+    // contain the substring "crc=" mid-line, which must not truncate the
+    // covered body and fake a corruption
+    val crcIdx = lines.indexWhere(_.startsWith("crc="))
+    if (crcIdx >= 0) {
+      val stored = lines(crcIdx).stripPrefix("crc=")
+      val body = lines.take(crcIdx).map(_ + "\n").mkString
+      if (crcOf(body) != stored)
+        corrupt(s"crc mismatch (stored=$stored, computed=${crcOf(body)})")
+    }
     val buckets = lines.collectFirst {
       case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").toInt
     }.getOrElse(corrupt("no buckets= line"))
@@ -232,9 +261,17 @@ object StateStore {
           case _ => corrupt(s"schema for '$t' is not a struct")
         }
       }.toMap
+    val dirs = lines
+      .filter(_.startsWith("dir:"))
+      .map { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) corrupt(s"malformed dir line '$l'")
+        l.substring("dir:".length, eq).toLongOption
+          .getOrElse(corrupt(s"bad version in dir line '$l'")) -> l.substring(eq + 1)
+      }.toMap
     val entries = lines
       .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") &&
-        !l.startsWith("crc=") && !l.startsWith("schema:"))
+        !l.startsWith("crc=") && !l.startsWith("schema:") && !l.startsWith("dir:"))
       .map { l =>
         l.split(" ") match {
           case Array(t, pt, v) =>
@@ -245,7 +282,7 @@ object StateStore {
       }
     Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
-    }, schemas))
+    }, schemas, dirs))
   }
 
   /** Committed (manifest-complete) versions <= maxVersion, ascending. */
@@ -344,8 +381,8 @@ object StateStore {
     // commit has never touched the winner's committed dirs (the losing
     // staging dir is deleted; orphans of crashed writers are reclaimed by
     // prune)
-    val staging =
-      s"$statePath/.staging-v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$statePath/.staging-v$version-$token"
     def writeDir(df: DataFrame, name: String): Set[Int] = {
       df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
       listBuckets(spark, s"$staging/$name")
@@ -385,7 +422,8 @@ object StateStore {
         val tb = touched(idxTable.name)
         val oldPaths = prev.get.pointers.getOrElse(idxTable.name, Map.empty)
           .filter { case (pt, _) => tb(pt) }
-          .map { case (pt, v) => s"$statePath/v$v/${idxTable.name}/pt=$pt" }.toSeq
+          .map { case (pt, v) =>
+            s"${tableDataDir(statePath, prev.get.dirs, v, idxTable.name)}/pt=$pt" }.toSeq
         val old =
           if (oldPaths.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxTable.schema)
@@ -400,7 +438,16 @@ object StateStore {
       }
 
     val pointers = mainPointers + (idxTable.name -> idxPointers)
-    commit(spark, statePath, version, cfg, pointers, prevVersion, Some(staging), schemas)
+    // dir tokens for every version the pointers still reference: inherited
+    // from the predecessor's manifest, plus THIS version's writer-unique
+    // token when any bucket was written here; entries for versions no
+    // longer referenced drop out (their data is prune-reclaimable)
+    val refVers = pointers.valuesIterator.flatMap(_.valuesIterator).toSet
+    val dirs: Map[Long, String] =
+      prev.map(_.dirs).getOrElse(Map.empty).filter { case (v, _) => refVers(v) } ++
+        (if (refVers(version)) Map(version -> s"d-$token") else Map.empty)
+    commit(spark, statePath, version, cfg, pointers, prevVersion, Some(staging),
+      schemas, dirs, dirName = s"d-$token")
     pointers
   }
 
@@ -421,28 +468,36 @@ object StateStore {
     *
     * Data isolation: [[write]] stages its table dirs under a
     * writer-unique `.staging-v<version>-<token>` dir and commit promotes
-    * them (per-table rename) only after both CAS legs pass — a loser
-    * never touches the winner's committed dirs, and its staging dir is
-    * deleted. A manifest file with no END terminator is a
+    * the WHOLE staging dir in one rename to the equally writer-unique
+    * `v<version>/d-<token>/` data dir, whose name the manifest records as
+    * a `dir:` pointer — so a loser can NEVER touch a winner's committed
+    * data paths, no matter how the promote and the manifest CAS
+    * interleave (no destructive delete/rename of a shared destination
+    * exists anywhere on the commit path). A losing or redelivered
+    * attempt's own staging/promoted dirs are deleted; dirs orphaned by a
+    * crashed attempt are unreferenced by every manifest and reclaimed by
+    * prune. A manifest file with no END terminator is a
     * crash-during-commit remnant (never readable) and is simply
-    * overwritten, as are remnant table dirs under its version. Note the
-    * equality check compares POINTERS: under the store's determinism
-    * contract (state is a pure function of predecessor + batch) equal
-    * pointers imply equal data; two non-deterministic writers racing the
-    * same version with identical touched-bucket sets are outside the
-    * contract — use distinct statePaths per pipeline instead. On a plain
-    * filesystem two writers overlapping WITHIN the promote window can
-    * still interleave table dirs; deployments needing hard mutual
-    * exclusion should front the manifest create with a conditional-put
-    * store (the exclusive-create call is the single point to swap).
+    * overwritten. Note the equality check compares POINTERS: under the
+    * store's determinism contract (state is a pure function of
+    * predecessor + batch) equal pointers imply equal data; two
+    * non-deterministic writers racing the same version with identical
+    * touched-bucket sets are outside the contract — use distinct
+    * statePaths per pipeline instead.
     */
   private[streaming] def commit(spark: SparkSession, statePath: String,
       version: Long, cfg: Config, pointers: Pointers,
       expectedPrev: Option[Long], staging: Option[String] = None,
-      schemas: Map[String, StructType] = Map.empty): Unit = {
+      schemas: Map[String, StructType] = Map.empty,
+      dirs: Map[Long, String] = Map.empty,
+      dirName: String = ""): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    def dropStaging(): Unit =
+    // this attempt's own (writer-unique) dirs — never anyone else's
+    var promoted: Option[Path] = None
+    def dropStaging(): Unit = {
       staging.foreach(sd => fs.delete(new Path(sd), true): Unit)
+      promoted.foreach(p => fs.delete(p, true): Unit)
+    }
 
     // CAS leg 1: the head this write inherited pointers from must still
     // be the head — otherwise the commit would silently drop the
@@ -479,35 +534,42 @@ object StateStore {
     }
 
     // not committed (absent, or a crash-during-commit remnant): promote
-    // the staged table dirs under v<version>/, reclaiming any remnant dirs
-    // a crashed attempt left behind
+    // the whole staging dir in ONE rename to this writer's unique data
+    // dir under v<version>/ — the destination name contains the writer
+    // token, so it cannot collide with (or clobber) another attempt's
+    // promoted data, committed or not; remnant dirs of crashed attempts
+    // are simply left unreferenced for prune
     staging.foreach { sd =>
       val sp = new Path(sd)
       if (fs.exists(sp)) {
+        require(dirName.nonEmpty, "staged commit needs the writer-unique dir name")
         val vDir = new Path(s"$statePath/v$version")
         fs.mkdirs(vDir)
-        for (td <- fs.listStatus(sp).toSeq.filter(_.isDirectory)) {
-          val dest = new Path(vDir, td.getPath.getName)
-          if (fs.exists(dest)) fs.delete(dest, true)
-          if (!fs.rename(td.getPath, dest))
-            loseTo(s"staged '${td.getPath.getName}' rename raced")
-        }
-        fs.delete(sp, true): Unit
+        val dest = new Path(vDir, dirName)
+        if (!fs.rename(sp, dest))
+          throw new java.io.IOException(
+            s"could not promote staging $sd to $dest (unique destination — " +
+              "filesystem error, not a writer race)")
+        promoted = Some(dest)
       }
     }
     if (fs.exists(p))
       // remnant manifest (no END): not committed, reclaim in place
       writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
-        schemas = schemas)
+        schemas = schemas, dirs = dirs)
     else {
       // CAS leg 2: exclusive create — of two racers, exactly one succeeds
       try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false,
-        schemas = schemas)
+        schemas = schemas, dirs = dirs)
       catch {
         case e: java.io.IOException =>
-          // lost the exclusive-create race in the exists-check window
-          if (fs.exists(p)) { if (!winnerEquals()) loseTo("create raced") }
-          else throw e
+          // lost the exclusive-create race in the exists-check window:
+          // this attempt's promoted dir is garbage either way (the
+          // winner's manifest records the WINNER's dir token)
+          if (fs.exists(p)) {
+            if (!winnerEquals()) loseTo("create raced")
+            dropStaging()
+          } else throw e
       }
     }
   }
@@ -543,7 +605,7 @@ object StateStore {
       only: Option[Set[Int]] = None): Seq[String] =
     m.pointers.getOrElse(table, Map.empty).toSeq
       .filter { case (pt, _) => only.forall(_.contains(pt)) }
-      .map { case (pt, v) => s"$statePath/v$v/$table/pt=$pt" }
+      .map { case (pt, v) => s"${tableDataDir(statePath, m.dirs, v, table)}/pt=$pt" }
 
   private def readPaths(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
@@ -676,7 +738,7 @@ object StateStore {
       throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
     ScanPlan(v, m.schemaOf(spec.name), spec.bucketCols.head, m.buckets,
       m.pointers.getOrElse(table, Map.empty).map { case (pt, pv) =>
-        pt -> s"$statePath/v$pv/$table/pt=$pt"
+        pt -> s"${tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt"
       })
   }
 
@@ -718,13 +780,16 @@ object StateStore {
     var prev = base
     emit.flatMap { v =>
       val mNew = mf(v)
-      val pOld = prev.map { pv =>
+      val mOld = prev.map { pv =>
         val m = mf(pv)
         require(m.buckets == mNew.buckets,
           s"bucket count differs (v$pv=${m.buckets}, v$v=${mNew.buckets}): " +
             "CDC across a rebucket is not expressible bucket-wise")
-        m.pointers.getOrElse(table, Map.empty)
-      }.getOrElse(Map.empty[Int, Long])
+        m
+      }
+      val pOld = mOld.map(_.pointers.getOrElse(table, Map.empty))
+        .getOrElse(Map.empty[Int, Long])
+      val dirsOld = mOld.map(_.dirs).getOrElse(Map.empty[Long, String])
       val pNew = mNew.pointers.getOrElse(table, Map.empty)
       // schema-evolution guard: a version written under a schema WIDER
       // than the running stream's row schema cannot be emitted — reading
@@ -744,8 +809,8 @@ object StateStore {
       (pOld.keySet ++ pNew.keySet).filter(pt => pOld.get(pt) != pNew.get(pt))
         .toSeq.sorted.map { pt =>
           CdcSlice(v, pt,
-            pOld.get(pt).map(pv => s"$statePath/v$pv/$table/pt=$pt"),
-            pNew.get(pt).map(nv => s"$statePath/v$nv/$table/pt=$pt"))
+            pOld.get(pt).map(pv => s"${tableDataDir(statePath, dirsOld, pv, table)}/pt=$pt"),
+            pNew.get(pt).map(nv => s"${tableDataDir(statePath, mNew.dirs, nv, table)}/pt=$pt"))
         }
     }
   }
@@ -853,10 +918,14 @@ object StateStore {
       .flatMap(s => s.getPath.getName.drop(1).toLongOption)
     val survivors = all.filter(_ >= keepFrom)
       .filter(v => readManifest(spark, statePath, v).isDefined)
-    val referenced: Set[(String, Int, Long)] = survivors
+    // referenced bucket dirs keyed by (version, data dir name — "" for the
+    // legacy flat layout, table, bucket): a surviving manifest resolves
+    // each pointer through ITS recorded dir token, so a crashed/losing
+    // writer's orphan `d-` dirs are unreferenced by construction
+    val referenced: Set[(Long, String, String, Int)] = survivors
       .flatMap(v => readManifest(spark, statePath, v))
-      .flatMap(_.pointers.flatMap { case (t, m) =>
-        m.map { case (pt, v) => (t, pt, v) }
+      .flatMap(m => m.pointers.flatMap { case (t, bm) =>
+        bm.map { case (pt, v) => (v, m.dirs.getOrElse(v, ""), t, pt) }
       })
       .toSet
     for (v <- all if v < keepFrom) {
@@ -866,19 +935,33 @@ object StateStore {
       // never lists a partially-pruned version (a read would silently miss
       // buckets; without a manifest it fails loudly instead)
       fs.delete(manifestPath(statePath, v), false)
-      for {
-        tDir <- fs.listStatus(vDir).toSeq.filter(_.isDirectory)
-        table = tDir.getPath.getName
-        ptDir <- fs.listStatus(tDir.getPath).toSeq.filter(_.isDirectory)
-        pt <- ptDir.getPath.getName.stripPrefix("pt=").toIntOption
-        if !referenced((table, pt, v))
-      } fs.delete(ptDir.getPath, true)
-      // drop table dirs emptied of buckets, then the version dir once no
-      // bucket data remains anywhere under it (manifest/_SUCCESS included)
-      val remaining = fs.listStatus(vDir).toSeq.filter(_.isDirectory).flatMap { tDir =>
-        val pts = fs.listStatus(tDir.getPath).toSeq
+      // both layouts live under vDir: legacy v/<table>/pt=N and
+      // writer-unique v/<d-token>/<table>/pt=N
+      def reclaimTable(dname: String, tDir: Path): Unit =
+        for {
+          ptDir <- fs.listStatus(tDir).toSeq.filter(_.isDirectory)
+          pt <- ptDir.getPath.getName.stripPrefix("pt=").toIntOption
+          if !referenced((v, dname, tDir.getName, pt))
+        } fs.delete(ptDir.getPath, true)
+      for (child <- fs.listStatus(vDir).toSeq.filter(_.isDirectory)) {
+        if (child.getPath.getName.startsWith("d-"))
+          fs.listStatus(child.getPath).toSeq.filter(_.isDirectory)
+            .foreach(t => reclaimTable(child.getPath.getName, t.getPath))
+        else reclaimTable("", child.getPath)
+      }
+      // drop table dirs emptied of buckets (then empty token dirs), then
+      // the version dir once no bucket data remains anywhere under it
+      def sweepTable(tDir: Path): Seq[Path] = {
+        val pts = fs.listStatus(tDir).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("pt="))
-        if (pts.isEmpty) { fs.delete(tDir.getPath, true); Nil } else pts
+        if (pts.isEmpty) { fs.delete(tDir, true); Nil } else pts.map(_.getPath)
+      }
+      val remaining = fs.listStatus(vDir).toSeq.filter(_.isDirectory).flatMap { child =>
+        if (child.getPath.getName.startsWith("d-")) {
+          val pts = fs.listStatus(child.getPath).toSeq.filter(_.isDirectory)
+            .flatMap(t => sweepTable(t.getPath))
+          if (pts.isEmpty) { fs.delete(child.getPath, true); Nil } else pts
+        } else sweepTable(child.getPath)
       }
       if (remaining.isEmpty) fs.delete(vDir, true)
     }

@@ -529,13 +529,18 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     val edge = Seq(
       (900001L, ""), (900002L, "one"), (900003L, "one two"),
       (900004L, "a b c"), (900005L, "a  b  c d"),
-      (900006L, "x y z x y z x y z"))
+      (900006L, "x y z x y z x y z"), (900007L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
       .unionByName(edge)
+    // null text: the fused form's declared contract is the EMPTY hash set
+    // (ADVICE r7 — drop-in for the `when(...).otherwise(array())` guard
+    // the composed call sites carried); coalesce normalizes the composed
+    // side's null so the element compare can run
     val composed = docs
-      .select(col("doc_id"), array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("fs"))
+      .select(col("doc_id"), coalesce(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)),
+        array().cast("array<string>")).as("fs"))
       .select(col("doc_id"), transform(col("fs"),
         x => graft.functions.Md5PrefixLong(x, 15)).as("hs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -552,13 +557,15 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     import org.apache.spark.sql.functions._
     val edge = Seq(
       (910001L, ""), (910002L, "abc"), (910003L, "abcd"), (910004L, "abcde"),
-      (910005L, "aaaaaaaa"), (910006L, "ab cd ef gh"))
+      (910005L, "aaaaaaaa"), (910006L, "ab cd ef gh"),
+      (910007L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
       .unionByName(edge)
-    // coalesce: composed charNgrams yields NULL under 5 chars where the
-    // fused form yields [] — downstream-equivalent (explode emits nothing
-    // for both), normalized here so the element compare can run
+    // coalesce: composed charNgrams yields NULL under 5 chars (and for
+    // null text) where the fused form's declared contract is [] —
+    // downstream-equivalent (explode emits nothing for both), normalized
+    // here so the element compare can run
     val composed = docs
       .select(col("doc_id"),
         coalesce(TextAnalysis.charNgrams(col("text"), 5),

@@ -33,10 +33,22 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.copy(assets = assets)
   }
 
-  private def ptDirs(dir: String): Set[String] = {
-    val f = new java.io.File(dir)
-    if (!f.exists()) Set.empty
-    else f.listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("pt=")).toSet
+  /** Bucket dirs of `table`'s data WRITTEN AT version `v`, across both
+    * layouts (legacy flat `v<v>/<table>` and the writer-unique
+    * `v<v>/d-<token>/<table>` — resolved by directory walk, not via the
+    * manifest, so it also sees data of pruned/orphaned versions).
+    */
+  private def ptDirs(root: String, v: Long, table: String): Set[String] = {
+    val vDir = new java.io.File(s"$root/v$v")
+    val tableDirs = Option(vDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq.flatMap { d =>
+        if (d.getName == table) Seq(d)
+        else if (d.getName.startsWith("d-"))
+          Seq(new java.io.File(d, table)).filter(_.isDirectory)
+        else Nil
+      }
+    tableDirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("pt=")).map(_.getName).toSet
   }
 
   private def assetRows(st: State): Set[(String, Timestamp)] =
@@ -48,16 +60,16 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     val cfg = StateStore.Config(buckets = 16)
 
     StateStore.write(spark, root, 0L, mkState(64), changes = None, cfg)
-    val v0Assets = ptDirs(s"$root/v0/assets")
+    val v0Assets = ptDirs(root, 0L, "assets")
     v0Assets.size should be > 10 // 64 keys over 16 buckets: all/most populated
 
     // bump one key, declare only that key changed
     val changes = ChangeSet.empty(spark).copy(assets = Seq("a5").toDF("id"))
     val m1 = StateStore.write(spark, root, 1L, mkState(64, bump = Set("a5")), Some(changes), cfg)
 
-    val v1Assets = ptDirs(s"$root/v1/assets")
+    val v1Assets = ptDirs(root, 1L, "assets")
     v1Assets.size shouldBe 1 // O(batch), not O(state)
-    new java.io.File(s"$root/v1/teams").exists() shouldBe false // untouched table: no dir at all
+    ptDirs(root, 1L, "teams") shouldBe empty // untouched table: no dir at all
 
     // manifest: every v0 bucket still live, exactly one repointed to v1
     m1("assets").values.count(_ == 1L) shouldBe 1
@@ -132,15 +144,15 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
       StateStore.write(spark, root, v, mkState(64, bumped), Some(ch), cfg)
       // shadow paging: EVERY incremental write stays O(batch) — exactly the
       // one bucket the changed key hashes to, never a compaction rewrite
-      ptDirs(s"$root/v$v/assets").size shouldBe 1
+      ptDirs(root, v, "assets").size shouldBe 1
     }
-    val before = ptDirs(s"$root/v0/assets")
+    val before = ptDirs(root, 0L, "assets")
     // keep v2 (predecessor) + v3: v0/v1 manifests drop; v0's SUPERSEDED
     // bucket dirs (rewritten by v1-v3) are reclaimed, the rest survive as
     // backing files for v2/v3's untouched-bucket pointers
     StateStore.prune(spark, root, keepFrom = 2L)
     StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe Seq(2L, 3L)
-    val after = ptDirs(s"$root/v0/assets")
+    val after = ptDirs(root, 0L, "assets")
     after.size should be < before.size // superseded buckets reclaimed
     after should not be empty // referenced buckets MUST survive
     // latest state still reads complete and correct through the pruned chain
@@ -199,7 +211,7 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     val root = Files.createTempDirectory("graft_store").toString
     val cfg = StateStore.Config(buckets = 32)
     StateStore.write(spark, root, 0L, mkState(512), None, cfg)
-    ptDirs(s"$root/v0/assets").size shouldBe 32 // every bucket populated
+    ptDirs(root, 0L, "assets").size shouldBe 32 // every bucket populated
 
     val json = """{"Id": "web5", "Team": {"Id": "alpha", "Name": "alpha name"},
       "AssetType": "Hostname", "Identifier": "web5.example.org",
@@ -247,8 +259,8 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     StreamIngest.applyBatch(b1, 0L, stateDir, cfg, 1704067200L)
     StreamIngest.applyBatch(b2, 1L, stateDir, cfg, 1704067200L)
 
-    val v0 = ptDirs(s"$stateDir/v0/assets")
-    val v1 = ptDirs(s"$stateDir/v1/assets")
+    val v0 = ptDirs(stateDir, 0L, "assets")
+    val v1 = ptDirs(stateDir, 1L, "assets")
     v1.size should be < v0.size // the 2-event batch touches O(batch) buckets
 
     val streamed = StreamIngest.loadLatestState(spark, stateDir, Long.MaxValue).get
@@ -392,6 +404,48 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     // a FULL write rewrites every bucket — narrowing is then well-defined
     StateStore.write(spark, root, 1L, mkState(8, Set("a3")), None, cfg)
     StateStore.read(spark, root, 1L).assets.schema.fieldNames should not contain "region"
+  }
+
+  test("a schema whose json contains 'crc=' does not fake manifest corruption") {
+    // ADVICE r7: the crc line must be located by LINE position — a
+    // recorded schema's metadata may legitimately contain the substring
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.MetadataBuilder
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    val meta = new MetadataBuilder().putString("comment", "beware crc=cafe here").build()
+    val base = mkState(8)
+    StateStore.write(spark, root, 0L, base.copy(assets = base.assets
+      .withColumn("region", lit("eu").as("region", meta))), None, cfg)
+    // the manifest now records a schema line containing "crc=" mid-line;
+    // an indexOf-anchored body extraction would truncate there and raise
+    // a false (non-retryable!) CorruptManifestException on a healthy file
+    val st = StateStore.read(spark, root, 0L)
+    st.assets.schema.fieldNames should contain("region")
+    assetRows(st) shouldBe assetRows(mkState(8))
+  }
+
+  test("an orphaned promoted dir (crashed racer) never affects reads and is prune-reclaimed") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val cfg = StateStore.Config(buckets = 16)
+    StateStore.write(spark, root, 0L, mkState(64), None, cfg)
+    var bumped = Set.empty[String]
+    for (v <- 1L to 3L) {
+      bumped += s"a${v * 7}"
+      val ch = ChangeSet.empty(spark).copy(assets = Seq(s"a${v * 7}").toDF("id"))
+      StateStore.write(spark, root, v, mkState(64, bumped), Some(ch), cfg)
+    }
+    // a racer that crashed after promoting but before the manifest CAS
+    // leaves a writer-unique dir no manifest references — plant one
+    val orphan = new java.io.File(s"$root/v1/d-deadbeef/assets/pt=0")
+    orphan.mkdirs() shouldBe true
+    new java.io.File(orphan, "junk.parquet").createNewFile() shouldBe true
+    // reads resolve ONLY through manifest-recorded dirs: untouched
+    assetRows(StateStore.read(spark, root, 3L)) shouldBe assetRows(mkState(64, bumped))
+    // once the version leaves the retention window, the orphan goes too
+    StateStore.prune(spark, root, keepFrom = 2L)
+    new java.io.File(s"$root/v1/d-deadbeef").exists() shouldBe false
+    assetRows(StateStore.read(spark, root, 3L)) shouldBe assetRows(mkState(64, bumped))
   }
 
   test("prune reclaims staging dirs orphaned by crashed writers") {
