@@ -20,11 +20,16 @@ import graft.queries.QueryDef
   *    (channel means, luminance; amplitude mean/RMS/zero-crossings/peak).
   *    Spec-checked against independently computed values
   *    (MultimodalSpec).
-  *  - compressed codecs (JPEG/H.264/MP3 …): no codec libraries exist in
-  *    this environment; such payloads (and the `text/plain` stand-in the
-  *    declared queries run on, since the testdata has no media column)
-  *    fall to [[MediaDecoder.fake]], deterministic md5-derived features —
-  *    swap that branch for a codec call in production.
+  *  - `image/png` and `image/jpeg`: REAL decode through the JDK's own
+  *    `javax.imageio` readers (standard JDK plugins, no external codec
+  *    libraries) after a structural container check (signature +
+  *    terminator) so truncation fails loudly even where a lenient
+  *    reader would hand back a partial image.
+  *  - codecs genuinely absent from a bare JVM (H.264/MP3 …): such
+  *    payloads (and the `text/plain` stand-in some declared queries run
+  *    on, since the testdata has no media column) fall to
+  *    [[MediaDecoder.fake]], deterministic md5-derived features — swap
+  *    that branch for a codec call in production.
   */
 object Multimodal {
 
@@ -56,6 +61,7 @@ object Multimodal {
     def decode(d: MediaDoc): MediaFeatures = d.mime match {
       case "image/bmp" => decodeBmp(d)
       case "audio/wav" => decodeWav(d)
+      case "image/png" | "image/jpeg" => decodeImage(d)
       case _ => fake(d)
     }
 
@@ -157,8 +163,63 @@ object Multimodal {
         feat2 = crossings.toDouble / n, feat3 = peak)
     }
 
+    /** PNG/JPEG via the JDK's bundled `javax.imageio` readers. The
+      * container is structurally validated FIRST — PNG signature +
+      * closing IEND chunk, JPEG SOI + EOI markers — so truncation
+      * anywhere fails loudly with the doc_id even where a lenient
+      * reader would return a partial image; reader-level decode
+      * failures surface the same way. Channel sums are EXACT integer
+      * arithmetic over the decoded ARGB grid, so for lossless PNG the
+      * re-integerized features are oracle-recomputable (the
+      * q_png_roundtrip gate).
+      */
+    private def decodeImage(d: MediaDoc): MediaFeatures = {
+      val b = d.content
+      d.mime match {
+        case "image/png" =>
+          if (b.length < 20 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+            b(2) != 'N' || b(3) != 'G') bad(d, "no PNG signature")
+          // the stream must CLOSE with the IEND chunk (4-byte zero
+          // length + "IEND" + crc); truncation drops it
+          if (new String(b, b.length - 8, 4, "US-ASCII") != "IEND")
+            bad(d, "no IEND terminator (truncated?)")
+        case _ => // image/jpeg
+          if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+            bad(d, "no JPEG SOI marker")
+          if ((b(b.length - 2) & 0xff) != 0xff || (b(b.length - 1) & 0xff) != 0xd9)
+            bad(d, "no JPEG EOI marker (truncated?)")
+      }
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case e: Exception => bad(d, s"${d.mime} decode failed: ${e.getMessage}") }
+      if (img == null) bad(d, s"no ${d.mime} reader accepted the payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      // one row of getRGB output per image keeps task memory bounded
+      // however large a single payload claims to be
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
+        bad(d, s"implausible dimensions ${w}x$h")
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val v = row(x)
+          sb += (v & 0xff); sg += ((v >> 8) & 0xff); sr += ((v >> 16) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h * 255.0
+      val (mb, mg, mr) = (sb / n, sg / n, sr / n)
+      MediaFeatures(d.doc_id, d.mime, b.length, w, h, n_frames = 1,
+        feat0 = mb, feat1 = mg, feat2 = mr,
+        feat3 = 0.114 * mb + 0.587 * mg + 0.299 * mr)
+    }
+
     /** Deterministic md5-derived stand-in for formats with no in-JVM
-      * decoder (the documented environment bound).
+      * decoder (H.264/MP3 — genuinely absent from a bare JVM).
       */
     private[ext] def fake(d: MediaDoc): MediaFeatures = {
       md.reset()
@@ -221,6 +282,46 @@ object Multimodal {
     }
     out.array()
   }
+
+  /** Pixel grid → BufferedImage, shared by the two ImageIO encoders.
+    * `pixels` row-major from the TOP row, each (b, g, r) in 0-255 —
+    * the same caller convention as [[encodeBmp]].
+    */
+  private def toImage(width: Int, height: Int,
+      pixels: Seq[(Int, Int, Int)]): java.awt.image.BufferedImage = {
+    require(pixels.size == width * height,
+      s"pixel count ${pixels.size} != $width x $height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    pixels.foreach { case (b, g, r) =>
+      img.setRGB(i % width, i / width,
+        ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+      i += 1
+    }
+    img
+  }
+
+  private def imageBytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, out))
+      throw new IllegalStateException(s"no ImageIO writer for '$fmt' in this JVM")
+    out.toByteArray
+  }
+
+  /** LOSSLESS PNG writer via the JDK's ImageIO — the encode half of the
+    * exact image round-trip (decoded pixels equal the input grid
+    * bit-for-bit, which is what lets q_png_roundtrip be oracle-gated).
+    */
+  def encodePng(width: Int, height: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] =
+    imageBytes(toImage(width, height, pixels), "png")
+
+  /** LOSSY JPEG writer via the JDK's ImageIO — dimensions survive
+    * exactly, channel values only approximately (spec-gated with a
+    * tolerance in MultimodalSpec, not oracle-gated).
+    */
+  def encodeJpeg(width: Int, height: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] =
+    imageBytes(toImage(width, height, pixels), "jpg")
 
   /** The decode pass: one decoder per partition, rows streamed through. */
   def decodeFeatures(docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
@@ -409,9 +510,72 @@ object Multimodal {
       .orderBy(col("user_id"))
   }
 
+  // -- COMPRESSED (lossless) codec round-trip: PNG through the JDK's own
+  // ImageIO (VERDICT r7 top item — the readers ship with every standard
+  // JDK; the md5 stand-in was doing work the JVM can do for real).
+  // Each user's first ht*4 events (ht = min(n div 4, 8)) become a
+  // 4-wide pixel grid, the grid goes through the real PNG encode (zlib
+  // compression and all) + the structural-check + ImageIO decode, and
+  // the decoded dimensions + exact integer channel sums are
+  // re-integerized for the DuckDB recomputation — lossless means the
+  // oracle can recompute them EXACTLY from events, like q_bmp_roundtrip.
+  // Same scale shape: one bounded per-user aggregation, one
+  // mapPartitions codec pass, zero further shuffles.
+  val q_png_roundtrip: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    ((CAST(floor(value*10) AS BIGINT) % 256) + 256) % 256 AS b,
+      |    (((event_id * 3) % 256) + 256) % 256 AS g,
+      |    (((CAST(floor(value*100) AS BIGINT) + event_id) % 256) + 256) % 256 AS r,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |h AS (SELECT user_id, LEAST(count(*) // 4, 8) AS ht FROM e GROUP BY user_id
+      |  HAVING count(*) >= 4)
+      |SELECT e.user_id, CAST(4 AS BIGINT) AS width, CAST(h.ht AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(114*sum(b) + 587*sum(g) + 299*sum(r) AS BIGINT) AS lum_q
+      |FROM e JOIN h ON e.user_id = h.user_id AND e.rn <= h.ht * 4
+      |GROUP BY e.user_id, h.ht
+      |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        pmod(floor(col("value") * 10).cast("long"), lit(256L)).cast("int").as("b"),
+        pmod(col("event_id") * 3, lit(256L)).cast("int").as("g"),
+        pmod(floor(col("value") * 100).cast("long") + col("event_id"), lit(256L))
+          .cast("int").as("r"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))
+      .filter(size(col("evs")) >= 4)
+      .select(col("user_id"),
+        expr("transform(slice(evs, 1, least((size(evs) div 4) * 4, 32)), " +
+          "e -> struct(e.b AS _1, e.g AS _2, e.r AS _3))").as("pixels"))
+      .as[UserPixels]
+    perUser.mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val h = u.pixels.size / 4
+        val f = dec.decode(MediaDoc(u.user_id, "image/png",
+          encodePng(4, h, u.pixels)))
+        val n = u.pixels.size.toLong
+        (u.user_id, f.width.toLong, f.height.toLong, n,
+          math.round(f.feat0 * n * 255.0),
+          math.round(f.feat1 * n * 255.0),
+          math.round(f.feat2 * n * 255.0),
+          math.round(f.feat3 * n * 255.0 * 1000.0))
+      }
+    }.toDF("user_id", "width", "height", "n_pixels",
+        "sum_b", "sum_g", "sum_r", "lum_q")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_multimodal_features" -> q_multimodal_features,
     "q_frame_sample" -> q_frame_sample,
     "q_wav_roundtrip" -> q_wav_roundtrip,
-    "q_bmp_roundtrip" -> q_bmp_roundtrip)
+    "q_bmp_roundtrip" -> q_bmp_roundtrip,
+    "q_png_roundtrip" -> q_png_roundtrip)
 }

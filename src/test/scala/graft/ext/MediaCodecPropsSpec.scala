@@ -79,6 +79,56 @@ class MediaCodecPropsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: PNG encode+decode is lossless — exact channel means at every shape (60 cases)") {
+    // same generator as the BMP property, but the payload goes through a
+    // real zlib-compressed PNG (ImageIO both ways) — losslessness is what
+    // lets q_png_roundtrip be oracle-gated exactly
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h, for {
+        b <- Gen.choose(0, 255); g <- Gen.choose(0, 255); r <- Gen.choose(0, 255)
+      } yield (b, g, r))
+    } yield (w, h, px)
+    for (seed <- 1L to 60L) {
+      val (w, h, px) = gen.apply(Gen.Parameters.default, Seed(seed * 41L)).get
+      val f = dec.decode(Multimodal.MediaDoc(seed, "image/png",
+        Multimodal.encodePng(w, h, px)))
+      withClue(s"seed=$seed ${w}x$h: ") {
+        f.width shouldBe w
+        f.height shouldBe h
+        def mean(pick: ((Int, Int, Int)) => Int): Double =
+          px.map(pick).sum.toDouble / px.size / 255.0
+        f.feat0 shouldBe mean(_._1) +- 1e-12
+        f.feat1 shouldBe mean(_._2) +- 1e-12
+        f.feat2 shouldBe mean(_._3) +- 1e-12
+      }
+    }
+  }
+
+  test("property: truncating PNG/JPEG payloads fails loudly (structural container check, 40 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    val px = (0 until 16).map(i => (i * 13 % 256, i * 29 % 256, i * 53 % 256))
+    val pngB = Multimodal.encodePng(4, 4, px)
+    val jpgB = Multimodal.encodeJpeg(4, 4, px)
+    for (seed <- 1L to 20L) {
+      val cutP = (seed * 7 % (pngB.length - 1)).toInt + 1
+      intercept[IllegalArgumentException] {
+        dec.decode(Multimodal.MediaDoc(seed, "image/png", pngB.take(cutP)))
+      }
+      val cutJ = (seed * 11 % (jpgB.length - 1)).toInt + 1
+      val t = jpgB.take(cutJ)
+      // a cut landing right after an interior 0xFFD9 byte pair would pass
+      // the EOI structural check by coincidence; every other cut must fail
+      if (!(t.length >= 2 && (t(t.length - 2) & 0xff) == 0xff &&
+          (t(t.length - 1) & 0xff) == 0xd9))
+        intercept[IllegalArgumentException] {
+          dec.decode(Multimodal.MediaDoc(seed, "image/jpeg", t))
+        }
+    }
+  }
+
   test("property: truncating an encoded payload anywhere fails loudly, never mis-decodes (40 cases)") {
     val dec = new Multimodal.MediaDecoder()
     for (seed <- 1L to 20L) {
