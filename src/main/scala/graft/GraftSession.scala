@@ -37,9 +37,11 @@ object GraftSession {
 
   def builder(shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
-      // plan guardrails (graft.plans.Guardrails): inert until the session
-      // sets spark.graft.guardrails=warn|fail — then cartesian joins and
-      // global windows over possibly-large inputs are caught at PLAN time
+      // plan guardrails (graft.plans.Guardrails): WARN by default —
+      // cartesian joins and global windows over possibly-large inputs are
+      // logged at PLAN time (the engine's own catalog plans clean, so
+      // internal queries never trigger it); spark.graft.guardrails=fail
+      // escalates, =off opts out
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

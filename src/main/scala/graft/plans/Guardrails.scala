@@ -15,20 +15,28 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Flagged shapes (the two that are never survivable on unbounded data):
   *  - a join with NO condition where BOTH sides can be large — the n×m
-  *    cartesian. Sides the planner can PROVE small (`maxRows` ≤
-  *    [[Guardrails.SmallSide]]: scalar aggregates, limits, tiny ranges)
-  *    are exempt, which is exactly the deliberate one-row-broadcast
-  *    pattern the engine's own queries use for ppm denominators.
+  *    cartesian. Exempt: sides the planner can PROVE small (`maxRows` ≤
+  *    [[Guardrails.SmallSide]]: scalar aggregates, limits, tiny ranges,
+  *    local relations) — the deliberate one-row-broadcast pattern the
+  *    engine's own queries use for ppm denominators — and joins where a
+  *    side carries an EXPLICIT `broadcast()` hint: the hint is the
+  *    caller's assertion of smallness (Spark will try to materialize
+  *    that side on every executor regardless, so the cartesian blowup is
+  *    already bounded by what the broadcast itself can hold).
   *  - a window function with an EMPTY partition spec over a possibly
   *    large child — every row shuffles to one reducer and sorts there.
   *    (Dimension-bounded frames — a per-day carry, a vocab rank — are
-  *    unprovable to the planner and legitimately global; run those
-  *    pipelines in `warn`, not `fail`.)
+  *    unprovable to the planner; either collect the bounded dimension
+  *    under a loud `require` and prefix-scan it driver-side, re-entering
+  *    as a provably-small local relation — how the engine's own
+  *    concurrency curve does it — or run those pipelines in `warn`.)
   *
   * Modes via the `spark.graft.guardrails` session conf, settable per
-  * query at runtime: `off` (default — zero behavior change), `warn`
-  * (log and continue), `fail` (raise at plan time with the violation
-  * named). The rule only inspects — it never rewrites the plan.
+  * query at runtime: `warn` (default — log and continue; the engine's
+  * own catalog plans clean, so internal queries never pay it), `off`
+  * (the opt-out, zero behavior change), `fail` (raise at plan time with
+  * the violation named). The rule only inspects — it never rewrites the
+  * plan.
   *
   * Registered by [[GraftExtensions]]; [[graft.GraftSession]] wires it
   * into every builder, and `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -47,13 +55,24 @@ object Guardrails {
   private[plans] def provablySmall(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)
 
+  /** An explicit broadcast() hint on either side is the caller's own
+    * smallness assertion (and Spark bounds that side by what a broadcast
+    * can physically hold) — not the accidental-cartesian shape.
+    */
+  private def explicitlyBroadcast(j: Join): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+      j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+  }
+
   private[plans] case class GuardrailRule() extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val mode = conf.getConfString(ConfKey, "off")
+      val mode = conf.getConfString(ConfKey, "warn")
       if (mode != "off") {
         plan.foreach {
           case j: Join if j.condition.isEmpty
-              && !provablySmall(j.left) && !provablySmall(j.right) =>
+              && !provablySmall(j.left) && !provablySmall(j.right)
+              && !explicitlyBroadcast(j) =>
             report(mode, "unbounded cross join (no join condition, neither side " +
               s"provably <= $SmallSide rows): n*m pairs at scale. Add an equi " +
               "condition, broadcast a provably small side, or pre-aggregate.")

@@ -1263,11 +1263,26 @@ object CoreQueries {
     val within = perMin.withColumn("cum", sum("d").over(
       Window.partitionBy(col("day")).orderBy(col("m"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val dayTot = perMin.groupBy(col("day")).agg(sum("d").as("dt"))
-    val carry = dayTot.withColumn("cin", coalesce(sum("dt").over(
-      Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val active = within.join(carry.select(col("day"), col("cin")), "day")
+    // day-level carry: the DAY dimension is calendar-bounded (365 rows a
+    // year whatever the corpus size), so the per-day totals come from one
+    // tiny-shuffle aggregation straight off the deltas, collected under a
+    // LOUD bound and prefix-summed on the driver — r8: the catalog's
+    // former ONLY unpartitioned window is gone; the carry re-enters as a
+    // broadcast local relation the guardrail rule can PROVE bounded
+    val dayBound = 4096 // ~11 years of days
+    val dayTot = deltas.groupBy(expr("m div 1440").as("day"))
+      .agg(sum("d").as("dt"))
+      .orderBy(col("day")).limit(dayBound + 1).collect()
+    require(dayTot.length <= dayBound,
+      s"day span ${dayTot.length} exceeds the bounded-carry assertion ($dayBound) — " +
+        "raise the bound or shard the concurrency curve by epoch")
+    var acc = 0L
+    val carryRows = dayTot.toSeq.map { r =>
+      val cin = acc; acc += r.getLong(1); (r.getLong(0), cin)
+    }
+    import s.implicits._
+    val carry = carryRows.toDF("day", "cin")
+    val active = within.join(broadcast(carry), "day")
       .withColumn("active", col("cum") + col("cin"))
     val mx = active.groupBy(col("day")).agg(max("active").as("max_concurrent"))
     active.join(mx, "day")

@@ -43,11 +43,40 @@ class GuardrailSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("partitionBy")
   }
 
-  test("warn and off modes never block; default is off") {
+  test("warn and off modes never block; the default is warn (r8: on out of the box)") {
     withMode("warn") { bigCross.queryExecution.optimizedPlan }
     withMode("off") { globalWindow.queryExecution.optimizedPlan }
-    bigCross.queryExecution.optimizedPlan // no conf set at all
+    // no conf set at all: the default must WARN (log, never block) —
+    // user pipelines get cartesian/global-window protection by default
+    spark.conf.unset(Guardrails.ConfKey)
+    bigCross.queryExecution.optimizedPlan
     succeed
+  }
+
+  test("an explicit broadcast() hint exempts a cross join (the caller's smallness assertion)") {
+    withMode("fail") {
+      // neither side provably small to the planner, but the broadcast
+      // hint asserts it — the engine's own IVF probe shape
+      val cents = spark.range(100000).toDF("x").filter(col("x") % 7 === 0)
+      spark.range(100000).toDF("y").crossJoin(broadcast(cents))
+        .queryExecution.optimizedPlan
+    }
+    succeed
+  }
+
+  test("every declared catalog query plans clean under fail mode") {
+    // the default-warn flip is safe BECAUSE the whole catalog is
+    // guardrail-clean — proven here at plan time, not argued: any new
+    // query that sneaks in a cartesian or an unpartitioned window over
+    // possibly-large input fails this test before it ships
+    val dir = "/root/testdata/sf0.001"
+    withMode("fail") {
+      for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+        withClue(s"$name: ") {
+          noException should be thrownBy fn(spark, dir).queryExecution.optimizedPlan
+        }
+      }
+    }
   }
 
   test("provably small sides are exempt: the engine's scalar-broadcast pattern") {

@@ -62,11 +62,6 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // row by a global collect_list — the exchange moves per-partition
     // partials of a tiny high-DF term set, not the corpus.
     "q_boilerplate_strip",
-    // q_concurrency: the day-carry prefix window runs over the DAY
-    // dimension — calendar-bounded (365 rows/year whatever the corpus
-    // size); the corpus itself collapsed to per-minute deltas two
-    // operators earlier.
-    "q_concurrency",
     // q_churn_weekly / q_cooccur_assoc / q_key_skew / q_column_profile:
     // the single-partition exchange feeds a SCALAR final aggregate (max
     // week / corpus count / corpus total / the one-row profile) — it
@@ -84,20 +79,14 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     // one partial row per upstream partition through the exchange.
     "q_stat_drift")
 
-  /** Deliberate unpartitioned windows, as an EXACT per-query node count:
-    * ONLY over dimension frames whose cardinality is bounded by something
-    * other than the corpus (the calendar), never over corpus-scale rows.
-    * These are also the only queries allowed to log Spark's
-    * `WindowExec: No Partition Defined` warning in a bench run.
+  /** Deliberate unpartitioned windows, as an EXACT per-query node count.
+    * EMPTY since r8: q_concurrency's day-carry — the catalog's last
+    * global window — became a bounded driver-side prefix sum re-entering
+    * as a broadcast local relation, so ANY unpartitioned WindowExec
+    * anywhere in the catalog now fails this suite (and would warn under
+    * the guardrail rule's new default).
     */
-  private val allowGlobalWindow = Map(
-    // q_concurrency: the ONE day-carry prefix sum over per-DAY totals
-    // (calendar-bounded: 365 rows/year whatever the corpus size). It
-    // shows up TWICE in the physical tree because the `active` frame
-    // holding it feeds both the peak join's probe side and the per-day
-    // max side — same window, two subtree copies (exchange reuse merges
-    // them at execution).
-    "q_concurrency" -> 2)
+  private val allowGlobalWindow = Map.empty[String, Int]
 
   /** A SinglePartition exchange is a violation UNLESS it feeds a
     * bloom_filter_agg — Spark's injected runtime row-filter aggregates a
