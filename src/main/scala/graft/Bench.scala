@@ -88,24 +88,42 @@ object Bench {
     // letting independent ones overlap. Nothing in this pass is timed
     // per-query, so scheduler contention here cannot distort a number.
     val tM0 = System.nanoTime()
+    val warmSpans = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       Await.result(
-        Future.sequence(SparkEntry.queries.toSeq.sortBy(_._1).map { case (_, fn) =>
-          Future { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+        Future.sequence(SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          Future {
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            warmSpans.put(name, (System.nanoTime() - t0) / 1e9): Unit
+          }
         }), Duration.Inf)
     } finally pool.shutdown()
     spark.sqlContext.clearCache()
     val materializeSecs = (System.nanoTime() - tM0) / 1e9
-    // per-index build spans (each build's own wall time; independent
-    // builds overlap inside the concurrent pass, so these can sum past
-    // materializeSecs) — the breakdown names which index to attack when
-    // materialization dominates the round's wall clock
-    val materializeDetail = Materialize.timings.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // FULL attribution of the untimed pass (VERDICT r7 #2): per-index
+    // build spans PLUS each query's own warm-up span — every second of
+    // the pass belongs to a named chunk. Spans overlap (8 warm-up threads;
+    // an index build runs INSIDE the query span that triggered it), so
+    // the breakdown legitimately sums past materializeSecs — coverage
+    // means nothing is missing, not that the entries add to the wall.
+    // Warm-up spans under 0.5 s roll into one "warmup:other" bucket.
+    val materializeDetail = locally {
+      import scala.jdk.CollectionConverters._
+      val spans = warmSpans.asScala.map { case (k, v) => (k, v.doubleValue()) }.toSeq
+      val big = spans.filter(_._2 >= 0.5).map { case (k, v) => s"warmup:$k" -> v }
+      val rest = "warmup:other" -> spans.filter(_._2 < 0.5).map(_._2).sum
+      (Materialize.timings.toSeq ++ big :+ rest).sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    }
+    // contamination boundary (VERDICT r7 #7): NO index build may execute
+    // inside the per-query timing loop below — a lazily-triggered rebuild
+    // would silently inflate whichever query tripped it
+    val buildsBeforeTiming = Materialize.timings
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -132,6 +150,7 @@ object Bench {
       }
       (name, times, err)
     }
+    Materialize.assertNoBuildsSince(buildsBeforeTiming, "the per-query timing loop")
     // a query that failed on ANY run is excluded from the totals entirely —
     // a partial success must not inflate the headline number the failure
     // accounting says to discount

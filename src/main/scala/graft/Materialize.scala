@@ -28,4 +28,19 @@ object Materialize {
     import scala.jdk.CollectionConverters._
     times.asScala.map { case (k, v) => (k, v.doubleValue()) }.toMap
   }
+
+  /** Contamination boundary for timed regions (Bench's per-query loop):
+    * take [[timings]] before the region, call this after — any build
+    * that executed INSIDE the region fails loudly, because a lazily
+    * triggered (re)build would silently inflate whichever query tripped
+    * it while looking like steady-state operator cost.
+    */
+  def assertNoBuildsSince(before: Map[String, Double], where: String): Unit = {
+    val grew = timings.filter { case (k, v) =>
+      math.abs(v - before.getOrElse(k, 0.0)) > 1e-9
+    }
+    require(grew.isEmpty,
+      s"index build(s) ${grew.keys.toSeq.sorted.mkString(", ")} executed inside " +
+        s"$where — materialize in the untimed pass, never under a query timer")
+  }
 }
