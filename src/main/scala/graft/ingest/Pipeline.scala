@@ -163,22 +163,45 @@ object Pipeline {
     GraphOps.expireCascadeTracked(st, tb)
   }
 
+  /** What an epoch frame is KNOWN to contain. [[Temporal.withSegmentEpoch]]
+    * makes every epoch single-sided by construction — refresh rows get odd
+    * epochs (2t+1), tombstones even (2t+2) — and the fold exploits that:
+    * applying the OTHER side's operator chain to a provably empty frame is
+    * a value identity that still pays its full join + checkpoint plan,
+    * which measured as the dominant share of the per-micro-batch floor
+    * (StreamFoldProfile r8).
+    */
+  sealed trait EpochSide
+  case object RefreshEpoch extends EpochSide
+  case object TombstoneEpoch extends EpochSide
+  case object MixedEpoch extends EpochSide
+
   /** Apply one epoch: refreshes first, then the expire cascade over the
     * post-refresh state. (Segment epochs are refresh-only or
     * tombstone-only, but mixed batches — e.g. a whole micro-batch with no
-    * per-key conflicts — work too.)
+    * per-key conflicts — work too with `MixedEpoch`.)
     */
   def applyEpoch(st: State, epoch: DataFrame, cfg: Config): State =
     applyEpochTracked(st, epoch, cfg).state
 
   /** [[applyEpoch]] returning the cascade's persisted intermediates (the
     * caller releases them after checkpointing the state) plus the combined
-    * refresh+cascade change set.
+    * refresh+cascade change set. `side` skips the provably-empty half —
+    * the `is_nil` filters stay in place either way, so a mislabeled side
+    * drops the other half's rows rather than mis-applying them (and the
+    * differential replay/golden-state suites would catch it).
     */
-  def applyEpochTracked(st: State, epoch: DataFrame, cfg: Config): GraphOps.Cascade = {
-    val (refreshed, refreshChanges) = refreshTracked(st, epoch.filter(!col("is_nil")), cfg)
-    val casc = expireTracked(refreshed, epoch.filter(col("is_nil")))
-    casc.copy(changes = refreshChanges.union(casc.changes))
+  def applyEpochTracked(st: State, epoch: DataFrame, cfg: Config,
+      side: EpochSide = MixedEpoch): GraphOps.Cascade = side match {
+    case RefreshEpoch =>
+      val (refreshed, refreshChanges) = refreshTracked(st, epoch.filter(!col("is_nil")), cfg)
+      GraphOps.Cascade(refreshed, refreshChanges, cached = Nil)
+    case TombstoneEpoch =>
+      expireTracked(st, epoch.filter(col("is_nil")))
+    case MixedEpoch =>
+      val (refreshed, refreshChanges) = refreshTracked(st, epoch.filter(!col("is_nil")), cfg)
+      val casc = expireTracked(refreshed, epoch.filter(col("is_nil")))
+      casc.copy(changes = refreshChanges.union(casc.changes))
   }
 
   /** C6 duplicate-key guard (reference hard-errors on >1 lookup match,
@@ -321,6 +344,18 @@ object Pipeline {
       baseEpochSecs: Long): (State, ChangeSet) =
     foldImpl(spark, stateFor, envelopes, cfg, baseEpochSecs, trackChanges = true)
 
+  /** Tag every Spark job started inside `f` with a fold-phase name —
+    * free driver-side bookkeeping that makes the per-batch floor
+    * attributable (StreamFoldProfile groups job spans by it) and names
+    * the fold's stages in the Spark UI on a real cluster.
+    */
+  private[graft] def tagged[A](spark: SparkSession, tag: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(tag)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def foldImpl(
       spark: SparkSession,
       stateFor: StateStore.Candidates => State,
@@ -334,7 +369,7 @@ object Pipeline {
     val decoded = Decode.decode(envelopes).persist()
     var events: DataFrame = null
     try {
-      val st0 = stateFor(candidatesOf(decoded, cfg))
+      val st0 = tagged(spark, "fold:partial-read")(stateFor(candidatesOf(decoded, cfg)))
       events = Temporal.withSegmentEpoch(
           decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
         .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
@@ -352,35 +387,49 @@ object Pipeline {
         * persists it.
         */
       def run(evs: DataFrame, track: Boolean): (State, ChangeSet) = {
-        val maxEpoch = evs.agg(max(col("__epoch"))).collect()(0)
-          .getAs[Any](0) match { case null => 0; case n: Int => n }
+        val maxEpoch = tagged(spark, "fold:epoch-scan") {
+          evs.agg(max(col("__epoch"))).collect()(0)
+            .getAs[Any](0) match { case null => 0; case n: Int => n }
+        }
         var st = st0
         var changes = ChangeSet.empty(spark)
         var e = 1
         while (e <= maxEpoch) {
-          val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), epochCfg)
+          // segment epochs are single-sided by construction (odd=refresh,
+          // even=tombstone): skip the other side's whole operator chain
+          val side = if (e % 2 == 1) RefreshEpoch else TombstoneEpoch
+          val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), epochCfg, side)
           // truncate lineage: each epoch's state feeds the next
-          // (measured: parallelizing these four jobs does NOT help — the
-          // per-epoch wall-clock sits in each plan's sequential AQE query
-          // stages, not across the four checkpoints)
-          st = State(
+          // (measured twice: parallelizing these four jobs does NOT help —
+          // the per-epoch wall-clock sits in each plan's sequential AQE
+          // query stages — and leaving the FINAL epoch's state lazy is a
+          // net LOSS: the store write's per-table jobs each replay the
+          // merge plan with their own AQE stages, 7+3 jobs becoming 21)
+          st = tagged(spark, s"fold:epoch$e-state-checkpoint")(State(
             casc.state.assets.localCheckpoint(true),
             casc.state.teams.localCheckpoint(true),
             casc.state.owns.localCheckpoint(true),
-            casc.state.parentOf.localCheckpoint(true))
-          // change keys checkpoint BEFORE release (their plans reference the
-          // cascade's caches); checkpointed copies are then independent and
-          // the per-epoch caches can be dropped
-          if (track) changes = changes.union(casc.changes.localCheckpoint())
+            casc.state.parentOf.localCheckpoint(true)))
+          // change keys checkpoint BEFORE release (their plans reference
+          // the cascade's caches); checkpointed copies are then independent
+          // and the per-epoch caches can be dropped. The fused form is ONE
+          // round trip for all four frames — leaving them lazy instead is
+          // NOT an option: the store write consumes them after the batch
+          // caches unpersist, so lazy plans would re-scan the source batch
+          // four times (measured as 4x numInputRows read amplification)
+          if (track) changes = changes.union(
+            tagged(spark, s"fold:epoch$e-changes-checkpoint")(
+              casc.changes.localCheckpointFused()))
           casc.release()
           e += 1
         }
-        if (cfg.verifyStateInvariants) assertNoDuplicates(st)
+        if (cfg.verifyStateInvariants)
+          tagged(spark, "fold:dup-guard")(assertNoDuplicates(st))
         (st, changes)
       }
 
       if (cfg.strict) {
-        firstInvalid(decoded, cfg) match {
+        tagged(spark, "fold:strict-scan")(firstInvalid(decoded, cfg)) match {
           case Some((off, why)) if cfg.strictApplyPrefix =>
             // reference parity: everything BEFORE the first bad message is
             // applied, then the stream halts. Always tracked: the sink

@@ -772,6 +772,13 @@ object CoreQueries {
   // one pinned stamp per micro-batch by contract) are excluded from the
   // declared output. Driver-side work is bounded by the key grid
   // (7 teams x 50 assets = 350 envelopes at ANY scale factor).
+  // This line's bench cost is the engine's per-micro-batch FLOOR, not a
+  // scale cost: ~3 s of fold machinery (r8 — sided-epoch fast path +
+  // fused change-set checkpoint cut it from 4.6 s / 37 jobs to ~3 s /
+  // 15-20 jobs; full measured breakdown in
+  // graft.tools.StreamFoldProfile's scaladoc) plus log write + store
+  // readback. A production stream pays the same floor once per trigger
+  // and amortizes it over millions of rows.
   val q_stream_fold_state: QueryDef = QueryDef(
     """WITH pairs AS (SELECT DISTINCT 'T' || CAST(user_id % 7 AS VARCHAR) AS team_id,
       |  'a' || CAST(user_id % 50 AS VARCHAR) AS asset_id FROM events)

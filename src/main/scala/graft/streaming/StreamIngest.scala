@@ -214,8 +214,8 @@ object StreamIngest {
     }
     // transient write failures retry in place; anything still failing
     // aborts the batch and Spark redelivers it from the checkpoint (E4)
-    retrying(attempts = 3)(
-      StateStore.write(spark, statePath, batchId, next, Some(changes), store, loaded))
+    retrying(attempts = 3)(Pipeline.tagged(spark, "fold:store-write")(
+      StateStore.write(spark, statePath, batchId, next, Some(changes), store, loaded)))
     // drop versions no surviving manifest references; keep at least the
     // predecessor for crash-recovery of the next batch (more when CDC
     // consumers poll with lag — see keepVersions)
