@@ -44,6 +44,8 @@ object ClusterProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     var failures = Vector.empty[String]
+    // the fold's store dir, shared by the retry/executor-loss legs below
+    var foldStateDir: Option[String] = None
 
     // ---- 1. the full declared catalog, dumped check.py-compatibly ----------
     val only = args.drop(2).toSet
@@ -72,6 +74,7 @@ object ClusterProbe {
       val log = s"$base/scenario.jsonl"
       graft.sources.ReplayLog.toLog(spark, fixture, log)
       val stateDir = s"$base/state"
+      foldStateDir = Some(stateDir)
       val src = graft.streaming.StreamIngest.replaySource(spark, log,
         maxOffsetsPerTrigger = Some(7L))
       val query = graft.streaming.StreamIngest.start(src, stateDir, s"$base/ckpt")
@@ -122,11 +125,8 @@ object ClusterProbe {
     // must still be exact — partition readers must be re-creatable and
     // side-effect-free on retry.
     try {
-      val stateDirs = java.nio.file.Files.list(
-          java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
-        .filter(_.getFileName.toString.startsWith("graft_cluster_stream"))
-        .findFirst()
-      val stateDir = stateDirs.map[String](p => s"$p/state").orElseThrow()
+      val stateDir = foldStateDir.getOrElse(
+        throw new IllegalStateException("fold leg did not produce a store"))
       val stored = spark.read.format("graft-store")
         .option("path", stateDir).option("table", "assets").load()
       val expected = stored.count()
@@ -141,6 +141,40 @@ object ClusterProbe {
       else println(s"[cluster-probe] task retry: planted failure retried, $survived rows exact")
     } catch { case e: Throwable =>
       failures :+= s"task-retry leg: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }
+
+    // ---- 4. executor-loss resilience ---------------------------------------
+    // the remaining fault axis a 1000-executor deployment hits daily: an
+    // executor JVM DIES mid-job (here: halt(117) from inside a task —
+    // bypasses shutdown hooks, so it is a hard process loss, not a clean
+    // exit). Spark must mark the executor lost, reschedule its tasks on
+    // the surviving JVM (the standalone worker may also relaunch a
+    // replacement), and the job's result must still be exact; the session
+    // must keep serving catalog queries afterwards.
+    try {
+      val stateDir = foldStateDir.getOrElse(
+        throw new IllegalStateException("fold leg did not produce a store"))
+      val stored = spark.read.format("graft-store")
+        .option("path", stateDir).option("table", "assets").load()
+      val expected = stored.count()
+      val lostBefore = spark.sparkContext.getExecutorMemoryStatus.size
+      val survived = stored.mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() == 1 && tc.attemptNumber() == 0 &&
+          tc.stageAttemptNumber() == 0)
+          Runtime.getRuntime.halt(117) // kill THIS executor JVM mid-task
+        it
+      }(stored.encoder).count()
+      if (survived != expected)
+        failures :+= s"executor loss: $survived rows after loss != $expected"
+      else println(s"[cluster-probe] executor loss: one JVM killed mid-job, " +
+        s"$survived rows exact (executors before: $lostBefore)")
+      // and the session still answers catalog queries on what remains
+      val post = graft.SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      if (post <= 0) failures :+= "executor loss: post-loss catalog query returned no rows"
+      else println(s"[cluster-probe] executor loss: post-loss q1_agg returned $post rows")
+    } catch { case e: Throwable =>
+      failures :+= s"executor-loss leg: ${e.getClass.getSimpleName}: ${e.getMessage}"
     }
 
     spark.stop()
