@@ -115,6 +115,34 @@ object Multimodal {
       * the interleaved stream's sign changes per sample).
       */
     private def decodeWav(d: MediaDoc): MediaFeatures = {
+      val (rate, channels, samples) = decodeWavSamples(d)
+      val n = samples.length
+      var (sum, sq, peak) = (0.0, 0.0, 0.0)
+      var crossings = 0
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val v = samples(i).toDouble / 32768.0
+        sum += v; sq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        val sign = java.lang.Double.compare(v, 0.0).sign
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      MediaFeatures(d.doc_id, d.mime, d.content.length,
+        width = rate, height = channels, n_frames = n / channels,
+        feat0 = sum / n, feat1 = math.sqrt(sq / n),
+        feat2 = crossings.toDouble / n, feat3 = peak)
+    }
+
+    /** Raw decoded PCM stream of a WAV payload: (rate, channels,
+      * interleaved 16-bit samples) — the input to sample-level
+      * transforms ([[Multimodal.decimate]]). Container validation and
+      * the untrusted-length guards live here so every consumer gets
+      * them.
+      */
+    private[ext] def decodeWavSamples(d: MediaDoc): (Int, Int, Array[Short]) = {
       val b = d.content
       if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "WAVE") bad(d, "no RIFF/WAVE magic")
@@ -144,23 +172,13 @@ object Multimodal {
       if (dataAt.toLong + dataLen > b.length) bad(d, "truncated data chunk")
       val n = dataLen / 2
       if (n == 0) bad(d, "empty data chunk")
-      var (sum, sq, peak) = (0.0, 0.0, 0.0)
-      var crossings = 0
-      var prevSign = 0
+      val out = new Array[Short](n)
       var i = 0
       while (i < n) {
-        val v = (u16(b, dataAt + i * 2).toShort).toDouble / 32768.0
-        sum += v; sq += v * v
-        if (math.abs(v) > peak) peak = math.abs(v)
-        val sign = java.lang.Double.compare(v, 0.0).sign
-        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
-        if (sign != 0) prevSign = sign
+        out(i) = u16(b, dataAt + i * 2).toShort
         i += 1
       }
-      MediaFeatures(d.doc_id, d.mime, b.length,
-        width = rate, height = channels, n_frames = n / channels,
-        feat0 = sum / n, feat1 = math.sqrt(sq / n),
-        feat2 = crossings.toDouble / n, feat3 = peak)
+      (rate, channels, out)
     }
 
     /** PNG/JPEG via the JDK's bundled `javax.imageio` readers. The
@@ -174,6 +192,29 @@ object Multimodal {
       * q_png_roundtrip gate).
       */
     private def decodeImage(d: MediaDoc): MediaFeatures = {
+      val (w, h, argb) = decodeImagePixels(d)
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var i = 0
+      while (i < argb.length) {
+        val v = argb(i)
+        sb += (v & 0xff); sg += ((v >> 8) & 0xff); sr += ((v >> 16) & 0xff)
+        i += 1
+      }
+      val n = w.toDouble * h * 255.0
+      val (mb, mg, mr) = (sb / n, sg / n, sr / n)
+      MediaFeatures(d.doc_id, d.mime, d.content.length, w, h, n_frames = 1,
+        feat0 = mb, feat1 = mg, feat2 = mr,
+        feat3 = 0.114 * mb + 0.587 * mg + 0.299 * mr)
+    }
+
+    /** Raw decoded pixel grid of a PNG/JPEG payload: (width, height,
+      * ARGB ints row-major from the top row) — the input to pixel-level
+      * transforms ([[Multimodal.resizeNearest]]). The container is
+      * structurally validated FIRST (signature + terminator), so
+      * truncation fails loudly even where a lenient reader would hand
+      * back a partial image.
+      */
+    private[ext] def decodeImagePixels(d: MediaDoc): (Int, Int, Array[Int]) = {
       val b = d.content
       d.mime match {
         case "image/png" =>
@@ -183,39 +224,23 @@ object Multimodal {
           // length + "IEND" + crc); truncation drops it
           if (new String(b, b.length - 8, 4, "US-ASCII") != "IEND")
             bad(d, "no IEND terminator (truncated?)")
-        case _ => // image/jpeg
+        case "image/jpeg" =>
           if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
             bad(d, "no JPEG SOI marker")
           if ((b(b.length - 2) & 0xff) != 0xff || (b(b.length - 1) & 0xff) != 0xd9)
             bad(d, "no JPEG EOI marker (truncated?)")
+        case other => bad(d, s"not an ImageIO-decodable mime: $other")
       }
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         catch { case e: Exception => bad(d, s"${d.mime} decode failed: ${e.getMessage}") }
       if (img == null) bad(d, s"no ${d.mime} reader accepted the payload")
       val (w, h) = (img.getWidth, img.getHeight)
-      // one row of getRGB output per image keeps task memory bounded
+      // bounded pixel budget per payload keeps task memory bounded
       // however large a single payload claims to be
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
         bad(d, s"implausible dimensions ${w}x$h")
-      var (sb, sg, sr) = (0L, 0L, 0L)
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val v = row(x)
-          sb += (v & 0xff); sg += ((v >> 8) & 0xff); sr += ((v >> 16) & 0xff)
-          x += 1
-        }
-        y += 1
-      }
-      val n = w.toDouble * h * 255.0
-      val (mb, mg, mr) = (sb / n, sg / n, sr / n)
-      MediaFeatures(d.doc_id, d.mime, b.length, w, h, n_frames = 1,
-        feat0 = mb, feat1 = mg, feat2 = mr,
-        feat3 = 0.114 * mb + 0.587 * mg + 0.299 * mr)
+      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
     }
 
     /** Deterministic md5-derived stand-in for formats with no in-JVM
@@ -323,6 +348,45 @@ object Multimodal {
   def encodeJpeg(width: Int, height: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] =
     imageBytes(toImage(width, height, pixels), "jpg")
 
+  /** Deterministic nearest-neighbor resize over a row-major ARGB grid:
+    * `dst(x, y) = src((x * sw) / dw, (y * sh) / dh)` with integer
+    * (floor) division — an EXACTLY specified mapping, unlike the JDK's
+    * fuzzy `getScaledInstance`, so a relational oracle can recompute the
+    * resized grid from the source pixels bit-for-bit. One pass, O(dw*dh).
+    */
+  def resizeNearest(sw: Int, sh: Int, argb: Array[Int],
+      dw: Int, dh: Int): Array[Int] = {
+    require(sw > 0 && sh > 0 && dw > 0 && dh > 0,
+      s"dimensions must be positive: ${sw}x$sh -> ${dw}x$dh")
+    require(argb.length == sw * sh, s"pixel count ${argb.length} != $sw x $sh")
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = y * sh / dh
+      var x = 0
+      while (x < dw) {
+        out(y * dw + x) = argb(sy * sw + x * sw / dw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Every `factor`-th sample of an interleaved PCM stream starting at
+    * index 0 — the exactly-specified decimation (sample-dropping
+    * downsample; a production resampler would low-pass first, but the
+    * selection arithmetic — what the oracle must reproduce — is the
+    * same). O(n/factor), one pass.
+    */
+  def decimate(samples: Array[Short], factor: Int): Array[Short] = {
+    require(factor > 0, s"decimation factor must be positive, got $factor")
+    val out = new Array[Short]((samples.length + factor - 1) / factor)
+    var (i, j) = (0, 0)
+    while (i < samples.length) { out(j) = samples(i); i += factor; j += 1 }
+    out
+  }
+
   /** The decode pass: one decoder per partition, rows streamed through. */
   def decodeFeatures(docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
@@ -420,17 +484,7 @@ object Multimodal {
       |FROM agg a LEFT JOIN cr ON a.user_id = cr.user_id
       |ORDER BY a.user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val perUser = Tables.events(s, dir)
-      .select(col("user_id"),
-        least(greatest(floor(col("value") * 100).cast("int") - 24000,
-          lit(-32768)), lit(32767)).as("v"),
-        col("ts"), col("event_id"))
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v"))))
-        .as("evs"))
-      .select(col("user_id"),
-        expr("transform(slice(evs, 1, 4096), e -> e.v)").as("samples"))
-      .as[UserSamples]
+    val perUser = userSampleStreams(s, dir)
     perUser.mapPartitions { it =>
       val dec = new MediaDecoder()
       it.map { u =>
@@ -448,6 +502,26 @@ object Multimodal {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user PCM sample streams synthesized from events (floor
+    * centering gives mixed signs; per-key count capped at 4096 by the
+    * SAME deterministic ordering on both engines). Shared by the WAV
+    * round-trip and the resample query.
+    */
+  private def userSampleStreams(s: SparkSession, dir: String): Dataset[UserSamples] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        least(greatest(floor(col("value") * 100).cast("int") - 24000,
+          lit(-32768)), lit(32767)).as("v"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v"))))
+        .as("evs"))
+      .select(col("user_id"),
+        expr("transform(slice(evs, 1, 4096), e -> e.v)").as("samples"))
+      .as[UserSamples]
+  }
+
   /** Public for the same codegen-deserializer reason as [[UserSamples]]. */
   final case class UserPixels(user_id: Long, pixels: Seq[(Int, Int, Int)])
 
@@ -457,6 +531,34 @@ object Multimodal {
   // byte-level encode + decode (bottom-up rows, stride layout) and the
   // decoded dimensions + channel sums are re-integerized for the exact
   // DuckDB recomputation. Users with fewer than 8 events have no image.
+  /** Per-user pixel grids synthesized from events, `width`-wide, capped
+    * at `maxRows` rows: channels are the NON-NEGATIVE byte residue on
+    * both engines (pmod, not %: the image byte round-trip always lands
+    * in [0,255], so a signed residue of a negative `value` would
+    * silently diverge from the oracle). Shared by the BMP round-trip and
+    * the resize query; users with fewer than `width` events have no
+    * image.
+    */
+  private def userPixelGrids(s: SparkSession, dir: String,
+      width: Int, maxRows: Int): Dataset[UserPixels] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        pmod(floor(col("value") * 100).cast("long"), lit(256L)).cast("int").as("b"),
+        pmod(floor(col("value")).cast("long"), lit(256L)).cast("int").as("g"),
+        pmod(col("event_id"), lit(256L)).cast("int").as("r"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))
+      .filter(size(col("evs")) >= width)
+      .select(col("user_id"),
+        expr(s"transform(slice(evs, 1, least((size(evs) div $width) * $width, " +
+          s"${width * maxRows})), e -> struct(e.b AS _1, e.g AS _2, e.r AS _3))")
+          .as("pixels"))
+      .as[UserPixels]
+  }
+
   val q_bmp_roundtrip: QueryDef = QueryDef(
     """WITH e AS (SELECT user_id,
       |    ((CAST(floor(value*100) AS BIGINT) % 256) + 256) % 256 AS b,
@@ -475,23 +577,7 @@ object Multimodal {
       |GROUP BY e.user_id, h.ht
       |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // channels are the NON-NEGATIVE byte residue on both sides (pmod, not
-    // %): the BMP byte round-trip always lands in [0,255], so a signed
-    // residue of a negative `value` would silently diverge from the oracle
-    val perUser = Tables.events(s, dir)
-      .select(col("user_id"),
-        pmod(floor(col("value") * 100).cast("long"), lit(256L)).cast("int").as("b"),
-        pmod(floor(col("value")).cast("long"), lit(256L)).cast("int").as("g"),
-        pmod(col("event_id"), lit(256L)).cast("int").as("r"),
-        col("ts"), col("event_id"))
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))
-      .filter(size(col("evs")) >= 8)
-      .select(col("user_id"),
-        expr("transform(slice(evs, 1, least((size(evs) div 8) * 8, 48)), " +
-          "e -> struct(e.b AS _1, e.g AS _2, e.r AS _3))").as("pixels"))
-      .as[UserPixels]
+    val perUser = userPixelGrids(s, dir, width = 8, maxRows = 6)
     perUser.mapPartitions { it =>
       val dec = new MediaDecoder()
       it.map { u =>
@@ -572,10 +658,106 @@ object Multimodal {
       .orderBy(col("user_id"))
   }
 
+  // -- REAL pixel-level transform: decode → nearest-neighbor resize --------
+  // The H10 image-op upgrade past hash-based frame sampling: each user's
+  // 8-wide grid goes through the real PNG encode + ImageIO decode, the
+  // decoded ARGB grid is resized 8xH -> 3x(H div 2) by the EXACTLY
+  // specified nearest-neighbor mapping dst(x,y) = src(x*sw/dw, y*sh/dh)
+  // (integer floor division), and the resized grid's exact channel sums
+  // come back for DuckDB to recompute by selecting the same source
+  // indices relationally. Same scale shape as the round-trips: one
+  // bounded per-user aggregation, one mapPartitions codec+transform
+  // pass, zero further shuffles.
+  val q_image_resize: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    ((CAST(floor(value*100) AS BIGINT) % 256) + 256) % 256 AS b,
+      |    ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS g,
+      |    ((event_id % 256) + 256) % 256 AS r,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |h AS (SELECT user_id, LEAST(count(*) // 8, 6) AS ht FROM e GROUP BY user_id
+      |  HAVING count(*) >= 8),
+      |px AS (SELECT e.user_id, h.ht, (e.rn - 1) % 8 AS sx, (e.rn - 1) // 8 AS sy,
+      |    e.b, e.g, e.r
+      |  FROM e JOIN h ON e.user_id = h.user_id AND e.rn <= h.ht * 8),
+      |grid AS (SELECT user_id, ht, GREATEST(ht // 2, 1) AS dh FROM h),
+      |dst AS (SELECT g.user_id, g.dh,
+      |    (x.x * 8) // 3 AS sx, (y.y * g.ht) // g.dh AS sy
+      |  FROM grid g, (SELECT unnest(range(0, 3)) AS x) x,
+      |    (SELECT unnest(range(0, 6)) AS y) y
+      |  WHERE y.y < g.dh)
+      |SELECT d.user_id, CAST(3 AS BIGINT) AS width, CAST(d.dh AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(p.b) AS BIGINT) AS sum_b, CAST(sum(p.g) AS BIGINT) AS sum_g,
+      |  CAST(sum(p.r) AS BIGINT) AS sum_r
+      |FROM dst d JOIN px p ON d.user_id = p.user_id AND d.sx = p.sx AND d.sy = p.sy
+      |GROUP BY d.user_id, d.dh
+      |ORDER BY d.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val perUser = userPixelGrids(s, dir, width = 8, maxRows = 6)
+    perUser.mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val sh = u.pixels.size / 8
+        val (w, h, argb) = dec.decodeImagePixels(
+          MediaDoc(u.user_id, "image/png", encodePng(8, sh, u.pixels)))
+        val (dw, dh) = (3, math.max(h / 2, 1))
+        val out = resizeNearest(w, h, argb, dw, dh)
+        var (sb, sg, sr) = (0L, 0L, 0L)
+        out.foreach { v =>
+          sb += (v & 0xff); sg += ((v >> 8) & 0xff); sr += ((v >> 16) & 0xff)
+        }
+        (u.user_id, dw.toLong, dh.toLong, out.length.toLong, sb, sg, sr)
+      }
+    }.toDF("user_id", "width", "height", "n_pixels", "sum_b", "sum_g", "sum_r")
+      .orderBy(col("user_id"))
+  }
+
+  // -- REAL sample-level transform: decode → decimate -----------------------
+  // Audio twin of q_image_resize: the per-user PCM stream goes through
+  // the real WAV encode + byte-level decode, the decoded samples are
+  // decimated by 3 (every 3rd sample from index 0 — exactly specified,
+  // so the oracle selects the same rows relationally), and the
+  // decimated stream's integer statistics come back exactly. Bounded
+  // per-user aggregation + one mapPartitions pass, zero further
+  // shuffles.
+  val q_audio_resample: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    LEAST(GREATEST(CAST(floor(value*100) AS INT) - 24000, -32768), 32767) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |s AS (SELECT * FROM e WHERE rn <= 4096),
+      |d AS (SELECT * FROM s WHERE (rn - 1) % 3 = 0)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sum_q,
+      |  CAST(sum(CAST(v AS BIGINT)*v) AS BIGINT) AS sumsq_q,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_q
+      |FROM d GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    userSampleStreams(s, dir).mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val (_, _, samples) = dec.decodeWavSamples(
+          MediaDoc(u.user_id, "audio/wav", encodeWav(8000, 1, u.samples)))
+        val out = decimate(samples, 3)
+        var (sum, sq, peak) = (0L, 0L, 0L)
+        out.foreach { v =>
+          sum += v; sq += v.toLong * v
+          if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+        }
+        (u.user_id, out.length.toLong, sum, sq, peak)
+      }
+    }.toDF("user_id", "n_samples", "sum_q", "sumsq_q", "peak_q")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_multimodal_features" -> q_multimodal_features,
     "q_frame_sample" -> q_frame_sample,
     "q_wav_roundtrip" -> q_wav_roundtrip,
     "q_bmp_roundtrip" -> q_bmp_roundtrip,
-    "q_png_roundtrip" -> q_png_roundtrip)
+    "q_png_roundtrip" -> q_png_roundtrip,
+    "q_image_resize" -> q_image_resize,
+    "q_audio_resample" -> q_audio_resample)
 }

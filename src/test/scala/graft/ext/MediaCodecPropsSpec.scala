@@ -129,6 +129,55 @@ class MediaCodecPropsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: nearest-neighbor resize through the PNG round-trip matches direct selection (40 cases)") {
+    // the H10 pixel transform end-to-end: grid -> real PNG -> ImageIO
+    // decode -> resizeNearest must equal selecting src(x*sw/dw, y*sh/dh)
+    // from the ORIGINAL grid directly, for every shape
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+      dw <- Gen.choose(1, 9); dh <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h, for {
+        b <- Gen.choose(0, 255); g <- Gen.choose(0, 255); r <- Gen.choose(0, 255)
+      } yield (b, g, r))
+    } yield (w, h, dw, dh, px)
+    for (seed <- 1L to 40L) {
+      val (w, h, dw, dh, px) = gen.apply(Gen.Parameters.default, Seed(seed * 43L)).get
+      val (rw, rh, argb) = dec.decodeImagePixels(Multimodal.MediaDoc(seed, "image/png",
+        Multimodal.encodePng(w, h, px)))
+      val out = Multimodal.resizeNearest(rw, rh, argb, dw, dh)
+      withClue(s"seed=$seed ${w}x$h -> ${dw}x$dh: ") {
+        (rw, rh) shouldBe ((w, h))
+        out.length shouldBe dw * dh
+        for (y <- 0 until dh; x <- 0 until dw) {
+          val (b, g, r) = px(((y * h) / dh) * w + (x * w) / dw)
+          val v = out(y * dw + x)
+          (v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff) shouldBe ((b, g, r))
+        }
+      }
+    }
+  }
+
+  test("property: decimation through the WAV round-trip keeps exactly every k-th sample (40 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      k <- Gen.choose(1, 7)
+      s <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield (k, s)
+    for (seed <- 1L to 40L) {
+      val (k, s) = gen.apply(Gen.Parameters.default, Seed(seed * 47L)).get
+      val (_, _, samples) = dec.decodeWavSamples(Multimodal.MediaDoc(seed, "audio/wav",
+        Multimodal.encodeWav(8000, 1, s)))
+      val out = Multimodal.decimate(samples, k)
+      withClue(s"seed=$seed n=${s.size} k=$k: ") {
+        out.toSeq shouldBe s.zipWithIndex.collect {
+          case (v, i) if i % k == 0 => v.toShort
+        }
+      }
+    }
+  }
+
   test("property: truncating an encoded payload anywhere fails loudly, never mis-decodes (40 cases)") {
     val dec = new Multimodal.MediaDecoder()
     for (seed <- 1L to 20L) {
