@@ -452,6 +452,69 @@ object ScalingProbe {
       } finally pinned.keys.foreach(spark.conf.unset)
     }
 
+    // 12. media codec + transform pass (r8): per-user pixel grids from
+    // the scaled events go through the REAL PNG encode + ImageIO decode
+    // inside mapPartitions — users scale with k, per-user work is capped
+    // at 48 pixels, so the family must stay ~linear (one aggregation
+    // shuffle + an embarrassingly parallel codec pass)
+    if (on("codec_media")) {
+      import spark.implicits._
+      val grids = events
+        .select(col("user_id"),
+          pmod(floor(col("value") * 100).cast("long"), lit(256L)).cast("int").as("b"),
+          pmod(floor(col("value")).cast("long"), lit(256L)).cast("int").as("g"),
+          pmod(col("event_id"), lit(256L)).cast("int").as("r"),
+          col("ts"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("b"), col("g"), col("r")))).as("evs"))
+        .filter(size(col("evs")) >= 8)
+        .select(col("user_id"),
+          expr("transform(slice(evs, 1, least((size(evs) div 8) * 8, 48)), " +
+            "e -> struct(e.b AS _1, e.g AS _2, e.r AS _3))").as("pixels"))
+        .as[graft.ext.Multimodal.UserPixels]
+      record("codec_media")(timeMin(3, spark) {
+        grids.mapPartitions { it =>
+          val dec = new graft.ext.Multimodal.MediaDecoder()
+          it.map { u =>
+            val h = u.pixels.size / 8
+            val f = dec.decode(graft.ext.Multimodal.MediaDoc(u.user_id, "image/png",
+              graft.ext.Multimodal.encodePng(8, h, u.pixels)))
+            f.width.toLong + f.height
+          }
+        }.reduce(_ + _)
+      })
+    }
+
+    // 13. concurrency curve with the r8 bounded driver-side day carry:
+    // rows scale with k AND the day span grows 40 days per copy, so the
+    // minute aggregation must stay ~linear while the carry collect stays
+    // a bounded (calendar-sized) driver cost — the shape that replaced
+    // the catalog's last unpartitioned window
+    if (on("concurrency")) {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      record("concurrency")(timeMin(3, spark) {
+        val mins = events.select(expr("CAST(ts AS LONG) div 60").as("m"))
+        val deltas = mins.select(col("m"), lit(1L).as("d"))
+          .unionAll(mins.select((col("m") + 30).as("m"), lit(-1L).as("d")))
+        val perMin = deltas.groupBy(col("m")).agg(sum("d").as("d"))
+          .withColumn("day", expr("m div 1440"))
+        val within = perMin.withColumn("cum", sum("d").over(
+          Window.partitionBy(col("day")).orderBy(col("m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val dayTot = deltas.groupBy(expr("m div 1440").as("day"))
+          .agg(sum("d").as("dt")).orderBy(col("day")).limit(4097).collect()
+        require(dayTot.length <= 4096, s"day span ${dayTot.length} exceeds the carry bound")
+        var acc = 0L
+        val carry = dayTot.toSeq.map { r =>
+          val c = acc; acc += r.getLong(1); (r.getLong(0), c)
+        }.toDF("day", "cin")
+        within.join(broadcast(carry), "day")
+          .agg(max(col("cum") + col("cin"))).collect()
+      })
+    }
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
