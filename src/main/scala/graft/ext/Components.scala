@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSql
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components by iterative min-label propagation —
@@ -125,9 +126,8 @@ object Components {
       // the logical tree doubles per round and plan rendering alone OOMs
       // the driver after ~8 rounds. Checkpointed blocks are row-sized
       // (one per node), dropped when the frame is GC'd.
-      val next = lbl.union(prop).union(jump)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val next = GraftSql.localCheckpointMeasuredStats(lbl.union(prop).union(jump)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       val s = lblSum(next)
       lbl.unpersist()
       lbl = next

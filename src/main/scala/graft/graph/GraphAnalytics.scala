@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSql
 
 /** Whole-graph analytics over derived co-occurrence graphs — triangle
   * counting and fixed-iteration PageRank (SURVEY.md §2.C12/C13).
@@ -197,9 +198,8 @@ object GraphAnalytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deg holds ONLY alive (not yet removed) vertices; its `deg` counts
     // edges to other alive vertices once all pending decrements applied
-    var deg = esym.select(col("u").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    var deg = GraftSql.localCheckpointMeasuredStats(esym.select(col("u").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
     // `bad` stays a LAZY narrow filter over the checkpointed deg — each
     // round runs exactly two jobs (the deg checkpoint and the bad count);
     // checkpointing bad itself was a third job buying nothing
@@ -216,10 +216,9 @@ object GraphAnalytics {
       // left join below — their deg rows are gone by then.
       val dec = esym.join(bad.withColumnRenamed("v", "u"), "u")
         .groupBy(col("w").as("v")).agg(count(lit(1)).as("d"))
-      deg = deg.join(bad, Seq("v"), "left_anti")
+      deg = GraftSql.localCheckpointMeasuredStats(deg.join(bad, Seq("v"), "left_anti")
         .join(dec, Seq("v"), "left")
-        .select(col("v"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
-        .localCheckpoint(true)
+        .select(col("v"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg")))
       bad = deg.filter(col("deg") < k).select("v")
       badCount = bad.count()
       rounds += 1
@@ -304,14 +303,13 @@ object GraphAnalytics {
     val adj = sym.join(deg, "src").repartition(col("src")).localCheckpoint(true)
 
     val base = 15L * scale / 100L // (1-d) * scale with d = 0.85
-    var ranks = deg.select(col("src").as("v"), lit(scale).as("r")).localCheckpoint(true)
+    var ranks = GraftSql.localCheckpointMeasuredStats(deg.select(col("src").as("v"), lit(scale).as("r")))
     for (_ <- 1 to iters) {
-      ranks = adj.join(ranks, col("src") === col("v"))
+      ranks = GraftSql.localCheckpointMeasuredStats(adj.join(ranks, col("src") === col("v"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst")
         .agg((lit(base) + expr("85 * sum(c) div 100")).as("r"))
-        .select(col("dst").as("v"), col("r"))
-        .localCheckpoint(true)
+        .select(col("dst").as("v"), col("r")))
     }
     ranks.select(col("v"), col("r").as("rank_ppm"))
   }
@@ -373,15 +371,14 @@ object GraphAnalytics {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).localCheckpoint(true)
-    var lbl = sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var lbl = GraftSql.localCheckpointMeasuredStats(sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     for (_ <- 1 to iters) {
-      lbl = sym.join(lbl.withColumnRenamed("v", "src"), "src")
+      lbl = GraftSql.localCheckpointMeasuredStats(sym.join(lbl.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("dst").as("v"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("dst").as("v"), (-col("m.nl")).as("lbl")))
     }
     lbl.select(col("v").as("part"), col("lbl").as("community"))
   }

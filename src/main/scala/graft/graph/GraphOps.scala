@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSql
 import graft.state.{ChangeSet, Merge, Upserts}
 import graft.state.Merge.MergeCols
 
@@ -128,7 +129,8 @@ object GraphOps {
       return local
     }
     val eJoin = if (eCount <= 100000) broadcast(e) else e
-    var frontier = e.select(col("c"), col("p"), lit(1).as("depth")).localCheckpoint(true)
+    var frontier = GraftSql.localCheckpointMeasuredStats(
+      e.select(col("c"), col("p"), lit(1).as("depth")))
     var acc = frontier
     var depth = 1
     while (!frontier.isEmpty && depth < maxDepth) {
@@ -146,7 +148,7 @@ object GraphOps {
         // (and make cyclic graphs converge) but costs a join per round —
         // measured 2.5x the whole closure's wall time, so distinct() it is.
         .distinct()
-        .localCheckpoint(true)
+      frontier = GraftSql.localCheckpointMeasuredStats(frontier)
       acc = acc.union(frontier)
       depth += 1
     }
@@ -186,10 +188,10 @@ object GraphOps {
     */
   def ancestorsClosureDoubling(edges: DataFrame, childCol: String,
       parentCol: String, maxRounds: Int = 40): DataFrame = {
-    var cl = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
-      .distinct()
-      .withColumn("depth", lit(1))
-      .localCheckpoint(true)
+    var cl = GraftSql.localCheckpointMeasuredStats(
+      edges.select(col(childCol).as("c"), col(parentCol).as("p"))
+        .distinct()
+        .withColumn("depth", lit(1)))
     var prevCount = cl.count()
     // empty edge set: the closure is empty, and the convergence probe's
     // sum(depth) over zero rows would be null → NPE at getLong (the
@@ -204,7 +206,7 @@ object GraphOps {
           (col("f.depth") + col("g.depth")).as("depth"))
         .unionByName(cl)
         .groupBy(col("c"), col("p")).agg(min(col("depth")).as("depth"))
-        .localCheckpoint(true)
+      cl = GraftSql.localCheckpointMeasuredStats(cl)
       // ONE driver-side row per round decides convergence: pair count
       // stable AND total depth stable (pairs only ever appear, depths
       // only ever decrease — (count, sum) is a monotone measure)
@@ -293,7 +295,11 @@ object GraphOps {
     * (measured ~3-4x on the cascade queries).
     */
   def expireCascadeTracked(st: State, tombstones: DataFrame): Cascade = {
-    // 1. resolve asset + team; drop no-ops
+    // 1. resolve asset + team; drop no-ops. Per (asset, team): `ts` is
+    //    that team's LAST tombstone in the batch (repeated tombstones
+    //    re-stamp the owns end_time, last write wins — reference
+    //    semantics), `first_ts` its FIRST (what the death-time rule
+    //    below needs)
     val resolved = tombstones.alias("tb")
       .join(st.assets.alias("a"),
         col("tb.asset_type") === col("a.type") &&
@@ -302,23 +308,50 @@ object GraphOps {
         col("tb.team_identifier") === col("tm.identifier"), "inner")
       .select(col("a.id").as("asset_id"), col("tm.id").as("team_id"), col("tb.ts").as("ts"))
       .groupBy(col("asset_id"), col("team_id"))
-      .agg(max("ts").as("ts"))
+      .agg(max("ts").as("ts"), min("ts").as("first_ts"))
       .persist() // tombstone-sized; referenced by owns2, quant and deadAssets
 
     // 2. expire this team's owns edges (update-only; end_time = that
-    //    tombstone's ts)
-    val owns2 = Upserts.expireOwns(st.owns, resolved).persist()
+    //    team's last tombstone ts)
+    val owns2 = Upserts.expireOwns(st.owns, resolved.select("asset_id", "team_id", "ts"))
+      .persist()
 
     // 3. quantifier over the POST-update owns state
     val quant = otherActiveOwnerExists(owns2, resolved.select("asset_id", "team_id"))
 
-    // 4. expire assets with no other active owner. Death time = the LAST
-    //    tombstone's ts for that asset (sequentially, the earlier ones
-    //    left another owner active).
-    val deadAssets = quant.filter(!col("other_active"))
-      .join(resolved, Seq("asset_id", "team_id"))
+    // 4. expire assets with no other active owner. Sequential semantics
+    //    need TWO timestamps per dead asset:
+    //    - death_first: when the asset FIRST dies — the tombstone that
+    //      completes coverage of its pre-batch active-owner set O (each
+    //      O member's first tombstone has happened; max of those
+    //      first_ts), or the batch's first resolved tombstone when O is
+    //      already empty. This is when parent edges expire — every
+    //      LATER killing tombstone sees them already expired and skips
+    //      (main.go:338-340's `expiration <= now` guard).
+    //    - death_last: the LAST resolved tombstone's ts — each killing
+    //      tombstone re-stamps the asset's last_seen/expiration, so the
+    //      final asset row carries the last one (reference re-expires
+    //      unconditionally once no owner remains).
+    //    The old single max-ts death was differentially refuted on
+    //    parent-edge expiry by within-batch tombstone runs
+    //    (DifferentialReplaySpec seed 5 at 40% tombstones).
+    val deadIds = quant.filter(!col("other_active"))
+      .select(col("asset_id")).distinct()
+    val preActive = st.owns.filter(col("end_time").isNull)
+      .select(col("asset_id"), col("team_id"))
+    // dead => O is covered by the resolved teams, so the inner joins are
+    // total over O's members
+    val coverage = deadIds.join(preActive, "asset_id")
+      .join(resolved.select("asset_id", "team_id", "first_ts"), Seq("asset_id", "team_id"))
       .groupBy(col("asset_id"))
-      .agg(max("ts").as("death_ts"))
+      .agg(max("first_ts").as("cover_ts"))
+    val deadAssets = deadIds.join(resolved, "asset_id")
+      .groupBy(col("asset_id"))
+      .agg(min("first_ts").as("min_ts"), max("ts").as("death_last"))
+      .join(coverage, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("cover_ts"), col("min_ts")).as("death_first"),
+        col("death_last"))
       .persist()
     // update-only: dead assets always resolve to existing rows, and an
     // accidental insert would create a phantom vertex
@@ -327,7 +360,7 @@ object GraphOps {
     val assets2 = Merge.mergeUpdateOnly(
       st.assets,
       deadAssets.select(col("asset_id").as("id"),
-        col("death_ts").as("last_seen"), col("death_ts").as("expiration")),
+        col("death_last").as("last_seen"), col("death_last").as("expiration")),
       Seq("id"),
       Map(
         "last_seen" -> ((c: MergeCols) => when(c.matched, c.update).otherwise(c.existing)),
@@ -345,9 +378,9 @@ object GraphOps {
     val asChild = st.parentOf.alias("e")
       .join(deadAssets.alias("d"), col("e.child_id") === col("d.asset_id"))
     val touched = asParent.unionByName(asChild)
-      .filter(col("e.expiration") > col("d.death_ts"))
+      .filter(col("e.expiration") > col("d.death_first"))
       .groupBy(col("e.parent_id").as("parent_id"), col("e.child_id").as("child_id"))
-      .agg(min(col("d.death_ts")).as("exp_ts"))
+      .agg(min(col("d.death_first")).as("exp_ts"))
       .persist() // referenced by the parent_of merge AND the change set
     val parentOf2 = Merge.mergeUpdateOnly(st.parentOf,
       touched.select(col("parent_id"), col("child_id"),

@@ -10,6 +10,7 @@ import graft.schema.Schemas
 import graft.state.{ChangeSet, Merge, Upserts}
 import graft.streaming.StateStore
 import graft.temporal.Temporal
+import org.apache.spark.sql.GraftSql
 
 /** The full ingestion pipeline: envelope log → temporal-property-graph
   * snapshot tables, set-at-a-time.
@@ -19,12 +20,16 @@ import graft.temporal.Temporal
   * joins + merges: the whole batch becomes ~4 MERGEs regardless of size.
   *
   * Sequencing: the reference relies on Kafka per-partition order. Only the
-  * order AROUND TOMBSTONES is state-relevant — a run of refreshes for one
-  * key folds into a single aggregated upsert — so a batch is split into
-  * tombstone-segment epochs ([[Temporal.withSegmentEpoch]]): epoch count is
-  * 2 * max-tombstones-per-key + 1, O(1) for realistic streams regardless
-  * of per-key event skew (the round-1 design ran one epoch per EVENT —
-  * a 10k-event hot key meant 10k sequential Spark jobs).
+  * order AROUND TOMBSTONES is state-relevant — refreshes commute (they
+  * aggregate per key) — so a batch is split into GLOBAL tombstone-run
+  * epochs ([[Temporal.withTombstoneRunEpochs]]): each maximal run of
+  * offset-consecutive tombstones is a sequential barrier, refreshes
+  * between runs share one epoch. Epoch count = 2 * tombstone runs + 1 —
+  * O(deletions in the batch), not O(events), and 1 for the common
+  * deletion-free batch. (The earlier per-key epoching was refuted
+  * differentially: the expire cascade couples keys through the
+  * active-owner quantifier, so cross-key order around tombstones is
+  * state-relevant too — see withTombstoneRunEpochs' scaladoc.)
   *
   * Processing time: the reference stamps `time.Now()` per event; replay
   * stamps each event `baseEpochSecs + offset` seconds — deterministic and
@@ -163,9 +168,10 @@ object Pipeline {
     GraphOps.expireCascadeTracked(st, tb)
   }
 
-  /** What an epoch frame is KNOWN to contain. [[Temporal.withSegmentEpoch]]
-    * makes every epoch single-sided by construction — refresh rows get odd
-    * epochs (2t+1), tombstones even (2t+2) — and the fold exploits that:
+  /** What an epoch frame is KNOWN to contain.
+    * [[Temporal.withTombstoneRunEpochs]] makes every epoch single-sided
+    * by construction — refresh epochs odd, tombstone-run epochs even —
+    * and the fold exploits that:
     * applying the OTHER side's operator chain to a provably empty frame is
     * a value identity that still pays its full join + checkpoint plan,
     * which measured as the dominant share of the per-micro-batch floor
@@ -370,8 +376,8 @@ object Pipeline {
     var events: DataFrame = null
     try {
       val st0 = tagged(spark, "fold:partial-read")(stateFor(candidatesOf(decoded, cfg)))
-      events = Temporal.withSegmentEpoch(
-          decoded.filter(col("valid")), Seq("key"), "offset", "is_nil")
+      events = tagged(spark, "fold:epoch-label")(Temporal.withTombstoneRunEpochs(
+          decoded.filter(col("valid")), "offset", "is_nil"))
         .withColumn("proc_ts", timestamp_seconds(lit(baseEpochSecs) + col("offset")))
         .persist()
 
@@ -387,15 +393,18 @@ object Pipeline {
         * persists it.
         */
       def run(evs: DataFrame, track: Boolean): (State, ChangeSet) = {
-        val maxEpoch = tagged(spark, "fold:epoch-scan") {
-          evs.agg(max(col("__epoch"))).collect()(0)
-            .getAs[Any](0) match { case null => 0; case n: Int => n }
+        // epochs PRESENT in the batch, ascending — the run-epoch numbering
+        // leaves odd gaps where two tombstone runs are offset-adjacent, so
+        // iterating 1..max would pay empty-epoch machinery for nothing.
+        // Bounded: <= 2 * (4096-run cap) + 1 rows collected.
+        val present = tagged(spark, "fold:epoch-scan") {
+          evs.select(col("__epoch")).distinct().collect()
+            .map(_.getInt(0)).sorted.toSeq
         }
         var st = st0
         var changes = ChangeSet.empty(spark)
-        var e = 1
-        while (e <= maxEpoch) {
-          // segment epochs are single-sided by construction (odd=refresh,
+        for (e <- present) {
+          // run epochs are single-sided by construction (odd=refresh,
           // even=tombstone): skip the other side's whole operator chain
           val side = if (e % 2 == 1) RefreshEpoch else TombstoneEpoch
           val casc = applyEpochTracked(st, evs.filter(col("__epoch") === e), epochCfg, side)
@@ -404,12 +413,20 @@ object Pipeline {
           // the per-epoch wall-clock sits in each plan's sequential AQE
           // query stages — and leaving the FINAL epoch's state lazy is a
           // net LOSS: the store write's per-table jobs each replay the
-          // merge plan with their own AQE stages, 7+3 jobs becoming 21)
+          // merge plan with their own AQE stages, 7+3 jobs becoming 21).
+          // MEASURED-stats checkpoints, not plain localCheckpoint: the
+          // plain form carries the origin plan's ESTIMATED sizeInBytes
+          // into the next round's leaf, and the size-only estimator's
+          // product-over-join-children rule then compounds the estimates
+          // geometrically across epochs — a 9-tombstone-run batch ended
+          // with 41-MILLION-bit BigInt "sizes" and planning (BigInt
+          // multiplication inside every stats visit) dominating the fold
+          // at 45 s per epoch. See GraftSql.localCheckpointMeasuredStats.
           st = tagged(spark, s"fold:epoch$e-state-checkpoint")(State(
-            casc.state.assets.localCheckpoint(true),
-            casc.state.teams.localCheckpoint(true),
-            casc.state.owns.localCheckpoint(true),
-            casc.state.parentOf.localCheckpoint(true)))
+            GraftSql.localCheckpointMeasuredStats(casc.state.assets),
+            GraftSql.localCheckpointMeasuredStats(casc.state.teams),
+            GraftSql.localCheckpointMeasuredStats(casc.state.owns),
+            GraftSql.localCheckpointMeasuredStats(casc.state.parentOf)))
           // change keys checkpoint BEFORE release (their plans reference
           // the cascade's caches); checkpointed copies are then independent
           // and the per-epoch caches can be dropped. The fused form is ONE
@@ -421,7 +438,6 @@ object Pipeline {
             tagged(spark, s"fold:epoch$e-changes-checkpoint")(
               casc.changes.localCheckpointFused()))
           casc.release()
-          e += 1
         }
         if (cfg.verifyStateInvariants)
           tagged(spark, "fold:dup-guard")(assertNoDuplicates(st))
@@ -445,7 +461,7 @@ object Pipeline {
       }
       run(events, track = trackChanges)
     } finally {
-      // `events` is null only if state load / withSegmentEpoch / persist
+      // `events` is null only if state load / epoch labeling / persist
       // themselves threw — still release the decoded cache on that path
       if (events != null) events.unpersist()
       decoded.unpersist()

@@ -65,25 +65,80 @@ object Temporal {
         df.columns.filterNot(key.contains).map(c => col(s"__last.$c").as(c)): _*)
   }
 
-  /** D3 compacted variant — tombstone-segment epochs. Per-key ordering only
-    * matters around tombstones: a run of refreshes for one key with no
-    * tombstone in between can be applied in a single set-at-a-time batch
-    * (the upserts aggregate per key). So the epoch number is:
+  /** D3 compacted variant — GLOBAL tombstone-run epochs. Refreshes
+    * commute with each other (the upserts aggregate per key), but a
+    * tombstone does NOT commute with refreshes of OTHER keys: the expire
+    * cascade's active-owner quantifier reads every team's edge on the
+    * tombstoned asset, parent-edge expiry touches edges other events
+    * re-create, and resolve depends on asset/team existence — so a
+    * tombstone must be ordered against EVERY event, exactly as the
+    * reference's one-message-at-a-time consumer does. (The per-key
+    * variant this replaces was differentially refuted by
+    * tombstone-heavy random streams — DifferentialReplaySpec's 40%
+    * seeds.) Epochs:
     *
-    *   refresh in segment k (k tombstones before it) → epoch 2k+1
-    *   (k+1)-th tombstone                            → epoch 2k+2
+    *   maximal run of offset-consecutive tombstones i (1-based) → 2i
+    *   refreshes after run i, before run i+1                    → 2i+1
+    *   refreshes before the first run                           → 1
     *
-    * Max epoch = 2 * max-tombstones-per-key + 1 — O(1) for realistic
-    * streams regardless of per-key event skew (a key with 10k refreshes
-    * and one tombstone yields 3 epochs, not 10k).
+    * Refresh epochs odd, tombstone epochs even — the parity contract the
+    * fold's sided fast path relies on. Every tombstone run is a
+    * sequential barrier BY THE REFERENCE'S SEMANTICS (no engine can
+    * commute a deletion past the events around it); runs are rare in
+    * production streams (deletions), and the run count is loudly capped
+    * at 4096 — a batch beyond that must be split upstream.
+    *
+    * Scale shape — NO global window: the global refresh-prefix count
+    * r(o) uses the engine's two-level scheme (range counts → bounded
+    * driver carry → within-range prefix window; offsets are unique, so
+    * a range of the span/4096 width bounds its own row count on dense
+    * offset spaces). A tombstone's run id IS r(o): two tombstones share
+    * a run iff no refresh sits between them iff their refresh-prefix
+    * counts are equal. A refresh with r(o)=x sits strictly AFTER every
+    * run with id <= x and BEFORE every run with id > x (the run with id
+    * x lies between refresh #x and refresh #x+1, and a refresh with x
+    * refreshes before it IS refresh #x+1). Zero-tombstone batches — the
+    * common streaming case — take a constant fast path: every row epoch
+    * 1, no window at all.
     */
-  def withSegmentEpoch(df: DataFrame, key: Seq[String], seq: String, isNil: String): DataFrame = {
-    val w = Window.partitionBy(key.map(col): _*).orderBy(col(seq))
+  def withTombstoneRunEpochs(df: DataFrame, seq: String, isNil: String): DataFrame = {
+    val spark = df.sparkSession
+    val head = df.agg(min(col(seq)).as("lo"), max(col(seq)).as("hi"),
+      sum(when(col(isNil), 1L).otherwise(0L)).as("tombs")).collect()(0)
+    if (head.isNullAt(0)) return df.withColumn("__epoch", lit(1)) // empty batch
+    val (lo, hi) = (head.getLong(0), head.getLong(1))
+    if (head.getLong(2) == 0L) return df.withColumn("__epoch", lit(1))
+
+    // two-level global prefix: r(o) = #refreshes at offsets < o
+    val width = math.max(1L, (hi - lo) / 4096L + 1L)
+    val ranged = df.withColumn("__rg", ((col(seq) - lo) / width).cast("long"))
+    val perRange = ranged.groupBy(col("__rg"))
+      .agg(sum(when(!col(isNil), 1L).otherwise(0L)).as("n"))
+      .orderBy(col("__rg")).collect() // <= 4097 rows by construction
+    var acc = 0L
+    val carrySeq = perRange.toSeq.map { r =>
+      val c = acc; acc += r.getLong(1); (r.getLong(0), c)
+    }
+    import spark.implicits._
+    val carry = broadcast(carrySeq.toDF("__rg", "__carry"))
+    val wIn = Window.partitionBy(col("__rg")).orderBy(col(seq))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tombsBefore = coalesce(
-      sum(when(col(isNil), 1L).otherwise(0L)).over(w), lit(0L))
-    df.withColumn("__epoch",
-      (tombsBefore * 2 + when(col(isNil), 2).otherwise(1)).cast("int"))
+    val withR = ranged.join(carry, "__rg")
+      .withColumn("__r", col("__carry") +
+        coalesce(sum(when(!col(isNil), 1L).otherwise(0L)).over(wIn), lit(0L)))
+
+    // distinct run ids, bounded and loud: each is a sequential barrier
+    val runs = withR.filter(col(isNil)).select(col("__r")).distinct()
+      .orderBy(col("__r")).limit(4097).collect().map(_.getLong(0)).toSeq
+    require(runs.length <= 4096,
+      s"batch holds >4096 tombstone runs — each run is a sequential barrier " +
+        "under reference semantics; split the batch (smaller trigger) upstream")
+    val runArr = array(runs.map(lit(_)): _*)
+    withR.withColumn("__epoch",
+      when(col(isNil), array_position(runArr, col("__r")) * 2)
+        .otherwise(size(filter(runArr, c => c <= col("__r"))) * 2 + 1)
+        .cast("int"))
+      .drop("__rg", "__carry", "__r")
   }
 
   /** D4 — top-k per group, e.g. "latest N assets per team".

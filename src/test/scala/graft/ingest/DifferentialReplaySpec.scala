@@ -26,7 +26,7 @@ class DifferentialReplaySpec extends AnyFunSuite with SparkSpec with Matchers {
       aws: Option[String]) extends Ev
   private case class Tomb(tpe: String, ident: String, team: String) extends Ev
 
-  private def genEvents(seed: Long, n: Int): Seq[Ev] = {
+  private def genEvents(seed: Long, n: Int, tombP: Double = 0.10): Seq[Ev] = {
     val rnd = new scala.util.Random(seed)
     val types = Seq("Hostname", "IP")
     val idents = Seq("a1", "a2", "a3")
@@ -34,7 +34,7 @@ class DifferentialReplaySpec extends AnyFunSuite with SparkSpec with Matchers {
     val aws = Seq(None, None, None, Some("000000000000"), Some("111111111111"))
     (0 until n).map { _ =>
       val (t, i, tm) = (types(rnd.nextInt(2)), idents(rnd.nextInt(3)), teams(rnd.nextInt(3)))
-      if (rnd.nextDouble() < 0.10) Tomb(t, i, tm)
+      if (rnd.nextDouble() < tombP) Tomb(t, i, tm)
       else Refresh(t, i, tm, aws(rnd.nextInt(aws.size)))
     }
   }
@@ -109,8 +109,8 @@ class DifferentialReplaySpec extends AnyFunSuite with SparkSpec with Matchers {
     (assets.toMap, teams.toMap, owns.toMap, parents.toMap)
   }
 
-  private def run(seed: Long, n: Int): Unit = {
-    val evs = genEvents(seed, n)
+  private def run(seed: Long, n: Int, tombP: Double = 0.10): Unit = {
+    val evs = genEvents(seed, n, tombP)
     val st = Pipeline.replay(spark, envelopes(evs))
     val (ea, et, eo, ep) = sequentialOracle(evs)
 
@@ -139,5 +139,19 @@ class DifferentialReplaySpec extends AnyFunSuite with SparkSpec with Matchers {
   }
   test("random streams: set-at-a-time replay == sequential reference interpreter (seed 77)") {
     run(77L, 50)
+  }
+
+  // r8 regression net for the sided-epoch fast path: segment epochs are
+  // refresh-only (odd) or tombstone-only (even) BY CONSTRUCTION, and the
+  // fold now skips the other side's operator chain per epoch — a parity
+  // bug in withTombstoneRunEpochs (or a mislabeled side) would drop events and
+  // diverge from the sequential interpreter here. Tombstone-heavy
+  // streams force DEEP per-key refresh/tombstone alternation (many
+  // epochs per batch), the case the 10%-tombstone seeds rarely reach.
+  test("tombstone-heavy streams (40%): deep epoch alternation matches the interpreter (seed 5)") {
+    run(5L, 40, tombP = 0.40)
+  }
+  test("tombstone-heavy streams (40%): deep epoch alternation matches the interpreter (seed 29)") {
+    run(29L, 30, tombP = 0.40)
   }
 }
