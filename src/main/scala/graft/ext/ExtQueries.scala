@@ -124,10 +124,10 @@ object ExtQueries {
       |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+    // tf off the shared materialized token frame (one tokenize per corpus
+    // version — see TextAnalysis.corpusTokens); the tf aggregate itself
+    // is persisted because it feeds both the df roll-up and the score join
+    val t = TextAnalysis.corpusTokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count() // eager barrier — see Dedup.lshJaccardPairs

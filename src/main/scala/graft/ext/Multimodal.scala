@@ -227,20 +227,47 @@ object Multimodal {
         case "image/jpeg" =>
           if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
             bad(d, "no JPEG SOI marker")
-          if ((b(b.length - 2) & 0xff) != 0xff || (b(b.length - 1) & 0xff) != 0xd9)
-            bad(d, "no JPEG EOI marker (truncated?)")
+          // the EOI pair may sit BEFORE trailing bytes (camera/EXIF
+          // padding is legal after EOI), but it must exist somewhere:
+          // entropy-coded segments byte-stuff 0xFF, so an interior FFD9
+          // cannot occur in well-formed data — truncation before the
+          // real EOI leaves no FFD9 pair anywhere and still fails loudly
+          if (!hasEoi(b)) bad(d, "no JPEG EOI marker (truncated?)")
         case other => bad(d, s"not an ImageIO-decodable mime: $other")
       }
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        catch { case e: Exception => bad(d, s"${d.mime} decode failed: ${e.getMessage}") }
-      if (img == null) bad(d, s"no ${d.mime} reader accepted the payload")
-      val (w, h) = (img.getWidth, img.getHeight)
-      // bounded pixel budget per payload keeps task memory bounded
-      // however large a single payload claims to be
-      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
-        bad(d, s"implausible dimensions ${w}x$h")
-      (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) bad(d, s"no ${d.mime} reader accepted the payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // dimensions come from the HEADER only — the pixel budget is
+          // enforced before any raster allocation, so a payload declaring
+          // huge dimensions is rejected without decoding a single row
+          val (w, h) =
+            try (reader.getWidth(0), reader.getHeight(0))
+            catch { case e: Exception => bad(d, s"${d.mime} header parse failed: ${e.getMessage}") }
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26))
+            bad(d, s"implausible dimensions ${w}x$h")
+          val img =
+            try reader.read(0)
+            catch { case e: Exception => bad(d, s"${d.mime} decode failed: ${e.getMessage}") }
+          if (img == null) bad(d, s"${d.mime} reader returned no image")
+          (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** FFD9 (EOI) pair anywhere after SOI — see the JPEG branch above. */
+    private def hasEoi(b: Array[Byte]): Boolean = {
+      var i = b.length - 2
+      while (i >= 2) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd9) return true
+        i -= 1
+      }
+      false
     }
 
     /** Deterministic md5-derived stand-in for formats with no in-JVM

@@ -131,10 +131,9 @@ object ReleaseQueries {
     * vocabulary; shared front half of the BPE pair/apply queries.
     */
   private def wordFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+    // shared materialized token frame (see TextAnalysis.corpusTokens)
+    TextAnalysis.corpusTokens(s, dir)
+      .select(col("term").as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Adjacent char-pair frequencies over the word-frequency table
@@ -513,10 +512,10 @@ object ReleaseQueries {
       |    AS BIGINT) AS oov_ppm
       |FROM t LEFT JOIN v USING (w)
       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    val t = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+    // shared materialized token frame — one tokenize per corpus version
+    // however many text queries run (see TextAnalysis.corpusTokens)
+    val t = TextAnalysis.corpusTokens(s, dir)
+      .select(col("source"), col("term").as("w"))
     val vocab = t.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(16)
       .select(col("w"), lit(1).as("inv"))

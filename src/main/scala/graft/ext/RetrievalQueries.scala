@@ -109,12 +109,9 @@ object RetrievalQueries {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t").getField("id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rnk_vec"))
-    // lexical shortlist: corpus term frame vs broadcast query-term set
-    val t = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    // lexical shortlist: the shared materialized incidence frame vs the
+    // broadcast query-term set (see TextAnalysis.corpusDocTerms)
+    val t = TextAnalysis.corpusDocTerms(s, dir)
     val qt = t.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("term"))
     val lr = t.join(broadcast(qt), "term")
@@ -158,11 +155,7 @@ object RetrievalQueries {
       |    AS postings_head
       |FROM t GROUP BY term
       |ORDER BY term""".stripMargin) { (s, dir) =>
-    val t = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val t = TextAnalysis.corpusDocTerms(s, dir)
     t.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         // TopKOrdered keeps (score DESC, id ASC): negate the id to keep

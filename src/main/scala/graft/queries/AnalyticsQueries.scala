@@ -112,11 +112,9 @@ object AnalyticsQueries {
       |CROSS JOIN n
       |ORDER BY term_a, term_b""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val t = docs
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    // shared materialized incidence frame — one tokenize per corpus
+    // version however many text queries run (see TextAnalysis.corpusDocTerms)
+    val t = TextAnalysis.corpusDocTerms(s, dir)
     val df = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // global top-40: TakeOrdered over vocab-sized input, then broadcast
     val vocab = df.orderBy(col("df").desc, col("term")).limit(40)

@@ -1265,19 +1265,26 @@ object CoreQueries {
       .select(expr("CAST(ts AS LONG) div 60").as("m"))
     val deltas = mins.select(col("m"), lit(1L).as("d"))
       .unionAll(mins.select((col("m") + 30).as("m"), lit(-1L).as("d")))
+    // the timeline-bounded frame (<= 525k minute rows/year whatever the
+    // corpus size) is PERSISTED so the corpus collapses exactly once: the
+    // day-total collect below and the main within-day plan both read the
+    // cached minute rows instead of each re-aggregating corpus-sized
+    // deltas (r8 verdict: the second deltas pass was one avoidable
+    // corpus-scale aggregation at 100 TB)
     val perMin = deltas.groupBy(col("m")).agg(sum("d").as("d"))
       .withColumn("day", expr("m div 1440"))
+      .persist()
     val within = perMin.withColumn("cum", sum("d").over(
       Window.partitionBy(col("day")).orderBy(col("m"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // day-level carry: the DAY dimension is calendar-bounded (365 rows a
     // year whatever the corpus size), so the per-day totals come from one
-    // tiny-shuffle aggregation straight off the deltas, collected under a
+    // tiny aggregation over the cached minute frame, collected under a
     // LOUD bound and prefix-summed on the driver — r8: the catalog's
     // former ONLY unpartitioned window is gone; the carry re-enters as a
     // broadcast local relation the guardrail rule can PROVE bounded
     val dayBound = 4096 // ~11 years of days
-    val dayTot = deltas.groupBy(expr("m div 1440").as("day"))
+    val dayTot = perMin.groupBy(col("day"))
       .agg(sum("d").as("dt"))
       .orderBy(col("day")).limit(dayBound + 1).collect()
     require(dayTot.length <= dayBound,

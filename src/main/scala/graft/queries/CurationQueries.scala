@@ -340,10 +340,10 @@ object CurationQueries {
       |GROUP BY t.doc_id
       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val t = docs
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+    // tf off the shared materialized token frame (see
+    // TextAnalysis.corpusTokens); the tf aggregate itself is persisted
+    // because it feeds three downstream roll-ups (df, dl, score join)
+    val t = TextAnalysis.corpusTokens(s, dir)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t.count() // eager barrier — see Dedup.lshJaccardPairs

@@ -109,12 +109,10 @@ object OpsQueries {
       |  ON x.doc_id = y.doc_id AND y.pos - x.pos BETWEEN 1 AND 3
       |GROUP BY center, context
       |ORDER BY center, context""".stripMargin) { (s, dir) =>
-    val t = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-      .filter(col("term") =!= "")
-      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    // shared materialized token frame — one tokenize per corpus version
+    // however many text queries run (see TextAnalysis.corpusTokens)
+    val t = graft.ext.TextAnalysis.corpusTokens(s, dir)
+      .select(col("doc_id"), col("term"), col("pos"))
     val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(50).select("term")
     val tv = t.join(broadcast(vocab), "term").select("doc_id", "term", "pos")

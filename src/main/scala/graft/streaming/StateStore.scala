@@ -569,7 +569,15 @@ object StateStore {
           if (fs.exists(p)) {
             if (!winnerEquals()) loseTo("create raced")
             dropStaging()
-          } else throw e
+          } else {
+            // genuine filesystem failure (manifest still absent): the
+            // just-promoted d-<token> dir is unreferenced garbage and a
+            // retrying writer stages a FRESH token — reclaim now like
+            // every other failure path, or each retry leaks a dir that
+            // lingers until the version ages below prune's keepFrom
+            dropStaging()
+            throw e
+          }
       }
     }
   }
