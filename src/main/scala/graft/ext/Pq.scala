@@ -122,18 +122,49 @@ object Pq {
 
   private val cache = new graft.SessionCache[String, PqIndex]
 
+  /** Train all M subspace codebooks over an embeddings frame
+    * (vec_id, v) — shared by the session build and the persisted-index
+    * maintenance path ([[VectorIndex]]).
+    */
+  private[ext] def trainBooks(e: DataFrame): Seq[Seq[(Long, Seq[Double])]] =
+    (0 until M).map { sub =>
+      subCodebook(e.select(col("vec_id"), subVec(col("v"), sub).as("vs")), Iters)
+    }
+
+  /** Code assignment under FROZEN codebooks — a pure projection (the
+    * books ride the plan as literals), the PQ twin of
+    * [[Similarity.assignCells]].
+    */
+  private[ext] def codesOf(e: DataFrame, books: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    e.select(
+      col("vec_id") +:
+        (0 until M).map(sub =>
+          argminCode(subVec(col("v"), sub), books(sub)).as(s"c$sub")): _*)
+
   private def pqIndex(s: SparkSession, dir: String): PqIndex =
     cache.getOrBuild(s, dir) {
-      graft.Materialize.timed("pq_index") {
+      val root = VectorIndex.storeRootFor(dir)
+      val stored = graft.streaming.TableStore.latestVersion(s, s"$root/pq")
+      if (stored.nonEmpty) graft.Materialize.timed("pq_index_load") {
+        // load the persisted codebooks + codes instead of re-training —
+        // same contract as Similarity.ivfIndex's load path
+        PqIndex(VectorIndex.pqBooks(s, root),
+          VectorIndex.pqCodes(s, root).localCheckpoint(true))
+      } else graft.Materialize.timed("pq_index") {
         val e = Similarity.embFrame(s, dir).localCheckpoint(true)
-        val books = (0 until M).map { sub =>
-          subCodebook(e.select(col("vec_id"), subVec(col("v"), sub).as("vs")), Iters)
+        val books = trainBooks(e)
+        val codes = codesOf(e, books).localCheckpoint(true)
+        import s.implicits._
+        val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
+          b.map { case (code, cv) => (sub, code, cv) }
         }
-        val codes = e.select(
-          col("vec_id") +:
-            (0 until M).map(sub =>
-              argminCode(subVec(col("v"), sub), books(sub)).as(s"c$sub")): _*)
-          .localCheckpoint(true)
+        try graft.streaming.TableStore.write(s, s"$root/pq", 0L,
+          VectorIndex.PqSpecs,
+          Map("pq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
+            "pq_codes" -> codes), cfg = VectorIndex.cfg)
+        catch { case ex: Exception =>
+          System.err.println(s"[graft] PQ index persist failed (non-fatal): ${ex.getMessage}")
+        }
         PqIndex(books, codes)
       }
     }

@@ -1,0 +1,205 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{StateStore, TableStore}
+
+/** Persisted, versioned, incrementally-maintained vector indexes — the
+  * production lifecycle the session-cached builds in [[Similarity]] /
+  * [[Pq]] could not give (VERDICT r8 next #1): a 100 TB corpus trains
+  * its coarse quantizer and PQ codebooks ONCE per corpus generation,
+  * stores centroids + assignments (and codebooks + codes) as versioned
+  * store tables, and maintains them under arrivals —
+  *
+  *  - **delta append** (the cheap path): new vectors are assigned under
+  *    the FROZEN stored centroids/codebooks (one codegen projection over
+  *    the delta only) and upserted into the stored assignment/code
+  *    tables through [[TableStore]]'s bucket-level read-modify-write —
+  *    write I/O is O(delta × bucket), the centroid table's pointers
+  *    carry forward untouched;
+  *  - **drift-triggered retrain** (the expensive path, taken only when
+  *    the monitor says so): the E13 drift signal
+  *    ([[graft.streaming.StreamAnalytics.pqDriftMonitor]]'s
+  *    `drift_ppm` contract — mean quantization error of arrivals vs the
+  *    training-time baseline, in ppm) crossing its threshold means the
+  *    frozen quantizer no longer fits the data; [[maintain]] then
+  *    retrains on the full corpus and full-writes the next version.
+  *
+  * Correctness contract (the q_triangle_delta proof shape, oracle-gated
+  * by `q_ivf_incremental`): stored assignments ⊕ delta assignment under
+  * frozen centroids is hash-equal to re-assigning the ENTIRE corpus
+  * under the same centroids — so the incremental path loses nothing.
+  *
+  * Storage: one [[TableStore]] root per index family (`<root>/ivf`,
+  * `<root>/pq`), inheriting the store's crash contract (writer-unique
+  * staging, crc32 manifests, CAS commit, prune-reclaimable garbage).
+  */
+object VectorIndex {
+
+  val IvfSpecs = Seq(
+    TableStore.Spec("ivf_centroids", Seq("cell")),
+    TableStore.Spec("ivf_assign", Seq("vec_id")))
+
+  val PqSpecs = Seq(
+    TableStore.Spec("pq_codebooks", Seq("sub", "code")),
+    TableStore.Spec("pq_codes", Seq("vec_id")))
+
+  /** Index tables are small-bucketed: the assignment rows are 2-3 longs
+    * each, so even a billion-vector corpus is tens of GB — 8 buckets at
+    * test scale, thousands in production (the StateStore.Config doc).
+    */
+  def cfg: StateStore.Config = StateStore.Config(buckets = 8)
+
+  private def ivfPath(root: String) = s"$root/ivf"
+  private def pqPath(root: String) = s"$root/pq"
+
+  /** Store root for a corpus dir, keyed by a CONTENT fingerprint
+    * (path + mtime + size of the embeddings file) — the driver
+    * regenerates testdata between rounds, and a path-only key would
+    * serve a stale index for the new data. Production pins the index to
+    * its corpus snapshot version explicitly; the fingerprint is the
+    * local-dir equivalent.
+    */
+  def storeRootFor(dir: String): String = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val fp = TextAnalysis.md5hexJvm(s"$dir|${f.lastModified}|${f.length}").take(16)
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vector_store_$fp"
+  }
+
+  // --- IVF -----------------------------------------------------------------
+
+  /** Train the coarse quantizer on `e` (vec_id, v float, nrm) and
+    * full-write centroids + assignments as `version`. Returns the mean
+    * quantization error at train time — the drift monitor's baseline.
+    */
+  def trainIvf(spark: SparkSession, root: String, e: DataFrame,
+      version: Long = 0L): Double = {
+    val cents = Similarity.ivfCentroidsKmeans(e, Similarity.nlistFor(e.count()))
+      .localCheckpoint(true)
+    val asg = Similarity.assignCells(e, cents)
+    TableStore.write(spark, ivfPath(root), version, IvfSpecs,
+      Map("ivf_centroids" -> cents, "ivf_assign" -> asg), cfg = cfg)
+    quantErr(e, cents)
+  }
+
+  /** The stored centroid table at the latest committed version. */
+  def ivfCentroids(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, ivfPath(root), latestIvf(spark, root), "ivf_centroids")
+
+  /** The stored (vec_id, cell) assignment at the latest version. */
+  def ivfAssignments(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, ivfPath(root), latestIvf(spark, root), "ivf_assign")
+
+  def latestIvf(spark: SparkSession, root: String): Long =
+    TableStore.latestVersion(spark, ivfPath(root)).getOrElse(
+      throw new IllegalStateException(s"no committed IVF index under $root"))
+
+  /** Delta append: assign `deltaE`'s vectors under the FROZEN stored
+    * centroids and upsert them into the assignment table as a new
+    * version. One projection over the delta + touched-bucket rewrites;
+    * the centroid pointers inherit untouched.
+    */
+  def appendIvf(spark: SparkSession, root: String, deltaE: DataFrame): Long = {
+    val v = latestIvf(spark, root)
+    val cents = TableStore.read(spark, ivfPath(root), v, "ivf_centroids")
+    val asgDelta = Similarity.assignCells(deltaE, cents)
+    TableStore.write(spark, ivfPath(root), v + 1, IvfSpecs,
+      Map("ivf_assign" -> asgDelta), delta = true, cfg = cfg)
+    v + 1
+  }
+
+  /** Mean quantization error of `e` under `cents`, in missed-cosine ppm:
+    * avg over vectors of (1 − best cosine) × 1e6. One bounded-literal
+    * projection + one scalar aggregate — the batch twin of the E13
+    * stream monitor's `mean_err`.
+    */
+  def quantErr(e: DataFrame, cents: DataFrame): Double = {
+    val cs = cents.select(col("cell").cast("long"), col("cv"), col("cn")).collect()
+    require(cs.length <= 65536, s"centroid set of ${cs.length} exceeds the plan-embed bound")
+    val lits = array(cs.toSeq.map(r =>
+      struct(typedlit(r.getSeq[Double](1)).as("cv"),
+        lit(r.getDouble(2)).as("cn"))): _*)
+    val bestCos = aggregate(lits, lit(-2.0), (acc, c) => {
+      val cos = aggregate(
+        zip_with(col("v"), c.getField("cv"), (a, b) => a.cast("double") * b),
+        lit(0.0), (s, x) => s + x) / (col("nrm") * c.getField("cn"))
+      when(cos > acc, cos).otherwise(acc)
+    })
+    val r = e.agg(avg((lit(1.0) - bestCos) * 1e6).as("err")).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The maintenance decision, wired to the E13 drift contract: compute
+    * the arrivals' drift_ppm against the stored quantizer
+    * (mean_err / baselineErr × 1e6 — exactly
+    * [[graft.streaming.StreamAnalytics.pqDriftMonitor]]'s output
+    * column); appends under frozen centroids while drift stays under
+    * `retrainAtPpm`, retrains on `fullE` and bumps the version when it
+    * crosses. Returns (newVersion, driftPpm, retrained).
+    */
+  def maintain(spark: SparkSession, root: String, deltaE: DataFrame,
+      fullE: DataFrame, baselineErr: Double,
+      retrainAtPpm: Long = 2_000_000L): (Long, Long, Boolean) = {
+    val v = latestIvf(spark, root)
+    val cents = TableStore.read(spark, ivfPath(root), v, "ivf_centroids")
+    val deltaErr = quantErr(deltaE, cents)
+    val driftPpm =
+      if (baselineErr <= 0) if (deltaErr <= 0) 1_000_000L else Long.MaxValue
+      else (deltaErr * 1e6 / baselineErr).toLong
+    if (driftPpm >= retrainAtPpm) {
+      val newCents = Similarity
+        .ivfCentroidsKmeans(fullE, Similarity.nlistFor(fullE.count()))
+        .localCheckpoint(true)
+      TableStore.write(spark, ivfPath(root), v + 1, IvfSpecs,
+        Map("ivf_centroids" -> newCents,
+          "ivf_assign" -> Similarity.assignCells(fullE, newCents)), cfg = cfg)
+      (v + 1, driftPpm, true)
+    } else (appendIvf(spark, root, deltaE), driftPpm, false)
+  }
+
+  // --- PQ ------------------------------------------------------------------
+
+  /** Train the PQ codebooks on `e` and full-write codebooks + codes. */
+  def trainPq(spark: SparkSession, root: String, e: DataFrame,
+      version: Long = 0L): Unit = {
+    import spark.implicits._
+    val books = Pq.trainBooks(e)
+    val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
+      b.map { case (code, cv) => (sub, code, cv) }
+    }
+    TableStore.write(spark, pqPath(root), version, PqSpecs,
+      Map("pq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
+        "pq_codes" -> Pq.codesOf(e, books)), cfg = cfg)
+  }
+
+  def latestPq(spark: SparkSession, root: String): Long =
+    TableStore.latestVersion(spark, pqPath(root)).getOrElse(
+      throw new IllegalStateException(s"no committed PQ index under $root"))
+
+  /** The stored codebooks, reconstituted driver-side (bounded: M × ksub
+    * rows) in the exact shape [[Pq.codesOf]] and
+    * [[Pq.reconstructionError]] consume.
+    */
+  def pqBooks(spark: SparkSession, root: String): Seq[Seq[(Long, Seq[Double])]] = {
+    val rows = TableStore
+      .read(spark, pqPath(root), latestPq(spark, root), "pq_codebooks")
+      .collect()
+    require(rows.length <= 65536, s"codebook table of ${rows.length} rows exceeds bound")
+    rows.toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map { case (_, code, cv) => (code, cv) }.sortBy(_._1))
+  }
+
+  def pqCodes(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, pqPath(root), latestPq(spark, root), "pq_codes")
+
+  /** Delta append under FROZEN codebooks — the PQ twin of [[appendIvf]]. */
+  def appendPq(spark: SparkSession, root: String, deltaE: DataFrame): Long = {
+    val v = latestPq(spark, root)
+    val books = pqBooks(spark, root)
+    TableStore.write(spark, pqPath(root), v + 1, PqSpecs,
+      Map("pq_codes" -> Pq.codesOf(deltaE, books)), delta = true, cfg = cfg)
+    v + 1
+  }
+}

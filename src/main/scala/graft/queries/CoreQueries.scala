@@ -827,7 +827,7 @@ object CoreQueries {
   }
 
   /** JVM-exit cleanup of sink-query scratch directories. */
-  private object SinkCleanup {
+  private[graft] object SinkCleanup {
     private val paths = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
     private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

@@ -103,7 +103,7 @@ object StateStore {
   /** Murmur3 bucket of a table's bucket columns — deterministic across
     * runs and engine versions (Spark's `hash` is seed-42 Murmur3).
     */
-  private def bucket(keys: Seq[String], buckets: Int): Column =
+  private[streaming] def bucket(keys: Seq[String], buckets: Int): Column =
     pmod(hash(keys.map(col): _*), lit(buckets))
 
   // --- manifest ------------------------------------------------------------
@@ -151,7 +151,7 @@ object StateStore {
     */
   final class CorruptManifestException(msg: String) extends RuntimeException(msg)
 
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private[streaming] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -166,7 +166,7 @@ object StateStore {
     * live); manifests without a recorded token (pre-token stores) resolve
     * to the legacy flat layout.
     */
-  private def tableDataDir(statePath: String, dirs: Map[Long, String],
+  private[streaming] def tableDataDir(statePath: String, dirs: Map[Long, String],
       v: Long, table: String): String =
     dirs.get(v).map(d => s"$statePath/v$v/$d/$table")
       .getOrElse(s"$statePath/v$v/$table")
@@ -184,8 +184,12 @@ object StateStore {
       sb.append(s"dir:$v=$d\n")
     // StructType.json is single-line; only schemas that DIFFER from the
     // canonical shape are recorded, so pre-evolution manifests stay
-    // byte-stable (and redelivery equality with them keeps holding)
-    for ((t, sc) <- schemas.toSeq.sortBy(_._1) if sc != tableSchema(t))
+    // byte-stable (and redelivery equality with them keeps holding).
+    // Tables WITHOUT a canonical graph schema (generic TableStore
+    // tables) always record theirs — the manifest is their only schema
+    // authority.
+    for ((t, sc) <- schemas.toSeq.sortBy(_._1)
+         if !tables.exists(_.name == t) || sc != tableSchema(t))
       sb.append(s"schema:$t=${sc.json}\n")
     for ((t, m) <- pointers.toSeq.sortBy(_._1); (pt, v) <- m.toSeq.sorted)
       sb.append(s"$t $pt $v\n")
@@ -598,7 +602,7 @@ object StateStore {
       .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
   }
 
-  private def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
+  private[streaming] def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
     val (fs, p) = fsFor(spark, tableDir)
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).toSeq
@@ -609,13 +613,13 @@ object StateStore {
 
   // --- read ----------------------------------------------------------------
 
-  private def bucketPaths(statePath: String, m: Manifest, table: String,
+  private[streaming] def bucketPaths(statePath: String, m: Manifest, table: String,
       only: Option[Set[Int]] = None): Seq[String] =
     m.pointers.getOrElse(table, Map.empty).toSeq
       .filter { case (pt, _) => only.forall(_.contains(pt)) }
       .map { case (pt, v) => s"${tableDataDir(statePath, m.dirs, v, table)}/pt=$pt" }
 
-  private def readPaths(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+  private[streaming] def readPaths(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)

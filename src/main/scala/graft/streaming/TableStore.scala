@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import StateStore.{Config, Manifest, Pointers}
+
+/** Generic versioned, hash-bucketed table store — [[StateStore]]'s
+  * shadow-paging/manifest/CAS machinery opened up to ARBITRARY table
+  * sets, so long-lived derived artifacts (the trained vector indexes,
+  * see [[graft.ext.VectorIndex]]) get the same durability contract as
+  * the graph state: writer-unique staging dirs promoted under a
+  * crc32-checked manifest committed with an exclusive create, bucket
+  * pointers inherited across versions, prune-reclaimable garbage.
+  *
+  * The write model matches the store's append-only reverse index
+  * (StateStore.write's `parent_of_idx` path), generalized:
+  *
+  *  - a FULL write (no `delta`) rewrites every table completely;
+  *  - an INCREMENTAL write passes each table's DELTA rows only; the
+  *    store hashes the delta keys to their buckets, read-modify-writes
+  *    exactly those buckets (old rows whose key is absent from the
+  *    delta, union the delta — i.e. key-level upsert), and inherits
+  *    every untouched bucket's pointer. Per-version write I/O is
+  *    O(delta × bucket), never O(table) — the property that makes
+  *    incremental index maintenance viable at 100 TB.
+  *
+  * Keys are the bucket columns ([[Spec.bucketCols]]): a row replaces
+  * the stored row with the same key tuple. Determinism/idempotence
+  * inherit from StateStore.commit: a redelivered version recomputes the
+  * same buckets and pointer map and commits idempotently; a racing
+  * writer loses the manifest CAS retryably.
+  */
+object TableStore {
+
+  /** One table's contract: its name and the key columns rows are
+    * bucketed (and upserted) by.
+    */
+  final case class Spec(name: String, bucketCols: Seq[String])
+
+  /** Write `frames` as `version`. Full when `delta` is absent (or no
+    * predecessor exists); incremental otherwise — then each present
+    * `frames(name)` must hold ONLY that table's delta rows, and a table
+    * absent from `frames` is inherited untouched.
+    */
+  def write(spark: SparkSession, statePath: String, version: Long,
+      specs: Seq[Spec], frames: Map[String, DataFrame],
+      delta: Boolean = false, cfg: Config = Config()): Unit = {
+    require(frames.keySet.subsetOf(specs.map(_.name).toSet),
+      s"frames ${frames.keySet.diff(specs.map(_.name).toSet)} not in specs")
+    val prevVersion = StateStore.committedVersions(spark, statePath, version - 1).lastOption
+    val prev = prevVersion.flatMap(v => StateStore.readManifest(spark, statePath, v))
+    val incremental = delta && prev.nonEmpty
+    prev.foreach { pm =>
+      require(!incremental || pm.buckets == cfg.buckets,
+        s"bucket count changed (manifest=${pm.buckets}, config=${cfg.buckets}): " +
+          "rebucket with a full write instead")
+    }
+    require(incremental || frames.keySet == specs.map(_.name).toSet,
+      "a full write must provide every table's frame " +
+        s"(missing ${specs.map(_.name).toSet.diff(frames.keySet).toSeq.sorted.mkString(", ")})")
+
+    // each version records the schema its tables were written under;
+    // inherited tables carry the predecessor's recorded schema forward
+    val schemas: Map[String, StructType] = specs.map { t =>
+      t.name -> frames.get(t.name).map(_.schema)
+        .orElse(prev.map(_.schemaOf(t.name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no frame and no predecessor schema for '${t.name}'"))
+    }.toMap
+    // incremental schema contract (same as StateStore.write): additive
+    // only — inherited buckets null-fill added columns under the new
+    // read schema; narrowing needs a full rewrite
+    if (incremental) for (t <- specs; df <- frames.get(t.name)) {
+      val old = prev.get.schemaOf(t.name)
+      val missing = old.fields.filterNot(of =>
+        df.schema.fields.exists(nf => nf.name == of.name && nf.dataType == of.dataType))
+      require(missing.isEmpty,
+        s"incremental write narrows '${t.name}': predecessor fields " +
+          s"${missing.map(_.name).mkString(", ")} absent or retyped — evolve " +
+          "additively, or rewrite with a full write")
+    }
+
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$statePath/.staging-v$version-$token"
+    def writeDir(df: DataFrame, name: String): Set[Int] = {
+      df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
+      StateStore.listBuckets(spark, s"$staging/$name")
+    }
+    def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
+
+    val pointers: Pointers = specs.map { t =>
+      val keyBucket = StateStore.bucket(t.bucketCols, cfg.buckets)
+      val inherited = prev.map(_.pointers.getOrElse(t.name, Map.empty[Int, Long]))
+        .getOrElse(Map.empty)
+      t.name -> (frames.get(t.name) match {
+        case None =>
+          inherited // untouched: every bucket pointer carries forward
+        case Some(df) if !incremental =>
+          if (provablyNoRows(df)) Map.empty[Int, Long]
+          else writeDir(df.withColumn("pt", keyBucket), t.name)
+            .map(_ -> version).toMap
+        case Some(dfDelta) =>
+          // touched buckets from the delta's keys — a bounded driver
+          // collect (at most `buckets` ints), the same shape as
+          // StateStore's touched-bucket election
+          val dd = dfDelta.withColumn("pt", keyBucket)
+          val touched: Set[Int] =
+            if (provablyNoRows(dfDelta)) Set.empty
+            else dd.select(col("pt")).distinct().collect().map(_.getInt(0)).toSet
+          if (touched.isEmpty) inherited
+          else {
+            // read-modify-write ONLY the touched buckets: stored rows
+            // lose to delta rows on key equality (upsert)
+            val oldPaths = inherited
+              .filter { case (pt, _) => touched(pt) }
+              .map { case (pt, v) =>
+                s"${StateStore.tableDataDir(statePath, prev.get.dirs, v, t.name)}/pt=$pt"
+              }.toSeq
+            val old = StateStore.readPaths(spark, prev.get.schemaOf(t.name), oldPaths)
+            val kept = old.join(
+              dfDelta.select(t.bucketCols.map(col): _*).distinct(),
+              t.bucketCols, "left_anti")
+            val merged = kept.unionByName(dfDelta, allowMissingColumns = true)
+              .withColumn("pt", keyBucket)
+              .filter(col("pt").isin(touched.toSeq: _*))
+            val written = writeDir(merged, t.name)
+            (inherited -- touched) ++ written.map(_ -> version).toMap
+          }
+      })
+    }.toMap
+
+    val refVers = pointers.valuesIterator.flatMap(_.valuesIterator).toSet
+    val dirs: Map[Long, String] =
+      prev.map(_.dirs).getOrElse(Map.empty).filter { case (v, _) => refVers(v) } ++
+        (if (refVers(version)) Map(version -> s"d-$token") else Map.empty)
+    StateStore.commit(spark, statePath, version, cfg, pointers, prevVersion,
+      Some(staging), schemas, dirs, dirName = s"d-$token")
+  }
+
+  /** One table at `version`, resolved through its manifest pointers and
+    * recorded schema (the `pt` partition column never surfaces).
+    */
+  def read(spark: SparkSession, statePath: String, version: Long,
+      table: String): DataFrame = {
+    val m = manifestAt(spark, statePath, version)
+    StateStore.readPaths(spark, m.schemaOf(table),
+      StateStore.bucketPaths(statePath, m, table))
+  }
+
+  /** Bucket-pruned point read: only the buckets the `keys` frame hashes
+    * into are opened — the read twin of the incremental write.
+    */
+  def readForKeys(spark: SparkSession, statePath: String, version: Long,
+      spec: Spec, keys: DataFrame): DataFrame = {
+    val m = manifestAt(spark, statePath, version)
+    val touched = keys
+      .select(StateStore.bucket(spec.bucketCols, m.buckets).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    StateStore.readPaths(spark, m.schemaOf(spec.name),
+      StateStore.bucketPaths(statePath, m, spec.name, Some(touched)))
+  }
+
+  def latestVersion(spark: SparkSession, statePath: String,
+      maxVersion: Long = Long.MaxValue): Option[Long] =
+    StateStore.committedVersions(spark, statePath, maxVersion).lastOption
+
+  private def manifestAt(spark: SparkSession, statePath: String,
+      version: Long): Manifest =
+    StateStore.readManifest(spark, statePath, version).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest for v$version under $statePath"))
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** The generic versioned table store ([[TableStore]]) — StateStore's
+  * shadow-paging machinery opened to arbitrary table sets: full writes,
+  * key-level incremental upserts with bucket-granular write I/O,
+  * untouched-table pointer inheritance, idempotent redelivery, and the
+  * additive-schema contract.
+  */
+class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val specs = Seq(
+    TableStore.Spec("dim", Seq("k")),
+    TableStore.Spec("facts", Seq("id")))
+  private val cfg = StateStore.Config(buckets = 8)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-tablestore").toString
+
+  private def dim(rows: (String, Long)*) = rows.toDF("k", "v")
+  private def facts(rows: (Long, String)*) = rows.toDF("id", "payload")
+
+  test("full write + read round-trip for both tables") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L, "b" -> 2L),
+        "facts" -> facts(1L -> "x", 2L -> "y", 3L -> "z")), cfg = cfg)
+    TableStore.read(spark, root, 0L, "dim")
+      .as[(String, Long)].collect().sorted shouldBe Seq("a" -> 1L, "b" -> 2L)
+    TableStore.read(spark, root, 0L, "facts")
+      .as[(Long, String)].collect().sorted shouldBe
+      Seq(1L -> "x", 2L -> "y", 3L -> "z")
+    TableStore.latestVersion(spark, root) shouldBe Some(0L)
+  }
+
+  test("incremental write: delta keys upsert, absent keys survive, untouched table inherits") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    // delta: replace id 3, add id 21; dim untouched (absent from frames)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(3L -> "NEW", 21L -> "ADDED")), delta = true, cfg = cfg)
+
+    val got = TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap
+    got(3L) shouldBe "NEW"
+    got(21L) shouldBe "ADDED"
+    got(7L) shouldBe "p7" // an untouched key in a (probably) untouched bucket
+    got should have size 21
+    // the untouched table's pointers must all still name v0 (no rewrite)
+    val m1 = StateStore.readManifest(spark, root, 1L).get
+    m1.pointers("dim").values.toSet shouldBe Set(0L)
+    // facts rewrote ONLY the buckets the two delta keys hash into
+    val v1Buckets = m1.pointers("facts").filter(_._2 == 1L).keySet
+    v1Buckets.size should be <= 2
+    // and v0's remaining buckets still serve their rows
+    (m1.pointers("facts").values.toSet - 1L) shouldBe Set(0L)
+  }
+
+  test("redelivered incremental write commits idempotently (same version, same delta)") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x", 2L -> "y")), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(2L -> "y2")), delta = true, cfg = cfg)
+    // redelivery: exact same write again must neither throw nor corrupt
+    noException should be thrownBy TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(2L -> "y2")), delta = true, cfg = cfg)
+    TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap shouldBe Map(1L -> "x", 2L -> "y2")
+  }
+
+  test("readForKeys opens only the keys' buckets") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 50L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    val keys = Seq(5L).toDF("id")
+    val got = TableStore.readForKeys(spark, root, 0L, specs(1), keys)
+      .as[(Long, String)].collect().toMap
+    got(5L) shouldBe "p5"
+    // a pruned read returns a subset, never the whole table
+    got.size should be < 50
+  }
+
+  test("version history: older versions keep reading their own content") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x")), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(1L -> "x2")), delta = true, cfg = cfg)
+    TableStore.read(spark, root, 0L, "facts")
+      .as[(Long, String)].collect().toMap shouldBe Map(1L -> "x")
+    TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap shouldBe Map(1L -> "x2")
+  }
+
+  test("schema evolution: additive ok (inherited buckets null-fill), narrowing refused") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    // additive: new column `extra` rides the delta rows
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> Seq((21L, "n", 9L)).toDF("id", "payload", "extra")),
+      delta = true, cfg = cfg)
+    val got = TableStore.read(spark, root, 1L, "facts")
+    got.schema.fieldNames should contain("extra")
+    got.filter($"id" === 21L).select("extra").as[Long].head() shouldBe 9L
+    got.filter($"id" === 7L).select("extra").as[Option[Long]].head() shouldBe None
+    // narrowing (payload dropped) must be refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TableStore.write(spark, root, 2L, specs,
+        Map("facts" -> Seq((22L, 1L)).toDF("id", "extra")), delta = true, cfg = cfg)
+    }
+    e.getMessage should include("narrows")
+  }
+
+  test("full write requires every table; unknown table names are refused") {
+    val root = tmp()
+    intercept[IllegalArgumentException] {
+      TableStore.write(spark, root, 0L, specs, Map("dim" -> dim("a" -> 1L)), cfg = cfg)
+    }.getMessage should include("full write")
+    intercept[IllegalArgumentException] {
+      TableStore.write(spark, root, 0L, specs,
+        Map("nope" -> dim("a" -> 1L)), cfg = cfg)
+    }
+  }
+}
