@@ -917,9 +917,61 @@ object StateStore {
     * so live data is bounded by one copy per bucket per surviving
     * manifest, with no periodic full rewrite.
     */
+  // --- reader pins: the batch-read retention watermark ---------------------
+
+  /** Register a batch reader's retention pin. DataFrames are lazy: a
+    * reader that resolves version `v`'s manifest and materializes later
+    * (or over many jobs) MUST hold a pin at `v` for the span of its
+    * read, or a concurrent [[prune]] below `v` reclaims bucket dirs out
+    * from under its paths mid-job. While any pin exists, prune's
+    * effective floor is min(keepFrom, lowest pinned version) — the same
+    * retention contract the CDC source documents, extended to batch.
+    * Pins are tiny files under `pins/<token>`; tokens are caller-chosen
+    * (one per concurrent reader) and MUST be released with [[unpin]] —
+    * an abandoned pin holds retention forever by design (loud operator
+    * decision, not a silent reclaim).
+    */
+  def pinVersion(spark: SparkSession, statePath: String, version: Long,
+      token: String): Unit = {
+    require(token.nonEmpty && !token.exists(c => c == '/' || c.isWhitespace),
+      s"pin token '$token' must be a single path segment")
+    val (fs, _) = fsFor(spark, statePath)
+    val out = fs.create(new Path(s"$statePath/pins/$token"), true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def unpin(spark: SparkSession, statePath: String, token: String): Unit = {
+    val (fs, _) = fsFor(spark, statePath)
+    fs.delete(new Path(s"$statePath/pins/$token"), false): Unit
+  }
+
+  /** Lowest pinned version, if any pins exist. An unparseable pin file
+    * fails LOUDLY: it was engine-written, so damage means the retention
+    * floor is unknown — reclaiming anyway could pull a live reader's
+    * data.
+    */
+  private def pinnedFloor(spark: SparkSession, statePath: String): Option[Long] = {
+    val (fs, _) = fsFor(spark, statePath)
+    val dir = new Path(s"$statePath/pins")
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq.filter(_.isFile).map { s =>
+      val in = fs.open(s.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.trim.toLongOption.getOrElse(throw new IllegalStateException(
+        s"unparseable reader pin ${s.getPath}: '$text' — retention floor " +
+          "unknown, refusing to prune (delete the pin to proceed)"))
+    }
+    vs.minOption
+  }
+
   def prune(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
     val (fs, root) = fsFor(spark, statePath)
     if (!fs.exists(root)) return
+    // the effective floor honors every live reader's pin (see
+    // [[pinVersion]]): never reclaim a version a batch reader still
+    // resolves its paths through
+    val keepEff = pinnedFloor(spark, statePath).fold(keepFrom)(math.min(_, keepFrom))
     // reclaim staging dirs orphaned by crashed writers (a completed write
     // always deletes its own; prune runs when no writer is active)
     fs.listStatus(root).toSeq
@@ -928,7 +980,7 @@ object StateStore {
     val all = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption)
-    val survivors = all.filter(_ >= keepFrom)
+    val survivors = all.filter(_ >= keepEff)
       .filter(v => readManifest(spark, statePath, v).isDefined)
     // referenced bucket dirs keyed by (version, data dir name — "" for the
     // legacy flat layout, table, bucket): a surviving manifest resolves
@@ -940,7 +992,7 @@ object StateStore {
         bm.map { case (pt, v) => (v, m.dirs.getOrElse(v, ""), t, pt) }
       })
       .toSet
-    for (v <- all if v < keepFrom) {
+    for (v <- all if v < keepEff) {
       val vDir = new Path(root, s"v$v")
       // the version is no longer a valid read point once any of its buckets
       // may be reclaimed — drop its manifest FIRST so committedVersions
