@@ -398,8 +398,12 @@ object Pipeline {
         // iterating 1..max would pay empty-epoch machinery for nothing.
         // Bounded: <= 2 * (4096-run cap) + 1 rows collected.
         val present = tagged(spark, "fold:epoch-scan") {
-          evs.select(col("__epoch")).distinct().collect()
-            .map(_.getInt(0)).sorted.toSeq
+          // RDD-level distinct: the projection has no exchange (AQE never
+          // engages) and the collect is ONE job — the SQL distinct paid
+          // ~3 AQE stage-jobs of scheduling latency per batch for a
+          // bounded (<= 2 * run-cap + 1) answer
+          evs.select(col("__epoch")).rdd.map(_.getInt(0))
+            .distinct(numPartitions = 2).collect().sorted.toSeq
         }
         var st = st0
         var changes = ChangeSet.empty(spark)

@@ -589,17 +589,29 @@ object StateStore {
   /** One job for MANY tables' touched-bucket sets: tag each key frame,
     * union, distinct, collect — at most `buckets` ints per tag. Frames
     * that provably hold no rows (zero partitions) are skipped for free.
+    *
+    * The union/distinct/collect runs at the RDD layer DELIBERATELY: each
+    * branch is a pure projection (no exchange, so Catalyst plans it in
+    * one pass and AQE never engages), and the RDD-level distinct+collect
+    * is ONE job with two stages — the SQL form was ~6 AQE stage-jobs of
+    * pure scheduling latency per micro-batch for the same bounded
+    * answer (the election is fixed per-batch latency on the streaming
+    * hot path; r9 amortization profile: fold:partial-read was the
+    * largest marginal phase at 12 jobs/batch).
     */
   private def collectBucketsTagged(
       frames: Seq[(String, DataFrame, Column)]): Map[String, Set[Int]] = {
     val nonEmpty = frames.filter { case (_, df, _) => df.rdd.getNumPartitions > 0 }
     if (nonEmpty.isEmpty) Map.empty
     else nonEmpty
-      .map { case (n, df, b) => df.select(lit(n).as("t"), b.as("pt")) }
-      .reduce(_ unionByName _).distinct()
+      .map { case (n, df, b) =>
+        df.select(lit(n).as("t"), b.as("pt")).rdd
+          .map(r => (r.getString(0), r.getInt(1)))
+      }
+      .reduce(_ union _).distinct(numPartitions = 2)
       .collect()
-      .groupBy(_.getString(0))
-      .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
+      .groupBy(_._1)
+      .map { case (n, rows) => n -> rows.map(_._2).toSet }
   }
 
   private[streaming] def listBuckets(spark: SparkSession, tableDir: String): Set[Int] = {
