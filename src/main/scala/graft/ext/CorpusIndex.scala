@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{StateStore, TableStore}
+
+/** Persisted, versioned, incrementally-maintained DERIVED TEXT FRAMES —
+  * the [[VectorIndex]] lifecycle applied to the text families' two
+  * session materializations (the token-occurrence frame feeding the
+  * text-analytics queries and the shingle-hash frame feeding the dedup
+  * family). A 100 TB corpus tokenizes and shingle-hashes ONCE per
+  * corpus generation; every later session LOADS the stored frames
+  * (parquet round-trips longs and strings exactly, so consumers are
+  * hash-identical through either path), and arrivals maintain the
+  * frames incrementally instead of forcing a full re-read of the raw
+  * text:
+  *
+  *  - **document-level delta** (the cheap path): the delta documents
+  *    alone are tokenized / shingle-hashed — one projection over the
+  *    DELTA, never the corpus — and upserted through [[TableStore]]'s
+  *    bucket-level read-modify-write. Because the store key is
+  *    `doc_id`, an upsert REPLACES every stored row of a redelivered
+  *    document (a shrunken re-edit leaves no stale high-position token
+  *    rows behind — row-level upsert could not express that; key-level
+  *    replacement does). Write I/O is O(delta × bucket).
+  *  - A delta document that derives ZERO rows (empty text) cannot be
+  *    expressed as a row delta — route true deletions through a full
+  *    rewrite (or an explicit tombstone row upstream); the pipeline's
+  *    documents always carry text.
+  *
+  * Correctness contract (the q_triangle_delta proof shape, oracle-gated
+  * by `q_token_incremental`): stored base frame ⊕ document-delta
+  * derivation is hash-equal to deriving the ENTIRE corpus from raw
+  * text — the incremental path loses nothing, including on documents
+  * the delta REPLACES.
+  *
+  * Storage: one [[TableStore]] root per frame (`<root>/text_tokens`,
+  * `<root>/text_shingles`) — independent roots because each frame is
+  * built and maintained by its own family; both inherit the store's
+  * crash contract (writer-unique staging, crc32 manifests, CAS commit,
+  * prune-reclaimable garbage, [[StateStore.pinVersion]] retention).
+  */
+object CorpusIndex {
+
+  val TokenSpec = TableStore.Spec("tokens", Seq("doc_id"))
+  val ShingleSpec = TableStore.Spec("shingles", Seq("doc_id"))
+
+  /** Frame rows are a few longs/strings each; 8 buckets at test scale,
+    * thousands in production (the StateStore.Config doc).
+    */
+  def cfg: StateStore.Config = StateStore.Config(buckets = 8)
+
+  def tokensPath(root: String): String = s"$root/text_tokens"
+  def shinglesPath(root: String): String = s"$root/text_shingles"
+
+  /** Store root for a corpus dir, keyed by a CONTENT fingerprint of the
+    * documents table (path + mtime + size — the [[VectorIndex.storeRootFor]]
+    * rationale: the driver regenerates testdata between rounds, and a
+    * path-only key would serve a stale frame for new data; production
+    * pins the frame to its corpus snapshot version explicitly).
+    */
+  def storeRootFor(dir: String): String = {
+    val f = new java.io.File(dir, "documents.parquet")
+    val fp = TextAnalysis.md5hexJvm(s"$dir|${f.lastModified}|${f.length}").take(16)
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_text_store_$fp"
+  }
+
+  /** The (doc_id, source, term, pos) token rows of `docs` — the single
+    * derivation both the full build and the delta path run (so the two
+    * paths cannot drift), and the exact frame
+    * [[TextAnalysis.corpusTokens]] serves.
+    */
+  def tokenRows(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id")) // spread the explode — see Dedup.wordShingleDocs
+      .select(col("doc_id"), col("source"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("source"), col("term"),
+        col("pos").cast("long").as("pos"))
+
+  /** The (doc_id, hs) shingle-hash rows of `docs` — delegates to the
+    * dedup family's fused native pass.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = Dedup.wordShingleDocs(docs)
+
+  // --- tokens --------------------------------------------------------------
+
+  /** Full-write `docs`' token frame as `version`. */
+  def buildTokens(spark: SparkSession, root: String, docs: DataFrame,
+      version: Long = 0L): Unit =
+    writeTokenFrame(spark, root, tokenRows(docs), version)
+
+  /** Full-write an ALREADY-DERIVED token frame (the session build
+    * checkpoints its frame first and persists those exact blocks — no
+    * second tokenize pass).
+    */
+  def writeTokenFrame(spark: SparkSession, root: String, frame: DataFrame,
+      version: Long = 0L): Unit =
+    TableStore.write(spark, tokensPath(root), version, Seq(TokenSpec),
+      Map("tokens" -> frame), cfg = cfg)
+
+  /** Document-level delta: derive ONLY `deltaDocs`' token rows and
+    * upsert them as a new version — every stored row of a redelivered
+    * doc_id is replaced, untouched buckets inherit their pointers.
+    */
+  def appendTokenDocs(spark: SparkSession, root: String,
+      deltaDocs: DataFrame): Long = {
+    val v = latestTokens(spark, root)
+    TableStore.write(spark, tokensPath(root), v + 1, Seq(TokenSpec),
+      Map("tokens" -> tokenRows(deltaDocs)), delta = true, cfg = cfg)
+    v + 1
+  }
+
+  def latestTokens(spark: SparkSession, root: String): Long =
+    TableStore.latestVersion(spark, tokensPath(root)).getOrElse(
+      throw new IllegalStateException(s"no committed token frame under $root"))
+
+  def storedTokens(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, tokensPath(root), latestTokens(spark, root), "tokens")
+
+  // --- shingles ------------------------------------------------------------
+
+  /** Full-write `docs`' shingle frame as `version`. */
+  def buildShingles(spark: SparkSession, root: String, docs: DataFrame,
+      version: Long = 0L): Unit =
+    writeShingleFrame(spark, root, shingleRows(docs), version)
+
+  /** Full-write an already-derived shingle frame — see [[writeTokenFrame]]. */
+  def writeShingleFrame(spark: SparkSession, root: String, frame: DataFrame,
+      version: Long = 0L): Unit =
+    TableStore.write(spark, shinglesPath(root), version, Seq(ShingleSpec),
+      Map("shingles" -> frame), cfg = cfg)
+
+  /** Document-level delta for the shingle frame — the dedup twin of
+    * [[appendTokenDocs]] (one fused hash pass over the delta docs only).
+    */
+  def appendShingleDocs(spark: SparkSession, root: String,
+      deltaDocs: DataFrame): Long = {
+    val v = latestShingles(spark, root)
+    TableStore.write(spark, shinglesPath(root), v + 1, Seq(ShingleSpec),
+      Map("shingles" -> shingleRows(deltaDocs)), delta = true, cfg = cfg)
+    v + 1
+  }
+
+  def latestShingles(spark: SparkSession, root: String): Long =
+    TableStore.latestVersion(spark, shinglesPath(root)).getOrElse(
+      throw new IllegalStateException(s"no committed shingle frame under $root"))
+
+  def storedShingles(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, shinglesPath(root), latestShingles(spark, root),
+      "shingles")
+}

@@ -125,8 +125,23 @@ object Dedup {
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     shingleCache.getOrBuild(s, dir) {
-      graft.Materialize.timed("shingle_table") {
-        wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
+      val root = CorpusIndex.storeRootFor(dir)
+      val stored = graft.streaming.TableStore
+        .latestVersion(s, CorpusIndex.shinglesPath(root))
+      if (stored.nonEmpty) graft.Materialize.timed("shingle_table_load") {
+        // a previous session already hashed and PERSISTED this corpus
+        // generation's shingle frame (see TextAnalysis.corpusTokens /
+        // CorpusIndex) — longs round-trip parquet exactly; re-spread
+        // across cores (8 bucket dirs → corpus-partitioned frame)
+        CorpusIndex.storedShingles(s, root)
+          .repartition(col("doc_id")).localCheckpoint(true)
+      } else graft.Materialize.timed("shingle_table") {
+        val f = wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
+        try CorpusIndex.writeShingleFrame(s, root, f)
+        catch { case e: Exception =>
+          System.err.println(s"[graft] shingle frame persist failed (non-fatal): ${e.getMessage}")
+        }
+        f
       }
     }
 

@@ -920,7 +920,54 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- H66: persisted token-frame incremental maintenance --------------------
+  // The VectorIndex lifecycle (q_ivf_incremental) applied to the text
+  // family's materialized token frame: a 100 TB corpus tokenizes once
+  // per generation into a versioned store table, and arrivals maintain
+  // it by DOCUMENT-level delta — only the delta docs are tokenized, and
+  // TableStore's doc_id-keyed upsert REPLACES every stored row of a
+  // redelivered document (the base deliberately holds a TRUNCATED text
+  // for the %10==1 docs, so their stale high-position token rows must
+  // vanish — row-level upsert could not express that). The oracle sees
+  // only the TRUE final corpus; the Spark side must reach the identical
+  // frame through store maintenance (full-write stale base ⊕ doc delta),
+  // proving the incremental path loses nothing. Per-doc digest: token
+  // count, distinct terms, and a mod-p sum of the seeded 60-bit
+  // term|pos hashes (mod keeps the sum inside BIGINT on both engines).
+  val q_token_incremental: QueryDef = QueryDef(
+    """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+      |  WHERE term <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_textidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial corpus
+    CorpusIndex.appendTokenDocs(s, root, delta) // v1: inserts %10==0, REPLACES %10==1
+    CorpusIndex.storedTokens(s, root)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_terms"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("term"), col("pos")), 7) % 1000000007L)
+          % 1000000007L).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q_token_incremental" -> q_token_incremental,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,
