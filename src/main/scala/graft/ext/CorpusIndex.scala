@@ -88,15 +88,15 @@ object CorpusIndex {
 
   /** Full-write `docs`' token frame as `version`. */
   def buildTokens(spark: SparkSession, root: String, docs: DataFrame,
-      version: Long = 0L): Unit =
-    writeTokenFrame(spark, root, tokenRows(docs), version)
+      version: Long = 0L, cfg: StateStore.Config = CorpusIndex.cfg): Unit =
+    writeTokenFrame(spark, root, tokenRows(docs), version, cfg)
 
   /** Full-write an ALREADY-DERIVED token frame (the session build
     * checkpoints its frame first and persists those exact blocks — no
     * second tokenize pass).
     */
   def writeTokenFrame(spark: SparkSession, root: String, frame: DataFrame,
-      version: Long = 0L): Unit =
+      version: Long = 0L, cfg: StateStore.Config = CorpusIndex.cfg): Unit =
     TableStore.write(spark, tokensPath(root), version, Seq(TokenSpec),
       Map("tokens" -> frame), cfg = cfg)
 
@@ -105,7 +105,7 @@ object CorpusIndex {
     * doc_id is replaced, untouched buckets inherit their pointers.
     */
   def appendTokenDocs(spark: SparkSession, root: String,
-      deltaDocs: DataFrame): Long = {
+      deltaDocs: DataFrame, cfg: StateStore.Config = CorpusIndex.cfg): Long = {
     val v = latestTokens(spark, root)
     TableStore.write(spark, tokensPath(root), v + 1, Seq(TokenSpec),
       Map("tokens" -> tokenRows(deltaDocs)), delta = true, cfg = cfg)

@@ -73,7 +73,7 @@ object VectorIndex {
     * quantization error at train time — the drift monitor's baseline.
     */
   def trainIvf(spark: SparkSession, root: String, e: DataFrame,
-      version: Long = 0L): Double = {
+      version: Long = 0L, cfg: StateStore.Config = VectorIndex.cfg): Double = {
     val cents = Similarity.ivfCentroidsKmeans(e, Similarity.nlistFor(e.count()))
       .localCheckpoint(true)
     val asg = Similarity.assignCells(e, cents)
@@ -99,7 +99,8 @@ object VectorIndex {
     * version. One projection over the delta + touched-bucket rewrites;
     * the centroid pointers inherit untouched.
     */
-  def appendIvf(spark: SparkSession, root: String, deltaE: DataFrame): Long = {
+  def appendIvf(spark: SparkSession, root: String, deltaE: DataFrame,
+      cfg: StateStore.Config = VectorIndex.cfg): Long = {
     val v = latestIvf(spark, root)
     val cents = TableStore.read(spark, ivfPath(root), v, "ivf_centroids")
     val asgDelta = Similarity.assignCells(deltaE, cents)

@@ -987,15 +987,21 @@ object CoreQueries {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
-    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    // dir-unique view name: a GLOBAL name would let two concurrent
+    // callers against DIFFERENT corpus dirs race replace-vs-read and
+    // silently serve each other's data (ConcurrentCatalogSpec pins the
+    // two-dir race); same-dir concurrency was always idempotent
+    val vname = "graft_orders_v_" +
+      graft.ext.TextAnalysis.md5hexJvm(dir).take(12)
+    Tables.orders(s, dir).createOrReplaceTempView(vname)
     s.sql(
-      """SELECT o_custkey, e.col.id AS o_orderkey, e.col.score AS o_totalprice,
-        |  e.pos + 1 AS rn,
-        |  graft_md5_prefix_long(CAST(e.col.id AS STRING), 12) AS okey_h
-        |FROM (SELECT o_custkey, graft_topk_ordered(o_totalprice, o_orderkey, 3) AS top
-        |      FROM graft_orders_v GROUP BY o_custkey)
-        |LATERAL VIEW posexplode(top) e
-        |ORDER BY o_custkey, rn""".stripMargin)
+      s"""SELECT o_custkey, e.col.id AS o_orderkey, e.col.score AS o_totalprice,
+         |  e.pos + 1 AS rn,
+         |  graft_md5_prefix_long(CAST(e.col.id AS STRING), 12) AS okey_h
+         |FROM (SELECT o_custkey, graft_topk_ordered(o_totalprice, o_orderkey, 3) AS top
+         |      FROM $vname GROUP BY o_custkey)
+         |LATERAL VIEW posexplode(top) e
+         |ORDER BY o_custkey, rn""".stripMargin)
   }
 
   // -- exact ordinal percentiles (nearest-rank p50/p90/p99) ------------------

@@ -515,6 +515,54 @@ object ScalingProbe {
       })
     }
 
+    // 14. persisted-frame DELTA maintenance (r9, CorpusIndex/H66): the
+    // base token store grows with k while the DELTA stays fixed, and —
+    // per the Config contract that one bucket stays batch-sized at
+    // scale — the bucket count grows with the corpus (8k). The timed
+    // append (tokenize delta → touched-bucket read-modify-write → CAS
+    // commit) must then stay ~FLAT in base size: the
+    // O(delta × bucket)-not-O(corpus) claim behind incremental index
+    // maintenance at 100 TB. Each timed run commits a real new version.
+    if (on("token_delta")) {
+      val root = java.nio.file.Files.createTempDirectory("graft_tokdelta").toString
+      val cfgK = graft.streaming.StateStore.Config(buckets = 8 * k)
+      val srcDocs = docs.withColumn("source", lit("s"))
+      graft.ext.CorpusIndex.buildTokens(spark, root, srcDocs, cfg = cfgK) // untimed base
+      val delta = srcDocs.filter(col("doc_id") < 200)
+        .withColumn("text", concat(col("text"), lit(" delta tail")))
+        .localCheckpoint(true)
+      record("token_delta")(timeMin(3, spark) {
+        graft.ext.CorpusIndex.appendTokenDocs(spark, root, delta, cfg = cfgK)
+      })
+    }
+
+    // 15. the IVF twin: frozen-centroid delta assignment + code upsert
+    // against a base assignment store that grows with k (buckets scale
+    // alongside). Same flatness contract as token_delta.
+    if (on("ivf_delta")) {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("i", explode(array((0 until k).map(lit): _*)))
+        .select(
+          (col("vec_id") + col("i").cast("long") * 10000000L).as("vec_id"),
+          transform(col("embedding"), (x, d) =>
+            (x + col("i").cast("float") * lit(0.001f) * (d % 3).cast("float"))
+              .cast("float")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)))
+        .repartition(32).localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfdelta").toString
+      val cfgK = graft.streaming.StateStore.Config(buckets = 8 * k)
+      graft.ext.VectorIndex.trainIvf(spark, root, emb, cfg = cfgK) // untimed base
+      // FIXED-size delta (copy-0 originals only), offset to fresh ids
+      val deltaE = emb.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 900000000000L).as("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint(true)
+      record("ivf_delta")(timeMin(3, spark) {
+        graft.ext.VectorIndex.appendIvf(spark, root, deltaE, cfg = cfgK)
+      })
+    }
+
     val json = out.map { case (fam, t) => s""""$fam":$t""" }.mkString("{", ",", "}")
     println(s"""{"k":$k,"families":$json,"sf":"$dir"}""")
     spark.stop()
