@@ -966,8 +966,41 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- H66b: the shingle-frame twin of q_token_incremental -------------------
+  // Same store-maintenance proof over the DEDUP family's persisted
+  // frame: full-write a stale base (truncated %10==1 texts, %10==0 docs
+  // absent), append the true docs as a document-level delta, and the
+  // stored (doc_id, hs) frame must hash-equal the oracle's from-raw
+  // shingle derivation — so the LSH/minhash consumers downstream of
+  // corpusShingles lose nothing to incremental maintenance. Digest:
+  // shingle-set size + mod-p sum of the 60-bit hashes per doc.
+  val q_shingle_incremental: QueryDef = QueryDef(
+    s"""WITH sh AS (${Dedup.wordShingleSql})
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh,
+       |  CAST(COALESCE(list_sum(list_transform(hs, h -> h % 1000000007)), 0)
+       |    % 1000000007 AS BIGINT) AS h
+       |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_shingleidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    CorpusIndex.buildShingles(s, root, base)
+    CorpusIndex.appendShingleDocs(s, root, delta)
+    CorpusIndex.storedShingles(s, root)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        (aggregate(transform(col("hs"), h => h % 1000000007L),
+          lit(0L), (a, x) => a + x) % 1000000007L).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_token_incremental" -> q_token_incremental,
+    "q_shingle_incremental" -> q_shingle_incremental,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,
