@@ -23,10 +23,13 @@ import graft.streaming.{StateStore, TableStore}
   *    document (a shrunken re-edit leaves no stale high-position token
   *    rows behind — row-level upsert could not express that; key-level
   *    replacement does). Write I/O is O(delta × bucket).
-  *  - A delta document that derives ZERO rows (empty text) cannot be
-  *    expressed as a row delta — route true deletions through a full
-  *    rewrite (or an explicit tombstone row upstream); the pipeline's
-  *    documents always carry text.
+  *  - **document-level delete** (the retraction path): a removed
+  *    document — a takedown, a GDPR erasure, an upstream tombstone —
+  *    rides the same commit as a `deleteDocIds` frame: every stored row
+  *    of those doc_ids is retracted through [[TableStore]]'s tombstone
+  *    channel, still O(delta × bucket) write I/O, and a doc_id in both
+  *    the delta and the deletes survives with the delta's rows
+  *    (delete-then-reinsert). No full rewrite for deletions.
   *
   * Correctness contract (the q_triangle_delta proof shape, oracle-gated
   * by `q_token_incremental`): stored base frame ⊕ document-delta
@@ -103,12 +106,16 @@ object CorpusIndex {
   /** Document-level delta: derive ONLY `deltaDocs`' token rows and
     * upsert them as a new version — every stored row of a redelivered
     * doc_id is replaced, untouched buckets inherit their pointers.
+    * `deleteDocIds` (a frame holding `doc_id`) retracts removed
+    * documents in the same commit — see the object doc's delete bullet.
     */
   def appendTokenDocs(spark: SparkSession, root: String,
-      deltaDocs: DataFrame, cfg: StateStore.Config = CorpusIndex.cfg): Long = {
+      deltaDocs: DataFrame, deleteDocIds: Option[DataFrame] = None,
+      cfg: StateStore.Config = CorpusIndex.cfg): Long = {
     val v = latestTokens(spark, root)
     TableStore.write(spark, tokensPath(root), v + 1, Seq(TokenSpec),
-      Map("tokens" -> tokenRows(deltaDocs)), delta = true, cfg = cfg)
+      Map("tokens" -> tokenRows(deltaDocs)), delta = true, cfg = cfg,
+      deletes = deleteDocIds.map("tokens" -> _.select(col("doc_id"))).toMap)
     v + 1
   }
 
@@ -133,13 +140,15 @@ object CorpusIndex {
       Map("shingles" -> frame), cfg = cfg)
 
   /** Document-level delta for the shingle frame — the dedup twin of
-    * [[appendTokenDocs]] (one fused hash pass over the delta docs only).
+    * [[appendTokenDocs]] (one fused hash pass over the delta docs only),
+    * with the same `deleteDocIds` retraction channel.
     */
   def appendShingleDocs(spark: SparkSession, root: String,
-      deltaDocs: DataFrame): Long = {
+      deltaDocs: DataFrame, deleteDocIds: Option[DataFrame] = None): Long = {
     val v = latestShingles(spark, root)
     TableStore.write(spark, shinglesPath(root), v + 1, Seq(ShingleSpec),
-      Map("shingles" -> shingleRows(deltaDocs)), delta = true, cfg = cfg)
+      Map("shingles" -> shingleRows(deltaDocs)), delta = true, cfg = cfg,
+      deletes = deleteDocIds.map("shingles" -> _.select(col("doc_id"))).toMap)
     v + 1
   }
 

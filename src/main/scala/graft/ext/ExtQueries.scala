@@ -998,9 +998,56 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- H66c: document retraction without a full rewrite ----------------------
+  // The maintenance commit a real corpus hits hardest: one version that
+  // INSERTS new docs (%10==0, absent from the base), REPLACES stale ones
+  // (%10==1, truncated in the base), and RETRACTS removed ones (the
+  // phantom +1000000 docs — a takedown/GDPR erasure) through TableStore's
+  // tombstone channel, all at O(delta × bucket) write I/O. The oracle
+  // sees only the TRUE final corpus, so a single surviving phantom row
+  // (failed delete) or lost replacement breaks the hash. Digest as
+  // q_token_incremental.
+  val q_token_retract: QueryDef = QueryDef(
+    """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+      |  WHERE term <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val phantoms = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+      .unionByName(phantoms)
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_textidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    CorpusIndex.buildTokens(s, root, base) // v0: stale + phantom docs
+    CorpusIndex.appendTokenDocs(s, root, delta, // v1: one maintenance commit
+      deleteDocIds = Some(phantoms.select(col("doc_id"))))
+    CorpusIndex.storedTokens(s, root)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_terms"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("term"), col("pos")), 7) % 1000000007L)
+          % 1000000007L).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_token_incremental" -> q_token_incremental,
     "q_shingle_incremental" -> q_shingle_incremental,
+    "q_token_retract" -> q_token_retract,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,

@@ -751,8 +751,43 @@ object Similarity {
     VectorIndex.ivfAssignments(s, root).orderBy(col("vec_id"))
   }
 
+  // -- persisted-index retraction (q_ivf_incremental's delete leg) ----------
+  // A takedown/GDPR erasure against the SERVING index: the retracted
+  // vectors' assignment rows vanish from the new version through
+  // TableStore's tombstone channel (centroids frozen, O(delta × bucket)
+  // write I/O) so no probe can ever route to them. The oracle re-assigns
+  // only the SURVIVING corpus under the same base-trained centroids — a
+  // single surviving retracted row breaks the row-count gate.
+  val q_ivf_retract: QueryDef = QueryDef(
+    s"""WITH ez AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |e AS (SELECT * FROM ez WHERE vec_id % 5 <> 0),
+       |$nlistSql,
+       |$cn0Sql,
+       |${lloydSql("cn0", "1")},
+       |${lloydSql("cn1", "2")},
+       |asgall AS (SELECT vec_id, cell FROM (
+       |    SELECT ez.vec_id, cn2.cell,
+       |      row_number() OVER (PARTITION BY ez.vec_id
+       |        ORDER BY ${duckDotFD("ez.v", "cn2.cv")} / (ez.nrm * cn2.cn) DESC, cn2.cell) AS crk
+       |    FROM ez, cn2) WHERE crk = 1)
+       |SELECT vec_id, cell FROM asgall WHERE vec_id % 7 <> 3
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = embFrame(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
+    VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
+    VectorIndex.retractIvf(s, root, // v2: erasure of the %7==3 vectors
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    VectorIndex.ivfAssignments(s, root).orderBy(col("vec_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_ivf_incremental" -> q_ivf_incremental,
+    "q_ivf_retract" -> q_ivf_retract,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_topk_q8" -> q_similarity_topk_q8,
     "q_similarity_ann" -> q_similarity_ann,

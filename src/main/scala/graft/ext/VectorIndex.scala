@@ -203,4 +203,35 @@ object VectorIndex {
       Map("pq_codes" -> Pq.codesOf(deltaE, books)), delta = true, cfg = cfg)
     v + 1
   }
+
+  // --- retraction ----------------------------------------------------------
+
+  /** Retract vectors from the stored IVF assignment — the index-side
+    * mirror of a corpus deletion (takedown/GDPR erasure): the named
+    * vec_ids' assignment rows vanish from the new version through
+    * [[TableStore]]'s tombstone channel (O(delta × bucket) write I/O,
+    * centroid pointers untouched), so a serving scan never routes a
+    * query to a retracted vector. Centroids deliberately stay frozen —
+    * a deletion shifts the data distribution exactly like an arrival
+    * does, and the same E13 drift contract decides when to retrain.
+    */
+  def retractIvf(spark: SparkSession, root: String, vecIds: DataFrame,
+      cfg: StateStore.Config = VectorIndex.cfg): Long = {
+    val v = latestIvf(spark, root)
+    TableStore.write(spark, ivfPath(root), v + 1, IvfSpecs, Map.empty,
+      delta = true, cfg = cfg,
+      deletes = Map("ivf_assign" -> vecIds.select(col("vec_id"))))
+    v + 1
+  }
+
+  /** Retract vectors from the stored PQ code table — [[retractIvf]]'s
+    * PQ twin (codebooks stay frozen, code rows vanish).
+    */
+  def retractPq(spark: SparkSession, root: String, vecIds: DataFrame): Long = {
+    val v = latestPq(spark, root)
+    TableStore.write(spark, pqPath(root), v + 1, PqSpecs, Map.empty,
+      delta = true, cfg = cfg,
+      deletes = Map("pq_codes" -> vecIds.select(col("vec_id"))))
+    v + 1
+  }
 }

@@ -42,12 +42,27 @@ object TableStore {
     * predecessor exists); incremental otherwise — then each present
     * `frames(name)` must hold ONLY that table's delta rows, and a table
     * absent from `frames` is inherited untouched.
+    *
+    * `deletes` (incremental only) names key tuples to RETRACT: every
+    * stored row whose [[Spec.bucketCols]] tuple appears in
+    * `deletes(name)` is dropped from the new version — the tombstone
+    * path a key-level upsert alone cannot express (a key with zero
+    * surviving rows is simply absent from any delta frame). Deletes ride
+    * the same touched-bucket read-modify-write as upserts, so a
+    * delete-only commit still costs O(delta × bucket); a bucket that
+    * empties loses its pointer entirely. A key present in BOTH the
+    * delta frame and `deletes` survives with the delta's rows (deletes
+    * apply to the stored base, then the delta upserts — the CDC
+    * delete-then-reinsert ordering).
     */
   def write(spark: SparkSession, statePath: String, version: Long,
       specs: Seq[Spec], frames: Map[String, DataFrame],
-      delta: Boolean = false, cfg: Config = Config()): Unit = {
+      delta: Boolean = false, cfg: Config = Config(),
+      deletes: Map[String, DataFrame] = Map.empty): Unit = {
     require(frames.keySet.subsetOf(specs.map(_.name).toSet),
       s"frames ${frames.keySet.diff(specs.map(_.name).toSet)} not in specs")
+    require(deletes.keySet.subsetOf(specs.map(_.name).toSet),
+      s"deletes ${deletes.keySet.diff(specs.map(_.name).toSet)} not in specs")
     val prevVersion = StateStore.committedVersions(spark, statePath, version - 1).lastOption
     val prev = prevVersion.flatMap(v => StateStore.readManifest(spark, statePath, v))
     val incremental = delta && prev.nonEmpty
@@ -56,6 +71,9 @@ object TableStore {
         s"bucket count changed (manifest=${pm.buckets}, config=${cfg.buckets}): " +
           "rebucket with a full write instead")
     }
+    require(deletes.isEmpty || incremental,
+      "deletes need a committed predecessor to retract from — on a full " +
+        "write, filter the rows out of the frame instead")
     require(incremental || frames.keySet == specs.map(_.name).toSet,
       "a full write must provide every table's frame " +
         s"(missing ${specs.map(_.name).toSet.diff(frames.keySet).toSeq.sorted.mkString(", ")})")
@@ -93,38 +111,50 @@ object TableStore {
       val keyBucket = StateStore.bucket(t.bucketCols, cfg.buckets)
       val inherited = prev.map(_.pointers.getOrElse(t.name, Map.empty[Int, Long]))
         .getOrElse(Map.empty)
-      t.name -> (frames.get(t.name) match {
-        case None =>
+      // retracted key tuples, reduced to the key columns (a frame with
+      // extra columns is fine — only the key participates)
+      val delKeys: Option[DataFrame] = deletes.get(t.name)
+        .filterNot(provablyNoRows)
+        .map(_.select(t.bucketCols.map(col): _*).distinct())
+      t.name -> ((frames.get(t.name), delKeys) match {
+        case (None, None) =>
           inherited // untouched: every bucket pointer carries forward
-        case Some(df) if !incremental =>
+        case (Some(df), _) if !incremental =>
           if (provablyNoRows(df)) Map.empty[Int, Long]
           else writeDir(df.withColumn("pt", keyBucket), t.name)
             .map(_ -> version).toMap
-        case Some(dfDelta) =>
-          // touched buckets from the delta's keys — a bounded driver
-          // collect (at most `buckets` ints), the same shape as
-          // StateStore's touched-bucket election
-          val dd = dfDelta.withColumn("pt", keyBucket)
-          val touched: Set[Int] =
-            if (provablyNoRows(dfDelta)) Set.empty
-            else dd.select(col("pt")).distinct().collect().map(_.getInt(0)).toSet
+        case (dfOpt, del) =>
+          // every key this commit touches: the delta's keys (upserts —
+          // stored rows of these keys are replaced) plus the retracted
+          // keys (deletes — stored rows of these keys vanish)
+          val touchedKeys = (dfOpt.filterNot(provablyNoRows)
+            .map(_.select(t.bucketCols.map(col): _*).distinct()).toSeq ++ del.toSeq)
+            .reduceOption(_.unionByName(_)).map(_.distinct())
+          // touched buckets from those keys — a bounded driver collect
+          // (at most `buckets` ints), the same shape as StateStore's
+          // touched-bucket election
+          val touched: Set[Int] = touchedKeys.map(
+            _.select(keyBucket.as("pt")).distinct()
+              .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
           if (touched.isEmpty) inherited
           else {
             // read-modify-write ONLY the touched buckets: stored rows
-            // lose to delta rows on key equality (upsert)
+            // lose to delta/delete rows on key equality, then the delta
+            // rows re-enter (so a key in both survives with the delta's
+            // rows — delete-then-reinsert)
             val oldPaths = inherited
               .filter { case (pt, _) => touched(pt) }
               .map { case (pt, v) =>
                 s"${StateStore.tableDataDir(statePath, prev.get.dirs, v, t.name)}/pt=$pt"
               }.toSeq
             val old = StateStore.readPaths(spark, prev.get.schemaOf(t.name), oldPaths)
-            val kept = old.join(
-              dfDelta.select(t.bucketCols.map(col): _*).distinct(),
-              t.bucketCols, "left_anti")
-            val merged = kept.unionByName(dfDelta, allowMissingColumns = true)
+            val kept = old.join(touchedKeys.get, t.bucketCols, "left_anti")
+            val merged = dfOpt.fold(kept)(kept.unionByName(_, allowMissingColumns = true))
               .withColumn("pt", keyBucket)
               .filter(col("pt").isin(touched.toSeq: _*))
             val written = writeDir(merged, t.name)
+            // a bucket every row left simply writes nothing: its pointer
+            // drops here rather than pointing at an empty dir
             (inherited -- touched) ++ written.map(_ -> version).toMap
           }
       })

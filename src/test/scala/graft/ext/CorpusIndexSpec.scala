@@ -73,6 +73,23 @@ class CorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       sortedRows(CorpusIndex.shingleRows(full))
   }
 
+  test("shingle retraction: a deleted document leaves no stored rows behind") {
+    val root = freshRoot()
+    val survivors = docsOf(corpus.filterNot(_._1 == 3L))
+    CorpusIndex.buildShingles(spark, root, docsOf(corpus))
+    // one maintenance commit: doc 21 redelivered, doc 3 erased
+    CorpusIndex.appendShingleDocs(spark, root,
+      docsOf(corpus.filter(_._1 == 21L)),
+      deleteDocIds = Some(Seq(3L).toDF("doc_id"))) shouldBe 1L
+    sortedRows(CorpusIndex.storedShingles(spark, root)) shouldBe
+      sortedRows(CorpusIndex.shingleRows(survivors))
+    // the erased doc is still present at v0 — retraction is versioned,
+    // so a pinned reader of the pre-erasure snapshot stays consistent
+    graft.streaming.TableStore
+      .read(spark, CorpusIndex.shinglesPath(root), 0L, "shingles")
+      .filter(col("doc_id") === 3L).count() should be > 0L
+  }
+
   test("untouched buckets inherit their pointers across a delta") {
     val root = freshRoot()
     CorpusIndex.buildTokens(spark, root, docsOf(corpus))

@@ -122,6 +122,57 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("narrows")
   }
 
+  test("deletes: a delete-only commit retracts the keys; untouched buckets inherit") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs, Map.empty, delta = true, cfg = cfg,
+      deletes = Map("facts" -> Seq(3L, 11L).toDF("id")))
+    val got = TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap
+    got.keySet shouldBe (1L to 20L).toSet -- Set(3L, 11L)
+    // only the two keys' buckets were rewritten; dim inherited untouched
+    val m1 = StateStore.readManifest(spark, root, 1L).get
+    m1.pointers("facts").filter(_._2 == 1L).keySet.size should be <= 2
+    m1.pointers("dim").values.toSet shouldBe Set(0L)
+    // and v0 still serves the pre-delete content (erasure is versioned)
+    TableStore.read(spark, root, 0L, "facts").count() shouldBe 20L
+  }
+
+  test("deletes: a bucket every row left drops its pointer instead of pointing at emptiness") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x", 2L -> "y")), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs, Map.empty, delta = true, cfg = cfg,
+      deletes = Map("facts" -> Seq(1L, 2L).toDF("id")))
+    TableStore.read(spark, root, 1L, "facts").count() shouldBe 0L
+    // zero pointers — the manifest may omit the table entry entirely
+    StateStore.readManifest(spark, root, 1L).get
+      .pointers.getOrElse("facts", Map.empty) shouldBe empty
+  }
+
+  test("deletes: a key in both the delta and the deletes survives with the delta's rows") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x", 2L -> "y")), cfg = cfg)
+    // delete-then-reinsert: key 1 retracted AND redelivered in one commit
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(1L -> "REBORN")), delta = true, cfg = cfg,
+      deletes = Map("facts" -> Seq(1L, 2L).toDF("id")))
+    TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap shouldBe Map(1L -> "REBORN")
+  }
+
+  test("deletes: refused on a full write (nothing committed to retract from)") {
+    val root = tmp()
+    intercept[IllegalArgumentException] {
+      TableStore.write(spark, root, 0L, specs,
+        Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x")), cfg = cfg,
+        deletes = Map("facts" -> Seq(1L).toDF("id")))
+    }.getMessage should include("deletes")
+  }
+
   test("full write requires every table; unknown table names are refused") {
     val root = tmp()
     intercept[IllegalArgumentException] {
