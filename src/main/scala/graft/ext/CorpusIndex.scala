@@ -156,6 +156,63 @@ object CorpusIndex {
     TableStore.latestVersion(spark, shinglesPath(root)).getOrElse(
       throw new IllegalStateException(s"no committed shingle frame under $root"))
 
+  // --- streaming maintenance -------------------------------------------------
+
+  /** Keep BOTH stored frames fresh from a document CDC feed — the
+    * deployment shape where one upstream change stream (a crawler, a
+    * takedown queue, the store's own `graft-store-cdc`) maintains every
+    * derived frame downstream. The envelope is
+    * `(doc_id, source, text, op, seq)` with `op ∈ {upsert, delete}`;
+    * `seq` is the per-doc ordering (offset/event time) — a micro-batch
+    * may carry several events for one document and only the LAST one
+    * (max seq; delete beats upsert at equal seq) takes effect, exactly
+    * the last-writer contract the D3 family pins.
+    *
+    * Versions are keyed to the micro-batch id (`batchId + 1`, past the
+    * v0 full build), so an at-least-once replay recommits its own
+    * version from the same predecessor with the same deterministic
+    * result — idempotent, the [[graft.streaming.StreamIngest]] contract.
+    * The two frames commit independently (a crash between them leaves
+    * the roots one version apart; each side's replay converges), and
+    * each commit costs O(batch × bucket), never O(corpus).
+    */
+  def foldDocBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, cfg: StateStore.Config = CorpusIndex.cfg): Unit = {
+    // last event per doc: max seq, delete outranking upsert on ties
+    val last = batch
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("source"), col("text"), col("op")),
+        struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
+      .select(col("doc_id"), col("r.source"), col("r.text"), col("r.op"))
+      .localCheckpoint(true) // one derivation, consumed four times below
+    val upserts = last.filter(col("op") =!= "delete")
+      .select(col("doc_id"), col("source"), col("text"))
+    // a delete with no committed predecessor retracts nothing — drop it
+    // rather than trip TableStore's full-write refusal (stream-from-empty
+    // bootstrap: batch 0 full-writes its upserts)
+    def dels(path: String) =
+      if (TableStore.latestVersion(spark, path, batchId).isEmpty) None
+      else Some(last.filter(col("op") === "delete").select(col("doc_id")))
+    TableStore.write(spark, tokensPath(root), batchId + 1, Seq(TokenSpec),
+      Map("tokens" -> tokenRows(upserts)), delta = true, cfg = cfg,
+      deletes = dels(tokensPath(root)).map("tokens" -> _).toMap)
+    TableStore.write(spark, shinglesPath(root), batchId + 1, Seq(ShingleSpec),
+      Map("shingles" -> shingleRows(upserts)), delta = true, cfg = cfg,
+      deletes = dels(shinglesPath(root)).map("shingles" -> _).toMap)
+  }
+
+  /** [[foldDocBatch]] behind a checkpointed foreachBatch sink. */
+  def maintainStream(docs: DataFrame, root: String, checkpointPath: String,
+      cfg: StateStore.Config = CorpusIndex.cfg)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldDocBatch(batch.sparkSession, root, batch, batchId, cfg)
+      }
+      .start()
+
   def storedShingles(spark: SparkSession, root: String): DataFrame =
     TableStore.read(spark, shinglesPath(root), latestShingles(spark, root),
       "shingles")

@@ -234,4 +234,55 @@ object VectorIndex {
       deletes = Map("pq_codes" -> vecIds.select(col("vec_id"))))
     v + 1
   }
+
+  // --- streaming maintenance -------------------------------------------------
+
+  /** One micro-batch of a vector CDC feed against the stored IVF index —
+    * the [[graft.ext.CorpusIndex.foldDocBatch]] twin for embeddings.
+    * Envelope: `(vec_id, v, nrm, op, seq)` with `op ∈ {upsert, delete}`;
+    * several events for one vec_id inside a batch resolve to the LAST
+    * (max seq, delete beating upsert on ties). Upserts are assigned
+    * under the centroids of the predecessor version (FROZEN — a stream
+    * never retrains; the E13 drift monitor owns that decision offline
+    * via [[maintain]]), deletes ride the tombstone channel, and the
+    * version is keyed to `batchId + 1` past the v0 training build, so an
+    * at-least-once replay re-reads the same frozen centroids and
+    * recommits the same version idempotently. Unlike the text frames
+    * there is no train-from-empty: assignment needs centroids, so a
+    * committed [[trainIvf]] must precede the stream.
+    */
+  def foldVecBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, cfg: StateStore.Config = VectorIndex.cfg): Unit = {
+    // the predecessor version AT THIS BATCH ID — not the global latest,
+    // so a replayed batch resolves the exact centroids it saw first
+    val prevV = TableStore.latestVersion(spark, ivfPath(root), batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"no trained IVF index under $root: run trainIvf before streaming"))
+    val cents = TableStore.read(spark, ivfPath(root), prevV, "ivf_centroids")
+    val last = batch
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("v"), col("nrm"), col("op")),
+        struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
+      .select(col("vec_id"), col("r.v"), col("r.nrm"), col("r.op"))
+      .localCheckpoint(true)
+    val ups = Similarity.assignCells(
+      last.filter(col("op") =!= "delete").select(col("vec_id"), col("v"), col("nrm")),
+      cents)
+    TableStore.write(spark, ivfPath(root), batchId + 1, IvfSpecs,
+      Map("ivf_assign" -> ups), delta = true, cfg = cfg,
+      deletes = Map("ivf_assign" ->
+        last.filter(col("op") === "delete").select(col("vec_id"))))
+  }
+
+  /** [[foldVecBatch]] behind a checkpointed foreachBatch sink. */
+  def maintainStream(vecs: DataFrame, root: String, checkpointPath: String,
+      cfg: StateStore.Config = VectorIndex.cfg)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldVecBatch(batch.sparkSession, root, batch, batchId, cfg)
+      }
+      .start()
 }

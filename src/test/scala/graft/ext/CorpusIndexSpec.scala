@@ -90,6 +90,37 @@ class CorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       .filter(col("doc_id") === 3L).count() should be > 0L
   }
 
+  test("GDPR-style erasure: retract + prune leaves no byte of the erased doc on disk") {
+    // retraction alone is versioned (pre-erasure snapshots stay
+    // readable); a compliance erase must ALSO purge history. The flow is
+    // retract → prune(keepFrom = the erasure version): the erased doc's
+    // rows live only in its hash bucket, the erasure commit rewrote that
+    // bucket, and prune reclaims every bucket dir no surviving manifest
+    // references — so afterwards NO parquet file under the store root
+    // holds the doc. Verified by brute force: read every remaining file.
+    val root = freshRoot()
+    CorpusIndex.buildTokens(spark, root, docsOf(corpus)) // v0
+    CorpusIndex.appendTokenDocs(spark, root, // v1: unrelated maintenance
+      docsOf(Seq((21L, "web", "x y z updated"))))
+    val vErase = CorpusIndex.appendTokenDocs(spark, root, // v2: the erasure
+      docsOf(Seq.empty), deleteDocIds = Some(Seq(3L).toDF("doc_id")))
+    graft.streaming.StateStore.prune(
+      spark, CorpusIndex.tokensPath(root), keepFrom = vErase)
+    // the surviving frame is exactly the survivors' from-raw derivation
+    val survivors = docsOf(corpus.filterNot(_._1 == 3L)
+      .map { case (id, src, t) => if (id == 21L) (id, src, "x y z updated") else (id, src, t) })
+    sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe
+      sortedRows(CorpusIndex.tokenRows(survivors))
+    // physical sweep: every parquet file still under the root, read raw
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val raw = spark.read.parquet(
+      files(new java.io.File(CorpusIndex.tokensPath(root))).map(_.getPath): _*)
+    raw.filter(col("doc_id") === 3L).count() shouldBe 0L
+    raw.filter(col("term") === "question").count() shouldBe 0L // doc 3's unique term
+  }
+
   test("untouched buckets inherit their pointers across a delta") {
     val root = freshRoot()
     CorpusIndex.buildTokens(spark, root, docsOf(corpus))

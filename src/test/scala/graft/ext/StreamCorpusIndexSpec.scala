@@ -1,0 +1,107 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+
+/** Streaming maintenance of the persisted derived-text frames
+  * ([[CorpusIndex.maintainStream]]): one document CDC feed (upserts +
+  * tombstones, per-doc `seq` ordering) keeps both store frames equal to
+  * a from-raw derivation of the NET corpus after every micro-batch,
+  * last-writer-wins inside a batch, and an at-least-once replayed batch
+  * recommits its version without corrupting or double-applying.
+  */
+case class DocEvent(doc_id: Long, source: String, text: String,
+    op: String, seq: Long)
+
+class StreamCorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def docsOf(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "source", "text")
+
+  test("CDC feed maintains both frames: upsert, replace, delete, last-writer inside a batch") {
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    val ckpt = Files.createTempDirectory("graft_streamidx_ckpt").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[DocEvent]
+    val q = CorpusIndex.maintainStream(src.toDF(), root, ckpt)
+    try {
+      // batch 0: bootstrap from empty (full write of the upserts)
+      src.addData(
+        DocEvent(1L, "web", "the quick brown fox", "upsert", 10L),
+        DocEvent(2L, "web", "a b c d e f g", "upsert", 11L),
+        DocEvent(3L, "books", "to be or not to be", "upsert", 12L))
+      q.processAllAvailable()
+      sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe
+        sortedRows(CorpusIndex.tokenRows(docsOf(
+          (1L, "web", "the quick brown fox"),
+          (2L, "web", "a b c d e f g"),
+          (3L, "books", "to be or not to be"))))
+
+      // batch 1: replace doc 1 (SHORTER text — stale rows must vanish),
+      // delete doc 3, and a doc whose within-batch history ends deleted
+      // (upsert seq 20, delete seq 21 — last writer wins)
+      src.addData(
+        DocEvent(1L, "web", "short now", "upsert", 20L),
+        DocEvent(3L, "books", "", "delete", 20L),
+        DocEvent(4L, "web", "flickering document", "upsert", 20L),
+        DocEvent(4L, "web", "", "delete", 21L))
+      q.processAllAvailable()
+      val net = docsOf(
+        (1L, "web", "short now"),
+        (2L, "web", "a b c d e f g"))
+      sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe
+        sortedRows(CorpusIndex.tokenRows(net))
+      sortedRows(CorpusIndex.storedShingles(spark, root)) shouldBe
+        sortedRows(CorpusIndex.shingleRows(net))
+    } finally q.stop()
+  }
+
+  test("within-batch delete-then-reinsert: the doc survives with the later upsert") {
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    CorpusIndex.foldDocBatch(spark, root, Seq(
+      DocEvent(1L, "web", "first life", "upsert", 1L)).toDF(), 0L)
+    CorpusIndex.foldDocBatch(spark, root, Seq(
+      DocEvent(1L, "web", "", "delete", 10L),
+      DocEvent(1L, "web", "second life", "upsert", 11L)).toDF(), 1L)
+    sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe
+      sortedRows(CorpusIndex.tokenRows(docsOf((1L, "web", "second life"))))
+  }
+
+  test("an at-least-once replayed batch recommits its version idempotently") {
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    CorpusIndex.foldDocBatch(spark, root, Seq(
+      DocEvent(1L, "web", "one two three", "upsert", 1L),
+      DocEvent(2L, "web", "four five six", "upsert", 2L)).toDF(), 0L)
+    val b1 = Seq(
+      DocEvent(1L, "web", "", "delete", 10L),
+      DocEvent(3L, "web", "seven eight", "upsert", 11L)).toDF()
+    CorpusIndex.foldDocBatch(spark, root, b1, 1L)
+    val after = sortedRows(CorpusIndex.storedTokens(spark, root))
+    // restart replays batch 1 (checkpoint WAL at-least-once)
+    noException should be thrownBy CorpusIndex.foldDocBatch(spark, root, b1, 1L)
+    CorpusIndex.latestTokens(spark, root) shouldBe 2L
+    sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe after
+    after shouldBe sortedRows(CorpusIndex.tokenRows(docsOf(
+      (2L, "web", "four five six"),
+      (3L, "web", "seven eight"))))
+  }
+
+  test("a tombstone in the bootstrap batch is a loud no-op, not a crash") {
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    CorpusIndex.foldDocBatch(spark, root, Seq(
+      DocEvent(1L, "web", "kept", "upsert", 1L),
+      DocEvent(9L, "web", "", "delete", 2L)).toDF(), 0L)
+    sortedRows(CorpusIndex.storedTokens(spark, root)) shouldBe
+      sortedRows(CorpusIndex.tokenRows(docsOf((1L, "web", "kept"))))
+  }
+}
