@@ -40,7 +40,32 @@ class StoreCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private val tableNames = Array("assets", "teams", "owns", "parent_of")
+  private val graphNames = Array("assets", "teams", "owns", "parent_of")
+
+  /** Table names of THIS store, resolved from its latest committed
+    * manifest (`schema:`/`key:`/pointer lines) — so the same catalog
+    * class serves the graph state AND any generic [[graft.streaming.TableStore]]
+    * root (corpus frames, vector indexes). A path with no committed
+    * version lists the graph names (the catalog may be configured before
+    * the first batch lands). `parent_of_idx` is store-internal: neither
+    * listed nor resolvable through SQL.
+    */
+  private def tableNames: Array[String] = {
+    import graft.streaming.StateStore
+    val spark = org.apache.spark.sql.SparkSession.active
+    StateStore.committedVersions(spark, path, Long.MaxValue).lastOption
+      .flatMap(v => StateStore.readManifest(spark, path, v))
+      .map { m =>
+        // generic TableStore tables always record their schema (and key),
+        // so they are listable even with zero live buckets; a manifest
+        // with none is a GRAPH store, which lists all four graph tables —
+        // including currently-empty ones (pointers only name non-empty)
+        val generic = (m.keys.keySet ++ m.schemas.keySet ++ m.pointers.keySet)
+          .filterNot(graphNames.contains).filterNot(_ == "parent_of_idx")
+        if (generic.nonEmpty) generic.toArray.sorted else graphNames
+      }
+      .getOrElse(graphNames)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tableNames.map(Identifier.of(namespace, _))

@@ -58,7 +58,8 @@ object StoreTable {
       throw new IllegalArgumentException("graft-store requires option 'path'"))
     val table = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException(
-        "graft-store requires option 'table' (assets, teams, owns, parent_of)"))
+        "graft-store requires option 'table' (a graph table — assets, teams, " +
+          "owns, parent_of — or any table the store's manifest records)"))
     val version = Option(options.get("version")).map(_.toLong)
     StateStore.planScan(SparkSession.active, path, table, version)
   }
@@ -205,7 +206,10 @@ class StoreScan(plan: StateStore.ScanPlan, required: StructType,
   }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(plan.bucketCol))
+    // composite-keyed tables expose no runtime-filter attribute: their
+    // bucket hash spans all key columns (see StateStore.planScan)
+    if (plan.bucketCol.isEmpty) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column(plan.bucketCol))
 
   override def filter(filters: Array[Filter]): Unit = {
     val sets = filters.collect {
@@ -308,6 +312,11 @@ private[sources] object StoreParquet {
       if (g.getFieldRepetitionCount(i) == 0) null
       else f.dataType match {
         case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case LongType => g.getLong(i, 0)
+        case IntegerType => g.getInteger(i, 0)
+        case DoubleType => g.getDouble(i, 0)
+        case FloatType => g.getFloat(i, 0)
+        case BooleanType => g.getBoolean(i, 0)
         case TimestampType =>
           t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
             case PrimitiveTypeName.INT64 => g.getLong(i, 0) // already µs
@@ -320,8 +329,34 @@ private[sources] object StoreParquet {
             case other => throw new IllegalStateException(
               s"unsupported parquet timestamp physical type $other in $file")
           }
+        case ArrayType(et, _) =>
+          // Spark's standard 3-level list: optional group f (LIST) {
+          //   repeated group list { optional <elem> element } } — the only
+          // layout the store's own writers produce; anything else (legacy
+          // 2-level) fails loudly rather than misreading
+          val lg = g.getGroup(i, 0)
+          val n = lg.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val e = lg.getGroup(0, j)
+            out(j) =
+              if (e.getFieldRepetitionCount(0) == 0) null
+              else et match {
+                case LongType => e.getLong(0, 0)
+                case IntegerType => e.getInteger(0, 0)
+                case DoubleType => e.getDouble(0, 0)
+                case FloatType => e.getFloat(0, 0)
+                case StringType => UTF8String.fromBytes(e.getBinary(0, 0).getBytes)
+                case other => throw new IllegalStateException(
+                  s"unsupported store array element type $other in $file")
+              }
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
         case other => throw new IllegalStateException(
-          s"graft-store reader supports STRING and TIMESTAMP columns, got $other")
+          s"graft-store reader supports STRING, numeric, BOOLEAN, TIMESTAMP " +
+            s"and ARRAY-of-primitive columns, got $other in $file")
       }
       }
     }.asInstanceOf[Array[Any]]

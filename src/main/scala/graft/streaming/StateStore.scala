@@ -126,11 +126,23 @@ object StateStore {
         * Absent entries resolve to the legacy flat `v<version>/<table>`
         * layout, so pre-token stores keep reading.
         */
-      dirs: Map[Long, String] = Map.empty) {
+      dirs: Map[Long, String] = Map.empty,
+      /** table -> its bucket-key columns (recorded as `key:` lines for
+        * generic [[TableStore]] tables, making their stores
+        * SELF-DESCRIBING: the DSv2/catalog read path resolves any table
+        * from its manifest alone). Absent for the graph tables — their
+        * keys are canonical ([[tables]]), and omitting them keeps graph
+        * manifests byte-stable across this evolution.
+        */
+      keys: Map[String, Seq[String]] = Map.empty) {
     def schemaOf(table: String): StructType =
       schemas.getOrElse(table,
         (tables :+ idxTable).find(_.name == table).map(_.schema).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$table'")))
+    /** The table's bucket-key columns — manifest-recorded, else canonical. */
+    def keyColsOf(table: String): Option[Seq[String]] =
+      keys.get(table).orElse(
+        (tables :+ idxTable).find(_.name == table).map(_.bucketCols))
   }
 
   /** Another writer won the commit race (the version's manifest already
@@ -177,11 +189,18 @@ object StateStore {
     * and the version is treated as uncommitted).
     */
   private def manifestBody(cfg: Config, pointers: Pointers,
-      schemas: Map[String, StructType], dirs: Map[Long, String]): String = {
+      schemas: Map[String, StructType], dirs: Map[Long, String],
+      keys: Map[String, Seq[String]]): String = {
     val sb = new StringBuilder
     sb.append(s"buckets=${cfg.buckets}\n")
     for ((v, d) <- dirs.toSeq.sortBy(_._1))
       sb.append(s"dir:$v=$d\n")
+    // key columns: recorded ONLY for tables without canonical graph keys
+    // (generic TableStore tables) — the manifest is their only authority,
+    // and graph manifests stay byte-stable across this evolution
+    for ((t, ks) <- keys.toSeq.sortBy(_._1)
+         if !(tables :+ idxTable).exists(_.name == t))
+      sb.append(s"key:$t=${ks.mkString(",")}\n")
     // StructType.json is single-line; only schemas that DIFFER from the
     // canonical shape are recorded, so pre-evolution manifests stay
     // byte-stable (and redelivery equality with them keeps holding).
@@ -209,9 +228,10 @@ object StateStore {
   def writeManifest(spark: SparkSession, statePath: String, version: Long,
       cfg: Config, pointers: Pointers, overwrite: Boolean = true,
       schemas: Map[String, StructType] = Map.empty,
-      dirs: Map[Long, String] = Map.empty): Unit = {
+      dirs: Map[Long, String] = Map.empty,
+      keys: Map[String, Seq[String]] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    val body = manifestBody(cfg, pointers, schemas, dirs)
+    val body = manifestBody(cfg, pointers, schemas, dirs, keys)
     val out = fs.create(manifestPath(statePath, version), overwrite)
     try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
     finally out.close()
@@ -273,9 +293,19 @@ object StateStore {
         l.substring("dir:".length, eq).toLongOption
           .getOrElse(corrupt(s"bad version in dir line '$l'")) -> l.substring(eq + 1)
       }.toMap
+    val keys = lines
+      .filter(_.startsWith("key:"))
+      .map { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) corrupt(s"malformed key line '$l'")
+        val cols = l.substring(eq + 1).split(",").toSeq.filter(_.nonEmpty)
+        if (cols.isEmpty) corrupt(s"empty key column list in '$l'")
+        l.substring("key:".length, eq) -> cols
+      }.toMap
     val entries = lines
       .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") &&
-        !l.startsWith("crc=") && !l.startsWith("schema:") && !l.startsWith("dir:"))
+        !l.startsWith("crc=") && !l.startsWith("schema:") && !l.startsWith("dir:") &&
+        !l.startsWith("key:"))
       .map { l =>
         l.split(" ") match {
           case Array(t, pt, v) =>
@@ -286,7 +316,7 @@ object StateStore {
       }
     Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
-    }, schemas, dirs))
+    }, schemas, dirs, keys))
   }
 
   /** Committed (manifest-complete) versions <= maxVersion, ascending. */
@@ -494,7 +524,8 @@ object StateStore {
       expectedPrev: Option[Long], staging: Option[String] = None,
       schemas: Map[String, StructType] = Map.empty,
       dirs: Map[Long, String] = Map.empty,
-      dirName: String = ""): Unit = {
+      dirName: String = "",
+      keys: Map[String, Seq[String]] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
     // this attempt's own (writer-unique) dirs — never anyone else's
     var promoted: Option[Path] = None
@@ -560,11 +591,11 @@ object StateStore {
     if (fs.exists(p))
       // remnant manifest (no END): not committed, reclaim in place
       writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
-        schemas = schemas, dirs = dirs)
+        schemas = schemas, dirs = dirs, keys = keys)
     else {
       // CAS leg 2: exclusive create — of two racers, exactly one succeeds
       try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false,
-        schemas = schemas, dirs = dirs)
+        schemas = schemas, dirs = dirs, keys = keys)
       catch {
         case e: java.io.IOException =>
           // lost the exclusive-create race in the exists-check window:
@@ -751,16 +782,26 @@ object StateStore {
 
   private[graft] def planScan(spark: SparkSession, statePath: String,
       table: String, version: Option[Long]): ScanPlan = {
-    val all = tables :+ idxTable
-    val spec = all.find(_.name == table).getOrElse(
-      throw new IllegalArgumentException(
-        s"unknown table '$table' — one of ${all.map(_.name).mkString(", ")}"))
     val v = version.getOrElse(
       committedVersions(spark, statePath, Long.MaxValue).lastOption.getOrElse(
         throw new IllegalStateException(s"no committed version under $statePath")))
     val m = readManifest(spark, statePath, v).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
-    ScanPlan(v, m.schemaOf(spec.name), spec.bucketCols.head, m.buckets,
+    // MANIFEST-FIRST resolution: a generic TableStore table's key columns
+    // and schema come from its own manifest (`key:`/`schema:` lines), so
+    // any store — the graph state, the corpus frames, the vector indexes
+    // — is readable through the DSv2/catalog path with nothing but its
+    // statePath. Graph tables fall back to their canonical specs.
+    val keyCols = m.keyColsOf(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown table '$table' — not recorded in this store's manifest and " +
+          s"not a graph table (${(tables :+ idxTable).map(_.name).mkString(", ")})"))
+    // bucket pruning via pushed filters only applies to single-column
+    // keys: a composite key's bucket is a hash over ALL its columns, so
+    // pruning on one column's equality would drop live buckets. Composite
+    // tables scan every pointed bucket (row filters still apply post-scan).
+    val pruneCol = if (keyCols.sizeIs == 1) keyCols.head else ""
+    ScanPlan(v, m.schemaOf(table), pruneCol, m.buckets,
       m.pointers.getOrElse(table, Map.empty).map { case (pt, pv) =>
         pt -> s"${tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt"
       })

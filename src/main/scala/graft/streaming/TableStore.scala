@@ -165,7 +165,10 @@ object TableStore {
       prev.map(_.dirs).getOrElse(Map.empty).filter { case (v, _) => refVers(v) } ++
         (if (refVers(version)) Map(version -> s"d-$token") else Map.empty)
     StateStore.commit(spark, statePath, version, cfg, pointers, prevVersion,
-      Some(staging), schemas, dirs, dirName = s"d-$token")
+      Some(staging), schemas, dirs, dirName = s"d-$token",
+      // record each table's key columns: the manifest alone then fully
+      // describes this store to the DSv2/catalog read path
+      keys = specs.map(t => t.name -> t.bucketCols).toMap)
   }
 
   /** One table at `version`, resolved through its manifest pointers and

@@ -116,4 +116,75 @@ class StoreCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     e.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
   }
+
+  test("a generic TableStore root is self-describing: SQL reads the corpus frames with time travel") {
+    import graft.ext.CorpusIndex
+    val root = Files.createTempDirectory("graft_cat_frames").toString
+    val docs = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta"),
+      (2L, "web", "eta theta iota kappa lambda mu nu"),
+      (3L, "books", "xi omicron pi rho sigma tau upsilon")).toDF("doc_id", "source", "text")
+    CorpusIndex.buildTokens(spark, root, docs) // v0
+    CorpusIndex.appendTokenDocs(spark, root, // v1: one arrival
+      Seq((4L, "web", "phi chi psi")).toDF("doc_id", "source", "text"))
+    val cat = "graftframes"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", CorpusIndex.tokensPath(root))
+    // the catalog lists the manifest-recorded table, not the graph names
+    spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet shouldBe Set("tokens")
+    // numeric columns flow through the DSv2 reader; count(*) still
+    // answers from parquet footers
+    spark.sql(s"SELECT count(*) FROM $cat.tokens").head().getLong(0) shouldBe
+      CorpusIndex.tokenRows(docs).count() + 3
+    // native time travel: v0 predates doc 4
+    spark.sql(
+      s"SELECT count(DISTINCT doc_id) FROM $cat.tokens VERSION AS OF 0")
+      .head().getLong(0) shouldBe 3L
+    spark.sql(
+      s"SELECT max(pos) FROM $cat.tokens VERSION AS OF 1 WHERE doc_id = 4")
+      .head().getLong(0) shouldBe 2L
+  }
+
+  test("array-typed store columns read through SQL: the shingle and centroid tables") {
+    import graft.ext.{CorpusIndex, VectorIndex}
+    val root = Files.createTempDirectory("graft_cat_arr").toString
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "web", "a completely different sentence about spark catalyst plans")
+    ).toDF("doc_id", "source", "text")
+    CorpusIndex.buildShingles(spark, root, docs)
+    val cat = "graftsh"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", CorpusIndex.shinglesPath(root))
+    val got = spark.sql(
+      s"SELECT doc_id, size(hs) AS n, aggregate(hs, 0L, (a, x) -> a + x) AS s " +
+        s"FROM $cat.shingles ORDER BY doc_id").collect()
+    val want = CorpusIndex.shingleRows(docs)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("hs")).as("n"),
+        aggregate(col("hs"), lit(0L), (a, x) => a + x).as("s"))
+      .orderBy(col("doc_id")).collect()
+    got.map(_.toString) shouldBe want.map(_.toString)
+
+    // double-element arrays: the IVF centroid table (cell, cv, cn)
+    val vroot = Files.createTempDirectory("graft_cat_vec").toString
+    val e = (0L until 24L).map { i =>
+      (i, Seq.tabulate(64)(d => if (d % 4 == (i % 4).toInt) 10.0f else 1.0f))
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)))
+    VectorIndex.trainIvf(spark, vroot, e)
+    val vcat = "graftvec"
+    spark.conf.set(s"spark.sql.catalog.$vcat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$vcat.path", s"$vroot/ivf")
+    spark.sql(s"SHOW TABLES IN $vcat").collect()
+      .map(_.getString(1)).toSet shouldBe Set("ivf_assign", "ivf_centroids")
+    val cents = spark.sql(
+      s"SELECT cell, size(cv) AS dim, cn FROM $vcat.ivf_centroids").collect()
+    cents.length should be > 0
+    all(cents.map(_.getInt(1))) shouldBe 64
+    all(cents.map(_.getDouble(2))) should be > 0.0
+  }
 }
