@@ -998,6 +998,53 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- H66d: the maintained frame through PLAIN SQL ---------------------------
+  // The serving path most users actually call: the persisted token frame
+  // mounted as a Spark TableCatalog (self-describing manifest → DSv2
+  // Group reader) and read with nothing but SQL + the registered native
+  // functions — no graft DSL on the read side at all. The store is built
+  // the hard way (stale base ⊕ doc-level delta, the q_token_incremental
+  // shape) so the SQL read pointer-chases buckets across TWO versions;
+  // the oracle re-derives from raw text, holding the entire stack —
+  // manifest key/schema lines, bucket pointers, numeric Group decode,
+  // catalog resolution — to hash equality.
+  val q_frame_sql: QueryDef = QueryDef(
+    """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+      |  WHERE term <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqlidx_$tag"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
+    CorpusIndex.appendTokenDocs(s, root, delta) // v1: insert + replace
+    // catalog names are cached by the session's CatalogManager at first
+    // use, so each run mounts under a fresh name for its fresh root
+    val cat = s"graftsql_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.StoreCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", CorpusIndex.tokensPath(root))
+    s.sql(
+      s"""SELECT doc_id, count(*) AS n_tok,
+         |  count(DISTINCT term) AS n_terms,
+         |  CAST(sum(graft_md5_prefix_long(
+         |    concat('7|', term, '|', CAST(pos AS STRING)), 15) % 1000000007)
+         |    % 1000000007 AS BIGINT) AS h
+         |FROM $cat.tokens
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   // -- H66c: document retraction without a full rewrite ----------------------
   // The maintenance commit a real corpus hits hardest: one version that
   // INSERTS new docs (%10==0, absent from the base), REPLACES stale ones
@@ -1048,6 +1095,7 @@ object ExtQueries {
     "q_token_incremental" -> q_token_incremental,
     "q_shingle_incremental" -> q_shingle_incremental,
     "q_token_retract" -> q_token_retract,
+    "q_frame_sql" -> q_frame_sql,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,
