@@ -181,9 +181,17 @@ object VectorIndex {
     * rows) in the exact shape [[Pq.codesOf]] and
     * [[Pq.reconstructionError]] consume.
     */
-  def pqBooks(spark: SparkSession, root: String): Seq[Seq[(Long, Seq[Double])]] = {
+  def pqBooks(spark: SparkSession, root: String): Seq[Seq[(Long, Seq[Double])]] =
+    pqBooksAt(spark, root, latestPq(spark, root))
+
+  /** [[pqBooks]] pinned to a version — the streaming fold resolves the
+    * codebooks of the predecessor AT ITS BATCH ID, so a replayed batch
+    * re-reads the exact books it coded with first.
+    */
+  def pqBooksAt(spark: SparkSession, root: String,
+      version: Long): Seq[Seq[(Long, Seq[Double])]] = {
     val rows = TableStore
-      .read(spark, pqPath(root), latestPq(spark, root), "pq_codebooks")
+      .read(spark, pqPath(root), version, "pq_codebooks")
       .collect()
     require(rows.length <= 65536, s"codebook table of ${rows.length} rows exceeds bound")
     rows.toSeq
@@ -275,14 +283,49 @@ object VectorIndex {
         last.filter(col("op") === "delete").select(col("vec_id"))))
   }
 
-  /** [[foldVecBatch]] behind a checkpointed foreachBatch sink. */
+  /** [[foldVecBatch]]'s PQ twin: upserts coded under the predecessor
+    * version's FROZEN codebooks, retractions via the tombstone channel,
+    * batchId-keyed versions for idempotent replay. Same envelope; a
+    * committed [[trainPq]] must precede the stream.
+    */
+  def foldPqBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, cfg: StateStore.Config = VectorIndex.cfg): Unit = {
+    val prevV = TableStore.latestVersion(spark, pqPath(root), batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"no trained PQ index under $root: run trainPq before streaming"))
+    val books = pqBooksAt(spark, root, prevV)
+    val last = batch
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("v"), col("nrm"), col("op")),
+        struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
+      .select(col("vec_id"), col("r.v"), col("r.nrm"), col("r.op"))
+      .localCheckpoint(true)
+    val ups = Pq.codesOf(
+      last.filter(col("op") =!= "delete").select(col("vec_id"), col("v"), col("nrm")),
+      books)
+    TableStore.write(spark, pqPath(root), batchId + 1, PqSpecs,
+      Map("pq_codes" -> ups), delta = true, cfg = cfg,
+      deletes = Map("pq_codes" ->
+        last.filter(col("op") === "delete").select(col("vec_id"))))
+  }
+
+  /** [[foldVecBatch]] behind a checkpointed foreachBatch sink — each
+    * micro-batch maintains the IVF assignment and, when a trained PQ
+    * index exists under the same root, the PQ code table too (the two
+    * folds commit independently; each side's replay converges, the
+    * [[graft.ext.CorpusIndex.foldDocBatch]] contract).
+    */
   def maintainStream(vecs: DataFrame, root: String, checkpointPath: String,
       cfg: StateStore.Config = VectorIndex.cfg)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldVecBatch(batch.sparkSession, root, batch, batchId, cfg)
+        val s = batch.sparkSession
+        foldVecBatch(s, root, batch, batchId, cfg)
+        if (TableStore.latestVersion(s, pqPath(root), batchId).isDefined)
+          foldPqBatch(s, root, batch, batchId, cfg)
       }
       .start()
 }

@@ -49,6 +49,7 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
     val ckpt = Files.createTempDirectory("graft_streamvec_ckpt").toString
     val base = embOf((0L until 40L).map(i => i -> vecOf(i, (i % 4).toInt)): _*)
     VectorIndex.trainIvf(spark, root, base) // v0
+    VectorIndex.trainPq(spark, root, base) // PQ twin maintained in the same feed
 
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[VecEvent]
@@ -78,6 +79,10 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
     val cents = VectorIndex.ivfCentroids(spark, root)
     asgMap(VectorIndex.ivfAssignments(spark, root)) shouldBe
       asgMap(Similarity.assignCells(net, cents))
+    // the PQ code table tracked the same feed under its frozen codebooks
+    val books = VectorIndex.pqBooks(spark, root)
+    VectorIndex.pqCodes(spark, root).collect().map(_.toString).sorted shouldBe
+      Pq.codesOf(net, books).collect().map(_.toString).sorted
   }
 
   test("an at-least-once replayed batch recommits against the same frozen centroids") {

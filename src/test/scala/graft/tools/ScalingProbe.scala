@@ -536,6 +536,27 @@ object ScalingProbe {
       })
     }
 
+    // 14b. the MIXED maintenance commit (r9, tombstone channel): one
+    // version that upserts a fixed 200-doc delta AND retracts a fixed
+    // 200-doc tombstone set against the k-scaled base. Deletes ride the
+    // same touched-bucket read-modify-write as upserts, so the timed
+    // commit must track token_delta's curve — a divergence would mean
+    // the retraction path hides a corpus-size term.
+    if (on("token_retract")) {
+      val root = java.nio.file.Files.createTempDirectory("graft_tokretract").toString
+      val cfgK = graft.streaming.StateStore.Config(buckets = 8 * k)
+      val srcDocs = docs.withColumn("source", lit("s"))
+      graft.ext.CorpusIndex.buildTokens(spark, root, srcDocs, cfg = cfgK) // untimed base
+      val delta = srcDocs.filter(col("doc_id") < 200)
+        .withColumn("text", concat(col("text"), lit(" delta tail")))
+        .localCheckpoint(true)
+      val dels = srcDocs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .select(col("doc_id")).localCheckpoint(true)
+      record("token_retract")(timeMin(3, spark) {
+        graft.ext.CorpusIndex.appendTokenDocs(spark, root, delta, Some(dels), cfg = cfgK)
+      })
+    }
+
     // 15. the IVF twin: frozen-centroid delta assignment + code upsert
     // against a base assignment store that grows with k (buckets scale
     // alongside). Same flatness contract as token_delta.
