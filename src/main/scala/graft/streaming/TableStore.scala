@@ -203,6 +203,54 @@ object TableStore {
       maxVersion: Long = Long.MaxValue): Option[Long] =
     StateStore.committedVersions(spark, statePath, maxVersion).lastOption
 
+  /** Re-bucket the store: full-write every table of the latest version
+    * under `cfg`'s (different) bucket count as the next version. THE
+    * growth path when a corpus outgrows its bucket sizing (the Config
+    * contract keeps one bucket batch-sized, so 100× the corpus wants
+    * more buckets): incremental writes refuse a modulus change loudly,
+    * and this is the documented full-rewrite answer — one corpus-scale
+    * pass, after which deltas resume at the new modulus. Old versions
+    * stay readable under their own modulus (the manifest records it);
+    * returns the new version.
+    */
+  def rebucket(spark: SparkSession, statePath: String, specs: Seq[Spec],
+      cfg: Config): Long = {
+    val v = latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no committed version under $statePath"))
+    val frames = specs.map(t => t.name -> read(spark, statePath, v, t.name)).toMap
+    write(spark, statePath, v + 1, specs, frames, cfg = cfg)
+    v + 1
+  }
+
+  /** Operator-facing store census, driver-side from manifests + file
+    * listings alone (no data pages): one row per (version, table) with
+    * the live bucket count, how many of those buckets this version
+    * actually rewrote (vs inherited), and the live bytes resolved
+    * through the pointer chase. Bounded by versions × tables × buckets
+    * FS metadata calls — an ops query, not a data-path one.
+    */
+  def describe(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = for {
+      v <- StateStore.committedVersions(spark, statePath, Long.MaxValue)
+      m <- StateStore.readManifest(spark, statePath, v).toSeq
+      table <- (m.pointers.keySet ++ m.schemas.keySet ++ m.keys.keySet).toSeq.sorted
+    } yield {
+      val ptrs = m.pointers.getOrElse(table, Map.empty)
+      val bytes = ptrs.map { case (pt, pv) =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
+      (v, table, m.buckets, ptrs.size, ptrs.count(_._2 == v), bytes)
+    }
+    rows.toDF("version", "table", "buckets", "live_buckets",
+      "buckets_written_here", "live_bytes")
+  }
+
   private def manifestAt(spark: SparkSession, statePath: String,
       version: Long): Manifest =
     StateStore.readManifest(spark, statePath, version).getOrElse(

@@ -173,6 +173,52 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("deletes")
   }
 
+  test("rebucket: content survives a modulus change and deltas resume at the new modulus") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 30L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    // an incremental write under a different modulus is refused loudly
+    intercept[IllegalArgumentException] {
+      TableStore.write(spark, root, 1L, specs,
+        Map("facts" -> facts(1L -> "x")), delta = true,
+        cfg = StateStore.Config(buckets = 32))
+    }.getMessage should include("rebucket")
+    // the documented growth path: one full rewrite at the new modulus
+    val v1 = TableStore.rebucket(spark, root, specs, StateStore.Config(buckets = 32))
+    v1 shouldBe 1L
+    StateStore.readManifest(spark, root, 1L).get.buckets shouldBe 32
+    TableStore.read(spark, root, 1L, "facts")
+      .as[(Long, String)].collect().toMap shouldBe
+      (1L to 30L).map(i => i -> s"p$i").toMap
+    // deltas (upserts AND tombstones) now work at the new modulus
+    TableStore.write(spark, root, 2L, specs,
+      Map("facts" -> facts(31L -> "NEW")), delta = true,
+      cfg = StateStore.Config(buckets = 32),
+      deletes = Map("facts" -> Seq(7L).toDF("id")))
+    val got = TableStore.read(spark, root, 2L, "facts")
+      .as[(Long, String)].collect().toMap
+    got.keySet shouldBe ((1L to 31L).toSet - 7L)
+  }
+
+  test("describe: per-(version, table) census from manifests alone") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(3L -> "NEW")), delta = true, cfg = cfg)
+    val d = TableStore.describe(spark, root)
+      .as[(Long, String, Int, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    d((0L, "facts"))._3 shouldBe 8 // modulus
+    d((0L, "facts"))._6 should be > 0L // live bytes resolved
+    // v1 rewrote only the delta key's bucket; the rest inherit
+    d((1L, "facts"))._5 shouldBe 1
+    d((1L, "facts"))._4 shouldBe d((0L, "facts"))._4 // live bucket count unchanged
+    d((1L, "dim"))._5 shouldBe 0 // untouched table wrote nothing here
+  }
+
   test("full write requires every table; unknown table names are refused") {
     val root = tmp()
     intercept[IllegalArgumentException] {
