@@ -121,19 +121,29 @@ object Dedup {
     * force a rebuild — each consumer measures its OPERATOR, not a
     * repeated corpus hashing pass.
     */
-  private val shingleCache = new graft.SessionCache[String, DataFrame]
+  private val shingleCache =
+    new graft.SessionCache[String, (Option[Long], DataFrame)]
+
+  /** Current head of the persisted shingle store for `dir` — the
+    * revalidation key for this cache AND the derived pairs cache below
+    * (see SessionCache.getOrBuildIf: a same-session maintenance commit
+    * must invalidate every frame derived from the store).
+    */
+  private def shingleHeadV(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] =
+    graft.streaming.TableStore.latestVersion(
+      s, CorpusIndex.shinglesPath(CorpusIndex.storeRootFor(dir)))
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    shingleCache.getOrBuild(s, dir) {
+    shingleCache.getOrBuildIf(s, dir)(_._1 == shingleHeadV(s, dir)) {
       val root = CorpusIndex.storeRootFor(dir)
-      val stored = graft.streaming.TableStore
-        .latestVersion(s, CorpusIndex.shinglesPath(root))
+      val stored = shingleHeadV(s, dir)
       if (stored.nonEmpty) graft.Materialize.timed("shingle_table_load") {
         // a previous session already hashed and PERSISTED this corpus
         // generation's shingle frame (see TextAnalysis.corpusTokens /
         // CorpusIndex) — longs round-trip parquet exactly; re-spread
         // across cores (8 bucket dirs → corpus-partitioned frame)
-        CorpusIndex.storedShingles(s, root)
+        stored -> CorpusIndex.storedShingles(s, root)
           .repartition(col("doc_id")).localCheckpoint(true)
       } else graft.Materialize.timed("shingle_table") {
         val f = wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
@@ -141,9 +151,9 @@ object Dedup {
         catch { case e: Exception =>
           System.err.println(s"[graft] shingle frame persist failed (non-fatal): ${e.getMessage}")
         }
-        f
+        shingleHeadV(s, dir) -> f // post-persist head (see corpusTokens)
       }
-    }
+    }._2
 
   /** Verified LSH pair set per (session, sfDir, feature family, bands, r)
     * — q_minhash_lsh_pairs / q_ngram_jaccard EMIT it and
@@ -153,20 +163,26 @@ object Dedup {
     * one verification per corpus version, however many consumers).
     */
   private val pairsCache =
-    new graft.SessionCache[(String, String, Int, Int), DataFrame]
+    new graft.SessionCache[(String, String, Int, Int), (Option[Long], DataFrame)]
 
   private[ext] def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
-    pairsCache.getOrBuild(s, (dir, "word3", bands, r)) {
+    pairsCache.getOrBuildIf(s, (dir, "word3", bands, r))(
+      _._1 == shingleHeadV(s, dir)) {
       graft.Materialize.timed("lsh_pairs_word3") {
-        lshJaccardPairs(corpusShingles(s, dir), bands, r).localCheckpoint(true)
+        val base = corpusShingles(s, dir) // pins the head it derives from
+        shingleHeadV(s, dir) ->
+          lshJaccardPairs(base, bands, r).localCheckpoint(true)
       }
-    }
+    }._2
 
-  /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5"). */
+  /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5").
+    * Derived from the raw documents (not the shingle store), so it keeps
+    * the plain immutable-dir contract — no version revalidation.
+    */
   private def charGramLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
       bands: Int, r: Int): DataFrame =
-    pairsCache.getOrBuild(s, (dir, "char5", bands, r)) {
+    pairsCache.getOrBuildIf(s, (dir, "char5", bands, r))(_ => true) {
       graft.Materialize.timed("lsh_pairs_char5") {
         val docs = Tables.documents(s, dir)
           .repartition(col("doc_id")) // parallelize hashing — see wordShingleDocs
@@ -174,9 +190,10 @@ object Dedup {
           // array_distinct(charNgrams(text,5)) through baseHash (ExtSpec)
           .select(col("doc_id"),
             graft.functions.CharGramHashes(col("text"), 5).as("hs"))
-        lshJaccardPairs(docs, bands, r).localCheckpoint(true)
+        (None: Option[Long]) ->
+          lshJaccardPairs(docs, bands, r).localCheckpoint(true)
       }
-    }
+    }._2
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
   def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {

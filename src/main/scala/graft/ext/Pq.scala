@@ -118,7 +118,11 @@ object Pq {
     * codes frame — materialized once, like the IVF/LSH indexes (each
     * consumer query times its SEARCH, not codebook training).
     */
-  private final case class PqIndex(books: Seq[Seq[(Long, Seq[Double])]], codes: DataFrame)
+  /** `storedV` — the [[Similarity]] IvfIndex revalidation contract: a
+    * same-session PQ maintenance commit invalidates this cached entry.
+    */
+  private final case class PqIndex(books: Seq[Seq[(Long, Seq[Double])]],
+      codes: DataFrame, storedV: Option[Long])
 
   private val cache = new graft.SessionCache[String, PqIndex]
 
@@ -141,15 +145,16 @@ object Pq {
         (0 until M).map(sub =>
           argminCode(subVec(col("v"), sub), books(sub)).as(s"c$sub")): _*)
 
-  private def pqIndex(s: SparkSession, dir: String): PqIndex =
-    cache.getOrBuild(s, dir) {
-      val root = VectorIndex.storeRootFor(dir)
-      val stored = graft.streaming.TableStore.latestVersion(s, s"$root/pq")
+  private def pqIndex(s: SparkSession, dir: String): PqIndex = {
+    val root = VectorIndex.storeRootFor(dir)
+    def headV = graft.streaming.TableStore.latestVersion(s, s"$root/pq")
+    cache.getOrBuildIf(s, dir)(_.storedV == headV) {
+      val stored = headV
       if (stored.nonEmpty) graft.Materialize.timed("pq_index_load") {
         // load the persisted codebooks + codes instead of re-training —
         // same contract as Similarity.ivfIndex's load path
         PqIndex(VectorIndex.pqBooks(s, root),
-          VectorIndex.pqCodes(s, root).localCheckpoint(true))
+          VectorIndex.pqCodes(s, root).localCheckpoint(true), stored)
       } else graft.Materialize.timed("pq_index") {
         val e = Similarity.embFrame(s, dir).localCheckpoint(true)
         val books = trainBooks(e)
@@ -165,9 +170,10 @@ object Pq {
         catch { case ex: Exception =>
           System.err.println(s"[graft] PQ index persist failed (non-fatal): ${ex.getMessage}")
         }
-        PqIndex(books, codes)
+        PqIndex(books, codes, headV) // post-persist head (see ivfIndex)
       }
     }
+  }
 
   // ---- DuckDB oracle fragments --------------------------------------------
 

@@ -457,14 +457,21 @@ object Similarity {
     * Bench's clearCache, so each query times its SEARCH, not index
     * construction).
     */
-  private final case class IvfIndex(e: DataFrame, cents: DataFrame, ec: DataFrame)
+  /** `storedV` = the persisted index version this entry reflects (None =
+    * no store existed) — revalidated per access so a SAME-SESSION
+    * maintenance commit (append/retract/retrain) invalidates the cached
+    * serving index instead of serving retracted vectors.
+    */
+  private final case class IvfIndex(e: DataFrame, cents: DataFrame, ec: DataFrame,
+      storedV: Option[Long])
 
   private val ivfCache = new graft.SessionCache[String, IvfIndex]
 
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
-    ivfCache.getOrBuild(s, dir) {
-      val root = VectorIndex.storeRootFor(dir)
-      val stored = graft.streaming.TableStore.latestVersion(s, s"$root/ivf")
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val root = VectorIndex.storeRootFor(dir)
+    def headV = graft.streaming.TableStore.latestVersion(s, s"$root/ivf")
+    ivfCache.getOrBuildIf(s, dir)(_.storedV == headV) {
+      val stored = headV
       if (stored.nonEmpty) graft.Materialize.timed("ivf_index_load") {
         // a previous session already trained and PERSISTED this corpus
         // generation's index (r8 verdict #1: production cannot re-train
@@ -476,7 +483,7 @@ object Similarity {
         val cents = VectorIndex.ivfCentroids(s, root).localCheckpoint(true)
         val ec = e.join(VectorIndex.ivfAssignments(s, root), "vec_id")
           .localCheckpoint(true)
-        IvfIndex(e, cents, ec)
+        IvfIndex(e, cents, ec, stored)
       } else graft.Materialize.timed("ivf_index") {
         val e = embFrame(s, dir).localCheckpoint(true)
         // cell count derived from the ACTUAL corpus, mirroring the oracle's
@@ -500,9 +507,12 @@ object Similarity {
         catch { case e: Exception =>
           System.err.println(s"[graft] IVF index persist failed (non-fatal): ${e.getMessage}")
         }
-        IvfIndex(e, cents, ec)
+        // post-persist head (Some(0) normally; None if the persist
+        // failed, which then revalidates truthfully as store-less)
+        IvfIndex(e, cents, ec, headV)
       }
     }
+  }
 
   /** Probe-and-search: assign the corpus to cells, pick each query's
     * `nprobe` best cells, scan only those. Shared by the declared query

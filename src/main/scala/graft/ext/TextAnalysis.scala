@@ -25,13 +25,19 @@ object TextAnalysis {
     * `localCheckpoint(true)` stores the row blocks outside the SQL cache,
     * so Bench's per-query clearCache() cannot force a rebuild.
     */
-  private val tokenCache = new graft.SessionCache[String, DataFrame]
+  private val tokenCache =
+    new graft.SessionCache[String, (Option[Long], DataFrame)]
 
-  def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    tokenCache.getOrBuild(s, dir) {
-      val root = CorpusIndex.storeRootFor(dir)
-      val stored = graft.streaming.TableStore
-        .latestVersion(s, CorpusIndex.tokensPath(root))
+  def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = CorpusIndex.storeRootFor(dir)
+    def headV = graft.streaming.TableStore
+      .latestVersion(s, CorpusIndex.tokensPath(root))
+    // revalidated per access: a same-session maintenance commit on the
+    // stored frame (doc delta, retraction) bumps the version and the
+    // cached entry rebuilds from the new head — an erased document must
+    // not outlive its erasure in this cache
+    tokenCache.getOrBuildIf(s, dir)(_._1 == headV) {
+      val stored = headV
       if (stored.nonEmpty) graft.Materialize.timed("token_frame_load") {
         // a previous session already tokenized and PERSISTED this corpus
         // generation's frame (the VectorIndex lifecycle applied to text):
@@ -39,7 +45,7 @@ object TextAnalysis {
         // exactly, so every consumer is bit-identical through either
         // path; re-spread across cores (the store is 8 bucket dirs, the
         // build path's frame is corpus-partitioned)
-        CorpusIndex.storedTokens(s, root)
+        stored -> CorpusIndex.storedTokens(s, root)
           .repartition(col("doc_id")).localCheckpoint(true)
       } else graft.Materialize.timed("token_frame") {
         val t = CorpusIndex.tokenRows(graft.Tables.documents(s, dir))
@@ -53,9 +59,10 @@ object TextAnalysis {
         catch { case e: Exception =>
           System.err.println(s"[graft] token frame persist failed (non-fatal): ${e.getMessage}")
         }
-        t
+        headV -> t // post-persist head (None if the persist failed)
       }
-    }
+    }._2
+  }
 
   /** Distinct (doc_id, term) — the document-term incidence variant,
     * derived from [[corpusTokens]] (so the two share ONE tokenize pass)
@@ -64,17 +71,24 @@ object TextAnalysis {
     * self-join over a checkpointed frame reads stored blocks on both
     * sides instead of running the distinct twice.
     */
-  private val docTermCache = new graft.SessionCache[String, DataFrame]
+  private val docTermCache =
+    new graft.SessionCache[String, (Option[Long], DataFrame)]
 
-  def corpusDocTerms(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    docTermCache.getOrBuild(s, dir) {
+  def corpusDocTerms(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // chained revalidation: derived from corpusTokens, so it pins the
+    // SAME store version and rebuilds whenever the base frame does
+    def headV = graft.streaming.TableStore
+      .latestVersion(s, CorpusIndex.tokensPath(CorpusIndex.storeRootFor(dir)))
+    docTermCache.getOrBuildIf(s, dir)(_._1 == headV) {
       graft.Materialize.timed("doc_term_frame") {
-        corpusTokens(s, dir)
+        val base = corpusTokens(s, dir)
+        headV -> base
           .select(col("doc_id"), col("term"))
           .distinct()
           .localCheckpoint(true)
       }
-    }
+    }._2
+  }
 
   /** BPE-ish regex token stream: letter runs, digit runs, single other
     * non-space chars.

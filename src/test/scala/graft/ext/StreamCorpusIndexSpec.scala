@@ -105,3 +105,46 @@ class StreamCorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       sortedRows(CorpusIndex.tokenRows(docsOf((1L, "web", "kept"))))
   }
 }
+
+/** Same-session cache revalidation ([[graft.SessionCache.getOrBuildIf]]):
+  * the shared token/shingle frames are session-cached per corpus dir, and
+  * a maintenance commit on their backing store — in particular a
+  * RETRACTION — must invalidate the cached entry on its next access, not
+  * serve the erased document for the rest of the session.
+  */
+class FrameCacheRevalidationSpec extends org.scalatest.funsuite.AnyFunSuite
+  with graft.SparkSpec with org.scalatest.matchers.should.Matchers {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("a same-session retraction invalidates the cached token frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_revalidate").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "delta epsilon", "en", "web", 13L),
+      (3L, "to be erased entirely", "en", "web", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // first access: builds AND persists v0 of the store
+    val before = TextAnalysis.corpusTokens(spark, dir)
+    before.filter(col("doc_id") === 3L).count() should be > 0L
+    TextAnalysis.corpusDocTerms(spark, dir)
+      .filter(col("doc_id") === 3L).count() should be > 0L
+
+    // the maintenance commit: erase doc 3 from the SAME session's store
+    val root = CorpusIndex.storeRootFor(dir)
+    CorpusIndex.appendTokenDocs(spark, root,
+      graft.Tables.documents(spark, dir).filter(lit(false))
+        .select(col("doc_id"), col("source"), col("text")),
+      deleteDocIds = Some(Seq(3L).toDF("doc_id")))
+
+    // next access must serve the post-erasure head, not the cached entry
+    val after = TextAnalysis.corpusTokens(spark, dir)
+    after.filter(col("doc_id") === 3L).count() shouldBe 0L
+    after.filter(col("doc_id") === 1L).count() should be > 0L
+    // the derived doc-term frame revalidates through the same version
+    TextAnalysis.corpusDocTerms(spark, dir)
+      .filter(col("doc_id") === 3L).count() shouldBe 0L
+  }
+}
