@@ -1045,6 +1045,56 @@ object ExtQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  // -- H66e: the maintenance commit's audit diff ------------------------------
+  // What did that commit actually change? TableStore.diff reads ONLY the
+  // buckets whose pointers differ between the two versions and emits
+  // row-level added/removed — the E10 store-diff contract generalized to
+  // the derived frames. The oracle recomputes both frames from raw text
+  // and takes the same multiset EXCEPT in SQL, so the bucket-pruned diff
+  // must equal the global one (pointer equality on untouched buckets IS
+  // the claim under test). Digest per (change, doc_id).
+  val q_frame_diff: QueryDef = QueryDef(
+    """WITH base_docs AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 1 THEN substr(text, 1, 20) ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |b0 AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM base_docs),
+      |bt AS (SELECT doc_id, source, term, CAST(pos - 1 AS BIGINT) AS pos
+      |  FROM b0 WHERE term <> ''),
+      |t0 AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |tt AS (SELECT doc_id, source, term, CAST(pos - 1 AS BIGINT) AS pos
+      |  FROM t0 WHERE term <> ''),
+      |ch AS (
+      |  SELECT 'added' AS change, * FROM (SELECT * FROM tt EXCEPT ALL SELECT * FROM bt)
+      |  UNION ALL
+      |  SELECT 'removed' AS change, * FROM (SELECT * FROM bt EXCEPT ALL SELECT * FROM tt))
+      |SELECT change, doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h
+      |FROM ch GROUP BY change, doc_id ORDER BY change, doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_diffidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
+    CorpusIndex.appendTokenDocs(s, root, delta) // v1: the maintenance commit
+    graft.streaming.TableStore
+      .diff(s, CorpusIndex.tokensPath(root), "tokens", 0L, 1L)
+      .groupBy(col("change"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("term"), col("pos")), 7) % 1000000007L)
+          % 1000000007L).as("h"))
+      .orderBy(col("change"), col("doc_id"))
+  }
+
   // -- H66c: document retraction without a full rewrite ----------------------
   // The maintenance commit a real corpus hits hardest: one version that
   // INSERTS new docs (%10==0, absent from the base), REPLACES stale ones
@@ -1096,6 +1146,7 @@ object ExtQueries {
     "q_shingle_incremental" -> q_shingle_incremental,
     "q_token_retract" -> q_token_retract,
     "q_frame_sql" -> q_frame_sql,
+    "q_frame_diff" -> q_frame_diff,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,

@@ -938,27 +938,40 @@ object StateStore {
         "pointer equality no longer implies bucket equality — diff after a " +
         "rebucket must read both versions in full (not supported here)")
     tables.map { t =>
-      val pOld = mOld.pointers.getOrElse(t.name, Map.empty)
-      val pNew = mNew.pointers.getOrElse(t.name, Map.empty)
-      val changedPts = (pOld.keySet ++ pNew.keySet)
-        .filter(pt => pOld.get(pt) != pNew.get(pt))
-      val pathsOld = bucketPaths(statePath, mOld, t.name, Some(changedPts))
-      val pathsNew = bucketPaths(statePath, mNew, t.name, Some(changedPts))
-      // diff under the NEW version's schema: additive evolution (the write
-      // contract) means old files null-fill added columns — an evolved row
-      // then correctly diffs as removed(old shape)+added(new shape)
-      val sc = mNew.schemaOf(t.name)
-      val older = mOld.schemaOf(t.name).fields.filterNot(of =>
-        sc.fields.exists(nf => nf.name == of.name && nf.dataType == of.dataType))
-      require(older.isEmpty,
-        s"diff of '${t.name}' across a narrowing schema change (v$vOld fields " +
-          s"${older.map(_.name).mkString(", ")} absent in v$vNew) is not defined")
-      val oldRows = readPaths(spark, sc, pathsOld)
-      val newRows = readPaths(spark, sc, pathsNew)
-      val changed = newRows.exceptAll(oldRows).withColumn("change", lit("added"))
-        .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("removed")))
+      val (changed, pathsOld, pathsNew) =
+        diffTable(spark, statePath, t.name, vOld, mOld, vNew, mNew)
       TableDiff(t.name, changed, pathsOld, pathsNew)
     }
+  }
+
+  /** One table's row-level diff between two manifests — the bucket-pruned
+    * core shared by [[diffVersions]] (graph tables) and
+    * [[TableStore.diff]] (generic stores). Returns (changed rows with a
+    * `change` column, pruned old paths, pruned new paths).
+    */
+  private[streaming] def diffTable(spark: SparkSession, statePath: String,
+      table: String, vOld: Long, mOld: Manifest, vNew: Long,
+      mNew: Manifest): (DataFrame, Seq[String], Seq[String]) = {
+    val pOld = mOld.pointers.getOrElse(table, Map.empty[Int, Long])
+    val pNew = mNew.pointers.getOrElse(table, Map.empty[Int, Long])
+    val changedPts = (pOld.keySet ++ pNew.keySet)
+      .filter(pt => pOld.get(pt) != pNew.get(pt))
+    val pathsOld = bucketPaths(statePath, mOld, table, Some(changedPts))
+    val pathsNew = bucketPaths(statePath, mNew, table, Some(changedPts))
+    // diff under the NEW version's schema: additive evolution (the write
+    // contract) means old files null-fill added columns — an evolved row
+    // then correctly diffs as removed(old shape)+added(new shape)
+    val sc = mNew.schemaOf(table)
+    val older = mOld.schemaOf(table).fields.filterNot(of =>
+      sc.fields.exists(nf => nf.name == of.name && nf.dataType == of.dataType))
+    require(older.isEmpty,
+      s"diff of '$table' across a narrowing schema change (v$vOld fields " +
+        s"${older.map(_.name).mkString(", ")} absent in v$vNew) is not defined")
+    val oldRows = readPaths(spark, sc, pathsOld)
+    val newRows = readPaths(spark, sc, pathsNew)
+    val changed = newRows.exceptAll(oldRows).withColumn("change", lit("added"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("removed")))
+    (changed, pathsOld, pathsNew)
   }
 
   // --- prune (per-bucket garbage collection) -------------------------------

@@ -203,6 +203,24 @@ object TableStore {
       maxVersion: Long = Long.MaxValue): Option[Long] =
     StateStore.committedVersions(spark, statePath, maxVersion).lastOption
 
+  /** Row-level diff of one table between two committed versions —
+    * [[StateStore.diffVersions]] generalized to any store: only the
+    * buckets whose pointers differ are read (O(changed), not O(table)),
+    * and the result carries a `change` column (`added`/`removed`; an
+    * updated row appears as both). The audit/debug face of incremental
+    * maintenance: what did this maintenance commit actually change?
+    */
+  def diff(spark: SparkSession, statePath: String, table: String,
+      vOld: Long, vNew: Long): DataFrame = {
+    val mOld = manifestAt(spark, statePath, vOld)
+    val mNew = manifestAt(spark, statePath, vNew)
+    require(mOld.buckets == mNew.buckets,
+      s"bucket count differs (v$vOld=${mOld.buckets}, v$vNew=${mNew.buckets}): " +
+        "pointer equality no longer implies bucket equality — diff across a " +
+        "rebucket must read both versions in full (not supported here)")
+    StateStore.diffTable(spark, statePath, table, vOld, mOld, vNew, mNew)._1
+  }
+
   /** Re-bucket the store: full-write every table of the latest version
     * under `cfg`'s (different) bucket count as the next version. THE
     * growth path when a corpus outgrows its bucket sizing (the Config

@@ -173,6 +173,24 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("deletes")
   }
 
+  test("diff: the maintenance commit's audit trail, retraction included") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 10L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(3L -> "NEW", 11L -> "ADDED")), delta = true, cfg = cfg,
+      deletes = Map("facts" -> Seq(7L).toDF("id")))
+    val d = TableStore.diff(spark, root, "facts", 0L, 1L)
+      .select($"change", $"id", $"payload").as[(String, Long, String)]
+      .collect().toSet
+    d shouldBe Set(
+      ("added", 3L, "NEW"), ("added", 11L, "ADDED"),
+      ("removed", 3L, "p3"), ("removed", 7L, "p7"))
+    // untouched table diffs empty
+    TableStore.diff(spark, root, "dim", 0L, 1L).count() shouldBe 0L
+  }
+
   test("rebucket: content survives a modulus change and deltas resume at the new modulus") {
     val root = tmp()
     TableStore.write(spark, root, 0L, specs,
