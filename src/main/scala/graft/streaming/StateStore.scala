@@ -830,9 +830,18 @@ object StateStore {
   private[graft] def planCdc(spark: SparkSession, statePath: String,
       table: String, fromExclusive: Long, toInclusive: Long,
       streamSchema: Option[StructType] = None): Seq[CdcSlice] = {
-    require(tables.exists(_.name == table),
-      s"unknown table '$table' — one of ${tables.map(_.name).mkString(", ")}")
     val chain = committedVersions(spark, statePath, Long.MaxValue)
+    // manifest-first resolution (the planScan contract): a generic
+    // TableStore table is known through its own manifest's key/schema/
+    // pointer lines, so the CDC stream serves any versioned store —
+    // graph names stay canonical
+    val known = tables.exists(_.name == table) ||
+      chain.lastOption.flatMap(v => readManifest(spark, statePath, v)).exists(m =>
+        m.keys.contains(table) || m.schemas.contains(table) ||
+          m.pointers.contains(table))
+    require(known,
+      s"unknown table '$table' — not a graph table (${tables.map(_.name).mkString(", ")}) " +
+        "and not recorded in this store's manifest")
     val emit = chain.filter(v => v > fromExclusive && v <= toInclusive)
     if (emit.isEmpty) return Nil
     val base = chain.filter(_ <= fromExclusive).lastOption

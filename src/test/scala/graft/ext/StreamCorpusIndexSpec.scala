@@ -96,6 +96,45 @@ class StreamCorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       (3L, "web", "seven eight"))))
   }
 
+  test("the generic store CDC stream serves the frame's maintenance feed") {
+    // self-describing manifests make graft-store-cdc work over ANY
+    // TableStore root: each maintenance commit (insert + replace at v1,
+    // retraction at v2) must stream out exactly TableStore.diff's rows,
+    // change-and-version tagged — the downstream-consumer path (e.g. a
+    // vector index reacting to corpus erasures) with no graph coupling.
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    val ckpt = Files.createTempDirectory("graft_streamidx_cdc").toString
+    CorpusIndex.buildTokens(spark, root,
+      docsOf((1L, "web", "one two"), (2L, "web", "three four")))
+    CorpusIndex.appendTokenDocs(spark, root,
+      docsOf((2L, "web", "three rewritten"), (3L, "web", "five")))
+    CorpusIndex.appendTokenDocs(spark, root, docsOf(),
+      deleteDocIds = Some(Seq(1L).toDF("doc_id")))
+
+    val path = CorpusIndex.tokensPath(root)
+    val q = spark.readStream.format("graft-store-cdc")
+      .option("path", path).option("table", "tokens")
+      .option("startingVersion", 0L).load() // offset semantics: v0 already consumed
+      .writeStream.format("memory").queryName("tok_cdc")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tok_cdc")
+      .select(col("version"), col("change"), col("doc_id"), col("term"), col("pos"))
+      .collect().map(_.toString).toSeq.sorted
+    val want = Seq(1L, 2L).flatMap { v =>
+      graft.streaming.TableStore.diff(spark, path, "tokens", v - 1, v)
+        .select(lit(v).as("version"), col("change"), col("doc_id"),
+          col("term"), col("pos"))
+        .collect().map(_.toString)
+    }.sorted
+    got shouldBe want
+    // the retraction version emits the erased doc's rows as `removed`
+    spark.table("tok_cdc")
+      .filter(col("version") === 2L && col("doc_id") === 1L)
+      .select(col("change")).collect().map(_.getString(0)).toSet shouldBe Set("removed")
+  }
+
   test("a tombstone in the bootstrap batch is a loud no-op, not a crash") {
     val root = Files.createTempDirectory("graft_streamidx").toString
     CorpusIndex.foldDocBatch(spark, root, Seq(
