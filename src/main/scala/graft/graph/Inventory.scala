@@ -120,7 +120,7 @@ object Inventory {
       statePath: String,
       sinceVersion: Long,
       maxVersion: Long = Long.MaxValue): Option[(Long, Seq[StateStore.TableDiff])] =
-    StateStore.committedVersions(spark, statePath, maxVersion).lastOption
+    StateStore.latestCommitted(spark, statePath, maxVersion)
       .filter(_ > sinceVersion)
       .map { v =>
         require(StateStore.readManifest(spark, statePath, sinceVersion).isDefined,

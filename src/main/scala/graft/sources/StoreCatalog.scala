@@ -53,7 +53,7 @@ class StoreCatalog extends TableCatalog {
   private def tableNames: Array[String] = {
     import graft.streaming.StateStore
     val spark = org.apache.spark.sql.SparkSession.active
-    StateStore.committedVersions(spark, path, Long.MaxValue).lastOption
+    StateStore.latestCommitted(spark, path)
       .flatMap(v => StateStore.readManifest(spark, path, v))
       .map { m =>
         // generic TableStore tables always record their schema (and key),

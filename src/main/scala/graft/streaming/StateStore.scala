@@ -319,7 +319,10 @@ object StateStore {
     }, schemas, dirs, keys))
   }
 
-  /** Committed (manifest-complete) versions <= maxVersion, ascending. */
+  /** Committed (manifest-complete) versions <= maxVersion, ascending.
+    * Reads EVERY candidate's manifest — callers that only need the head
+    * use [[latestCommitted]] instead (O(1) manifest reads vs O(chain)).
+    */
   def committedVersions(spark: SparkSession, statePath: String, maxVersion: Long): Seq[Long] = {
     val (fs, root) = fsFor(spark, statePath)
     if (!fs.exists(root)) Seq.empty
@@ -329,6 +332,30 @@ object StateStore {
       .filter(v => v <= maxVersion && fs.exists(manifestPath(statePath, v)))
       .filter(v => readManifest(spark, statePath, v).isDefined)
       .sorted
+  }
+
+  /** Highest committed version <= maxVersion — the hot-path form of
+    * `committedVersions(...).lastOption`: ONE directory listing, then
+    * manifests probed DESCENDING until the first committed one. The full
+    * form costs one manifest read per version in the chain, which the
+    * streaming fold (one head probe per micro-batch) and the
+    * version-revalidated session caches (one per access) would otherwise
+    * turn into O(chain) FS reads per operation — quadratic over a
+    * long-running stream's life. Crash remnants (terminator-less
+    * manifests) are skipped the same way the full form skips them.
+    */
+  def latestCommitted(spark: SparkSession, statePath: String,
+      maxVersion: Long = Long.MaxValue): Option[Long] = {
+    val (fs, root) = fsFor(spark, statePath)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+      .filter(_ <= maxVersion)
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      .filter(v => fs.exists(manifestPath(statePath, v)))
+      .find(v => readManifest(spark, statePath, v).isDefined)
   }
 
   // --- write ---------------------------------------------------------------
@@ -346,7 +373,7 @@ object StateStore {
   def write(spark: SparkSession, statePath: String, version: Long, st: State,
       changes: Option[ChangeSet], cfg: Config = Config(),
       loaded: Option[Map[String, Set[Int]]] = None): Pointers = {
-    val prevVersion = committedVersions(spark, statePath, version - 1).lastOption
+    val prevVersion = latestCommitted(spark, statePath, version - 1)
     val prev = prevVersion.flatMap(v => readManifest(spark, statePath, v))
     prev.foreach { pm =>
       require(changes.isEmpty || pm.buckets == cfg.buckets,
@@ -537,7 +564,7 @@ object StateStore {
     // CAS leg 1: the head this write inherited pointers from must still
     // be the head — otherwise the commit would silently drop the
     // interleaver's changes (lost update)
-    val headNow = committedVersions(spark, statePath, version - 1).lastOption
+    val headNow = latestCommitted(spark, statePath, version - 1)
     if (headNow != expectedPrev) {
       dropStaging()
       throw new ConcurrentWriteException(
@@ -681,7 +708,7 @@ object StateStore {
 
   /** Latest committed state with version <= maxVersion. */
   def readLatest(spark: SparkSession, statePath: String, maxVersion: Long): Option[(Long, State)] =
-    committedVersions(spark, statePath, maxVersion).lastOption
+    latestCommitted(spark, statePath, maxVersion)
       .map(v => (v, read(spark, statePath, v)))
 
   // --- partial (bucket-pruned) read ---------------------------------------
@@ -722,7 +749,7 @@ object StateStore {
     */
   def readPartialLatest(spark: SparkSession, statePath: String, maxVersion: Long,
       cand: Candidates, cfg: Config = Config()): Option[Partial] = {
-    val version = committedVersions(spark, statePath, maxVersion).lastOption
+    val version = latestCommitted(spark, statePath, maxVersion)
       .getOrElse(return None)
     val m = readManifest(spark, statePath, version).get
     require(m.buckets == cfg.buckets,
@@ -783,7 +810,7 @@ object StateStore {
   private[graft] def planScan(spark: SparkSession, statePath: String,
       table: String, version: Option[Long]): ScanPlan = {
     val v = version.getOrElse(
-      committedVersions(spark, statePath, Long.MaxValue).lastOption.getOrElse(
+      latestCommitted(spark, statePath).getOrElse(
         throw new IllegalStateException(s"no committed version under $statePath")))
     val m = readManifest(spark, statePath, v).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$v under $statePath"))
@@ -895,7 +922,7 @@ object StateStore {
     */
   private[graft] def latestSchema(spark: SparkSession, statePath: String,
       table: String): StructType =
-    committedVersions(spark, statePath, Long.MaxValue).lastOption
+    latestCommitted(spark, statePath)
       .flatMap(v => readManifest(spark, statePath, v)).map(_.schemaOf(table))
       .getOrElse(tableSchema(table))
 

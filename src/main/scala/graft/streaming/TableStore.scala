@@ -63,7 +63,7 @@ object TableStore {
       s"frames ${frames.keySet.diff(specs.map(_.name).toSet)} not in specs")
     require(deletes.keySet.subsetOf(specs.map(_.name).toSet),
       s"deletes ${deletes.keySet.diff(specs.map(_.name).toSet)} not in specs")
-    val prevVersion = StateStore.committedVersions(spark, statePath, version - 1).lastOption
+    val prevVersion = StateStore.latestCommitted(spark, statePath, version - 1)
     val prev = prevVersion.flatMap(v => StateStore.readManifest(spark, statePath, v))
     val incremental = delta && prev.nonEmpty
     prev.foreach { pm =>
@@ -201,7 +201,7 @@ object TableStore {
 
   def latestVersion(spark: SparkSession, statePath: String,
       maxVersion: Long = Long.MaxValue): Option[Long] =
-    StateStore.committedVersions(spark, statePath, maxVersion).lastOption
+    StateStore.latestCommitted(spark, statePath, maxVersion)
 
   /** Row-level diff of one table between two committed versions —
     * [[StateStore.diffVersions]] generalized to any store: only the
