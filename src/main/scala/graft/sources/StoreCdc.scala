@@ -109,14 +109,16 @@ class StoreCdcStream(path: String, table: String, baseSchema: StructType,
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
-  private def chain: Seq[Long] =
-    StateStore.committedVersions(spark, path, Long.MaxValue)
+  // head/pending probes, never the whole chain: each trigger's manifest
+  // I/O is bounded by the versions it will actually emit, so a stream
+  // over a long-lived store pays O(pending) per trigger, not O(history)
+  private def head: Option[Long] = StateStore.latestCommitted(spark, path)
 
   /** No explicit start => only versions committed AFTER the stream first
     * starts (the checkpoint then pins this choice forever).
     */
   override def initialOffset(): Offset =
-    VersionOffset(startingVersion.getOrElse(chain.lastOption.getOrElse(-1L)))
+    VersionOffset(startingVersion.getOrElse(head.getOrElse(-1L)))
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -132,13 +134,14 @@ class StoreCdcStream(path: String, table: String, baseSchema: StructType,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val from = start.asInstanceOf[VersionOffset].v
-    val pending = chain.filter(_ > from)
+    val pending =
+      StateStore.committedVersionsBetween(spark, path, from, Long.MaxValue)
     val capped = maxVersionsPerTrigger.map(pending.take).getOrElse(pending)
     VersionOffset(capped.lastOption.getOrElse(from))
   }
 
   override def latestOffset(): Offset = {
-    val last = chain.lastOption.getOrElse(-1L)
+    val last = head.getOrElse(-1L)
     VersionOffset(math.max(last, startingVersion.getOrElse(-1L)))
   }
 

@@ -358,6 +358,25 @@ object StateStore {
       .find(v => readManifest(spark, statePath, v).isDefined)
   }
 
+  /** Committed versions in (fromExclusive, toInclusive], ascending — the
+    * CDC trigger's form: manifest probes bound by the PENDING range, not
+    * the whole chain (a long-lived stream's offset rides near the head,
+    * so each trigger probes a handful of manifests however long the
+    * store's history is).
+    */
+  def committedVersionsBetween(spark: SparkSession, statePath: String,
+      fromExclusive: Long, toInclusive: Long): Seq[Long] = {
+    val (fs, root) = fsFor(spark, statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .filter(v => fs.exists(manifestPath(statePath, v)))
+      .filter(v => readManifest(spark, statePath, v).isDefined)
+      .sorted
+  }
+
   // --- write ---------------------------------------------------------------
 
   /** Write state as version `version`. With a predecessor manifest and a
@@ -857,21 +876,23 @@ object StateStore {
   private[graft] def planCdc(spark: SparkSession, statePath: String,
       table: String, fromExclusive: Long, toInclusive: Long,
       streamSchema: Option[StructType] = None): Seq[CdcSlice] = {
-    val chain = committedVersions(spark, statePath, Long.MaxValue)
     // manifest-first resolution (the planScan contract): a generic
     // TableStore table is known through its own manifest's key/schema/
     // pointer lines, so the CDC stream serves any versioned store —
     // graph names stay canonical
     val known = tables.exists(_.name == table) ||
-      chain.lastOption.flatMap(v => readManifest(spark, statePath, v)).exists(m =>
-        m.keys.contains(table) || m.schemas.contains(table) ||
-          m.pointers.contains(table))
+      latestCommitted(spark, statePath)
+        .flatMap(v => readManifest(spark, statePath, v)).exists(m =>
+          m.keys.contains(table) || m.schemas.contains(table) ||
+            m.pointers.contains(table))
     require(known,
       s"unknown table '$table' — not a graph table (${tables.map(_.name).mkString(", ")}) " +
         "and not recorded in this store's manifest")
-    val emit = chain.filter(v => v > fromExclusive && v <= toInclusive)
+    // manifest probes bounded by the PENDING range + one head probe for
+    // the base — never the whole chain (see committedVersionsBetween)
+    val emit = committedVersionsBetween(spark, statePath, fromExclusive, toInclusive)
     if (emit.isEmpty) return Nil
-    val base = chain.filter(_ <= fromExclusive).lastOption
+    val base = latestCommitted(spark, statePath, fromExclusive)
     if (base.isEmpty && fromExclusive >= 0)
       throw new IllegalStateException(
         s"CDC base version <= $fromExclusive is no longer committed under " +
