@@ -135,6 +135,45 @@ class StreamCorpusIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(col("change")).collect().map(_.getString(0)).toSet shouldBe Set("removed")
   }
 
+  test("two-hop composition: doc feed → maintained store → live CDC consumer") {
+    // the full deployment shape, both hops RUNNING at once: a document
+    // CDC feed maintains the token store (hop 1), and a second live
+    // streaming query tails that store's change feed (hop 2). The
+    // accumulated change feed folded by (added − removed) must equal the
+    // final stored frame — deletions included.
+    val root = Files.createTempDirectory("graft_streamidx").toString
+    val ckpt1 = Files.createTempDirectory("graft_streamidx_c1").toString
+    val ckpt2 = Files.createTempDirectory("graft_streamidx_c2").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[DocEvent]
+    val q1 = CorpusIndex.maintainStream(src.toDF(), root, ckpt1)
+    src.addData(DocEvent(1L, "web", "one two three", "upsert", 1L),
+      DocEvent(2L, "web", "four five", "upsert", 2L))
+    q1.processAllAvailable() // v1 committed: the CDC source can now mount
+    val q2 = spark.readStream.format("graft-store-cdc")
+      .option("path", CorpusIndex.tokensPath(root))
+      .option("table", "tokens").option("startingVersion", -1L).load()
+      .writeStream.format("memory").queryName("tok_chain")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      src.addData(DocEvent(1L, "web", "", "delete", 10L),
+        DocEvent(3L, "web", "six", "upsert", 11L))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+
+    // fold the accumulated change feed: net row multiset == stored frame
+    val folded = spark.table("tok_chain")
+      .groupBy(col("doc_id"), col("source"), col("term"), col("pos"))
+      .agg(sum(when(col("change") === "added", 1).otherwise(-1)).as("n"))
+      .filter(col("n") =!= 0)
+    folded.filter(col("n") =!= 1).count() shouldBe 0L // net is a set here
+    folded.select(col("doc_id"), col("source"), col("term"), col("pos"))
+      .collect().map(_.toString).toSeq.sorted shouldBe
+      sortedRows(CorpusIndex.storedTokens(spark, root))
+  }
+
   test("a tombstone in the bootstrap batch is a loud no-op, not a crash") {
     val root = Files.createTempDirectory("graft_streamidx").toString
     CorpusIndex.foldDocBatch(spark, root, Seq(
