@@ -1045,6 +1045,51 @@ object ExtQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  // -- H66f: the growth path, end to end --------------------------------------
+  // A corpus that outgrows its bucket modulus re-buckets with ONE full
+  // rewrite (TableStore.rebucket) and then resumes incremental
+  // maintenance at the new count — the lifecycle a store living through
+  // 100× growth actually follows. Staged here in miniature: stale base
+  // at 8 buckets → rebucket to 32 → the usual insert+replace delta at
+  // the NEW modulus. The oracle sees only the true final corpus, so a
+  // mis-hashed bucket (rows landing under the old modulus) or a lost
+  // row in the rewrite breaks the gate. Digest as q_token_incremental.
+  val q_token_rebucket: QueryDef = QueryDef(
+    """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+      |  WHERE term <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_rebkidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    val small = graft.streaming.StateStore.Config(buckets = 8)
+    val grown = graft.streaming.StateStore.Config(buckets = 32)
+    CorpusIndex.buildTokens(s, root, base, cfg = small) // v0: 8 buckets
+    graft.streaming.TableStore.rebucket( // v1: the growth rewrite
+      s, CorpusIndex.tokensPath(root), Seq(CorpusIndex.TokenSpec), grown)
+    CorpusIndex.appendTokenDocs(s, root, delta, cfg = grown) // v2: delta resumes
+    CorpusIndex.storedTokens(s, root)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_terms"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("term"), col("pos")), 7) % 1000000007L)
+          % 1000000007L).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- H66e: the maintenance commit's audit diff ------------------------------
   // What did that commit actually change? TableStore.diff reads ONLY the
   // buckets whose pointers differ between the two versions and emits
@@ -1147,6 +1192,7 @@ object ExtQueries {
     "q_token_retract" -> q_token_retract,
     "q_frame_sql" -> q_frame_sql,
     "q_frame_diff" -> q_frame_diff,
+    "q_token_rebucket" -> q_token_rebucket,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,
