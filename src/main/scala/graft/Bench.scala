@@ -124,6 +124,13 @@ object Bench {
     // inside the per-query timing loop below — a lazily-triggered rebuild
     // would silently inflate whichever query tripped it
     val buildsBeforeTiming = Materialize.timings
+    // in-query store-build attribution (VERDICT r9 #5): the lifecycle
+    // queries rebuild fresh versioned stores per run BY CONSTRUCTION (the
+    // oracle must see a deterministic build), so their timed medians are
+    // build-dominated. Reset the per-invocation span registry here so the
+    // spans recorded below belong to the TIMED runs only, and publish a
+    // build/serve split per query in BENCH_FULL.
+    Materialize.resetQueryBuilds()
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -190,6 +197,22 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = dict(results)
     val qsBase = dict(results.filter(r => baselineSet(r._1)))
+    // per-query build/serve split for the store-lifecycle queries: build =
+    // median of the in-query store-build spans recorded across the timed
+    // runs; serve = the query's timed median minus that build — the
+    // serving-path signal the full-catalog total otherwise blurs
+    val buildSplit = locally {
+      val spans = Materialize.queryBuildSpans
+      val byName = results.map(r => r._1 -> r).toMap
+      spans.toSeq.sortBy(_._1).flatMap { case (name, ss) =>
+        byName.get(name).collect { case (_, ts, err) if ok(ts, err) =>
+          val b = median(ss)
+          val m = median(ts)
+          "\"" + name + "\":" +
+            f"""{"build":$b%.3f,"serve":${math.max(0.0, m - b)}%.3f}"""
+        }
+      }.mkString("{", ",", "}")
+    }
     val baseTotal = results
       .collect { case (k, ts, err) if baselineSet(k) && ok(ts, err) => median(ts) }.sum
     val mins = results.map { case (k, ts, err) =>
@@ -222,6 +245,7 @@ object Bench {
       val full = s"""{"metric":"total",$metaCommon,""" +
         f""""baseline_subset_total":$baseTotal%.3f,""" +
         s""""materialize_detail":$materializeDetail,""" +
+        s""""query_build_split":$buildSplit,""" +
         s""""queries_min":$mins,"queries":$qs}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))

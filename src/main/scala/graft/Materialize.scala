@@ -29,6 +29,39 @@ object Materialize {
     times.asScala.map { case (k, v) => (k, v.doubleValue()) }.toMap
   }
 
+  // --- in-query store-build attribution (VERDICT r9 #5) --------------------
+  // The store-LIFECYCLE queries (q_ivf_incremental, q_token_rebucket, ...)
+  // build fresh versioned stores INSIDE the query by construction — the
+  // oracle must see a deterministic build — so their bench time is
+  // build-dominated while the serving read they actually prove is a
+  // fraction of it. Each such query wraps its build phase in
+  // [[queryBuild]]; Bench snapshots the recorded spans per timed run and
+  // publishes a build/serve split per query, keeping the full-catalog
+  // number a serving-path signal. Unlike [[timed]], spans here are
+  // PER-INVOCATION (a list, not a sum): Bench needs the median across its
+  // runs, and Verify's single pass just records one span.
+
+  private val inQueryBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]
+
+  def queryBuild[T](query: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val r = build
+    inQueryBuilds
+      .computeIfAbsent(query, _ => new java.util.concurrent.ConcurrentLinkedQueue)
+      .add((System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  def queryBuildSpans: Map[String, Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    inQueryBuilds.asScala.map { case (k, q) =>
+      (k, q.iterator().asScala.map(_.doubleValue()).toSeq)
+    }.toMap
+  }
+
+  def resetQueryBuilds(): Unit = inQueryBuilds.clear()
+
   /** Contamination boundary for timed regions (Bench's per-query loop):
     * take [[timings]] before the region, call this after — any build
     * that executed INSIDE the region fails loudly, because a lazily

@@ -57,15 +57,50 @@ object CorpusIndex {
   def shinglesPath(root: String): String = s"$root/text_shingles"
 
   /** Store root for a corpus dir, keyed by a CONTENT fingerprint of the
-    * documents table (path + mtime + size — the [[VectorIndex.storeRootFor]]
-    * rationale: the driver regenerates testdata between rounds, and a
-    * path-only key would serve a stale frame for new data; production
-    * pins the frame to its corpus snapshot version explicitly).
+    * documents table (path + per-file mtime/size — the
+    * [[VectorIndex.storeRootFor]] rationale: the driver regenerates
+    * testdata between rounds, and a path-only key would serve a stale
+    * frame for new data; production pins the frame to its corpus
+    * snapshot version explicitly). The root carries the OS user so two
+    * users on one machine never share — or fight over — a
+    * world-writable /tmp store (ADVICE r9).
     */
-  def storeRootFor(dir: String): String = {
-    val f = new java.io.File(dir, "documents.parquet")
-    val fp = TextAnalysis.md5hexJvm(s"$dir|${f.lastModified}|${f.length}").take(16)
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_text_store_$fp"
+  def storeRootFor(dir: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_text_store_" +
+      s"${storeUser}_${fingerprint(dir, "documents.parquet")}"
+
+  /** Path-safe OS user segment for store roots. */
+  private[ext] def storeUser: String =
+    sys.props.getOrElse("user.name", "nouser").replaceAll("[^A-Za-z0-9_.-]", "_")
+
+  /** Corpus fingerprint through the Hadoop FileSystem API — NOT
+    * `java.io.File`, whose mtime/length are 0/0 for any non-local dir
+    * (hdfs://, s3a://), which would collapse the key to path-only and
+    * silently serve stale persisted frames for a regenerated remote
+    * corpus (ADVICE r9). A spark-written table is a DIRECTORY: each
+    * child file's (name, length, mtime) participates, so a rewritten
+    * part file changes the key. A missing corpus fingerprints as
+    * `absent` (nothing to serve either way; its later appearance changes
+    * the key); an unreachable FILESYSTEM fails loudly — a guessed key
+    * against a live store is exactly the stale-serving bug.
+    */
+  private[ext] def fingerprint(dir: String, fileName: String): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(dir, fileName)
+    val detail = try {
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(c =>
+            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted.mkString(";")
+      else s"${st.getLen}:${st.getModificationTime}"
+    } catch {
+      case _: java.io.FileNotFoundException => "absent"
+    }
+    TextAnalysis.md5hexJvm(s"$dir|$detail").take(16)
   }
 
   /** The (doc_id, source, term, pos) token rows of `docs` — the single

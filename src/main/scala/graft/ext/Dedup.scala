@@ -135,6 +135,13 @@ object Dedup {
       s, CorpusIndex.shinglesPath(CorpusIndex.storeRootFor(dir)))
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    corpusShinglesEntry(s, dir)._2
+
+  /** (served store version, frame) — the version the derived pairs cache
+    * tags itself with (see TextAnalysis.corpusTokensEntry's rationale).
+    */
+  private def corpusShinglesEntry(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Option[Long], DataFrame) =
     shingleCache.getOrBuildIf(s, dir)(_._1 == shingleHeadV(s, dir)) {
       val root = CorpusIndex.storeRootFor(dir)
       val stored = shingleHeadV(s, dir)
@@ -147,13 +154,18 @@ object Dedup {
           .repartition(col("doc_id")).localCheckpoint(true)
       } else graft.Materialize.timed("shingle_table") {
         val f = wordShingleDocs(Tables.documents(s, dir)).localCheckpoint(true)
-        try CorpusIndex.writeShingleFrame(s, root, f)
-        catch { case e: Exception =>
-          System.err.println(s"[graft] shingle frame persist failed (non-fatal): ${e.getMessage}")
-        }
-        shingleHeadV(s, dir) -> f // post-persist head (see corpusTokens)
+        // tagged with the version THIS build wrote (v0; None on failure)
+        // — a post-persist head probe would let a concurrent maintenance
+        // commit tag this pre-maintenance frame as current (ADVICE r9)
+        val wrote =
+          try { CorpusIndex.writeShingleFrame(s, root, f); Some(0L) }
+          catch { case e: Exception =>
+            System.err.println(s"[graft] shingle frame persist failed (non-fatal): ${e.getMessage}")
+            None
+          }
+        wrote -> f
       }
-    }._2
+    }
 
   /** Verified LSH pair set per (session, sfDir, feature family, bands, r)
     * — q_minhash_lsh_pairs / q_ngram_jaccard EMIT it and
@@ -170,9 +182,10 @@ object Dedup {
     pairsCache.getOrBuildIf(s, (dir, "word3", bands, r))(
       _._1 == shingleHeadV(s, dir)) {
       graft.Materialize.timed("lsh_pairs_word3") {
-        val base = corpusShingles(s, dir) // pins the head it derives from
-        shingleHeadV(s, dir) ->
-          lshJaccardPairs(base, bands, r).localCheckpoint(true)
+        // tag with the version the base frame ACTUALLY serves, not a
+        // fresh head probe (see corpusShinglesEntry's race rationale)
+        val (baseV, base) = corpusShinglesEntry(s, dir)
+        baseV -> lshJaccardPairs(base, bands, r).localCheckpoint(true)
       }
     }._2
 

@@ -954,8 +954,10 @@ object ExtQueries {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_textidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial corpus
-    CorpusIndex.appendTokenDocs(s, root, delta) // v1: inserts %10==0, REPLACES %10==1
+    graft.Materialize.queryBuild("q_token_incremental") {
+      CorpusIndex.buildTokens(s, root, base) // v0: stale/partial corpus
+      CorpusIndex.appendTokenDocs(s, root, delta) // v1: inserts %10==0, REPLACES %10==1
+    }
     CorpusIndex.storedTokens(s, root)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -989,8 +991,10 @@ object ExtQueries {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_shingleidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    CorpusIndex.buildShingles(s, root, base)
-    CorpusIndex.appendShingleDocs(s, root, delta)
+    graft.Materialize.queryBuild("q_shingle_incremental") {
+      CorpusIndex.buildShingles(s, root, base)
+      CorpusIndex.appendShingleDocs(s, root, delta)
+    }
     CorpusIndex.storedShingles(s, root)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         (aggregate(transform(col("hs"), h => h % 1000000007L),
@@ -1028,8 +1032,10 @@ object ExtQueries {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqlidx_$tag"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
-    CorpusIndex.appendTokenDocs(s, root, delta) // v1: insert + replace
+    graft.Materialize.queryBuild("q_frame_sql") {
+      CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
+      CorpusIndex.appendTokenDocs(s, root, delta) // v1: insert + replace
+    }
     // catalog names are cached by the session's CatalogManager at first
     // use, so each run mounts under a fresh name for its fresh root
     val cat = s"graftsql_$tag"
@@ -1076,10 +1082,12 @@ object ExtQueries {
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
     val small = graft.streaming.StateStore.Config(buckets = 8)
     val grown = graft.streaming.StateStore.Config(buckets = 32)
-    CorpusIndex.buildTokens(s, root, base, cfg = small) // v0: 8 buckets
-    graft.streaming.TableStore.rebucket( // v1: the growth rewrite
-      s, CorpusIndex.tokensPath(root), Seq(CorpusIndex.TokenSpec), grown)
-    CorpusIndex.appendTokenDocs(s, root, delta, cfg = grown) // v2: delta resumes
+    graft.Materialize.queryBuild("q_token_rebucket") {
+      CorpusIndex.buildTokens(s, root, base, cfg = small) // v0: 8 buckets
+      graft.streaming.TableStore.rebucket( // v1: the growth rewrite
+        s, CorpusIndex.tokensPath(root), Seq(CorpusIndex.TokenSpec), grown)
+      CorpusIndex.appendTokenDocs(s, root, delta, cfg = grown) // v2: delta resumes
+    }
     CorpusIndex.storedTokens(s, root)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -1128,8 +1136,10 @@ object ExtQueries {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_diffidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
-    CorpusIndex.appendTokenDocs(s, root, delta) // v1: the maintenance commit
+    graft.Materialize.queryBuild("q_frame_diff") {
+      CorpusIndex.buildTokens(s, root, base) // v0: stale/partial
+      CorpusIndex.appendTokenDocs(s, root, delta) // v1: the maintenance commit
+    }
     graft.streaming.TableStore
       .diff(s, CorpusIndex.tokensPath(root), "tokens", 0L, 1L)
       .groupBy(col("change"), col("doc_id"))
@@ -1173,9 +1183,11 @@ object ExtQueries {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_textidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    CorpusIndex.buildTokens(s, root, base) // v0: stale + phantom docs
-    CorpusIndex.appendTokenDocs(s, root, delta, // v1: one maintenance commit
-      deleteDocIds = Some(phantoms.select(col("doc_id"))))
+    graft.Materialize.queryBuild("q_token_retract") {
+      CorpusIndex.buildTokens(s, root, base) // v0: stale + phantom docs
+      CorpusIndex.appendTokenDocs(s, root, delta, // v1: one maintenance commit
+        deleteDocIds = Some(phantoms.select(col("doc_id"))))
+    }
     CorpusIndex.storedTokens(s, root)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),

@@ -163,14 +163,19 @@ object Pq {
         val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
           b.map { case (code, cv) => (sub, code, cv) }
         }
-        try graft.streaming.TableStore.write(s, s"$root/pq", 0L,
-          VectorIndex.PqSpecs,
-          Map("pq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
-            "pq_codes" -> codes), cfg = VectorIndex.cfg)
-        catch { case ex: Exception =>
-          System.err.println(s"[graft] PQ index persist failed (non-fatal): ${ex.getMessage}")
-        }
-        PqIndex(books, codes, headV) // post-persist head (see ivfIndex)
+        // tagged with the version THIS build wrote — see ivfIndex
+        val wrote =
+          try {
+            graft.streaming.TableStore.write(s, s"$root/pq", 0L,
+              VectorIndex.PqSpecs,
+              Map("pq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
+                "pq_codes" -> codes), cfg = VectorIndex.cfg)
+            Some(0L)
+          } catch { case ex: Exception =>
+            System.err.println(s"[graft] PQ index persist failed (non-fatal): ${ex.getMessage}")
+            None
+          }
+        PqIndex(books, codes, wrote)
       }
     }
   }

@@ -499,17 +499,23 @@ object Similarity {
         // writer commits identical pointers, so the CAS loser returns
         // idempotently; any other failure must not sink the in-session
         // build — the store is an optimization here, not a dependency)
-        try graft.streaming.TableStore.write(s, s"$root/ivf", 0L,
-          VectorIndex.IvfSpecs,
-          Map("ivf_centroids" -> cents,
-            "ivf_assign" -> ec.select(col("vec_id"), col("cell"))),
-          cfg = VectorIndex.cfg)
-        catch { case e: Exception =>
-          System.err.println(s"[graft] IVF index persist failed (non-fatal): ${e.getMessage}")
-        }
-        // post-persist head (Some(0) normally; None if the persist
-        // failed, which then revalidates truthfully as store-less)
-        IvfIndex(e, cents, ec, headV)
+        // tagged with the version THIS build wrote (v0; None on failure)
+        // — a post-persist head re-probe would let a concurrent
+        // maintenance commit landing in the window tag this
+        // pre-maintenance index as current (ADVICE r9)
+        val wrote =
+          try {
+            graft.streaming.TableStore.write(s, s"$root/ivf", 0L,
+              VectorIndex.IvfSpecs,
+              Map("ivf_centroids" -> cents,
+                "ivf_assign" -> ec.select(col("vec_id"), col("cell"))),
+              cfg = VectorIndex.cfg)
+            Some(0L)
+          } catch { case ex: Exception =>
+            System.err.println(s"[graft] IVF index persist failed (non-fatal): ${ex.getMessage}")
+            None
+          }
+        IvfIndex(e, cents, ec, wrote)
       }
     }
   }
@@ -756,8 +762,10 @@ object Similarity {
     val delta = e.filter(col("vec_id") % 5 === 0)
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
-    VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
+    graft.Materialize.queryBuild("q_ivf_incremental") {
+      VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
+      VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
+    }
     VectorIndex.ivfAssignments(s, root).orderBy(col("vec_id"))
   }
 
@@ -788,10 +796,12 @@ object Similarity {
     val delta = e.filter(col("vec_id") % 5 === 0)
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
-    VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
-    VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
-    VectorIndex.retractIvf(s, root, // v2: erasure of the %7==3 vectors
-      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    graft.Materialize.queryBuild("q_ivf_retract") {
+      VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
+      VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
+      VectorIndex.retractIvf(s, root, // v2: erasure of the %7==3 vectors
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    }
     VectorIndex.ivfAssignments(s, root).orderBy(col("vec_id"))
   }
 

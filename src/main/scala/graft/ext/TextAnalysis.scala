@@ -28,7 +28,15 @@ object TextAnalysis {
   private val tokenCache =
     new graft.SessionCache[String, (Option[Long], DataFrame)]
 
-  def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    corpusTokensEntry(s, dir)._2
+
+  /** The cache entry (served store version, frame) — the version is what
+    * derived caches ([[corpusDocTerms]]) tag themselves with, so a chain
+    * of caches can never tag a frame with a version it does not reflect.
+    */
+  private def corpusTokensEntry(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Option[Long], DataFrame) = {
     val root = CorpusIndex.storeRootFor(dir)
     def headV = graft.streaming.TableStore
       .latestVersion(s, CorpusIndex.tokensPath(root))
@@ -54,14 +62,21 @@ object TextAnalysis {
         // second tokenize (deterministic artifact: a racing writer
         // commits identical pointers, so a CAS loser returns
         // idempotently; any other failure must not sink the in-session
-        // build — the store is an optimization here, not a dependency)
-        try CorpusIndex.writeTokenFrame(s, root, t)
-        catch { case e: Exception =>
-          System.err.println(s"[graft] token frame persist failed (non-fatal): ${e.getMessage}")
-        }
-        headV -> t // post-persist head (None if the persist failed)
+        // build — the store is an optimization here, not a dependency).
+        // Tagged with the version THIS build wrote (v0; None on failure)
+        // — NOT a post-persist head re-probe, which would let a
+        // concurrent maintenance commit landing in the window tag this
+        // pre-maintenance frame as current, so revalidation would pass
+        // and retracted rows would outlive their erasure (ADVICE r9)
+        val wrote =
+          try { CorpusIndex.writeTokenFrame(s, root, t); Some(0L) }
+          catch { case e: Exception =>
+            System.err.println(s"[graft] token frame persist failed (non-fatal): ${e.getMessage}")
+            None
+          }
+        wrote -> t
       }
-    }._2
+    }
   }
 
   /** Distinct (doc_id, term) — the document-term incidence variant,
@@ -81,8 +96,10 @@ object TextAnalysis {
       .latestVersion(s, CorpusIndex.tokensPath(CorpusIndex.storeRootFor(dir)))
     docTermCache.getOrBuildIf(s, dir)(_._1 == headV) {
       graft.Materialize.timed("doc_term_frame") {
-        val base = corpusTokens(s, dir)
-        headV -> base
+        // tag with the version the base frame ACTUALLY serves (not a
+        // fresh head probe — see corpusTokensEntry's race rationale)
+        val (baseV, base) = corpusTokensEntry(s, dir)
+        baseV -> base
           .select(col("doc_id"), col("term"))
           .distinct()
           .localCheckpoint(true)

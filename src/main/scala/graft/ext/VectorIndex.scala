@@ -53,18 +53,17 @@ object VectorIndex {
   private def ivfPath(root: String) = s"$root/ivf"
   private def pqPath(root: String) = s"$root/pq"
 
-  /** Store root for a corpus dir, keyed by a CONTENT fingerprint
-    * (path + mtime + size of the embeddings file) — the driver
-    * regenerates testdata between rounds, and a path-only key would
-    * serve a stale index for the new data. Production pins the index to
-    * its corpus snapshot version explicitly; the fingerprint is the
-    * local-dir equivalent.
+  /** Store root for a corpus dir, keyed by a CONTENT fingerprint of the
+    * embeddings table through the Hadoop FS API (per-file name/len/mtime
+    * — see [[CorpusIndex.fingerprint]] for the remote-FS rationale) —
+    * the driver regenerates testdata between rounds, and a path-only key
+    * would serve a stale index for the new data. Production pins the
+    * index to its corpus snapshot version explicitly; the fingerprint is
+    * the local-dir equivalent. User-scoped like the text store root.
     */
-  def storeRootFor(dir: String): String = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val fp = TextAnalysis.md5hexJvm(s"$dir|${f.lastModified}|${f.length}").take(16)
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vector_store_$fp"
-  }
+  def storeRootFor(dir: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vector_store_" +
+      s"${CorpusIndex.storeUser}_${CorpusIndex.fingerprint(dir, "embeddings.parquet")}"
 
   // --- IVF -----------------------------------------------------------------
 

@@ -42,29 +42,49 @@ class StoreCatalog extends TableCatalog {
 
   private val graphNames = Array("assets", "teams", "owns", "parent_of")
 
-  /** Table names of THIS store, resolved from its latest committed
-    * manifest (`schema:`/`key:`/pointer lines) — so the same catalog
-    * class serves the graph state AND any generic [[graft.streaming.TableStore]]
-    * root (corpus frames, vector indexes). A path with no committed
-    * version lists the graph names (the catalog may be configured before
-    * the first batch lands). `parent_of_idx` is store-internal: neither
-    * listed nor resolvable through SQL.
+  /** The table names a manifest describes (`schema:`/`key:`/pointer
+    * lines) — so the same catalog class serves the graph state AND any
+    * generic [[graft.streaming.TableStore]] root (corpus frames, vector
+    * indexes). `parent_of_idx` is store-internal: neither listed nor
+    * resolvable through SQL — and [[graft.streaming.TableStore]] rejects
+    * generic specs named like graph tables at write time, so the
+    * graph-vs-generic classification here is never ambiguous.
     */
+  private def namesOf(m: graft.streaming.StateStore.Manifest): Array[String] = {
+    // generic TableStore tables always record their schema (and key),
+    // so they are listable even with zero live buckets; a manifest
+    // with none is a GRAPH store, which lists all four graph tables —
+    // including currently-empty ones (pointers only name non-empty)
+    val generic = (m.keys.keySet ++ m.schemas.keySet ++ m.pointers.keySet)
+      .filterNot(graphNames.contains).filterNot(_ == "parent_of_idx")
+    if (generic.nonEmpty) generic.toArray.sorted else graphNames
+  }
+
+  /** Head-manifest name listing, cached per (head version): the head
+    * probe itself (one dir listing + exists checks) runs every call for
+    * freshness, but the manifest read+parse — the expensive half — is
+    * paid once per committed version, not once per listTables/
+    * tableExists/loadTable (ADVICE r9).
+    */
+  @volatile private var namesCache: Option[(Long, Array[String])] = None
+
   private def tableNames: Array[String] = {
     import graft.streaming.StateStore
     val spark = org.apache.spark.sql.SparkSession.active
-    StateStore.latestCommitted(spark, path)
-      .flatMap(v => StateStore.readManifest(spark, path, v))
-      .map { m =>
-        // generic TableStore tables always record their schema (and key),
-        // so they are listable even with zero live buckets; a manifest
-        // with none is a GRAPH store, which lists all four graph tables —
-        // including currently-empty ones (pointers only name non-empty)
-        val generic = (m.keys.keySet ++ m.schemas.keySet ++ m.pointers.keySet)
-          .filterNot(graphNames.contains).filterNot(_ == "parent_of_idx")
-        if (generic.nonEmpty) generic.toArray.sorted else graphNames
-      }
-      .getOrElse(graphNames)
+    StateStore.latestCommitted(spark, path) match {
+      // a path with no committed version lists the graph names (the
+      // catalog may be configured before the first batch lands)
+      case None => graphNames
+      case Some(v) =>
+        namesCache match {
+          case Some((cv, names)) if cv == v => names
+          case _ =>
+            val names = StateStore.readManifest(spark, path, v)
+              .map(namesOf).getOrElse(graphNames)
+            namesCache = Some((v, names))
+            names
+        }
+    }
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -93,10 +113,22 @@ class StoreCatalog extends TableCatalog {
     mkTable(ident, None)
   }
 
-  /** `VERSION AS OF <v>` — the engine hands the version string through. */
+  /** `VERSION AS OF <v>` — the engine hands the version string through.
+    * Existence is checked against the manifest OF THE REQUESTED VERSION,
+    * not the head: a table present at v but absent from the head (specs
+    * changed since) must still time-travel, and a table that only exists
+    * at the head must not resolve at versions predating it (ADVICE r9).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
-    checkExists(ident)
-    mkTable(ident, Some(version.toLong))
+    import graft.streaming.StateStore
+    val v = version.toLong
+    val spark = org.apache.spark.sql.SparkSession.active
+    val known = StateStore.readManifest(spark, path, v)
+      .map(namesOf).getOrElse(Array.empty[String])
+    if (!known.contains(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+    mkTable(ident, Some(v))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =

@@ -38,6 +38,16 @@ import graft.streaming.StateStore
   * a bucket fits a task by the store's own sizing contract. The base
   * version must still be committed — a pruned base fails loudly instead
   * of silently skipping changes (the changesSince retention contract).
+  *
+  * **Across a rebucket** (a `TableStore.rebucket` growth transition —
+  * modulus change, always a full write) the stream does NOT stop: the
+  * rebucket version arrives as a one-time O(table) change batch, exact
+  * as a multiset delta but non-minimal — a row that only moved buckets
+  * appears as a (removed, added) pair of identical rows, the same shape
+  * an update already has, so a consumer that applies removes-then-adds
+  * per batch nets it out (proof + pin: [[StateStore.planCdc]],
+  * StoreCdcSpec's across-rebucket leg). Deltas resume bucket-pruned at
+  * the new modulus from the next version on.
   */
 object StoreCdc {
   val ShortName = "graft-store-cdc"

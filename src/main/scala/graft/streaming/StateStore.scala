@@ -902,13 +902,21 @@ object StateStore {
     var prev = base
     emit.flatMap { v =>
       val mNew = mf(v)
-      val mOld = prev.map { pv =>
-        val m = mf(pv)
-        require(m.buckets == mNew.buckets,
-          s"bucket count differs (v$pv=${m.buckets}, v$v=${mNew.buckets}): " +
-            "CDC across a rebucket is not expressible bucket-wise")
-        m
-      }
+      // A REBUCKET version (modulus change, always a full write) is
+      // emitted as a one-time O(table) change batch: every pointer of a
+      // full write points at the new version while every predecessor
+      // pointer points lower, so the pointer-diff below plans EVERY
+      // bucket of both sides. The per-slice pairing (old pt=X vs new
+      // pt=X) is arbitrary across moduli, but the batch stays EXACT as a
+      // multiset delta: per row r, each slice contributes
+      // added−removed = count_new,slice(r) − count_old,slice(r), and the
+      // per-bucket counts telescope to count_vNew(r) − count_vOld(r).
+      // It is NON-MINIMAL — a row that only moved buckets appears as a
+      // (removed, added) pair of identical rows — which consumers
+      // already absorb: an update is delivered the same way, and the
+      // documented apply order (removes, then adds, per batch) nets it
+      // out. Pinned by StoreCdcSpec's across-rebucket leg.
+      val mOld = prev.map(mf)
       val pOld = mOld.map(_.pointers.getOrElse(table, Map.empty))
         .getOrElse(Map.empty[Int, Long])
       val dirsOld = mOld.map(_.dirs).getOrElse(Map.empty[Long, String])
@@ -990,10 +998,11 @@ object StateStore {
       throw new IllegalStateException(s"no committed manifest for v$vOld under $statePath"))
     val mNew = readManifest(spark, statePath, vNew).getOrElse(
       throw new IllegalStateException(s"no committed manifest for v$vNew under $statePath"))
-    require(mOld.buckets == mNew.buckets,
-      s"bucket count differs (v$vOld=${mOld.buckets}, v$vNew=${mNew.buckets}): " +
-        "pointer equality no longer implies bucket equality — diff after a " +
-        "rebucket must read both versions in full (not supported here)")
+    // unequal moduli (a rebucket between the versions) stay EXACT: the
+    // row-level diff in diffTable is a GLOBAL exceptAll over all changed
+    // buckets, so bucket ids never enter the comparison — it just reads
+    // both versions in full, because a rebucket rewrites every pointer
+    // and pointer pruning keeps nothing (see TableStore.diff)
     tables.map { t =>
       val (changed, pathsOld, pathsNew) =
         diffTable(spark, statePath, t.name, vOld, mOld, vNew, mNew)

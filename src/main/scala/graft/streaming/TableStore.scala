@@ -38,6 +38,45 @@ object TableStore {
     */
   final case class Spec(name: String, bucketCols: Seq[String])
 
+  /** Graph-store table names a generic store may not reuse: the manifest
+    * records `key:`/`schema:` lines only for NON-graph names (so graph
+    * manifests stay byte-stable), which makes a generic table named like
+    * a graph table structurally ambiguous — and the SQL catalog
+    * ([[graft.sources.StoreCatalog]]) could then never list it.
+    */
+  val ReservedNames: Set[String] =
+    Set("assets", "teams", "owns", "parent_of", "parent_of_idx")
+
+  /** Manifest-format safety: names and key columns are interpolated into
+    * the line-oriented manifest (`key:t=c1,c2`, `schema:t={json}`,
+    * `t pt v` pointer lines), so a name containing whitespace, '=', ':'
+    * or ',' would break — or worse, silently mis-parse — every later
+    * read of a successfully committed store. Validated at WRITE time so
+    * the failure is loud and immediate (ADVICE r9).
+    */
+  private[graft] def validateSpecs(specs: Seq[Spec]): Unit = {
+    val nameOk = "[A-Za-z0-9_.\\-]+".r
+    require(specs.map(_.name).distinct.size == specs.size,
+      s"duplicate table names in specs: ${specs.map(_.name).mkString(", ")}")
+    specs.foreach { t =>
+      require(nameOk.pattern.matcher(t.name).matches() && t.name != "END",
+        s"table name '${t.name}' is not manifest-safe: use only " +
+          "[A-Za-z0-9_.-] (no whitespace, ':', '=', ',' — the manifest is " +
+          "line-oriented) and not the reserved terminator 'END'")
+      require(!ReservedNames(t.name),
+        s"table name '${t.name}' is reserved for the graph store " +
+          s"(${ReservedNames.toSeq.sorted.mkString(", ")})")
+      require(t.bucketCols.nonEmpty, s"table '${t.name}' needs key columns")
+      t.bucketCols.foreach { c =>
+        require(c.nonEmpty && !c.exists(ch =>
+            ch == ',' || ch == '=' || ch == '\n' || ch == '\r'),
+          s"key column '$c' of '${t.name}' is not manifest-safe: the " +
+            "key: line is comma-separated, so ',', '=', and newlines " +
+            "cannot appear in a column name")
+      }
+    }
+  }
+
   /** Write `frames` as `version`. Full when `delta` is absent (or no
     * predecessor exists); incremental otherwise — then each present
     * `frames(name)` must hold ONLY that table's delta rows, and a table
@@ -59,6 +98,7 @@ object TableStore {
       specs: Seq[Spec], frames: Map[String, DataFrame],
       delta: Boolean = false, cfg: Config = Config(),
       deletes: Map[String, DataFrame] = Map.empty): Unit = {
+    validateSpecs(specs)
     require(frames.keySet.subsetOf(specs.map(_.name).toSet),
       s"frames ${frames.keySet.diff(specs.map(_.name).toSet)} not in specs")
     require(deletes.keySet.subsetOf(specs.map(_.name).toSet),
@@ -153,7 +193,15 @@ object TableStore {
                 s"${StateStore.tableDataDir(statePath, prev.get.dirs, v, t.name)}/pt=$pt"
               }.toSeq
             val old = StateStore.readPaths(spark, prev.get.schemaOf(t.name), oldPaths)
-            val kept = old.join(touchedKeys.get, t.bucketCols, "left_anti")
+            // null-SAFE key equality (<=>): a plain usingColumns anti-join
+            // never matches NULL keys, so a stored null-key row could
+            // neither be replaced nor retracted — redelivery would
+            // duplicate it and a tombstone would silently no-op while the
+            // commit reports success (ADVICE r9). distinct() upstream
+            // already treats nulls as equal, so <=> is the consistent leg.
+            val tk = touchedKeys.get
+            val kept = old.join(tk,
+              t.bucketCols.map(c => old(c) <=> tk(c)).reduce(_ && _), "left_anti")
             val merged = dfOpt.fold(kept)(kept.unionByName(_, allowMissingColumns = true))
               .withColumn("pt", keyBucket)
               .filter(col("pt").isin(touched.toSeq: _*))
@@ -210,14 +258,18 @@ object TableStore {
     * updated row appears as both). The audit/debug face of incremental
     * maintenance: what did this maintenance commit actually change?
     */
+  /** Across a [[rebucket]] boundary (unequal moduli) the diff is still
+    * EXACT and minimal — the row-level exceptAll is computed globally
+    * over all changed buckets, so bucket ids never enter the comparison
+    * — but it degrades to a full read of both versions: a rebucket
+    * rewrites every pointer, so pointer pruning keeps nothing. One
+    * O(table) audit read per rebucket, same order as the rebucket write
+    * itself (contract pinned by TableStoreSpec's rebucket-diff leg).
+    */
   def diff(spark: SparkSession, statePath: String, table: String,
       vOld: Long, vNew: Long): DataFrame = {
     val mOld = manifestAt(spark, statePath, vOld)
     val mNew = manifestAt(spark, statePath, vNew)
-    require(mOld.buckets == mNew.buckets,
-      s"bucket count differs (v$vOld=${mOld.buckets}, v$vNew=${mNew.buckets}): " +
-        "pointer equality no longer implies bucket equality — diff across a " +
-        "rebucket must read both versions in full (not supported here)")
     StateStore.diffTable(spark, statePath, table, vOld, mOld, vNew, mNew)._1
   }
 
@@ -244,15 +296,23 @@ object TableStore {
     * listings alone (no data pages): one row per (version, table) with
     * the live bucket count, how many of those buckets this version
     * actually rewrote (vs inherited), and the live bytes resolved
-    * through the pointer chase. Bounded by versions × tables × buckets
-    * FS metadata calls — an ops query, not a data-path one.
+    * through the pointer chase. `orphan_bytes` (store-level, repeated on
+    * every row) totals bytes under the root that NO committed manifest
+    * references — crash remnants (`.staging-*` leftovers, promoted dirs
+    * whose commit lost the CAS) that prune will reclaim; a growing value
+    * is leak pressure an operator should see BEFORE prune (VERDICT r9
+    * #6). Bounded by versions × tables × buckets FS metadata calls plus
+    * one recursive root listing — an ops query, not a data-path one.
     */
   def describe(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = for {
+    val census = for {
       v <- StateStore.committedVersions(spark, statePath, Long.MaxValue)
       m <- StateStore.readManifest(spark, statePath, v).toSeq
+    } yield (v, m)
+    val rows = for {
+      (v, m) <- census
       table <- (m.pointers.keySet ++ m.schemas.keySet ++ m.keys.keySet).toSeq.sorted
     } yield {
       val ptrs = m.pointers.getOrElse(table, Map.empty)
@@ -265,8 +325,49 @@ object TableStore {
       }.sum
       (v, table, m.buckets, ptrs.size, ptrs.count(_._2 == v), bytes)
     }
+    val orphans = orphanBytes(spark, statePath, census)
     rows.toDF("version", "table", "buckets", "live_buckets",
-      "buckets_written_here", "live_bytes")
+        "buckets_written_here", "live_bytes")
+      .withColumn("orphan_bytes", lit(orphans))
+  }
+
+  /** Bytes under `statePath` referenced by no committed manifest: every
+    * file not inside a pointer-referenced `pt=` dir and not store
+    * metadata (MANIFEST files, `pins/`). Driver-side recursive listing —
+    * same cost class as prune's own sweep.
+    */
+  private def orphanBytes(spark: SparkSession, statePath: String,
+      census: Seq[(Long, StateStore.Manifest)]): Long = {
+    val (fs, root) = StateStore.fsFor(spark, statePath)
+    if (!fs.exists(root)) return 0L
+    val qualifiedRoot = fs.makeQualified(root).toString
+    def qualify(s: String): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s)).toString
+    val referenced: Set[String] = (for {
+      (_, m) <- census.iterator
+      (table, ptrs) <- m.pointers.iterator
+      (pt, pv) <- ptrs.iterator
+    } yield qualify(
+      s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")).toSet
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val meta = f.getPath.getName == "MANIFEST" ||
+        f.getPath.toString.startsWith(s"$qualifiedRoot/pins/")
+      // a file is live iff some ANCESTOR dir is a referenced pt= dir
+      // (parquet writes files directly under the pt dir, but walking up
+      // keeps this robust to nested layouts) — O(depth) set probes per
+      // file, never O(refs)
+      var anc = f.getPath.getParent
+      var live = false
+      while (!live && anc != null && anc.toString.length >= qualifiedRoot.length) {
+        live = referenced.contains(anc.toString)
+        anc = anc.getParent
+      }
+      if (!meta && !live) total += f.getLen
+    }
+    total
   }
 
   private def manifestAt(spark: SparkSession, statePath: String,

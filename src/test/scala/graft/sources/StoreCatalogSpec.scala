@@ -146,6 +146,42 @@ class StoreCatalogSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head().getLong(0) shouldBe 2L
   }
 
+  test("VERSION AS OF resolves against the requested version's manifest, not the head") {
+    // a table present at v0 but absent from the head (the spec set
+    // changed) must still time-travel; a table that only exists at the
+    // head must not resolve at versions predating it (ADVICE r9)
+    import graft.streaming.TableStore
+    val root = Files.createTempDirectory("graft_cat_verres").toString
+    val cfg = StateStore.Config(buckets = 8)
+    TableStore.write(spark, root, 0L,
+      Seq(TableStore.Spec("old_frame", Seq("k"))),
+      Map("old_frame" -> Seq(("a", 1L), ("b", 2L)).toDF("k", "v")), cfg = cfg)
+    TableStore.write(spark, root, 1L,
+      Seq(TableStore.Spec("new_frame", Seq("k"))),
+      Map("new_frame" -> Seq(("c", 3L)).toDF("k", "v")), cfg = cfg)
+    val cat = "graftverres"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", root)
+    // head lists only the current spec set
+    spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet shouldBe Set("new_frame")
+    // the dropped table still time-travels to the version that has it
+    spark.sql(s"SELECT count(*) FROM $cat.old_frame VERSION AS OF 0")
+      .head().getLong(0) shouldBe 2L
+    // but not to a version that doesn't
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.old_frame VERSION AS OF 1")
+    }.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
+    // and the head path still refuses it outright
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.old_frame")
+    }.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
+    // the future-only table refuses versions predating it
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.new_frame VERSION AS OF 0")
+    }.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
+  }
+
   test("array-typed store columns read through SQL: the shingle and centroid tables") {
     import graft.ext.{CorpusIndex, VectorIndex}
     val root = Files.createTempDirectory("graft_cat_arr").toString

@@ -240,6 +240,69 @@ class StoreCdcSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("CDC across a rebucket: one full-table batch, exact as a multiset delta") {
+    // the r9 verdict's #1: a stream tailing a store across a
+    // TableStore.rebucket (modulus change) must NOT stop or mis-emit.
+    // Contract: the rebucket version arrives as a one-time O(table)
+    // change batch — non-minimal (a row that only moved buckets appears
+    // as a removed+added pair of identical rows, the shape an update
+    // already has) but EXACT as a multiset delta: applying removes then
+    // adds per batch reconstructs every version, and deltas resume
+    // bucket-pruned afterwards.
+    import graft.streaming.TableStore
+    val base = Files.createTempDirectory("graft_cdc_rebucket").toString
+    val root = base + "/store"
+    val specs = Seq(TableStore.Spec("facts", Seq("id")))
+    def facts(rows: (Long, String)*) = rows.toDF("id", "payload")
+    TableStore.write(spark, root, 0L, specs,
+      Map("facts" -> facts((1L to 40L).map(i => i -> s"p$i"): _*)),
+      cfg = StateStore.Config(buckets = 8))
+    TableStore.rebucket(spark, root, specs, StateStore.Config(buckets = 32)) // v1
+    TableStore.write(spark, root, 2L, specs,
+      Map("facts" -> facts(3L -> "NEW", 41L -> "ADDED")), delta = true,
+      cfg = StateStore.Config(buckets = 32),
+      deletes = Map("facts" -> Seq(7L).toDF("id")))
+
+    val q = spark.readStream.format("graft-store-cdc")
+      .option("path", root).option("table", "facts")
+      .option("startingVersion", -1).option("maxVersionsPerTrigger", 1)
+      .load()
+      .writeStream.format("memory").queryName("cdc_rebucket")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("cdc_rebucket")
+      .select("id", "payload", "change", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // apply each version's batch as a multiset delta (removes, then adds)
+    // and check the view equals that version's stored content exactly
+    val view = scala.collection.mutable.HashMap.empty[(Long, String), Int]
+    for (v <- 0L to 2L) {
+      val batch = got.filter(_._4 == v)
+      batch.filter(_._3 == "removed").foreach { r =>
+        view.updateWith((r._1, r._2))(c => Some(c.getOrElse(0) - 1))
+      }
+      batch.filter(_._3 == "added").foreach { r =>
+        view.updateWith((r._1, r._2))(c => Some(c.getOrElse(0) + 1))
+      }
+      val stored = TableStore.read(spark, root, v, "facts")
+        .as[(Long, String)].collect().groupBy(identity).view.mapValues(_.length).toMap
+      view.filter(_._2 != 0).toMap shouldBe stored
+      view.values.foreach(_ should be >= 0) // never transiently negative rows
+    }
+    // the rebucket batch (v1) nets to ZERO — content was identical — and
+    // any churn it carries is only identical (removed, added) pairs
+    val v1 = got.filter(_._4 == 1L)
+    val v1Net = v1.groupBy(r => (r._1, r._2)).view.mapValues(rs =>
+      rs.count(_._3 == "added") - rs.count(_._3 == "removed"))
+    v1Net.values.foreach(_ shouldBe 0)
+    // and the post-rebucket delta (v2) is minimal again — bucket-pruned
+    got.filter(_._4 == 2L).map(r => (r._1, r._2, r._3)).toSet shouldBe Set(
+      (3L, "NEW", "added"), (41L, "ADDED", "added"),
+      (3L, "p3", "removed"), (7L, "p7", "removed"))
+  }
+
   test("a version evolving beyond the stream's bound schema fails loudly in planning") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val root = Files.createTempDirectory("graft_cdc_evolve_mid").toString

@@ -227,6 +227,8 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     TableStore.write(spark, root, 1L, specs,
       Map("facts" -> facts(3L -> "NEW")), delta = true, cfg = cfg)
     val d = TableStore.describe(spark, root)
+      .select($"version", $"table", $"buckets", $"live_buckets",
+        $"buckets_written_here", $"live_bytes")
       .as[(Long, String, Int, Int, Int, Long)].collect()
       .map(r => (r._1, r._2) -> r).toMap
     d((0L, "facts"))._3 shouldBe 8 // modulus
@@ -235,6 +237,103 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     d((1L, "facts"))._5 shouldBe 1
     d((1L, "facts"))._4 shouldBe d((0L, "facts"))._4 // live bucket count unchanged
     d((1L, "dim"))._5 shouldBe 0 // untouched table wrote nothing here
+  }
+
+  test("describe: orphan_bytes reports crash remnants no manifest references") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    def orphans(): Long = TableStore.describe(spark, root)
+      .select($"orphan_bytes").as[Long].head()
+    orphans() shouldBe 0L // a clean store leaks nothing
+    // plant the two crash-remnant shapes prune reclaims: an abandoned
+    // staging dir and a promoted-but-never-committed version dir
+    val staging = new java.io.File(s"$root/.staging-v9-deadbeef/facts/pt=0")
+    staging.mkdirs() shouldBe true
+    java.nio.file.Files.write(staging.toPath.resolve("part-0.parquet"),
+      Array.fill[Byte](100)(1))
+    val promoted = new java.io.File(s"$root/v9/d-deadbeef/facts/pt=0")
+    promoted.mkdirs() shouldBe true
+    java.nio.file.Files.write(promoted.toPath.resolve("part-0.parquet"),
+      Array.fill[Byte](50)(1))
+    orphans() shouldBe 150L
+    // live bytes are untouched by the remnants, and a pin file is metadata
+    StateStore.pinVersion(spark, root, 0L, "reader1")
+    orphans() shouldBe 150L
+    StateStore.unpin(spark, root, "reader1")
+  }
+
+  test("spec validation: manifest-unsafe and reserved names are refused at write time") {
+    val root = tmp()
+    def attempt(s: TableStore.Spec): IllegalArgumentException =
+      intercept[IllegalArgumentException] {
+        TableStore.write(spark, root, 0L, Seq(s),
+          Map(s.name -> dim("a" -> 1L).withColumnRenamed("k", s.bucketCols.head)),
+          cfg = cfg)
+      }
+    // a space breaks pointer-line parsing of a COMMITTED store; ':'/'='
+    // silently mis-parse key:/schema: lines — all refused before any write
+    attempt(TableStore.Spec("my table", Seq("k"))).getMessage should include("manifest-safe")
+    attempt(TableStore.Spec("t=x", Seq("k"))).getMessage should include("manifest-safe")
+    attempt(TableStore.Spec("key:t", Seq("k"))).getMessage should include("manifest-safe")
+    attempt(TableStore.Spec("END", Seq("k"))).getMessage should include("manifest-safe")
+    // graph names are reserved: the manifest cannot distinguish a generic
+    // 'assets' from the graph table, and the SQL catalog could never list it
+    attempt(TableStore.Spec("assets", Seq("k"))).getMessage should include("reserved")
+    // a ',' in a key column would split into wrong columns on read
+    intercept[IllegalArgumentException] {
+      TableStore.validateSpecs(Seq(TableStore.Spec("t", Seq("a,b"))))
+    }.getMessage should include("manifest-safe")
+    // duplicate names are refused too
+    intercept[IllegalArgumentException] {
+      TableStore.validateSpecs(Seq(
+        TableStore.Spec("t", Seq("a")), TableStore.Spec("t", Seq("b"))))
+    }.getMessage should include("duplicate")
+  }
+
+  test("null keys: upsert replaces and tombstone retracts null-key rows (null-safe join)") {
+    val root = tmp()
+    val s = Seq(TableStore.Spec("t", Seq("k")))
+    def rows(r: (Option[String], Long)*) =
+      r.map { case (k, v) => (k.orNull, v) }.toDF("k", "v")
+    TableStore.write(spark, root, 0L, s,
+      Map("t" -> rows(Some("a") -> 1L, None -> 99L, Some("b") -> 2L)), cfg = cfg)
+    // redelivering the null-key row must REPLACE it, not duplicate it
+    TableStore.write(spark, root, 1L, s,
+      Map("t" -> rows(None -> 100L)), delta = true, cfg = cfg)
+    TableStore.read(spark, root, 1L, "t").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap shouldBe
+      Map(Some("a") -> 1L, None -> 100L, Some("b") -> 2L)
+    // and a tombstone for the null key must actually erase it (the GDPR
+    // path must not silently no-op while reporting success)
+    TableStore.write(spark, root, 2L, s, Map.empty, delta = true, cfg = cfg,
+      deletes = Map("t" -> rows(None -> 0L).select($"k")))
+    TableStore.read(spark, root, 2L, "t").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap shouldBe
+      Map(Some("a") -> 1L, Some("b") -> 2L)
+  }
+
+  test("diff across a rebucket boundary stays exact (global exceptAll, full read)") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts((1L to 30L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    TableStore.rebucket(spark, root, specs, StateStore.Config(buckets = 32))
+    // content did not change across the rebucket — the diff must be EMPTY
+    // even though every pointer changed (bucket ids never enter the
+    // row-level comparison)
+    TableStore.diff(spark, root, "facts", 0L, 1L).count() shouldBe 0L
+    // a real delta after the rebucket diffs v0 -> v2 across the boundary
+    TableStore.write(spark, root, 2L, specs,
+      Map("facts" -> facts(3L -> "NEW", 31L -> "ADDED")), delta = true,
+      cfg = StateStore.Config(buckets = 32),
+      deletes = Map("facts" -> Seq(7L).toDF("id")))
+    TableStore.diff(spark, root, "facts", 0L, 2L)
+      .select($"change", $"id", $"payload").as[(String, Long, String)]
+      .collect().toSet shouldBe Set(
+      ("added", 3L, "NEW"), ("added", 31L, "ADDED"),
+      ("removed", 3L, "p3"), ("removed", 7L, "p7"))
   }
 
   test("full write requires every table; unknown table names are refused") {
