@@ -281,14 +281,51 @@ object Dedup {
     verifyJaccard(candidatePairs(docs, bands, r), docs)
   }
 
-  /** Distinct LSH candidate pairs from the band self-join (pre-verify). */
-  private def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+  /** Distinct LSH candidate pairs from the band self-join (pre-verify).
+    *
+    * **Giant-bucket cap** (`spark.graft.dedup.bandBucketCap`, default 0 =
+    * off): a VIRAL template — one boilerplate page crawled M times —
+    * puts all M copies in one band bucket, and the self-join then emits
+    * M²/2 pairs from ONE join key. AQE's skew split cannot help: it
+    * splits by INPUT size, and the hot key's input is M rows while its
+    * OUTPUT explodes quadratically — one task owns the blow-up (measured
+    * by graft.tools.SkewProbe). With the cap on, a bucket larger than
+    * `cap` emits STAR pairs instead — every member against the bucket's
+    * min doc_id — so the hot key costs O(M), not O(M²), and no task
+    * exceeds the skew bound. Verification stays exact on the emitted
+    * pairs. The trade (documented, opt-in — the declared oracle queries
+    * never set it): within a giant bucket the pair LIST loses transitive
+    * members, but connectivity is preserved (the star spans the bucket),
+    * so [[q_dedup_components]]/[[q_dedup_apply]]-shaped consumers — the
+    * ones a 100 TB dedup run actually feeds — collapse identical
+    * clusters; SkewProbe asserts that equality on a planted viral corpus.
+    */
+  private[graft] def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val cap = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.bandBucketCap").map(_.toInt).getOrElse(0)
     val bandRows = bandRowsOf(docs, bands, r)
-    bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    if (cap <= 0)
+      bandRows.as("a").join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    else {
+      // bucket census: map-side-combinable agg, then a co-partitioned
+      // join back — the hot key meets ONE stats row, no explosion
+      val stats = bandRows.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+      val br = bandRows.join(stats, Seq("band", "bkey"))
+      val small = br.filter(col("bn") <= cap)
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // hub = bucket min, so doc_a < doc_b holds by construction
+      val starPairs = br.filter(col("bn") > cap && col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      smallPairs.unionByName(starPairs).distinct()
+    }
   }
 
   /** Candidate pairs with exact intersection AND union sizes but NO

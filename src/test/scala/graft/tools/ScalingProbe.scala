@@ -47,7 +47,7 @@ object ScalingProbe {
     * with the copy tag (regexp group ref in a columnar replacement) so
     * cross-copy shingle overlap is zero.
     */
-  private def scaleDocs(s: SparkSession, dir: String, k: Int): DataFrame =
+  private[tools] def scaleDocs(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.documents(s, dir)
       .withColumn("i", explode(array((0 until k).map(lit): _*)))
       .select(
