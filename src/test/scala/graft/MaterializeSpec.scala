@@ -29,4 +29,22 @@ class MaterializeSpec extends AnyFunSuite with Matchers {
     // a snapshot taken AFTER the build marks the new boundary
     Materialize.assertNoBuildsSince(Materialize.timings, "after re-snapshot")
   }
+
+  test("queryBuild records one span PER INVOCATION (not a sum) and reset clears") {
+    Materialize.resetQueryBuilds()
+    Materialize.queryBuild("spec_lifecycle_q") { Thread.sleep(2) }
+    Materialize.queryBuild("spec_lifecycle_q") { Thread.sleep(2) }
+    val spans = Materialize.queryBuildSpans("spec_lifecycle_q")
+    // Bench medians the per-run spans, so each run must stay its own entry
+    spans should have size 2
+    all(spans) should be >= 0.002
+    // the value flows through even when the build throws? no — a failed
+    // build records nothing (the query is failing anyway) and rethrows
+    intercept[RuntimeException] {
+      Materialize.queryBuild("spec_lifecycle_fail") { throw new RuntimeException("x") }
+    }
+    Materialize.queryBuildSpans.get("spec_lifecycle_fail") shouldBe None
+    Materialize.resetQueryBuilds()
+    Materialize.queryBuildSpans shouldBe empty
+  }
 }
