@@ -198,18 +198,29 @@ object Bench {
     val qs = dict(results)
     val qsBase = dict(results.filter(r => baselineSet(r._1)))
     // per-query build/serve split for the store-lifecycle queries: build =
-    // median of the in-query store-build spans recorded across the timed
-    // runs; serve = the query's timed median minus that build — the
-    // serving-path signal the full-catalog total otherwise blurs
+    // median of per-run in-query store-build time; serve = median of the
+    // PER-RUN (total - build) differences — the serving-path signal the
+    // full-catalog total otherwise blurs. Per-run alignment matters:
+    // medianing the two series independently would subtract one run's
+    // build from another run's total (a cold-FS first run's build belongs
+    // to ITS total), biasing serve and silently flooring it at 0.
     val buildSplit = locally {
       val spans = Materialize.queryBuildSpans
       val byName = results.map(r => r._1 -> r).toMap
       spans.toSeq.sortBy(_._1).flatMap { case (name, ss) =>
         byName.get(name).collect { case (_, ts, err) if ok(ts, err) =>
-          val b = median(ss)
-          val m = median(ts)
-          "\"" + name + "\":" +
-            f"""{"build":$b%.3f,"serve":${math.max(0.0, m - b)}%.3f}"""
+          // spans arrive in run order; a query may build SEVERAL stores
+          // per run (equal count per run), so fold them per run first
+          val perRun: Seq[Double] =
+            if (ts.nonEmpty && ss.size % ts.size == 0)
+              ss.grouped(ss.size / ts.size).map(_.sum).toSeq
+            else Seq(median(ss)) // unaligned (failed mid-run) — flat median
+          val b = median(perRun)
+          val serve =
+            if (perRun.size == ts.size)
+              math.max(0.0, median(ts.zip(perRun).map { case (t, s) => t - s }))
+            else math.max(0.0, median(ts) - b)
+          "\"" + name + "\":" + f"""{"build":$b%.3f,"serve":$serve%.3f}"""
         }
       }.mkString("{", ",", "}")
     }

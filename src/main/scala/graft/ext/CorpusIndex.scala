@@ -79,10 +79,17 @@ object CorpusIndex {
     * silently serve stale persisted frames for a regenerated remote
     * corpus (ADVICE r9). A spark-written table is a DIRECTORY: each
     * child file's (name, length, mtime) participates, so a rewritten
-    * part file changes the key. A missing corpus fingerprints as
-    * `absent` (nothing to serve either way; its later appearance changes
-    * the key); an unreachable FILESYSTEM fails loudly — a guessed key
-    * against a live store is exactly the stale-serving bug.
+    * part file changes the key. The listing is RECURSIVE (`listFiles(p,
+    * true)`, leaf files only): a one-level `listStatus` would credit a
+    * partitioned layout (`source=web/part-*.parquet`) through its child
+    * DIRECTORY entries, whose (len, mtime) are 0/0 on s3a fake dirs and
+    * unchanged on HDFS when a grandchild file is rewritten — an
+    * in-place regeneration would then keep the SAME key and serve stale
+    * frames, the exact bug this fingerprint exists to close. A missing
+    * corpus fingerprints as `absent` (nothing to serve either way; its
+    * later appearance changes the key); an unreachable FILESYSTEM fails
+    * loudly — a guessed key against a live store is exactly the
+    * stale-serving bug.
     */
   private[ext] def fingerprint(dir: String, fileName: String): String = {
     import org.apache.hadoop.fs.Path
@@ -92,11 +99,17 @@ object CorpusIndex {
     val detail = try {
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).map(c =>
-            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-          .sorted.mkString(";")
-      else s"${st.getLen}:${st.getModificationTime}"
+      if (st.isDirectory) {
+        val base = p.toUri.getPath
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val c = it.next()
+          entries += s"${c.getPath.toUri.getPath.stripPrefix(base)}:" +
+            s"${c.getLen}:${c.getModificationTime}"
+        }
+        entries.sorted.mkString(";")
+      } else s"${st.getLen}:${st.getModificationTime}"
     } catch {
       case _: java.io.FileNotFoundException => "absent"
     }

@@ -130,21 +130,23 @@ object Dedup {
     * must invalidate every frame derived from the store).
     */
   private def shingleHeadV(s: org.apache.spark.sql.SparkSession,
-      dir: String): Option[Long] =
-    graft.streaming.TableStore.latestVersion(
-      s, CorpusIndex.shinglesPath(CorpusIndex.storeRootFor(dir)))
+      root: String): Option[Long] =
+    graft.streaming.TableStore.latestVersion(s, CorpusIndex.shinglesPath(root))
 
   private[ext] def corpusShingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    corpusShinglesEntry(s, dir)._2
+    corpusShinglesEntry(s, dir, CorpusIndex.storeRootFor(dir))._2
 
   /** (served store version, frame) — the version the derived pairs cache
     * tags itself with (see TextAnalysis.corpusTokensEntry's rationale).
+    * `root` is the fingerprinted store root, computed ONCE per public
+    * entry and threaded through (ADVICE r10: each fingerprint is a
+    * remote-FS listing; the head probe and the build body must not each
+    * pay it again).
     */
   private def corpusShinglesEntry(s: org.apache.spark.sql.SparkSession,
-      dir: String): (Option[Long], DataFrame) =
-    shingleCache.getOrBuildIf(s, dir)(_._1 == shingleHeadV(s, dir)) {
-      val root = CorpusIndex.storeRootFor(dir)
-      val stored = shingleHeadV(s, dir)
+      dir: String, root: String): (Option[Long], DataFrame) =
+    shingleCache.getOrBuildIf(s, dir)(_._1 == shingleHeadV(s, root)) {
+      val stored = shingleHeadV(s, root)
       if (stored.nonEmpty) graft.Materialize.timed("shingle_table_load") {
         // a previous session already hashed and PERSISTED this corpus
         // generation's shingle frame (see TextAnalysis.corpusTokens /
@@ -178,16 +180,18 @@ object Dedup {
     new graft.SessionCache[(String, String, Int, Int), (Option[Long], DataFrame)]
 
   private[ext] def corpusLshPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-      bands: Int, r: Int): DataFrame =
+      bands: Int, r: Int): DataFrame = {
+    val root = CorpusIndex.storeRootFor(dir) // one fingerprint per access
     pairsCache.getOrBuildIf(s, (dir, "word3", bands, r))(
-      _._1 == shingleHeadV(s, dir)) {
+      _._1 == shingleHeadV(s, root)) {
       graft.Materialize.timed("lsh_pairs_word3") {
         // tag with the version the base frame ACTUALLY serves, not a
         // fresh head probe (see corpusShinglesEntry's race rationale)
-        val (baseV, base) = corpusShinglesEntry(s, dir)
+        val (baseV, base) = corpusShinglesEntry(s, dir, root)
         baseV -> lshJaccardPairs(base, bands, r).localCheckpoint(true)
       }
     }._2
+  }
 
   /** Char-5-gram sibling of [[corpusLshPairs]] (feature family "char5").
     * Derived from the raw documents (not the shingle store), so it keeps
@@ -209,14 +213,29 @@ object Dedup {
     }._2
 
   /** LSH band rows (doc_id, band, bkey) of a (doc_id, hs) frame. */
-  def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+  def bandRowsOf(docs: DataFrame, bands: Int, r: Int): DataFrame =
+    bandRowsImpl(docs, bands, r, withSig = false)
+
+  /** @param withSig adds `skey` — the FULL minhash signature as one
+    *   string. Near-dup documents share most components, so lexicographic
+    *   `skey` order clusters similar docs adjacently; the giant-bucket
+    *   chain ([[candidatePairs]]) sorts on it so chain neighbors are the
+    *   likeliest-similar members.
+    */
+  private def bandRowsImpl(docs: DataFrame, bands: Int, r: Int,
+      withSig: Boolean): DataFrame = {
     val sig = signatures(docs, bands * r)
-    sig.select(col("doc_id"),
+    val skeyCols = if (withSig)
+      Seq(concat_ws("|",
+        (0 until bands * r).map(i => col(s"mh$i").cast("string")): _*).as("skey"))
+    else Nil
+    sig.select(col("doc_id") +: skeyCols :+
         explode(array((0 until bands).map(b => struct(
           lit(b).as("band"),
           (0 until r).map(i => col(s"mh${r * b + i}").cast("string"))
-            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+            .reduce((x, y) => concat(x, lit("|"), y)).as("bkey"))): _*)).as("bk"): _*)
+      .select(col("doc_id") +: skeyCols.map(_ => col("skey")) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
   }
 
   /** Exact integer-Jaccard verification of candidate (doc_a, doc_b) pairs
@@ -290,15 +309,26 @@ object Dedup {
     * splits by INPUT size, and the hot key's input is M rows while its
     * OUTPUT explodes quadratically — one task owns the blow-up (measured
     * by graft.tools.SkewProbe). With the cap on, a bucket larger than
-    * `cap` emits STAR pairs instead — every member against the bucket's
-    * min doc_id — so the hot key costs O(M), not O(M²), and no task
-    * exceeds the skew bound. Verification stays exact on the emitted
-    * pairs. The trade (documented, opt-in — the declared oracle queries
-    * never set it): within a giant bucket the pair LIST loses transitive
-    * members, but connectivity is preserved (the star spans the bucket),
-    * so [[q_dedup_components]]/[[q_dedup_apply]]-shaped consumers — the
+    * `cap` emits CHAIN pairs instead — each member against its neighbor
+    * in full-signature (`skey`) order — so the hot key costs
+    * O(M log M), not O(M²), and no task exceeds the skew bound.
+    * Verification stays exact on the emitted pairs. Chain, not star: a
+    * star hub that happens to be DISSIMILAR to the bucket (an LSH
+    * false positive that band-collided in, sitting at the min doc_id
+    * every band because doc_id correlates with crawl time) would fail
+    * every verification edge and disconnect the whole bucket; in the
+    * chain an outlier breaks only its own two edges and drops out —
+    * exactly what unccapped verification does to it — and the
+    * signature sort clusters genuinely-similar members adjacently so
+    * mixed buckets split at subgroup boundaries, not randomly. The
+    * trade (documented, opt-in — the declared oracle queries never set
+    * it): within a giant bucket the pair LIST loses transitive members,
+    * but post-verification CONNECTIVITY matches the uncapped path, so
+    * [[q_dedup_components]]/[[q_dedup_apply]]-shaped consumers — the
     * ones a 100 TB dedup run actually feeds — collapse identical
-    * clusters; SkewProbe asserts that equality on a planted viral corpus.
+    * clusters; SkewProbe asserts that equality on a planted viral
+    * corpus and DedupSpec on an adversarial bucket whose min-doc_id
+    * member is a planted band-colliding outlier.
     */
   private[graft] def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {
     val cap = docs.sparkSession.conf
@@ -313,18 +343,27 @@ object Dedup {
     else {
       // bucket census: map-side-combinable agg, then a co-partitioned
       // join back — the hot key meets ONE stats row, no explosion
-      val stats = bandRows.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
-      val br = bandRows.join(stats, Seq("band", "bkey"))
+      val sigRows = bandRowsImpl(docs, bands, r, withSig = true)
+      val stats = sigRows.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bn"))
+      val br = sigRows.join(stats, Seq("band", "bkey"))
       val small = br.filter(col("bn") <= cap)
       val smallPairs = small.as("a").join(small.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // hub = bucket min, so doc_a < doc_b holds by construction
-      val starPairs = br.filter(col("bn") > cap && col("doc_id") =!= col("hub"))
-        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-      smallPairs.unionByName(starPairs).distinct()
+      // giant buckets: neighbor pairs in signature order — a partitioned
+      // window (one task sorts the bucket's M rows: O(M log M), the
+      // quadratic join never plans). least/greatest because doc_id order
+      // is only ascending WITHIN equal skeys.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bkey")).orderBy(col("skey"), col("doc_id"))
+      val chainPairs = br.filter(col("bn") > cap)
+        .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(least(col("doc_id"), col("nxt")).as("doc_a"),
+          greatest(col("doc_id"), col("nxt")).as("doc_b"))
+      smallPairs.unionByName(chainPairs).distinct()
     }
   }
 

@@ -29,15 +29,17 @@ object TextAnalysis {
     new graft.SessionCache[String, (Option[Long], DataFrame)]
 
   def corpusTokens(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    corpusTokensEntry(s, dir)._2
+    corpusTokensEntry(s, dir, CorpusIndex.storeRootFor(dir))._2
 
   /** The cache entry (served store version, frame) — the version is what
     * derived caches ([[corpusDocTerms]]) tag themselves with, so a chain
     * of caches can never tag a frame with a version it does not reflect.
+    * `root` is the fingerprinted store root, computed ONCE per public
+    * entry and threaded through (ADVICE r10: each fingerprint is a
+    * remote-FS listing; a chained cache must not pay it per layer).
     */
   private def corpusTokensEntry(s: org.apache.spark.sql.SparkSession,
-      dir: String): (Option[Long], DataFrame) = {
-    val root = CorpusIndex.storeRootFor(dir)
+      dir: String, root: String): (Option[Long], DataFrame) = {
     def headV = graft.streaming.TableStore
       .latestVersion(s, CorpusIndex.tokensPath(root))
     // revalidated per access: a same-session maintenance commit on the
@@ -92,13 +94,14 @@ object TextAnalysis {
   def corpusDocTerms(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // chained revalidation: derived from corpusTokens, so it pins the
     // SAME store version and rebuilds whenever the base frame does
+    val root = CorpusIndex.storeRootFor(dir) // one fingerprint per access
     def headV = graft.streaming.TableStore
-      .latestVersion(s, CorpusIndex.tokensPath(CorpusIndex.storeRootFor(dir)))
+      .latestVersion(s, CorpusIndex.tokensPath(root))
     docTermCache.getOrBuildIf(s, dir)(_._1 == headV) {
       graft.Materialize.timed("doc_term_frame") {
         // tag with the version the base frame ACTUALLY serves (not a
         // fresh head probe — see corpusTokensEntry's race rationale)
-        val (baseV, base) = corpusTokensEntry(s, dir)
+        val (baseV, base) = corpusTokensEntry(s, dir, root)
         baseV -> base
           .select(col("doc_id"), col("term"))
           .distinct()

@@ -296,13 +296,21 @@ object TableStore {
     * listings alone (no data pages): one row per (version, table) with
     * the live bucket count, how many of those buckets this version
     * actually rewrote (vs inherited), and the live bytes resolved
-    * through the pointer chase. `orphan_bytes` (store-level, repeated on
-    * every row) totals bytes under the root that NO committed manifest
-    * references — crash remnants (`.staging-*` leftovers, promoted dirs
-    * whose commit lost the CAS) that prune will reclaim; a growing value
-    * is leak pressure an operator should see BEFORE prune (VERDICT r9
-    * #6). Bounded by versions × tables × buckets FS metadata calls plus
-    * one recursive root listing — an ops query, not a data-path one.
+    * through the pointer chase. Two store-level census columns (repeated
+    * on every row) total bytes NO committed manifest references:
+    * `orphan_bytes` counts PROMOTED dirs whose commit lost the CAS or
+    * crashed before its manifest — definitely-dead remnants prune will
+    * reclaim, so a growing value is leak pressure an operator should
+    * see BEFORE prune (VERDICT r9 #6); `staging_bytes` counts
+    * `.staging-*` dirs separately, because without a clock the census
+    * cannot tell a crashed writer's leftovers from a LIVE in-flight
+    * write — polling `describe` during a large write WILL see
+    * `staging_bytes` rise by the write's size and must not read that as
+    * a leak (it either promotes into the next commit or becomes
+    * prune-reclaimable); only a value that persists across quiet periods
+    * is remnant pressure. Bounded by versions × tables × buckets FS
+    * metadata calls plus one recursive root listing — an ops query, not
+    * a data-path one.
     */
   def describe(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
@@ -325,21 +333,24 @@ object TableStore {
       }.sum
       (v, table, m.buckets, ptrs.size, ptrs.count(_._2 == v), bytes)
     }
-    val orphans = orphanBytes(spark, statePath, census)
+    val (orphans, staging) = orphanBytes(spark, statePath, census)
     rows.toDF("version", "table", "buckets", "live_buckets",
         "buckets_written_here", "live_bytes")
       .withColumn("orphan_bytes", lit(orphans))
+      .withColumn("staging_bytes", lit(staging))
   }
 
-  /** Bytes under `statePath` referenced by no committed manifest: every
-    * file not inside a pointer-referenced `pt=` dir and not store
-    * metadata (MANIFEST files, `pins/`). Driver-side recursive listing —
-    * same cost class as prune's own sweep.
+  /** (orphan, staging) bytes under `statePath` referenced by no committed
+    * manifest: every file not inside a pointer-referenced `pt=` dir and
+    * not store metadata (MANIFEST files, `pins/`). Files under a
+    * `.staging-*` dir are tallied separately — they may belong to a LIVE
+    * writer, not a crash (see [[describe]]). Driver-side recursive
+    * listing — same cost class as prune's own sweep.
     */
   private def orphanBytes(spark: SparkSession, statePath: String,
-      census: Seq[(Long, StateStore.Manifest)]): Long = {
+      census: Seq[(Long, StateStore.Manifest)]): (Long, Long) = {
     val (fs, root) = StateStore.fsFor(spark, statePath)
-    if (!fs.exists(root)) return 0L
+    if (!fs.exists(root)) return (0L, 0L)
     val qualifiedRoot = fs.makeQualified(root).toString
     def qualify(s: String): String =
       fs.makeQualified(new org.apache.hadoop.fs.Path(s)).toString
@@ -350,11 +361,13 @@ object TableStore {
     } yield qualify(
       s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")).toSet
     val it = fs.listFiles(root, true)
-    var total = 0L
+    var orphan = 0L
+    var staging = 0L
     while (it.hasNext) {
       val f = it.next()
+      val fp = f.getPath.toString
       val meta = f.getPath.getName == "MANIFEST" ||
-        f.getPath.toString.startsWith(s"$qualifiedRoot/pins/")
+        fp.startsWith(s"$qualifiedRoot/pins/")
       // a file is live iff some ANCESTOR dir is a referenced pt= dir
       // (parquet writes files directly under the pt dir, but walking up
       // keeps this robust to nested layouts) — O(depth) set probes per
@@ -365,9 +378,12 @@ object TableStore {
         live = referenced.contains(anc.toString)
         anc = anc.getParent
       }
-      if (!meta && !live) total += f.getLen
+      if (!meta && !live) {
+        if (fp.startsWith(s"$qualifiedRoot/.staging-")) staging += f.getLen
+        else orphan += f.getLen
+      }
     }
-    total
+    (orphan, staging)
   }
 
   private def manifestAt(spark: SparkSession, statePath: String,

@@ -207,6 +207,58 @@ class ExtSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.filter(_._1 == 9999L).foreach(_._3 shouldBe null)
   }
 
+  test("giant-bucket cap: components survive a band-colliding min-doc_id outlier") {
+    // The adversarial case the chain design exists for: a dissimilar doc
+    // that LSH-collides into a viral bucket AND holds the bucket's min
+    // doc_id. A star cap would hub every pair on it, every verification
+    // edge would fail (J ~ 0.03), and the whole family would disconnect.
+    // The chain sorts by full signature, so the outlier sits at one end,
+    // loses its single chain edge at verification, and drops out — and
+    // capped components equal uncapped components exactly.
+    val cand = spark.range(1, 2000).select(col("id").as("h"),
+        Dedup.mhExpr(col("h"), 0).as("m0"), Dedup.mhExpr(col("h"), 1).as("m1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hSet = cand.take(60)
+    val (m00, m01) = (hSet.map(_._2).min, hSet.map(_._3).min)
+    // band-0 argmin elements of H: a subset containing them (and nothing
+    // smaller) shares H's band-0 signature by construction
+    val (a0, a1) = (hSet.minBy(_._2)._1, hSet.minBy(_._3)._1)
+    // tails that can never steal band 0's minima — the family provably
+    // shares one bucket whatever the other bands do
+    val tails = cand.drop(60).collect {
+      case (h, x0, x1) if x0 > m00 && x1 > m01 => h }.take(100)
+    tails.length shouldBe 100
+    val hIds = hSet.map(_._1).toSeq
+    val family = tails.zipWithIndex
+      .map { case (t, i) => (100L + i, hIds :+ t) }.toSeq
+    val outlier = (1L, Seq(a0, a1)) // min doc_id; J vs family = 2/61
+    val docs = (family :+ outlier).toDF("doc_id", "hs")
+      .repartition(8).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def components(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.lshJaccardPairs(docs, bands = 8, r = 2)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    spark.conf.set("spark.graft.dedup.bandBucketCap", "10")
+    val capped = try Dedup.lshJaccardPairs(docs, bands = 8, r = 2)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      finally spark.conf.unset("spark.graft.dedup.bandBucketCap")
+
+    // the outlier really was a candidate (band collision planted) ...
+    Dedup.candidatePairs(docs, 8, 2).filter(col("doc_a") === 1L).count() should be > 0L
+    // ... and verification drops it on BOTH paths
+    plain.filter(col("doc_a") === 1L || col("doc_b") === 1L).count() shouldBe 0L
+    capped.filter(col("doc_a") === 1L || col("doc_b") === 1L).count() shouldBe 0L
+    // uncapped: the 100-doc family is one clique-connected component
+    val ccPlain = components(plain)
+    ccPlain.map(_._1) shouldBe family.map(_._1).toSet
+    ccPlain.map(_._2).toSet shouldBe Set(100L)
+    // the contract: capped components == uncapped components, adversary included
+    components(capped) shouldBe ccPlain
+    docs.unpersist()
+  }
+
   test("multi-probe ANN strictly improves recall over single-probe") {
     // hamming-1 probing recovers neighbors that fell just across one
     // hyperplane; with the equi-join shape intact (probes explode on the

@@ -244,11 +244,14 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     TableStore.write(spark, root, 0L, specs,
       Map("dim" -> dim("a" -> 1L),
         "facts" -> facts((1L to 20L).map(i => i -> s"p$i"): _*)), cfg = cfg)
-    def orphans(): Long = TableStore.describe(spark, root)
-      .select($"orphan_bytes").as[Long].head()
-    orphans() shouldBe 0L // a clean store leaks nothing
+    def census(): (Long, Long) = TableStore.describe(spark, root)
+      .select($"orphan_bytes", $"staging_bytes").as[(Long, Long)].head()
+    census() shouldBe ((0L, 0L)) // a clean store leaks nothing
     // plant the two crash-remnant shapes prune reclaims: an abandoned
-    // staging dir and a promoted-but-never-committed version dir
+    // staging dir and a promoted-but-never-committed version dir. They
+    // land in SEPARATE columns: a .staging-* dir may equally be a LIVE
+    // writer mid-flight (the census has no clock to tell), so only the
+    // promoted remnant counts as a definite orphan.
     val staging = new java.io.File(s"$root/.staging-v9-deadbeef/facts/pt=0")
     staging.mkdirs() shouldBe true
     java.nio.file.Files.write(staging.toPath.resolve("part-0.parquet"),
@@ -257,10 +260,10 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     promoted.mkdirs() shouldBe true
     java.nio.file.Files.write(promoted.toPath.resolve("part-0.parquet"),
       Array.fill[Byte](50)(1))
-    orphans() shouldBe 150L
+    census() shouldBe ((50L, 100L))
     // live bytes are untouched by the remnants, and a pin file is metadata
     StateStore.pinVersion(spark, root, 0L, "reader1")
-    orphans() shouldBe 150L
+    census() shouldBe ((50L, 100L))
     StateStore.unpin(spark, root, "reader1")
   }
 

@@ -19,13 +19,16 @@ import graft.ext.{Components, Dedup}
   *     bytes, and the hot key's input is M rows while its OUTPUT explodes
   *     quadratically).
   *  2. `lsh_capped` — the production path
-  *     (`spark.graft.dedup.bandBucketCap`): giant buckets emit star
-  *     pairs (member vs bucket-min hub), O(M) not O(M²). ASSERTS the
-  *     task-time bound (no task above ~4× its stage median on heavy
-  *     stages), that the viral family survives as exactly M-1 hub pairs,
-  *     that organic pairs are byte-identical to the plain path, and that
-  *     connected components — the consumer shape a 100 TB dedup actually
-  *     feeds — are IDENTICAL to the uncapped path's.
+  *     (`spark.graft.dedup.bandBucketCap`): giant buckets emit CHAIN
+  *     pairs (each member vs its neighbor in full-signature order),
+  *     O(M log M) not O(M²). ASSERTS the task-time bound (no task above
+  *     ~4× its stage median on heavy stages), that the viral family
+  *     survives as exactly M-1 chain pairs, that organic pairs are
+  *     byte-identical to the plain path, and that connected components
+  *     — the consumer shape a 100 TB dedup actually feeds — are
+  *     IDENTICAL to the uncapped path's. (Chain, not star: a dissimilar
+  *     min-doc_id member would fail every star edge and disconnect the
+  *     bucket — DedupSpec pins that adversarial case.)
   *  3. `verify_salted` — Skew.saltedJoin on the verification lookups:
   *     asserts join-identity with the plain verify over the same
   *     candidates, under the task-time bound.
@@ -175,16 +178,17 @@ object SkewProbe {
       } finally spark.conf.unset("spark.graft.dedup.bandBucketCap")
     legCap.violations.foreach(s =>
       fail(f"lsh_capped stage ${s.stageId} skew ${s.ratio}%.1fx (max ${s.maxMs} ms)"))
-    // the viral family survives as exactly the m-1 hub star pairs
-    val starPairs = pairsCap.filter(col("doc_a") >= 900000000L).count()
-    if (starPairs != (m - 1).toLong)
-      fail(s"capped path viral star pairs: $starPairs != ${m - 1}")
+    // the viral family survives as exactly the m-1 chain pairs (every
+    // band emits the SAME neighbor pairs — one signature order)
+    val chainPairs = pairsCap.filter(col("doc_a") >= 900000000L).count()
+    if (chainPairs != (m - 1).toLong)
+      fail(s"capped path viral chain pairs: $chainPairs != ${m - 1}")
     // organic pairs (buckets under the cap) are byte-identical
     assertEmptyDiff(
       pairsPlain.filter(col("doc_b") < 900000000L),
       pairsCap.filter(col("doc_b") < 900000000L), "organic pairs", fail)
     // and the consumer contract: connected components are IDENTICAL —
-    // the star spans the giant bucket, so collapse semantics survive
+    // the chain spans the giant bucket, so collapse semantics survive
     val ccPlain = Components.connectedComponents(pairsPlain, "doc_a", "doc_b")
       .localCheckpoint(true)
     val ccCap = Components.connectedComponents(pairsCap, "doc_a", "doc_b")
