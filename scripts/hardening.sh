@@ -5,7 +5,7 @@
 #   2. SkewProbe   — adversarial viral-template corpus through the
 #                    dedup/LSH joins: task-time histogram bound (<=4x
 #                    stage median) on the capped/salted production paths,
-#                    component-equality of the giant-bucket star cap.
+#                    component-equality of the giant-bucket chain cap.
 #   3. PipelineKillProbe — the full chain (replay fold -> streaming
 #                    corpus-index maintenance -> dedup/decontaminate ->
 #                    Release.run) killed hard (halt) twice mid-stream

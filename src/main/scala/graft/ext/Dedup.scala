@@ -106,7 +106,7 @@ object Dedup {
         // fused native pass (window digest streamed from token bytes,
         // distinct on the 60-bit hashes) — byte-identical to
         // array_distinct(shingles(toks,3)) mapped through baseHash, which
-        // it replaced (equivalence pinned by DedupSpec); the composed form
+        // it replaced (equivalence pinned by ExtSpec); the composed form
         // paid a shingle STRING per window plus a string-keyed distinct
         graft.functions.ShingleHashes(TextAnalysis.tokens(col("text")), 3).as("hs"))
 
@@ -327,7 +327,7 @@ object Dedup {
     * [[q_dedup_components]]/[[q_dedup_apply]]-shaped consumers — the
     * ones a 100 TB dedup run actually feeds — collapse identical
     * clusters; SkewProbe asserts that equality on a planted viral
-    * corpus and DedupSpec on an adversarial bucket whose min-doc_id
+    * corpus and ExtSpec on an adversarial bucket whose min-doc_id
     * member is a planted band-colliding outlier.
     */
   private[graft] def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {

@@ -23,12 +23,13 @@ import graft.ext.{Components, Dedup}
   *     pairs (each member vs its neighbor in full-signature order),
   *     O(M log M) not O(M²). ASSERTS the task-time bound (no task above
   *     ~4× its stage median on heavy stages), that the viral family
-  *     survives as exactly M-1 chain pairs, that organic pairs are
+  *     survives as O(M) chain pairs (in [M-1, bands×(M-1)] — per-band
+  *     membership perturbs the chains), that organic pairs are
   *     byte-identical to the plain path, and that connected components
   *     — the consumer shape a 100 TB dedup actually feeds — are
   *     IDENTICAL to the uncapped path's. (Chain, not star: a dissimilar
   *     min-doc_id member would fail every star edge and disconnect the
-  *     bucket — DedupSpec pins that adversarial case.)
+  *     bucket — ExtSpec pins that adversarial case.)
   *  3. `verify_salted` — Skew.saltedJoin on the verification lookups:
   *     asserts join-identity with the plain verify over the same
   *     candidates, under the task-time bound.
@@ -178,11 +179,14 @@ object SkewProbe {
       } finally spark.conf.unset("spark.graft.dedup.bandBucketCap")
     legCap.violations.foreach(s =>
       fail(f"lsh_capped stage ${s.stageId} skew ${s.ratio}%.1fx (max ${s.maxMs} ms)"))
-    // the viral family survives as exactly the m-1 chain pairs (every
-    // band emits the SAME neighbor pairs — one signature order)
+    // the viral family survives as O(m) chain pairs: at least the m-1
+    // spanning one bucket, at most bands×(m-1) — per-band membership
+    // differs slightly (a dup's tail token can steal one band's minhash),
+    // so each band chains its own subset and the unions stay linear,
+    // never the C(m,2) quadratic blow-up
     val chainPairs = pairsCap.filter(col("doc_a") >= 900000000L).count()
-    if (chainPairs != (m - 1).toLong)
-      fail(s"capped path viral chain pairs: $chainPairs != ${m - 1}")
+    if (chainPairs < (m - 1).toLong || chainPairs > 8L * (m - 1))
+      fail(s"capped path viral chain pairs: $chainPairs outside [${m - 1}, ${8 * (m - 1)}]")
     // organic pairs (buckets under the cap) are byte-identical
     assertEmptyDiff(
       pairsPlain.filter(col("doc_b") < 900000000L),
