@@ -137,11 +137,17 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // per run: (wall seconds, in-query store-build seconds THIS run) —
+    // the build delta is snapshotted around the run itself, so the
+    // build/serve split below subtracts each run's build from ITS OWN
+    // total (never a cross-run mix, whatever number of stores a run
+    // happened to build)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to runs).flatMap { _ =>
         if (err.isDefined) None // a failed query fails every run; stop early
         else {
+          val b0 = Materialize.queryBuildTotal(name)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>
@@ -149,10 +155,11 @@ object Bench {
             err = Some(e.getClass.getSimpleName)
           }
           val dt = (System.nanoTime() - t0) / 1e9
+          val db = Materialize.queryBuildTotal(name) - b0
           // multi-pass queries persist intermediates; drop them so every
           // run (and every later query) starts with clean storage memory
           spark.sqlContext.clearCache()
-          if (err.isDefined) None else Some(dt)
+          if (err.isDefined) None else Some((dt, db))
         }
       }
       (name, times, err)
@@ -161,7 +168,7 @@ object Bench {
     // a query that failed on ANY run is excluded from the totals entirely —
     // a partial success must not inflate the headline number the failure
     // accounting says to discount
-    def ok(ts: Seq[Double], err: Option[String]) = err.isEmpty && ts.nonEmpty
+    def ok(ts: Seq[(Double, Double)], err: Option[String]) = err.isEmpty && ts.nonEmpty
     // The driver persists only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; every round 1-5 arrived truncated
     // (parsed: null) because the full per-query dict outgrew the window.
@@ -191,47 +198,35 @@ object Bench {
       require(missing.isEmpty,
         s"baselineSet names absent from SparkEntry.queries: ${missing.toSeq.sorted.mkString(", ")}")
     }
-    def dict(rs: Seq[(String, Seq[Double], Option[String])]): String =
+    def dict(rs: Seq[(String, Seq[(Double, Double)], Option[String])]): String =
       rs.map { case (k, ts, err) =>
-        "\"" + k + "\":" + (if (ok(ts, err)) f"${median(ts)}%.3f" else "null")
+        "\"" + k + "\":" + (if (ok(ts, err)) f"${median(ts.map(_._1))}%.3f" else "null")
       }.mkString("{", ",", "}")
     val qs = dict(results)
     val qsBase = dict(results.filter(r => baselineSet(r._1)))
     // per-query build/serve split for the store-lifecycle queries: build =
     // median of per-run in-query store-build time; serve = median of the
     // PER-RUN (total - build) differences — the serving-path signal the
-    // full-catalog total otherwise blurs. Per-run alignment matters:
-    // medianing the two series independently would subtract one run's
-    // build from another run's total (a cold-FS first run's build belongs
-    // to ITS total), biasing serve and silently flooring it at 0.
-    val buildSplit = locally {
-      val spans = Materialize.queryBuildSpans
-      val byName = results.map(r => r._1 -> r).toMap
-      spans.toSeq.sortBy(_._1).flatMap { case (name, ss) =>
-        byName.get(name).collect { case (_, ts, err) if ok(ts, err) =>
-          // spans arrive in run order; a query may build SEVERAL stores
-          // per run (equal count per run), so fold them per run first
-          val perRun: Seq[Double] =
-            if (ts.nonEmpty && ss.size % ts.size == 0)
-              ss.grouped(ss.size / ts.size).map(_.sum).toSeq
-            else Seq(median(ss)) // unaligned (failed mid-run) — flat median
-          val b = median(perRun)
-          val serve =
-            if (perRun.size == ts.size)
-              math.max(0.0, median(ts.zip(perRun).map { case (t, s) => t - s }))
-            else math.max(0.0, median(ts) - b)
-          "\"" + name + "\":" + f"""{"build":$b%.3f,"serve":$serve%.3f}"""
-        }
+    // full-catalog total otherwise blurs. The run loop snapshotted each
+    // run's build delta around the run itself, so alignment is exact by
+    // construction (medianing the two series independently would subtract
+    // one run's build from another run's total — a cold-FS first run's
+    // build belongs to ITS total — biasing serve toward 0).
+    val buildSplit = results
+      .filter { case (_, ts, err) => ok(ts, err) && ts.exists(_._2 > 0) }
+      .map { case (name, ts, _) =>
+        val b = median(ts.map(_._2))
+        val serve = math.max(0.0, median(ts.map { case (t, db) => t - db }))
+        "\"" + name + "\":" + f"""{"build":$b%.3f,"serve":$serve%.3f}"""
       }.mkString("{", ",", "}")
-    }
     val baseTotal = results
-      .collect { case (k, ts, err) if baselineSet(k) && ok(ts, err) => median(ts) }.sum
+      .collect { case (k, ts, err) if baselineSet(k) && ok(ts, err) => median(ts.map(_._1)) }.sum
     val mins = results.map { case (k, ts, err) =>
-      "\"" + k + "\":" + (if (ok(ts, err)) f"${ts.min}%.3f" else "null")
+      "\"" + k + "\":" + (if (ok(ts, err)) f"${ts.map(_._1).min}%.3f" else "null")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, ts, err) if ok(ts, err) => median(ts) }.sum
+    val total = results.collect { case (_, ts, err) if ok(ts, err) => median(ts.map(_._1)) }.sum
     val nFailed = results.count(_._3.isDefined)
     val cpuPost = cpuProbe()
     val parPost = parProbe(spark)

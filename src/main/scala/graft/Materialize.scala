@@ -60,6 +60,22 @@ object Materialize {
     }.toMap
   }
 
+  /** Cumulative build seconds recorded for `query` so far — Bench
+    * snapshots this around EACH timed run, so per-run build time is a
+    * delta of totals (exact whatever number of builds a run performs),
+    * never a positional regrouping of the span list.
+    */
+  def queryBuildTotal(query: String): Double = {
+    val q = inQueryBuilds.get(query)
+    if (q == null) 0.0
+    else {
+      var s = 0.0
+      val it = q.iterator()
+      while (it.hasNext) s += it.next().doubleValue()
+      s
+    }
+  }
+
   def resetQueryBuilds(): Unit = inQueryBuilds.clear()
 
   /** Contamination boundary for timed regions (Bench's per-query loop):

@@ -85,22 +85,31 @@ object CorpusIndex {
     * DIRECTORY entries, whose (len, mtime) are 0/0 on s3a fake dirs and
     * unchanged on HDFS when a grandchild file is rewritten — an
     * in-place regeneration would then keep the SAME key and serve stale
-    * frames, the exact bug this fingerprint exists to close. A missing
-    * corpus fingerprints as `absent` (nothing to serve either way; its
-    * later appearance changes the key); an unreachable FILESYSTEM fails
-    * loudly — a guessed key against a live store is exactly the
-    * stale-serving bug.
+    * frames, the exact bug this fingerprint exists to close. ONLY a
+    * missing ROOT fingerprints as `absent` (nothing to serve either way;
+    * its later appearance changes the key): a FileNotFound mid-WALK (a
+    * subdir deleted under a concurrent in-place rewrite) and an
+    * unreachable filesystem both fail loudly — mapping either to
+    * `absent` would key two different corpus generations to the same
+    * root, which is exactly the stale-serving bug.
     */
   private[ext] def fingerprint(dir: String, fileName: String): String = {
     import org.apache.hadoop.fs.Path
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val p = new Path(dir, fileName)
-    val detail = try {
-      val fs = p.getFileSystem(conf)
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) {
-        val base = p.toUri.getPath
+    val fs = p.getFileSystem(conf)
+    val stOpt = try Some(fs.getFileStatus(p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    val detail = stOpt match {
+      case None => "absent"
+      case Some(st) if st.isDirectory =>
+        // qualify BEFORE deriving the strip base: a relative `dir` would
+        // otherwise never match the walk's absolute paths, baking the
+        // working directory into the key (two sessions over one corpus
+        // would then build disjoint store roots)
+        val base = fs.makeQualified(p).toUri.getPath
         val it = fs.listFiles(p, true)
         val entries = scala.collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
@@ -109,9 +118,7 @@ object CorpusIndex {
             s"${c.getLen}:${c.getModificationTime}"
         }
         entries.sorted.mkString(";")
-      } else s"${st.getLen}:${st.getModificationTime}"
-    } catch {
-      case _: java.io.FileNotFoundException => "absent"
+      case Some(st) => s"${st.getLen}:${st.getModificationTime}"
     }
     TextAnalysis.md5hexJvm(s"$dir|$detail").take(16)
   }

@@ -318,29 +318,37 @@ object Dedup {
     * every band because doc_id correlates with crawl time) would fail
     * every verification edge and disconnect the whole bucket; in the
     * chain an outlier breaks only its own two edges and drops out —
-    * exactly what unccapped verification does to it — and the
+    * exactly what uncapped verification does to it — and the
     * signature sort clusters genuinely-similar members adjacently so
     * mixed buckets split at subgroup boundaries, not randomly. The
     * trade (documented, opt-in — the declared oracle queries never set
-    * it): within a giant bucket the pair LIST loses transitive members,
-    * but post-verification CONNECTIVITY matches the uncapped path, so
+    * it): within a giant bucket the pair LIST loses transitive
+    * members. Post-verification CONNECTIVITY is preserved for the
+    * near-identical families the cap targets (members agree on most
+    * minhash components, so signature-adjacent members verify) — NOT
+    * as a universal theorem: a borderline pair (J barely ≥ 1/2) whose
+    * ONLY band collision is inside a giant bucket, separated in skey
+    * order by a verification-failing member, can split where the
+    * uncapped path merges. That residual loss is inherent to ANY O(M)
+    * pair reduction; consumers needing exactness leave the cap off.
     * [[q_dedup_components]]/[[q_dedup_apply]]-shaped consumers — the
     * ones a 100 TB dedup run actually feeds — collapse identical
-    * clusters; SkewProbe asserts that equality on a planted viral
-    * corpus and ExtSpec on an adversarial bucket whose min-doc_id
-    * member is a planted band-colliding outlier.
+    * clusters on the measured corpora: SkewProbe asserts component
+    * equality on a planted viral corpus and ExtSpec on an adversarial
+    * bucket whose min-doc_id member is a planted band-colliding
+    * outlier.
     */
   private[graft] def candidatePairs(docs: DataFrame, bands: Int, r: Int): DataFrame = {
     val cap = docs.sparkSession.conf
       .getOption("spark.graft.dedup.bandBucketCap").map(_.toInt).getOrElse(0)
-    val bandRows = bandRowsOf(docs, bands, r)
-    if (cap <= 0)
+    if (cap <= 0) {
+      val bandRows = bandRowsOf(docs, bands, r)
       bandRows.as("a").join(bandRows.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-    else {
+    } else {
       // bucket census: map-side-combinable agg, then a co-partitioned
       // join back — the hot key meets ONE stats row, no explosion
       val sigRows = bandRowsImpl(docs, bands, r, withSig = true)

@@ -361,13 +361,14 @@ object TableStore {
     } yield qualify(
       s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")).toSet
     val it = fs.listFiles(root, true)
+    val pinsPrefix = s"$qualifiedRoot/pins/"
+    val stagingPrefix = s"$qualifiedRoot/.staging-"
     var orphan = 0L
     var staging = 0L
     while (it.hasNext) {
       val f = it.next()
       val fp = f.getPath.toString
-      val meta = f.getPath.getName == "MANIFEST" ||
-        fp.startsWith(s"$qualifiedRoot/pins/")
+      val meta = f.getPath.getName == "MANIFEST" || fp.startsWith(pinsPrefix)
       // a file is live iff some ANCESTOR dir is a referenced pt= dir
       // (parquet writes files directly under the pt dir, but walking up
       // keeps this robust to nested layouts) — O(depth) set probes per
@@ -379,7 +380,7 @@ object TableStore {
         anc = anc.getParent
       }
       if (!meta && !live) {
-        if (fp.startsWith(s"$qualifiedRoot/.staging-")) staging += f.getLen
+        if (fp.startsWith(stagingPrefix)) staging += f.getLen
         else orphan += f.getLen
       }
     }

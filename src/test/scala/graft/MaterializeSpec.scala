@@ -44,6 +44,12 @@ class MaterializeSpec extends AnyFunSuite with Matchers {
       Materialize.queryBuild("spec_lifecycle_fail") { throw new RuntimeException("x") }
     }
     Materialize.queryBuildSpans.get("spec_lifecycle_fail") shouldBe None
+    // queryBuildTotal: the cumulative sum Bench deltas around each timed
+    // run (per-run build = total-after - total-before, exact whatever
+    // number of builds a run performs); zero for an unknown query
+    Materialize.queryBuildTotal("spec_lifecycle_q") shouldBe
+      Materialize.queryBuildSpans("spec_lifecycle_q").sum
+    Materialize.queryBuildTotal("never_built") shouldBe 0.0
     Materialize.resetQueryBuilds()
     Materialize.queryBuildSpans shouldBe empty
   }

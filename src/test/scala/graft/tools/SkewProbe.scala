@@ -159,12 +159,13 @@ object SkewProbe {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
     pinned.foreach { case (c, v) => spark.conf.set(c, v) }
 
+    val bands = 8 // shared by every leg AND the chain-pair upper bound
     val expectedViralPairs = m.toLong * (m - 1) / 2
 
     // --- leg 1: plain (oracle-shaped) path — evidence, not assertion --------
     var pairsPlain: DataFrame = null
     val legPlain = measure(spark, "lsh_plain") {
-      pairsPlain = Dedup.lshJaccardPairs(sh, bands = 8, r = 2).localCheckpoint(true)
+      pairsPlain = Dedup.lshJaccardPairs(sh, bands, r = 2).localCheckpoint(true)
       val viralPairs = pairsPlain.filter(col("doc_a") >= 900000000L).count()
       if (viralPairs != expectedViralPairs)
         fail(s"plain path lost viral pairs: $viralPairs != $expectedViralPairs")
@@ -175,7 +176,7 @@ object SkewProbe {
     spark.conf.set("spark.graft.dedup.bandBucketCap", "64")
     val legCap =
       try measure(spark, "lsh_capped") {
-        pairsCap = Dedup.lshJaccardPairs(sh, bands = 8, r = 2).localCheckpoint(true)
+        pairsCap = Dedup.lshJaccardPairs(sh, bands, r = 2).localCheckpoint(true)
       } finally spark.conf.unset("spark.graft.dedup.bandBucketCap")
     legCap.violations.foreach(s =>
       fail(f"lsh_capped stage ${s.stageId} skew ${s.ratio}%.1fx (max ${s.maxMs} ms)"))
@@ -185,8 +186,8 @@ object SkewProbe {
     // so each band chains its own subset and the unions stay linear,
     // never the C(m,2) quadratic blow-up
     val chainPairs = pairsCap.filter(col("doc_a") >= 900000000L).count()
-    if (chainPairs < (m - 1).toLong || chainPairs > 8L * (m - 1))
-      fail(s"capped path viral chain pairs: $chainPairs outside [${m - 1}, ${8 * (m - 1)}]")
+    if (chainPairs < (m - 1).toLong || chainPairs > bands.toLong * (m - 1))
+      fail(s"capped path viral chain pairs: $chainPairs outside [${m - 1}, ${bands * (m - 1)}]")
     // organic pairs (buckets under the cap) are byte-identical
     assertEmptyDiff(
       pairsPlain.filter(col("doc_b") < 900000000L),
@@ -200,7 +201,7 @@ object SkewProbe {
     assertEmptyDiff(ccPlain, ccCap, "components plain-vs-capped", fail)
 
     // --- leg 3: salted verification — join-identity under the bound --------
-    val cands = Dedup.candidatePairs(sh, bands = 8, r = 2).localCheckpoint(true)
+    val cands = Dedup.candidatePairs(sh, bands, r = 2).localCheckpoint(true)
     var vPlain: DataFrame = null
     var vSalted: DataFrame = null
     val legSalt = measure(spark, "verify_salted") {
