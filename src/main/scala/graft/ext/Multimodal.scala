@@ -25,9 +25,18 @@ import graft.queries.QueryDef
   *    libraries) after a structural container check (signature +
   *    terminator) so truncation fails loudly even where a lenient
   *    reader would hand back a partial image.
-  *  - codecs genuinely absent from a bare JVM (H.264/MP3 …): such
-  *    payloads (and the `text/plain` stand-in some declared queries run
-  *    on, since the testdata has no media column) fall to
+  *  - `audio/mpeg` and `video/h264` (r10): REAL header-level parsers —
+  *    an MPEG-1 Layer III frame walk (ID3 skip, per-frame
+  *    bitrate/rate/padding, duration + VBR census) and an H.264 Annex B
+  *    NAL walk with a bit-exact Exp-Golomb SPS parse (profile, level,
+  *    cropped dimensions, IDR/slice counts) — the structural metadata a
+  *    curation pipeline filters on, without the sample/pixel DECODE
+  *    that genuinely needs a codec library. Both have canonical encode
+  *    halves ([[encodeMp3]]/[[encodeH264]]) and oracle-gated round-trip
+  *    queries ([[q_mp3_meta]]/[[q_h264_meta]]).
+  *  - content decode for those compressed codecs (PCM from MP3, pixels
+  *    from H.264) and any other mime (the `text/plain` stand-in some
+  *    declared queries run on, since the testdata has no media column):
   *    [[MediaDecoder.fake]], deterministic md5-derived features — swap
   *    that branch for a codec call in production.
   */
@@ -62,6 +71,8 @@ object Multimodal {
       case "image/bmp" => decodeBmp(d)
       case "audio/wav" => decodeWav(d)
       case "image/png" | "image/jpeg" => decodeImage(d)
+      case "audio/mpeg" => decodeMp3(d)
+      case "video/h264" => decodeH264(d)
       case _ => fake(d)
     }
 
@@ -270,8 +281,185 @@ object Multimodal {
       false
     }
 
-    /** Deterministic md5-derived stand-in for formats with no in-JVM
-      * decoder (H.264/MP3 — genuinely absent from a bare JVM).
+    /** REAL MPEG-1 Layer III frame walk (header-level — no PCM synthesis,
+      * which genuinely needs a codec): skips a leading ID3v2 tag
+      * (syncsafe size), then walks frame headers — sync, version, layer,
+      * bitrate/sample-rate indices, padding — advancing by each frame's
+      * computed byte length, and accepts only a trailing ID3v1 block
+      * after the last frame. Emits the stream layout a training pipeline
+      * filters on: sample rate (width), channels (height), frame count,
+      * duration, mean/max bitrate, VBR flag. Any structural lie — lost
+      * sync, free/invalid bitrate index, truncated final frame,
+      * mid-stream rate change, trailing garbage — fails LOUDLY with the
+      * byte offset (the BMP/WAV contract).
+      *
+      * Feature mapping (see [[MediaFeatures]]): feat0 = duration secs
+      * (= n_frames × 1152 / rate — exact integer re-derivation:
+      * n_frames × 1152), feat1 = mean kbps (kbps_sum = feat1 ×
+      * n_frames), feat2 = VBR flag (0/1), feat3 = max kbps.
+      */
+    private def decodeMp3(d: MediaDoc): MediaFeatures = {
+      val b = d.content
+      var pos = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        pos = 10 + sz
+        if (pos > b.length) bad(d, "ID3v2 tag overruns payload")
+      }
+      def id3v1At(p: Int): Boolean = p + 3 <= b.length &&
+        b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G'
+      var frames = 0
+      var kbpsSum = 0L
+      var kbpsMax = 0
+      var kbpsFirst = -1
+      var vbr = false
+      var rate = -1
+      var channels = -1
+      while (pos + 4 <= b.length && !id3v1At(pos)) {
+        if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xe0) != 0xe0)
+          bad(d, s"lost MPEG frame sync at byte $pos")
+        if (((b(pos + 1) >> 3) & 3) != 3) bad(d, "only MPEG-1 audio supported")
+        if (((b(pos + 1) >> 1) & 3) != 1) bad(d, "only Layer III supported")
+        val brI = (b(pos + 2) >> 4) & 0xf
+        if (brI == 0 || brI == 15) bad(d, s"free/invalid bitrate index at byte $pos")
+        val srI = (b(pos + 2) >> 2) & 3
+        if (srI == 3) bad(d, s"invalid sample-rate index at byte $pos")
+        val r = Mp3SampleRates(srI)
+        val pad = (b(pos + 2) >> 1) & 1
+        val kbps = Mp3BitrateKbps(brI)
+        val ch = if (((b(pos + 3) >> 6) & 3) == 3) 1 else 2
+        if (rate == -1) { rate = r; channels = ch }
+        else if (r != rate || ch != channels)
+          bad(d, s"mid-stream sample-rate/channel change at byte $pos")
+        val flen = 144 * kbps * 1000 / r + pad
+        if (pos + flen > b.length) bad(d, s"truncated frame at byte $pos")
+        frames += 1
+        kbpsSum += kbps
+        if (kbps > kbpsMax) kbpsMax = kbps
+        if (kbpsFirst == -1) kbpsFirst = kbps else if (kbps != kbpsFirst) vbr = true
+        pos += flen
+      }
+      if (frames == 0) bad(d, "no MPEG audio frames")
+      if (id3v1At(pos)) {
+        if (b.length - pos != 128) bad(d, "malformed trailing ID3v1 block")
+      } else if (pos != b.length) bad(d, s"trailing garbage after byte $pos")
+      MediaFeatures(d.doc_id, d.mime, b.length,
+        width = rate, height = channels, n_frames = frames,
+        feat0 = frames.toDouble * 1152.0 / rate,
+        feat1 = kbpsSum.toDouble / frames,
+        feat2 = if (vbr) 1.0 else 0.0,
+        feat3 = kbpsMax.toDouble)
+    }
+
+    /** REAL H.264 Annex B parse (header-level — no pixel reconstruction,
+      * which genuinely needs a codec): walks start codes into NAL units,
+      * counts slices (IDR type 5 / non-IDR type 1), and bit-parses the
+      * first SPS — Exp-Golomb fields after stripping emulation-prevention
+      * bytes — for profile, level, and the CROPPED frame dimensions (the
+      * fields a curation pipeline filters on). Supported SPS shapes fail
+      * LOUDLY outside 4:2:0/monochrome progressive (frame_mbs_only) with
+      * no scaling matrices — the common training-corpus case; anything
+      * else names the unsupported field instead of guessing.
+      *
+      * Feature mapping (see [[MediaFeatures]]): width/height = cropped
+      * luma dimensions, n_frames = slice NAL count, feat0 = profile_idc,
+      * feat1 = level_idc, feat2 = IDR slice count, feat3 = total NAL
+      * count — all integers in doubles, exact for the oracle compare.
+      */
+    private def decodeH264(d: MediaDoc): MediaFeatures = {
+      val b = d.content
+      // start-code scan → (payload start, payload end) per NAL
+      var nals = List.empty[(Int, Int)]
+      var i = 0
+      var prevStart = -1
+      while (i + 2 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+          // a 4-byte start code's leading zero belongs to the code, not
+          // to the previous NAL (RBSP trailing guarantees a nonzero tail)
+          if (prevStart >= 0)
+            nals = (prevStart, if (b(i - 1) == 0) i - 1 else i) :: nals
+          prevStart = i + 3
+          i += 3
+        } else i += 1
+      }
+      if (prevStart < 0) bad(d, "no Annex B start code")
+      nals = (prevStart, b.length) :: nals
+      val units = nals.reverse
+      var slices = 0
+      var idr = 0
+      var spsRange: Option[(Int, Int)] = None
+      units.foreach { case (s, e) =>
+        if (e <= s) bad(d, s"empty NAL at byte $s")
+        if ((b(s) & 0x80) != 0) bad(d, s"forbidden_zero_bit set at byte $s")
+        (b(s) & 0x1f) match {
+          case 1 => slices += 1
+          case 5 => slices += 1; idr += 1
+          case 7 => if (spsRange.isEmpty) spsRange = Some((s + 1, e))
+          case _ => ()
+        }
+      }
+      val (ss, se) = spsRange.getOrElse(bad(d, "no SPS NAL in stream"))
+      // de-emulate: 00 00 03 -> 00 00
+      val rbsp = new java.io.ByteArrayOutputStream()
+      var j = ss
+      var zeros = 0
+      while (j < se) {
+        val v = b(j) & 0xff
+        if (zeros >= 2 && v == 3) zeros = 0 // emulation-prevention byte: drop
+        else {
+          rbsp.write(v)
+          zeros = if (v == 0) zeros + 1 else 0
+        }
+        j += 1
+      }
+      val r = new BitReader(rbsp.toByteArray,
+        why => bad(d, s"SPS parse: $why"))
+      val profile = r.u(8)
+      r.u(8) // constraint flags + reserved
+      val level = r.u(8)
+      r.ue() // seq_parameter_set_id
+      val chromaFormat =
+        if (HighProfiles(profile)) {
+          val cf = r.ue()
+          if (cf == 3) bad(d, "separate colour planes unsupported")
+          r.ue(); r.ue() // bit depths
+          r.u(1) // qpprime_y_zero_transform_bypass_flag
+          if (r.u(1) == 1) bad(d, "scaling matrices unsupported")
+          cf
+        } else 1
+      if (chromaFormat > 1) bad(d, s"chroma_format_idc $chromaFormat unsupported")
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match {
+        case 0 => r.ue()
+        case 1 =>
+          r.u(1); r.se(); r.se()
+          val n = r.ue(); (0 until n).foreach(_ => r.se())
+        case _ => ()
+      }
+      r.ue() // max_num_ref_frames
+      r.u(1) // gaps_in_frame_num_value_allowed_flag
+      val wMbs = r.ue() + 1
+      val hMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u(1)
+      if (frameMbsOnly == 0) bad(d, "interlaced (field-coded) SPS unsupported")
+      r.u(1) // direct_8x8_inference_flag
+      val (cl, cr, ct, cb) =
+        if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
+      val (unitX, unitY) =
+        if (chromaFormat == 0) (1, 1) else (2, 2) // mono / 4:2:0, progressive
+      val width = wMbs * 16 - unitX * (cl + cr)
+      val height = hMapUnits * 16 - unitY * (ct + cb)
+      if (width <= 0 || height <= 0) bad(d, "crop exceeds coded dimensions")
+      MediaFeatures(d.doc_id, d.mime, b.length,
+        width = width, height = height, n_frames = slices,
+        feat0 = profile.toDouble, feat1 = level.toDouble,
+        feat2 = idr.toDouble, feat3 = units.size.toDouble)
+    }
+
+    /** Deterministic md5-derived stand-in for mimes with neither an
+      * in-JVM decoder nor a header-level parser here (the `text/plain`
+      * payloads the declared feature queries run on).
       */
     private[ext] def fake(d: MediaDoc): MediaFeatures = {
       md.reset()
@@ -289,6 +477,172 @@ object Multimodal {
         feat2 = hex4(18) / 65535.0,
         feat3 = hex4(22) / 65535.0)
     }
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit header
+    * field; 0 = free (refused), 15 = invalid.
+    */
+  private[ext] val Mp3BitrateKbps: Array[Int] =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+
+  /** MPEG-1 sample rates by the 2-bit header index (3 = reserved). */
+  private[ext] val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** profile_idc values whose SPS carries the chroma-format branch. */
+  private[ext] val HighProfiles: Set[Int] =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  /** MSB-first bit reader over an RBSP byte array with Exp-Golomb
+    * decoding; out-of-bounds and over-long codes report through `fail`
+    * (the caller wires in the loud doc-id context).
+    */
+  private[ext] final class BitReader(b: Array[Byte], fail: String => Nothing) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= b.length * 8) fail(s"bitstream overrun at bit $pos")
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    /** ue(v): count leading zeros, read that many more bits. */
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) fail("Exp-Golomb code over 31 leading zeros")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    /** se(v): signed Exp-Golomb. */
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** MSB-first bit writer with Exp-Golomb encoding and RBSP stop-bit
+    * trailing — the SPS/PPS encode half of [[encodeH264]].
+    */
+  private[ext] final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1)
+      nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val c = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(c)
+      u(0, n - 1)
+      u(c, n)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def rbspTrailing(): Array[Byte] = {
+      bit(1)
+      while (nbits != 0) bit(0)
+      buf.toArray
+    }
+  }
+
+  /** 00 00 (00|01|02|03) → insert an emulation-prevention 03 — the NAL
+    * byte-stream escape [[MediaDecoder.decodeH264]] strips back out.
+    */
+  private[ext] def emulationPrevent(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    rbsp.foreach { byte =>
+      val v = byte & 0xff
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Canonical MPEG-1 Layer III 44.1 kHz stream writer (header-level: a
+    * 20-byte ID3v2 tag, then one structurally valid frame per entry of
+    * `kbpsPerFrame` with a zeroed payload — no PCM encode, which needs a
+    * codec) — the encode half of [[q_mp3_meta]]'s round-trip.
+    */
+  def encodeMp3(channels: Int, kbpsPerFrame: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20), 0, 10)
+    out.write(Array.fill[Byte](20)(0x55), 0, 20)
+    kbpsPerFrame.foreach { kbps =>
+      val idx = Mp3BitrateKbps.indexOf(kbps)
+      require(idx > 0, s"kbps $kbps not in the MPEG-1 Layer III table")
+      val len = 144 * kbps * 1000 / 44100 // padding bit 0
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // sync(111) version(11=MPEG1) layer(01=III) noCRC(1)
+      f(2) = ((idx << 4) | (0 << 2) | (0 << 1)).toByte // 44100, no padding
+      f(3) = (if (channels == 1) 0xc0 else 0x00).toByte // mono / stereo mode
+      out.write(f, 0, len)
+    }
+    out.toByteArray
+  }
+
+  /** Canonical H.264 Annex B stream writer: baseline-profile SPS (real
+    * Exp-Golomb encode + emulation prevention), minimal PPS, then
+    * `nSlices` slice NAL stubs (IDR every `idrEvery`, starting at 0) —
+    * the encode half of [[q_h264_meta]]'s round-trip. Dimensions are
+    * `wMbs*16 - 2*cropRight` × `hMbs*16 - 2*cropBottom` (4:2:0 crop
+    * units, progressive).
+    */
+  def encodeH264(wMbs: Int, hMbs: Int, cropRight: Int, cropBottom: Int,
+      nSlices: Int, idrEvery: Int): Array[Byte] = {
+    require(wMbs > 0 && hMbs > 0 && cropRight >= 0 && cropBottom >= 0)
+    val sps = new BitWriter
+    sps.u(66, 8) // profile_idc: Baseline (no chroma branch)
+    sps.u(0, 8) // constraint flags + reserved
+    sps.u(30, 8) // level_idc 3.0
+    sps.ue(0) // seq_parameter_set_id
+    sps.ue(0) // log2_max_frame_num_minus4
+    sps.ue(0) // pic_order_cnt_type = 0
+    sps.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(1) // max_num_ref_frames
+    sps.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    sps.ue(wMbs - 1)
+    sps.ue(hMbs - 1)
+    sps.u(1, 1) // frame_mbs_only_flag
+    sps.u(1, 1) // direct_8x8_inference_flag
+    if (cropRight > 0 || cropBottom > 0) {
+      sps.u(1, 1)
+      sps.ue(0); sps.ue(cropRight); sps.ue(0); sps.ue(cropBottom)
+    } else sps.u(0, 1)
+    sps.u(0, 1) // vui_parameters_present_flag
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0) // pps id, sps id
+    pps.u(0, 2) // entropy_coding_mode, bottom_field_pic_order
+    pps.ue(0) // num_slice_groups_minus1
+    pps.ue(0); pps.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    pps.u(0, 3) // weighted_pred_flag + weighted_bipred_idc
+    pps.se(0); pps.se(0); pps.se(0) // init qp/qs, chroma offset
+    pps.u(0, 3) // deblocking, constrained intra, redundant pic cnt
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, body: Array[Byte]): Unit = {
+      out.write(Array[Byte](0, 0, 0, 1), 0, 4)
+      out.write(header)
+      out.write(body, 0, body.length)
+    }
+    nal(0x67, emulationPrevent(sps.rbspTrailing())) // SPS (nal_ref_idc 3)
+    nal(0x68, emulationPrevent(pps.rbspTrailing())) // PPS
+    (0 until nSlices).foreach { i =>
+      val isIdr = idrEvery > 0 && i % idrEvery == 0
+      nal(if (isIdr) 0x65 else 0x41, Array[Byte](0x88.toByte))
+    }
+    out.toByteArray
   }
 
   /** Canonical PCM-16 mono/interleaved WAV writer (RIFF + fmt + data) —
@@ -526,6 +880,94 @@ object Multimodal {
       }
     }.toDF("user_id", "n_bytes", "sample_rate", "channels", "n_samples",
         "sum_q", "sumsq_q", "crossings", "peak_q")
+      .orderBy(col("user_id"))
+  }
+
+  // -- MP3 header-walk round-trip as a declared query ------------------------
+  // Each user's first 64 events pick a per-frame bitrate (abs(v) % 4 →
+  // {128,160,192,224} kbps, a VBR stream whenever a user spans buckets);
+  // the payload goes through the REAL byte-level encode (ID3v2 tag +
+  // per-frame MPEG-1 L3 headers) and the REAL frame walk back, and the
+  // walked layout re-integerizes so the DuckDB oracle recomputes it
+  // EXACTLY from events — frame lengths via the same integer formula
+  // 144000*kbps/44100. Scale shape: one per-user aggregation, one
+  // mapPartitions pass, zero further shuffles (the wav-roundtrip shape).
+  val q_mp3_meta: QueryDef = QueryDef(
+    """WITH e AS (SELECT user_id,
+      |    LEAST(GREATEST(CAST(floor(value*100) AS INT) - 24000, -32768), 32767) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |s AS (SELECT user_id,
+      |    CASE abs(v) % 4 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+      |      ELSE 224 END AS kbps
+      |  FROM e WHERE rn <= 64)
+      |SELECT user_id,
+      |  CAST(30 + sum((144000 * kbps) // 44100) AS BIGINT) AS n_bytes,
+      |  CAST(44100 AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN user_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(count(*) * 1152 AS BIGINT) AS samples_total,
+      |  CAST(sum(kbps) AS BIGINT) AS kbps_sum,
+      |  CAST(max(kbps) AS BIGINT) AS kbps_max,
+      |  CAST(count(DISTINCT kbps) > 1 AS INT) AS vbr
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    userSampleStreams(s, dir).mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val kbps = u.samples.take(64)
+          .map(v => Mp3MetaKbps(math.abs(v) % 4))
+        val channels = if (u.user_id % 2 == 0) 2 else 1
+        val f = dec.decode(MediaDoc(u.user_id, "audio/mpeg",
+          encodeMp3(channels, kbps)))
+        (u.user_id, f.n_bytes.toLong, f.width.toLong, f.height.toLong,
+          f.n_frames.toLong, f.n_frames * 1152L,
+          math.round(f.feat1 * f.n_frames), math.round(f.feat3),
+          math.round(f.feat2).toInt)
+      }
+    }.toDF("user_id", "n_bytes", "sample_rate", "channels", "n_frames",
+        "samples_total", "kbps_sum", "kbps_max", "vbr")
+      .orderBy(col("user_id"))
+  }
+
+  /** The q_mp3_meta per-frame bitrate buckets (abs(v) % 4 indexes). */
+  private val Mp3MetaKbps: IndexedSeq[Int] = IndexedSeq(128, 160, 192, 224)
+
+  // -- H.264 SPS/NAL round-trip as a declared query ---------------------------
+  // Each user's stream dimensions derive from user_id (mb counts + 4:2:0
+  // crop), the slice count from the user's event count (IDR every 8th);
+  // the payload goes through the REAL bit-level SPS/PPS encode (Exp-Golomb
+  // + emulation prevention) and the REAL Annex B walk + SPS parse back, so
+  // the oracle's closed-form recomputation gates both halves bit-exactly.
+  val q_h264_meta: QueryDef = QueryDef(
+    """SELECT user_id,
+      |  CAST((user_id % 8 + 2) * 16 - 2 * (user_id % 3) AS BIGINT) AS width,
+      |  CAST((user_id % 6 + 2) * 16 - 2 * (user_id % 2) AS BIGINT) AS height,
+      |  CAST(66 AS BIGINT) AS profile_idc,
+      |  CAST(30 AS BIGINT) AS level_idc,
+      |  CAST(LEAST(count(*), 32) AS BIGINT) AS n_slices,
+      |  CAST((LEAST(count(*), 32) + 7) // 8 AS BIGINT) AS n_idr,
+      |  CAST(LEAST(count(*), 32) + 2 AS BIGINT) AS n_nal
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val dec = new MediaDecoder()
+        it.map { case (uid, n) =>
+          val f = dec.decode(MediaDoc(uid, "video/h264", encodeH264(
+            wMbs = (uid % 8 + 2).toInt, hMbs = (uid % 6 + 2).toInt,
+            cropRight = (uid % 3).toInt, cropBottom = (uid % 2).toInt,
+            nSlices = math.min(n, 32L).toInt, idrEvery = 8)))
+          (uid, f.width.toLong, f.height.toLong, math.round(f.feat0),
+            math.round(f.feat1), f.n_frames.toLong, math.round(f.feat2),
+            math.round(f.feat3))
+        }
+      }.toDF("user_id", "width", "height", "profile_idc", "level_idc",
+        "n_slices", "n_idr", "n_nal")
       .orderBy(col("user_id"))
   }
 
@@ -783,6 +1225,8 @@ object Multimodal {
     "q_multimodal_features" -> q_multimodal_features,
     "q_frame_sample" -> q_frame_sample,
     "q_wav_roundtrip" -> q_wav_roundtrip,
+    "q_mp3_meta" -> q_mp3_meta,
+    "q_h264_meta" -> q_h264_meta,
     "q_bmp_roundtrip" -> q_bmp_roundtrip,
     "q_png_roundtrip" -> q_png_roundtrip,
     "q_image_resize" -> q_image_resize,

@@ -165,4 +165,84 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
       Multimodal.MediaDoc(1L, "video/mp4", Array[Byte](1, 2, 3))).toDS()).collect().head
     f.n_frames should (be >= 1 and be <= 30)
   }
+
+  private def loudly(doc: Long, mime: String, b: Array[Byte], msg: String): Unit = {
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(doc, mime, b)).toDS()).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ") should
+      (include(s"doc $doc") and include(msg))
+  }
+
+  test("MP3 frame walk: ID3v2 skip, exact frame census, VBR flag, ID3v1 tail") {
+    // frame lengths via the same integer formula the walk uses:
+    // 144000*128/44100 = 417, 144000*192/44100 = 626
+    val payload = Multimodal.encodeMp3(2, Seq(128, 192, 128)) ++
+      ("TAG" + "x" * 125).getBytes("US-ASCII")
+    val f = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaDoc(7L, "audio/mpeg", payload)).toDS()).collect().head
+    f.width shouldBe 44100
+    f.height shouldBe 2
+    f.n_frames shouldBe 3
+    f.n_bytes shouldBe 30 + 417 + 626 + 417 + 128
+    f.feat0 shouldBe 3 * 1152.0 / 44100 +- 1e-12
+    f.feat1 shouldBe (128 + 192 + 128) / 3.0 +- 1e-12
+    f.feat2 shouldBe 1.0 // VBR: two distinct bitrates
+    f.feat3 shouldBe 192.0
+    val cbr = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(8L, "audio/mpeg",
+      Multimodal.encodeMp3(1, Seq(160, 160)))).toDS()).collect().head
+    cbr.height shouldBe 1
+    cbr.feat2 shouldBe 0.0
+  }
+
+  test("MP3 structural lies fail loudly: truncation, lost sync, free bitrate, garbage") {
+    val ok = Multimodal.encodeMp3(1, Seq(128))
+    loudly(50L, "audio/mpeg", ok.dropRight(1), "truncated frame")
+    loudly(51L, "audio/mpeg", ok ++ Array[Byte](1, 2, 3, 4), "lost MPEG frame sync")
+    val free = ok.clone() // header starts after the 30-byte ID3v2 block
+    free(32) = 0x00 // bitrate index 0 = free
+    loudly(52L, "audio/mpeg", free, "free/invalid bitrate")
+    loudly(53L, "audio/mpeg", ok :+ 1.toByte, "trailing garbage")
+    loudly(54L, "audio/mpeg", "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 99),
+      "ID3v2 tag overruns")
+    loudly(55L, "audio/mpeg", "not an mpeg stream".getBytes, "lost MPEG frame sync")
+  }
+
+  test("H.264 SPS parse: exact cropped dimensions and NAL census across a grid") {
+    for ((wm, hm, cr, cb, ns) <- Seq((2, 2, 0, 0, 1), (8, 5, 2, 1, 17),
+        (120, 68, 1, 1, 32), (40, 30, 2, 0, 9))) {
+      val f = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(9L, "video/h264",
+        Multimodal.encodeH264(wm, hm, cr, cb, ns, idrEvery = 8)))
+        .toDS()).collect().head
+      withClue(s"($wm,$hm,$cr,$cb,$ns): ") {
+        f.width shouldBe wm * 16 - 2 * cr
+        f.height shouldBe hm * 16 - 2 * cb
+        f.n_frames shouldBe ns
+        f.feat0 shouldBe 66.0
+        f.feat1 shouldBe 30.0
+        f.feat2 shouldBe ((ns + 7) / 8).toDouble
+        f.feat3 shouldBe (ns + 2).toDouble
+      }
+    }
+  }
+
+  test("H.264 emulation prevention: escape inserted on encode, stripped on parse") {
+    // 00 00 00 00 01 → escape after each 00-pair that precedes a 00-03 byte
+    Multimodal.emulationPrevent(Array[Byte](0, 0, 0, 0, 1)).toSeq shouldBe
+      Seq[Byte](0, 0, 3, 0, 0, 3, 1)
+    // an un-escaped 03 after the escape survives as data
+    Multimodal.emulationPrevent(Array[Byte](0, 0, 3)).toSeq shouldBe
+      Seq[Byte](0, 0, 3, 3)
+  }
+
+  test("H.264 structural lies fail loudly: no SPS, truncated SPS, forbidden bit") {
+    loudly(60L, "video/h264",
+      Array[Byte](0, 0, 0, 1, 0x41, 0x88.toByte), "no SPS NAL")
+    loudly(61L, "video/h264",
+      Multimodal.encodeH264(2, 2, 0, 0, 1, 8).take(7), "bitstream overrun")
+    loudly(62L, "video/h264",
+      Array[Byte](0, 0, 0, 1, 0x80.toByte, 0x11), "forbidden_zero_bit")
+    loudly(63L, "video/h264", Array[Byte](9, 9, 9), "no Annex B start code")
+  }
 }
