@@ -178,6 +178,101 @@ class MediaCodecPropsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: MP3 encode+frame-walk reproduces the exact stream census (60 cases)") {
+    val dec = new Multimodal.MediaDecoder()
+    val kbpsTable = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ks <- Gen.listOfN(n, Gen.oneOf(kbpsTable))
+      ch <- Gen.oneOf(1, 2)
+    } yield (ks, ch)
+    for (seed <- 1L to 60L) {
+      val (ks, ch) = gen.apply(Gen.Parameters.default, Seed(seed * 53L)).get
+      val f = dec.decode(Multimodal.MediaDoc(seed, "audio/mpeg",
+        Multimodal.encodeMp3(ch, ks)))
+      withClue(s"seed=$seed n=${ks.size} ch=$ch: ") {
+        f.width shouldBe 44100
+        f.height shouldBe ch
+        f.n_frames shouldBe ks.size
+        f.n_bytes shouldBe 30 + ks.map(k => 144 * k * 1000 / 44100).sum
+        f.feat0 shouldBe ks.size * 1152.0 / 44100 +- 1e-12
+        f.feat1 shouldBe ks.sum.toDouble / ks.size +- 1e-9
+        f.feat2 shouldBe (if (ks.distinct.size > 1) 1.0 else 0.0)
+        f.feat3 shouldBe ks.max.toDouble
+      }
+    }
+  }
+
+  test("property: truncating an MP3 anywhere throws or parses the exact frame prefix (40 cases)") {
+    // a cut exactly on a frame boundary IS a structurally valid shorter
+    // stream (a frame prefix) — the walk must report exactly the frames
+    // before the cut; any other cut must fail loudly, never mis-census
+    val dec = new Multimodal.MediaDecoder()
+    val ks = Seq(128, 192, 64, 320, 128)
+    val full = Multimodal.encodeMp3(2, ks)
+    val boundaries = ks.scanLeft(30)((p, k) => p + 144 * k * 1000 / 44100).toVector
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 131) % (full.length - 1)).toInt
+      val t = full.take(cut)
+      withClue(s"seed=$seed cut=$cut: ") {
+        if (boundaries.contains(cut) && cut > 30)
+          dec.decode(Multimodal.MediaDoc(seed, "audio/mpeg", t))
+            .n_frames shouldBe boundaries.indexOf(cut)
+        else intercept[IllegalArgumentException] {
+          dec.decode(Multimodal.MediaDoc(seed, "audio/mpeg", t))
+        }
+      }
+    }
+  }
+
+  test("property: H.264 encode+parse reproduces dimensions and census at every shape (60 cases)") {
+    // wide mb ranges exercise long Exp-Golomb codes (and with them the
+    // zero-heavy bitstreams emulation prevention exists for)
+    val dec = new Multimodal.MediaDecoder()
+    val gen = for {
+      wm <- Gen.choose(1, 300); hm <- Gen.choose(1, 200)
+      cr <- Gen.choose(0, 7); cb <- Gen.choose(0, 7)
+      ns <- Gen.choose(0, 40); ev <- Gen.choose(1, 9)
+    } yield (wm, hm, cr, cb, ns, ev)
+    for (seed <- 1L to 60L) {
+      val (wm, hm, cr, cb, ns, ev) =
+        gen.apply(Gen.Parameters.default, Seed(seed * 59L)).get
+      val f = dec.decode(Multimodal.MediaDoc(seed, "video/h264",
+        Multimodal.encodeH264(wm, hm, cr, cb, ns, ev)))
+      withClue(s"seed=$seed ${wm}x$hm crop($cr,$cb) ns=$ns ev=$ev: ") {
+        f.width shouldBe wm * 16 - 2 * cr
+        f.height shouldBe hm * 16 - 2 * cb
+        f.n_frames shouldBe ns
+        f.feat0 shouldBe 66.0
+        f.feat1 shouldBe 30.0
+        f.feat2 shouldBe ((ns + ev - 1) / ev).toDouble
+        f.feat3 shouldBe (ns + 2).toDouble
+      }
+    }
+  }
+
+  test("property: truncating an H.264 stream throws or yields a clean NAL prefix (40 cases)") {
+    // header parsing must never silently corrupt: a successful parse of a
+    // truncated stream means the SPS fields were fully inside the kept
+    // prefix (so they are EXACT) and the NAL census only shrank
+    val dec = new Multimodal.MediaDecoder()
+    val full = Multimodal.encodeH264(11, 7, 2, 1, 9, 3)
+    val ref = dec.decode(Multimodal.MediaDoc(0L, "video/h264", full))
+    for (seed <- 1L to 40L) {
+      val cut = 5 + ((seed * 97) % (full.length - 5)).toInt
+      withClue(s"seed=$seed cut=$cut: ") {
+        try {
+          val f = dec.decode(Multimodal.MediaDoc(seed, "video/h264", full.take(cut)))
+          f.width shouldBe ref.width
+          f.height shouldBe ref.height
+          f.feat0 shouldBe 66.0
+          f.feat1 shouldBe 30.0
+          f.n_frames should be <= ref.n_frames
+        } catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("property: truncating an encoded payload anywhere fails loudly, never mis-decodes (40 cases)") {
     val dec = new Multimodal.MediaDecoder()
     for (seed <- 1L to 20L) {
