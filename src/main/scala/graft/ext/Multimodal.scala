@@ -304,7 +304,8 @@ object Multimodal {
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
         val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        pos = 10 + sz
+        // ID3v2.4 footer flag (bit 4): ten more '3DI' bytes after the body
+        pos = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
         if (pos > b.length) bad(d, "ID3v2 tag overruns payload")
       }
       def id3v1At(p: Int): Boolean = p + 3 <= b.length &&
@@ -373,17 +374,31 @@ object Multimodal {
       var nals = List.empty[(Int, Int)]
       var i = 0
       var prevStart = -1
+      var firstCode = -1
       while (i + 2 < b.length) {
         if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
           // a 4-byte start code's leading zero belongs to the code, not
           // to the previous NAL (RBSP trailing guarantees a nonzero tail)
           if (prevStart >= 0)
             nals = (prevStart, if (b(i - 1) == 0) i - 1 else i) :: nals
+          else firstCode = i
           prevStart = i + 3
           i += 3
         } else i += 1
       }
       if (prevStart < 0) bad(d, "no Annex B start code")
+      // Annex B permits only leading_zero_8bits before the first start
+      // code — anything else is a front-truncated or garbage-prefixed
+      // stream whose dropped first NAL would silently mis-census
+      var g = 0
+      while (g < firstCode) {
+        if (b(g) != 0) bad(d, s"non-zero byte $g before the first start code")
+        g += 1
+      }
+      // bytes after the LAST start code are that NAL's payload by
+      // construction (Annex B has no trailing delimiter — unlike the MP3
+      // walk, whose computable frame lengths make trailing garbage
+      // detectable)
       nals = (prevStart, b.length) :: nals
       val units = nals.reverse
       var slices = 0
@@ -395,7 +410,17 @@ object Multimodal {
         (b(s) & 0x1f) match {
           case 1 => slices += 1
           case 5 => slices += 1; idr += 1
-          case 7 => if (spsRange.isEmpty) spsRange = Some((s + 1, e))
+          case 7 => spsRange match {
+            case None => spsRange = Some((s + 1, e))
+            case Some((fs, fe)) =>
+              // repeated SPS for random access is routine and must be
+              // byte-identical; a DIFFERENT one is a mid-stream parameter
+              // change this single-summary parse cannot represent — fail
+              // loudly (the MP3 mid-stream-rate contract)
+              val same = (e - s) == (fe - fs + 1) &&
+                (0 until (fe - fs)).forall(k => b(fs + k) == b(s + 1 + k))
+              if (!same) bad(d, s"mid-stream SPS change at byte $s")
+          }
           case _ => ()
         }
       }
@@ -514,7 +539,10 @@ object Multimodal {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        if (zeros > 31) fail("Exp-Golomb code over 31 leading zeros")
+        // 31 leading zeros would decode to >= 2^31 - 1: unrepresentable —
+        // (1 << 31) - 1 + u(31) wraps Int and a crafted SPS could smuggle
+        // a negative crop/dimension through the width/height arithmetic
+        if (zeros >= 31) fail("Exp-Golomb code of 31+ leading zeros")
       }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }

@@ -245,4 +245,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
       Array[Byte](0, 0, 0, 1, 0x80.toByte, 0x11), "forbidden_zero_bit")
     loudly(63L, "video/h264", Array[Byte](9, 9, 9), "no Annex B start code")
   }
+
+  test("H.264 stream-shape contracts: leading bytes, repeated vs changed SPS") {
+    val enc = Multimodal.encodeH264(4, 4, 0, 0, 1, 8)
+    // garbage (or a front-truncation remnant) before the first start code
+    // would silently drop a NAL from the census — refused loudly
+    loudly(64L, "video/h264", "junk".getBytes ++ enc, "before the first start code")
+    // Annex B leading_zero_8bits are legal padding
+    val padded = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(65L,
+      "video/h264", Array[Byte](0, 0) ++ enc)).toDS()).collect().head
+    padded.width shouldBe 64
+    // a byte-identical repeated SPS (random-access refresh) is routine...
+    val repeated = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(66L,
+      "video/h264", enc ++ enc)).toDS()).collect().head
+    repeated.n_frames shouldBe 2
+    repeated.feat3 shouldBe 6.0 // 2 x (SPS + PPS + slice)
+    // ...a DIFFERENT one is a mid-stream parameter change — loud
+    loudly(67L, "video/h264",
+      enc ++ Multimodal.encodeH264(8, 8, 0, 0, 1, 8), "mid-stream SPS change")
+  }
+
+  test("Exp-Golomb reader refuses 31+ leading zeros instead of wrapping Int") {
+    // 31 zero bits then a 1: bytes 00 00 00 01 give exactly that prefix
+    val r = new Multimodal.BitReader(Array[Byte](0, 0, 0, 1, 0, 0, 0, 0),
+      why => throw new IllegalArgumentException(why))
+    intercept[IllegalArgumentException] { r.ue() }
+      .getMessage should include("31+ leading zeros")
+  }
+
+  test("MP3 ID3v2.4 footer flag: ten extra bytes skipped, frames still walk") {
+    val frame = Multimodal.encodeMp3(1, Seq(128)).drop(30) // bare frame bytes
+    val header = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 0) ++
+      Array.fill[Byte](10)(0x33) // footer present, empty body
+    val f = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(68L,
+      "audio/mpeg", header ++ frame)).toDS()).collect().head
+    f.n_frames shouldBe 1
+    f.n_bytes shouldBe 20 + frame.length
+  }
 }
