@@ -304,8 +304,10 @@ object Multimodal {
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
         val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        // ID3v2.4 footer flag (bit 4): ten more '3DI' bytes after the body
-        pos = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
+        // ID3v2.4 footer flag (bit 4): ten more '3DI' bytes after the
+        // body — defined only for major version 4 (v2.2/v2.3 leave the
+        // bit undefined; honoring it there would skip real audio bytes)
+        pos = 10 + sz + (if (b(3) == 4 && (b(5) & 0x10) != 0) 10 else 0)
         if (pos > b.length) bad(d, "ID3v2 tag overruns payload")
       }
       def id3v1At(p: Int): Boolean = p + 3 <= b.length &&
@@ -411,20 +413,22 @@ object Multimodal {
           case 1 => slices += 1
           case 5 => slices += 1; idr += 1
           case 7 => spsRange match {
-            case None => spsRange = Some((s + 1, e))
+            case None => spsRange = Some((s, e))
             case Some((fs, fe)) =>
               // repeated SPS for random access is routine and must be
-              // byte-identical; a DIFFERENT one is a mid-stream parameter
-              // change this single-summary parse cannot represent — fail
-              // loudly (the MP3 mid-stream-rate contract)
-              val same = (e - s) == (fe - fs + 1) &&
-                (0 until (fe - fs)).forall(k => b(fs + k) == b(s + 1 + k))
+              // byte-identical (NAL header included — nal_ref_idc too); a
+              // DIFFERENT one is a mid-stream parameter change this
+              // single-summary parse cannot represent — fail loudly (the
+              // MP3 mid-stream-rate contract)
+              val same = (e - s) == (fe - fs) &&
+                (0 until (fe - fs)).forall(k => b(fs + k) == b(s + k))
               if (!same) bad(d, s"mid-stream SPS change at byte $s")
           }
           case _ => ()
         }
       }
-      val (ss, se) = spsRange.getOrElse(bad(d, "no SPS NAL in stream"))
+      val (ssNal, se) = spsRange.getOrElse(bad(d, "no SPS NAL in stream"))
+      val ss = ssNal + 1 // skip the NAL header byte
       // de-emulate: 00 00 03 -> 00 00
       val rbsp = new java.io.ByteArrayOutputStream()
       var j = ss
@@ -473,11 +477,17 @@ object Multimodal {
         if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
       val (unitX, unitY) =
         if (chromaFormat == 0) (1, 1) else (2, 2) // mono / 4:2:0, progressive
-      val width = wMbs * 16 - unitX * (cl + cr)
-      val height = hMapUnits * 16 - unitY * (ct + cb)
+      // Long arithmetic + an explicit dimension ceiling: ue() admits
+      // values up to 2^31-2, and Int math here would WRAP to a small
+      // positive width that sails past the <=0 guard — a crafted SPS
+      // must fail loudly, never emit a silently wrong dimension
+      val width = wMbs.toLong * 16 - unitX.toLong * (cl.toLong + cr)
+      val height = hMapUnits.toLong * 16 - unitY.toLong * (ct.toLong + cb)
       if (width <= 0 || height <= 0) bad(d, "crop exceeds coded dimensions")
+      if (width > (1L << 20) || height > (1L << 20))
+        bad(d, s"coded dimensions ${width}x$height beyond any H.264 level")
       MediaFeatures(d.doc_id, d.mime, b.length,
-        width = width, height = height, n_frames = slices,
+        width = width.toInt, height = height.toInt, n_frames = slices,
         feat0 = profile.toDouble, feat1 = level.toDouble,
         feat2 = idr.toDouble, feat3 = units.size.toDouble)
     }

@@ -281,5 +281,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
       "audio/mpeg", header ++ frame)).toDS()).collect().head
     f.n_frames shouldBe 1
     f.n_bytes shouldBe 20 + frame.length
+    // the footer bit is DEFINED only for v2.4 — a v2.3 tag with that
+    // undefined bit set must not have 10 real audio bytes skipped
+    val v23 = Array[Byte]('I', 'D', '3', 3, 0, 0x10, 0, 0, 0, 0)
+    val g = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(69L,
+      "audio/mpeg", v23 ++ frame)).toDS()).collect().head
+    g.n_frames shouldBe 1
+  }
+
+  test("H.264 giant SPS fields fail loudly instead of wrapping to a small width") {
+    // pic_width_in_mbs_minus1 = 2^28 passes the Exp-Golomb 31-zero cap,
+    // and (2^28+1)*16 WRAPS Int to 16 — the parse must refuse, never
+    // emit a silently wrong positive dimension
+    loudly(70L, "video/h264",
+      Multimodal.encodeH264(1 << 28, 1, 0, 0, 0, 1), "beyond any H.264 level")
+    // a crop pair summing past 2^31 would wrap the subtraction to a
+    // no-op crop under Int math
+    loudly(71L, "video/h264",
+      Multimodal.encodeH264(4, 4, 1 << 30, 0, 0, 1), "crop exceeds")
+  }
+
+  test("H.264 repeated SPS must match on the NAL header byte too (nal_ref_idc)") {
+    val enc = Multimodal.encodeH264(4, 4, 0, 0, 1, 8)
+    // clone the SPS NAL (bytes 4..) with nal_ref_idc 1 instead of 3:
+    // same payload, different header — not byte-identical, so loud
+    val spsEnd = enc.indexOfSlice(Seq[Byte](0, 0, 0, 1), 4)
+    val variant = Array[Byte](0, 0, 0, 1, 0x27) ++ enc.slice(5, spsEnd)
+    loudly(72L, "video/h264", enc ++ variant, "mid-stream SPS change")
   }
 }
