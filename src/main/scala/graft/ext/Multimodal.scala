@@ -379,11 +379,16 @@ object Multimodal {
       var firstCode = -1
       while (i + 2 < b.length) {
         if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
-          // a 4-byte start code's leading zero belongs to the code, not
-          // to the previous NAL (RBSP trailing guarantees a nonzero tail)
-          if (prevStart >= 0)
-            nals = (prevStart, if (b(i - 1) == 0) i - 1 else i) :: nals
-          else firstCode = i
+          // a 4-byte start code's leading zero AND any legal
+          // trailing_zero_8bits padding belong between NALs, not to the
+          // previous payload (RBSP trailing guarantees a nonzero last
+          // byte) — strip ALL trailing zeros, so a repeated SPS whose
+          // instances differ only in padding stays byte-identical
+          if (prevStart >= 0) {
+            var e = i
+            while (e > prevStart && b(e - 1) == 0) e -= 1
+            nals = (prevStart, e) :: nals
+          } else firstCode = i
           prevStart = i + 3
           i += 3
         } else i += 1
@@ -400,8 +405,10 @@ object Multimodal {
       // bytes after the LAST start code are that NAL's payload by
       // construction (Annex B has no trailing delimiter — unlike the MP3
       // walk, whose computable frame lengths make trailing garbage
-      // detectable)
-      nals = (prevStart, b.length) :: nals
+      // detectable); the same trailing_zero_8bits strip applies
+      var lastEnd = b.length
+      while (lastEnd > prevStart && b(lastEnd - 1) == 0) lastEnd -= 1
+      nals = (prevStart, lastEnd) :: nals
       val units = nals.reverse
       var slices = 0
       var idr = 0
@@ -464,7 +471,10 @@ object Multimodal {
         case 1 =>
           r.u(1); r.se(); r.se()
           val n = r.ue(); (0 until n).foreach(_ => r.se())
-        case _ => ()
+        case 2 => ()
+        // values > 2 are spec-invalid; continuing to bit-parse at an
+        // undefined offset could emit plausible-but-wrong dimensions
+        case other => bad(d, s"pic_order_cnt_type $other invalid")
       }
       r.ue() // max_num_ref_frames
       r.u(1) // gaps_in_frame_num_value_allowed_flag

@@ -360,6 +360,14 @@ object TableStore {
       (pt, pv) <- ptrs.iterator
     } yield qualify(
       s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")).toSet
+    // committer marker files (_SUCCESS; on object-store committers,
+    // non-empty JSON markers) are written directly under the table data
+    // dir, NOT under any pt= dir — every committed version would
+    // otherwise add persistent phantom orphan_bytes that reads as leak
+    // pressure across quiet periods. A referenced table dir's
+    // underscore-prefixed files are store metadata, not orphans.
+    val referencedTableDirs: Set[String] =
+      referenced.map(p => new org.apache.hadoop.fs.Path(p).getParent.toString)
     val it = fs.listFiles(root, true)
     val pinsPrefix = s"$qualifiedRoot/pins/"
     val stagingPrefix = s"$qualifiedRoot/.staging-"
@@ -368,7 +376,10 @@ object TableStore {
     while (it.hasNext) {
       val f = it.next()
       val fp = f.getPath.toString
-      val meta = f.getPath.getName == "MANIFEST" || fp.startsWith(pinsPrefix)
+      val marker = f.getPath.getName.startsWith("_") &&
+        referencedTableDirs.contains(f.getPath.getParent.toString)
+      val meta = f.getPath.getName == "MANIFEST" || marker ||
+        fp.startsWith(pinsPrefix)
       // a file is live iff some ANCESTOR dir is a referenced pt= dir
       // (parquet writes files directly under the pt dir, but walking up
       // keeps this robust to nested layouts) — O(depth) set probes per

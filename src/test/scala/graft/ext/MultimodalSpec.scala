@@ -301,6 +301,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
       Multimodal.encodeH264(4, 4, 1 << 30, 0, 0, 1), "crop exceeds")
   }
 
+  test("H.264 trailing_zero_8bits padding keeps a repeated SPS byte-identical") {
+    val enc = Multimodal.encodeH264(4, 4, 0, 0, 1, 8)
+    val spsEnd = enc.indexOfSlice(Seq[Byte](0, 0, 0, 1), 4)
+    // two zeros of legal trailing_zero_8bits padding right after the SPS,
+    // then the rest, then a full byte-identical repeat: if the scan kept
+    // the padding on the first SPS payload the identity compare would
+    // fail loudly as a spurious mid-stream SPS change
+    val padded = enc.take(spsEnd) ++ Array[Byte](0, 0) ++
+      enc.drop(spsEnd) ++ enc
+    val f = Multimodal.decodeFeatures(Seq(Multimodal.MediaDoc(73L,
+      "video/h264", padded)).toDS()).collect().head
+    f.width shouldBe 64
+    f.feat3 shouldBe 6.0 // 2 x (SPS + PPS + slice)
+  }
+
+  test("H.264 invalid pic_order_cnt_type fails loudly instead of guessing") {
+    // poc type 3 is spec-invalid; continuing to bit-parse at an undefined
+    // offset could emit plausible-but-wrong dimensions
+    val sps = new Multimodal.BitWriter
+    sps.u(66, 8); sps.u(0, 8); sps.u(30, 8) // profile/constraints/level
+    sps.ue(0) // seq_parameter_set_id
+    sps.ue(0) // log2_max_frame_num_minus4
+    sps.ue(3) // pic_order_cnt_type: invalid
+    loudly(74L, "video/h264",
+      Array[Byte](0, 0, 0, 1, 0x67) ++
+        Multimodal.emulationPrevent(sps.rbspTrailing()),
+      "pic_order_cnt_type 3 invalid")
+  }
+
   test("H.264 repeated SPS must match on the NAL header byte too (nal_ref_idc)") {
     val enc = Multimodal.encodeH264(4, 4, 0, 0, 1, 8)
     // clone the SPS NAL (bytes 4..) with nal_ref_idc 1 instead of 3:

@@ -261,6 +261,16 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     java.nio.file.Files.write(promoted.toPath.resolve("part-0.parquet"),
       Array.fill[Byte](50)(1))
     census() shouldBe ((50L, 100L))
+    // a committer marker directly under a REFERENCED table data dir is
+    // metadata, not an orphan — object-store committers (S3A) write
+    // non-empty JSON markers there, and local _SUCCESS is merely 0 bytes;
+    // without the marker carve-out every committed version would add
+    // persistent phantom orphan_bytes
+    val versionDir = new java.io.File(s"$root/v0").listFiles().head
+    java.nio.file.Files.write(
+      new java.io.File(versionDir, "facts/_SUCCESS").toPath,
+      Array.fill[Byte](25)(1))
+    census() shouldBe ((50L, 100L))
     // live bytes are untouched by the remnants, and a pin file is metadata
     StateStore.pinVersion(spark, root, 0L, "reader1")
     census() shouldBe ((50L, 100L))
