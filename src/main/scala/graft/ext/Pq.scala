@@ -32,10 +32,10 @@ import graft.queries.QueryDef
   */
 object Pq {
 
-  private val Dim = 64
-  private val M = 4 // subspaces
+  private[ext] val Dim = 64
+  private[ext] val M = 4 // subspaces
   private val SubDim = Dim / M
-  private val Ksub = 16 // codes per subspace (4 bits) — fixed, see above
+  private[ext] val Ksub = 16 // codes per subspace (4 bits) — fixed, see above
   private val Iters = 1 // Lloyd rounds after seeded init (production: more)
   private val NQueries = 5
   private val TopK = 3
@@ -43,12 +43,12 @@ object Pq {
   /** Float subvector of subspace `s` (1-based slice, matching the oracle's
     * index arithmetic).
     */
-  private def subVec(v: Column, s: Int): Column = slice(v, s * SubDim + 1, SubDim)
+  private[ext] def subVec(v: Column, s: Int): Column = slice(v, s * SubDim + 1, SubDim)
 
   /** Squared L2 between a float subvector and a double centroid — a
     * fixed-order left fold, bit-identical to the oracle's list_reduce.
     */
-  private def distSq(vs: Column, cv: Column): Column =
+  private[ext] def distSq(vs: Column, cv: Column): Column =
     aggregate(zip_with(vs, cv, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -69,7 +69,7 @@ object Pq {
       })
   }
 
-  private def argminCode(vs: Column, cents: Seq[(Long, Seq[Double])]): Column =
+  private[ext] def argminCode(vs: Column, cents: Seq[(Long, Seq[Double])]): Column =
     argminStruct(vs, cents).getField("id")
 
   /** Squared reconstruction error of a full vector against frozen
@@ -130,18 +130,22 @@ object Pq {
     * (vec_id, v) — shared by the session build and the persisted-index
     * maintenance path ([[VectorIndex]]).
     */
-  private[ext] def trainBooks(e: DataFrame): Seq[Seq[(Long, Seq[Double])]] =
+  private[ext] def trainBooks(e: DataFrame,
+      iters: Int = Iters): Seq[Seq[(Long, Seq[Double])]] =
     (0 until M).map { sub =>
-      subCodebook(e.select(col("vec_id"), subVec(col("v"), sub).as("vs")), Iters)
+      subCodebook(e.select(col("vec_id"), subVec(col("v"), sub).as("vs")), iters)
     }
 
   /** Code assignment under FROZEN codebooks — a pure projection (the
     * books ride the plan as literals), the PQ twin of
-    * [[Similarity.assignCells]].
+    * [[Similarity.assignCells]]. `carry` names extra input columns to
+    * keep alongside the codes (the IVFADC composition carries the cell
+    * id so the stored code table is cell-filterable).
     */
-  private[ext] def codesOf(e: DataFrame, books: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+  private[ext] def codesOf(e: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
+      carry: Seq[String] = Nil): DataFrame =
     e.select(
-      col("vec_id") +:
+      (col("vec_id") +: carry.map(col)) ++
         (0 until M).map(sub =>
           argminCode(subVec(col("v"), sub), books(sub)).as(s"c$sub")): _*)
 

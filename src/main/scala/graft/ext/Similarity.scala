@@ -67,13 +67,13 @@ object Similarity {
     * equality; a 64-term unrolled `element_at` sum was also tried and
     * measured ~2.5x SLOWER — it falls out of whole-stage codegen).
     */
-  private def dot(a: Column, b: Column): Column =
+  private[ext] def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** DuckDB fragment for the same sequential-fold dot product. */
-  private def duckDot(a: String, b: String): String =
+  private[ext] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   // -- exact brute-force cosine top-k ---------------------------------------
@@ -336,7 +336,7 @@ object Similarity {
     math.max(4L, math.min(4096L, corpusSize / targetCellSize)).toInt
 
   /** The same derivation as DuckDB SQL (integer ops only). */
-  private val nlistSql: String =
+  private[ext] val nlistSql: String =
     "params AS (SELECT GREATEST(4, LEAST(4096, count(*) // 128)) AS nlist FROM e)"
 
   /** md5-ranked seeded-sample init of the quantizer, sized by `params` —
@@ -344,7 +344,7 @@ object Similarity {
     * nlist (row_number instead of LIMIT so the bound can come from a
     * subquery).
     */
-  private val cn0Sql: String =
+  private[ext] val cn0Sql: String =
     s"""cn0 AS (SELECT cell, cv, cn FROM (
        |    SELECT vec_id AS cell,
        |      list_transform(range(1, $Dim + 1), i -> CAST(v[i] AS DOUBLE)) AS cv,
@@ -431,7 +431,7 @@ object Similarity {
     * update step needs (vec_id, cell, v) without re-joining the corpus;
     * with a projection argmax that's free.
     */
-  private def assignCellsWithV(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[ext] def assignCellsWithV(e: DataFrame, cents: DataFrame): DataFrame = {
     val cs = collectCentroids(cents)
     e.select(col("vec_id"),
       graft.functions.ArgmaxCell(col("v"), col("nrm"), cs).as("cell"), col("v"))
@@ -462,12 +462,12 @@ object Similarity {
     * maintenance commit (append/retract/retrain) invalidates the cached
     * serving index instead of serving retracted vectors.
     */
-  private final case class IvfIndex(e: DataFrame, cents: DataFrame, ec: DataFrame,
+  private[ext] final case class IvfIndex(e: DataFrame, cents: DataFrame, ec: DataFrame,
       storedV: Option[Long])
 
   private val ivfCache = new graft.SessionCache[String, IvfIndex]
 
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+  private[ext] def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
     val root = VectorIndex.storeRootFor(dir)
     def headV = graft.streaming.TableStore.latestVersion(s, s"$root/ivf")
     ivfCache.getOrBuildIf(s, dir)(_.storedV == headV) {
@@ -553,7 +553,7 @@ object Similarity {
   /** One Lloyd's iteration as SQL CTEs: assignment a<tag> against cn<prev>,
     * fixed-order member fold m<tag>/c<tag>, normalized cn<tag>.
     */
-  private def lloydSql(prev: String, tag: String): String =
+  private[ext] def lloydSql(prev: String, tag: String): String =
     s"""a$tag AS (SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, $prev.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -570,14 +570,14 @@ object Similarity {
        |  FROM c$tag)""".stripMargin
 
   /** float-list x double-list dot (centroid side already double). */
-  private def duckDotFD(a: String, b: String): String =
+  private[ext] def duckDotFD(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * $b[i]), (x, y) -> x + y)"
 
   /** The shared oracle head: embeddings → corpus-derived nlist → seeded
     * init → two Lloyd rounds → final cell assignment (`asg`). Reused by
     * the search query and the cell-histogram health check.
     */
-  private lazy val ivfHeadSql: String =
+  private[ext] lazy val ivfHeadSql: String =
     s"""e AS (SELECT vec_id, embedding AS v, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |$nlistSql,

@@ -53,17 +53,27 @@ object VectorIndex {
   private def ivfPath(root: String) = s"$root/ivf"
   private def pqPath(root: String) = s"$root/pq"
 
+  /** Training-recipe revision, part of the store key: the persisted
+    * artifacts are DETERMINISTIC FUNCTIONS of (corpus, recipe), so a
+    * recipe change (Lloyd rounds, codebook sizing, residual anchoring)
+    * must retire old roots or a load would serve artifacts an oracle
+    * replaying the NEW recipe can never reproduce. Production versions
+    * its index format the same way. Bump on any training-math change.
+    */
+  private val RecipeRev = 2
+
   /** Store root for a corpus dir, keyed by a CONTENT fingerprint of the
     * embeddings table through the Hadoop FS API (per-file name/len/mtime
     * — see [[CorpusIndex.fingerprint]] for the remote-FS rationale) —
     * the driver regenerates testdata between rounds, and a path-only key
     * would serve a stale index for the new data. Production pins the
     * index to its corpus snapshot version explicitly; the fingerprint is
-    * the local-dir equivalent. User-scoped like the text store root.
+    * the local-dir equivalent. User-scoped like the text store root,
+    * and recipe-scoped (see [[RecipeRev]]).
     */
   def storeRootFor(dir: String): String =
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vector_store_" +
-      s"${CorpusIndex.storeUser}_${CorpusIndex.fingerprint(dir, "embeddings.parquet")}"
+      s"${CorpusIndex.storeUser}_${CorpusIndex.fingerprint(dir, "embeddings.parquet")}_r$RecipeRev"
 
   // --- IVF -----------------------------------------------------------------
 
@@ -188,10 +198,15 @@ object VectorIndex {
     * re-reads the exact books it coded with first.
     */
   def pqBooksAt(spark: SparkSession, root: String,
-      version: Long): Seq[Seq[(Long, Seq[Double])]] = {
-    val rows = TableStore
-      .read(spark, pqPath(root), version, "pq_codebooks")
-      .collect()
+      version: Long): Seq[Seq[(Long, Seq[Double])]] =
+    booksOfRows(TableStore
+      .read(spark, pqPath(root), version, "pq_codebooks").collect())
+
+  /** (sub, code, cv) rows → per-subspace id-ordered codebooks, the shape
+    * [[Pq.codesOf]] consumes. Shared by the raw-PQ and IVFADC readers.
+    */
+  private def booksOfRows(
+      rows: Array[org.apache.spark.sql.Row]): Seq[Seq[(Long, Seq[Double])]] = {
     require(rows.length <= 65536, s"codebook table of ${rows.length} rows exceeds bound")
     rows.toSeq
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
@@ -208,6 +223,102 @@ object VectorIndex {
     val books = pqBooks(spark, root)
     TableStore.write(spark, pqPath(root), v + 1, PqSpecs,
       Map("pq_codes" -> Pq.codesOf(deltaE, books)), delta = true, cfg = cfg)
+    v + 1
+  }
+
+  // --- IVFADC (IVF × PQ composed, residual-encoded) -------------------------
+  // The billion-scale read path (Jégou et al. 2011 §III, "IVFADC"): the
+  // coarse quantizer routes, and PQ compresses the RESIDUAL v − c(cell)
+  // — residuals concentrate near the origin, so the same 4-byte code
+  // budget quantizes them far more finely than raw vectors. The stored
+  // code table carries the cell id, so a serving scan reads ONLY probed
+  // cells' codes (see [[IvfPq]]), never the corpus.
+
+  val IvfPqSpecs = Seq(
+    TableStore.Spec("ivfpq_codebooks", Seq("sub", "code")),
+    TableStore.Spec("ivfpq_codes", Seq("vec_id")))
+
+  private def ivfPqPath(root: String) = s"$root/ivfpq"
+
+  /** Residuals of `e` (vec_id, v float, nrm) under `cents`: cosine cell
+    * assignment (the serving quantizer's metric — one ArgmaxCell
+    * projection), then r = v − c(cell) via one broadcast join with the
+    * bounded centroid table. Output (vec_id, cell, v double-residual).
+    */
+  private[ext] def residualsOf(e: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.assignCellsWithV(e, cents)
+      .join(broadcast(cents.select(col("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a.cast("double") - b).as("v"))
+
+  /** Train the residual-PQ half of the composed index on `e` and
+    * full-write codebooks + cell-carrying codes. Requires a committed
+    * [[trainIvf]] under the same root (the residual anchor is the stored
+    * coarse quantizer). Returns the trained books.
+    */
+  def trainIvfPq(spark: SparkSession, root: String, e: DataFrame,
+      version: Long = 0L): Seq[Seq[(Long, Seq[Double])]] = {
+    import spark.implicits._
+    val cents = ivfCentroids(spark, root).localCheckpoint(true)
+    val res = residualsOf(e, cents).localCheckpoint(true)
+    val books = Pq.trainBooks(res.select(col("vec_id"), col("v")),
+      iters = IvfPq.BookIters)
+    val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
+      b.map { case (code, cv) => (sub, code, cv) }
+    }
+    TableStore.write(spark, ivfPqPath(root), version, IvfPqSpecs,
+      Map("ivfpq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
+        "ivfpq_codes" -> Pq.codesOf(res, books, carry = Seq("cell"))),
+      cfg = cfg)
+    books
+  }
+
+  def latestIvfPq(spark: SparkSession, root: String): Long =
+    TableStore.latestVersion(spark, ivfPqPath(root)).getOrElse(
+      throw new IllegalStateException(s"no committed IVFADC index under $root"))
+
+  /** The stored residual codebooks at `version` (driver-side, bounded
+    * M × ksub rows — the [[pqBooksAt]] shape).
+    */
+  def ivfPqBooksAt(spark: SparkSession, root: String,
+      version: Long): Seq[Seq[(Long, Seq[Double])]] =
+    booksOfRows(TableStore
+      .read(spark, ivfPqPath(root), version, "ivfpq_codebooks").collect())
+
+  def ivfPqBooks(spark: SparkSession, root: String): Seq[Seq[(Long, Seq[Double])]] =
+    ivfPqBooksAt(spark, root, latestIvfPq(spark, root))
+
+  /** The stored (vec_id, cell, c0..cM-1) code table at the latest version. */
+  def ivfPqCodes(spark: SparkSession, root: String): DataFrame =
+    TableStore.read(spark, ivfPqPath(root), latestIvfPq(spark, root), "ivfpq_codes")
+
+  /** Delta append under the FROZEN coarse quantizer and FROZEN residual
+    * codebooks: one assignment projection + one coding projection over
+    * the delta only, upserted bucket-granularly. The IVFADC twin of
+    * [[appendIvf]]/[[appendPq]] — the caller maintains the IVF and
+    * IVFADC stores together (a retrained quantizer re-anchors residuals,
+    * so [[trainIvfPq]] must follow a retrain).
+    */
+  def appendIvfPq(spark: SparkSession, root: String, deltaE: DataFrame): Long = {
+    val v = latestIvfPq(spark, root)
+    val cents = ivfCentroids(spark, root).localCheckpoint(true)
+    val books = ivfPqBooksAt(spark, root, v)
+    TableStore.write(spark, ivfPqPath(root), v + 1, IvfPqSpecs,
+      Map("ivfpq_codes" ->
+        Pq.codesOf(residualsOf(deltaE, cents), books, carry = Seq("cell"))),
+      delta = true, cfg = cfg)
+    v + 1
+  }
+
+  /** Retract vectors from the stored IVFADC code table — [[retractIvf]]'s
+    * composed twin (quantizer and codebooks stay frozen, code rows
+    * vanish through the tombstone channel).
+    */
+  def retractIvfPq(spark: SparkSession, root: String, vecIds: DataFrame): Long = {
+    val v = latestIvfPq(spark, root)
+    TableStore.write(spark, ivfPqPath(root), v + 1, IvfPqSpecs, Map.empty,
+      delta = true, cfg = cfg,
+      deletes = Map("ivfpq_codes" -> vecIds.select(col("vec_id"))))
     v + 1
   }
 

@@ -56,5 +56,37 @@ class PqSpec extends AnyFunSuite with SparkSpec with Matchers {
     // claim raw < rerank — the documented reason q_pq_rerank exists.
     rer should be >= 0.6
     rer should be > raw
+    // the composed IVFADC read path (probe → cell-pruned residual ADC →
+    // exact re-rank) scans only nprobe cells' codes, so its recall is
+    // bounded by the PROBE CEILING: exact L2 search restricted to the
+    // probed cells. The pin is the no-loss invariant — the residual-ADC
+    // shortlist + re-rank recovers EVERYTHING reachable inside the probe
+    // (a shortlist that dropped a reachable neighbor, e.g. R below the
+    // corpus's tie-group width, fails here) — plus the gross floors.
+    val ivf = Similarity.ivfIndex(spark, sf)
+    val qn = ivf.e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    import org.apache.spark.sql.expressions.Window
+    val probe = qn.crossJoin(broadcast(ivf.cents))
+      .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy((Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).desc,
+          col("cell"))))
+      .filter(col("prk") <= IvfPq.NProbe)
+      .select(col("query_id"), col("cell"))
+    val ceilingDf = ivf.ec.select(col("vec_id"), col("cell"), col("v"))
+      .join(broadcast(probe), "cell")
+      .join(broadcast(qn.select(col("query_id"), col("qv"))), "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), l2.as("d"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKOrdered(-col("d"), col("vec_id"), 3).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+    val ceiling = recallOf(ceilingDf)
+    val ivfadc = recallOf(IvfPq.q_ivfpq_search.fn(spark, sf))
+    info(f"recall@3: IVFADC (cell-pruned) $ivfadc%.2f, probe ceiling $ceiling%.2f")
+    ivfadc shouldBe ceiling
+    ivfadc should be >= 0.5
+    ivfadc should be > raw
   }
 }

@@ -143,6 +143,40 @@ class VectorIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
       .pointers("pq_codebooks").values.toSet shouldBe Set(0L)
   }
 
+  test("IVFADC: frozen-artifact delta codes == full recode; retraction erases code rows") {
+    val root = tmp()
+    val base = vecs(0 until 60, 4)
+    val delta = vecs(60 until 80, 4)
+    VectorIndex.trainIvf(spark, root, base)
+    VectorIndex.trainIvfPq(spark, root, base)
+    val books = VectorIndex.ivfPqBooks(spark, root)
+    val cents = VectorIndex.ivfCentroids(spark, root)
+    // round-trip: re-coding base residuals under the stored artifacts
+    // reproduces the stored cell-carrying codes bit-for-bit
+    val storedCodes = VectorIndex.ivfPqCodes(spark, root).collect().map(_.toSeq).toSet
+    Pq.codesOf(VectorIndex.residualsOf(base, cents), books, carry = Seq("cell"))
+      .collect().map(_.toSeq).toSet shouldBe storedCodes
+
+    // the q_ivfpq_incremental invariant at spec scale: stored-base ⊕
+    // frozen delta == full recode under the same quantizer + books
+    VectorIndex.appendIvfPq(spark, root, delta) shouldBe 1L
+    val merged = VectorIndex.ivfPqCodes(spark, root).collect().map(_.toSeq).toSet
+    Pq.codesOf(VectorIndex.residualsOf(base.unionByName(delta), cents),
+        books, carry = Seq("cell"))
+      .collect().map(_.toSeq).toSet shouldBe merged
+    // codebooks inherited v0's pointers (delta writes touch codes only)
+    StateStore.readManifest(spark, s"$root/ivfpq", 1L).get
+      .pointers("ivfpq_codebooks").values.toSet shouldBe Set(0L)
+
+    // retraction: the erased vec_ids' code rows vanish, survivors intact
+    VectorIndex.retractIvfPq(spark, root,
+      Seq(3L, 61L).toDF("vec_id")) shouldBe 2L
+    val after = VectorIndex.ivfPqCodes(spark, root)
+    after.filter(col("vec_id").isin(3L, 61L)).count() shouldBe 0L
+    after.collect().map(_.toSeq).toSet shouldBe
+      merged.filterNot(r => Set(3L, 61L)(r.head.asInstanceOf[Long]))
+  }
+
   test("quantErr is 0 for vectors that ARE centroids, positive otherwise") {
     val e = vecs(0 until 8, 2)
     val cents = e.select(col("vec_id").as("cell"),

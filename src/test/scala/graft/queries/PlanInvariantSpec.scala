@@ -130,6 +130,25 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should include("graft_argmax_cell")
   }
 
+  test("IVFADC serve path: the code scan is cell-pruned, never full-corpus") {
+    // the operator exists to retire q_pq_adc's full-corpus ADC scan
+    // (VERDICT r10 next #1): the probe's cells must gate the code table
+    // as a LITERAL filter before any ADC work, so per-query work is
+    // nprobe × cell size at any corpus scale
+    val plan = SparkEntry.queries("q_ivfpq_search")(spark, dir)
+      .queryExecution.executedPlan.toString
+    (plan should include).regex(raw"Filter \(?cell#\d+L IN \(")
+    plan should not include "BroadcastNestedLoopJoin"
+    // and against the PERSISTED code table (the 100 TB path) the same
+    // filter reaches the parquet reader as a pushed predicate —
+    // row-group pruning at the scan, not a post-read filter
+    val root = graft.ext.VectorIndex.storeRootFor(dir)
+    val stored = graft.ext.VectorIndex.ivfPqCodes(spark, root)
+      .filter(org.apache.spark.sql.functions.col("cell").isin(0L, 1L))
+      .queryExecution.executedPlan.toString
+    (stored should include).regex(raw"PushedFilters: \[In\(cell")
+  }
+
   test("top-k per group is a bounded heap aggregate, not a window sort") {
     // the D4 scale contract: the plan must aggregate (partial heaps ship
     // <= k rows per map task per key through the exchange) — a Window
