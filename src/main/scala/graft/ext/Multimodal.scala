@@ -777,6 +777,143 @@ object Multimodal {
   def encodeJpeg(width: Int, height: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] =
     imageBytes(toImage(width, height, pixels), "jpg")
 
+  /** JPEG writer with STRUCTURE control — the encode half of
+    * [[q_jpeg_meta]]'s round-trip: grayscale vs YCbCr picks the SOF
+    * component count (1 vs 3), `progressive` picks the frame type
+    * (SOF2 vs SOF0). Pixel content is a deterministic seed gradient and
+    * is NOT part of the contract (JPEG is lossy; the marker walk reads
+    * structure only). ImageIO's pure-Java encoder emits these fields as
+    * direct functions of the image type + write param, which is what
+    * makes the structural columns closed-form recomputable by the
+    * oracle.
+    */
+  def encodeJpegStream(width: Int, height: Int, gray: Boolean,
+      progressive: Boolean, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"dimensions ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val v = ((seed + x * 31 + y * 7) % 256).toInt & 0xff
+      img.setRGB(x, y, (v << 16) | (((v + x) & 0xff) << 8) | ((v + y) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Insert a minimal Exif APP1 segment ("Exif\0\0" + an empty TIFF IFD)
+    * right after SOI — how cameras tag JPEGs; [[parseJpegMeta]] reports
+    * its presence. Structure-valid: APP1 carries its own length, so
+    * every downstream reader skips it cleanly.
+    */
+  def withExifApp1(jpeg: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG stream")
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8, 0, 0) // big-endian TIFF, 0 IFD entries
+    val len = payload.length + 2
+    jpeg.take(2) ++
+      Array(0xff.toByte, 0xe1.toByte, (len >> 8).toByte, (len & 0xff).toByte) ++
+      payload ++ jpeg.drop(2)
+  }
+
+  /** The structural fields [[parseJpegMeta]] walks out of a JPEG stream:
+    * SOF dimensions/precision/component count, the progressive flag
+    * (SOF2 vs SOF0/SOF1), Exif APP1 presence, and the marker-segment
+    * census.
+    */
+  final case class JpegMeta(width: Int, height: Int, bitDepth: Int,
+      nComponents: Int, progressive: Boolean, hasExif: Boolean, nSegments: Int)
+
+  /** REAL JPEG marker-segment walk (header-level — no pixel decode):
+    * SOI, then length-prefixed segments (APPn/DQT/DHT/COM/...), the
+    * frame header (SOF0 baseline / SOF1 extended / SOF2 progressive —
+    * dimensions, sample precision, component count; any OTHER SOF names
+    * itself and fails), SOS scans traversed through byte-stuffed entropy
+    * data (0xFF00 stuffing, RSTn restarts), to EOI. Trailing bytes after
+    * EOI are legal (camera padding). Any structural lie — a truncated
+    * segment, a second SOI, SOS before SOF, EOF before EOI — fails
+    * LOUDLY with the byte offset (the MP3/H.264 contract,
+    * VERDICT r10 next #2).
+    */
+  def parseJpegMeta(docId: Long, b: Array[Byte]): JpegMeta = {
+    def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
+      s"media doc $docId: JPEG parse at byte $off: $why")
+    def u8(p: Int): Int = {
+      if (p >= b.length) fail(p, "truncated (unexpected EOF)")
+      b(p) & 0xff
+    }
+    def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    if (b.length < 2 || u8(0) != 0xff || u8(1) != 0xd8) fail(0, "no SOI marker")
+    var i = 2
+    var sof: Option[(Int, Int, Int, Int, Int)] = None // marker, prec, h, w, ncomp
+    var exif = false
+    var segs = 1 // SOI
+    var done = false
+    while (!done) {
+      if (u8(i) != 0xff) fail(i, f"expected a marker, got 0x${u8(i)}%02x")
+      // fill bytes: any number of 0xFF may pad before a marker code
+      while (u8(i + 1) == 0xff) i += 1
+      u8(i + 1) match {
+        case 0xd9 => segs += 1; done = true // EOI; trailing bytes legal
+        case 0xd8 => fail(i, "unexpected second SOI")
+        case 0x01 => segs += 1; i += 2 // TEM: standalone, no length
+        case r if r >= 0xd0 && r <= 0xd7 => fail(i, "restart marker outside a scan")
+        case 0xda => // SOS header, then entropy-coded data
+          if (sof.isEmpty) fail(i, "SOS before SOF")
+          val len = u16(i + 2)
+          if (len < 2) fail(i + 2, s"segment length $len < 2")
+          segs += 1
+          var p = i + 2 + len
+          var scanning = true
+          while (scanning) {
+            if (u8(p) == 0xff) {
+              val n = u8(p + 1)
+              // 0xFF00 = stuffed data byte; RSTn = in-scan restart
+              if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) p += 2
+              else scanning = false
+            } else p += 1
+          }
+          i = p
+        case mk =>
+          val len = u16(i + 2)
+          if (len < 2) fail(i + 2, s"segment length $len < 2")
+          if (i + 2 + len > b.length) fail(i + 2, "segment length past EOF (truncated?)")
+          if (mk >= 0xc0 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 && mk != 0xcc) {
+            // SOFn (C4=DHT, C8=JPG-reserved, CC=DAC are not frames)
+            if (sof.nonEmpty) fail(i, "multiple SOF segments")
+            if (mk != 0xc0 && mk != 0xc1 && mk != 0xc2)
+              fail(i, f"unsupported SOF type 0x$mk%02x (hierarchical/lossless)")
+            if (len < 8) fail(i + 2, s"SOF segment length $len too short")
+            val prec = u8(i + 4)
+            val hh = u16(i + 5)
+            val ww = u16(i + 7)
+            val nc = u8(i + 9)
+            if (ww <= 0 || hh <= 0) fail(i + 5, s"zero frame dimension ${ww}x$hh")
+            if (nc < 1 || nc > 4) fail(i + 9, s"component count $nc outside [1,4]")
+            sof = Some((mk, prec, hh, ww, nc))
+          }
+          if (mk == 0xe1 && len >= 8 && u8(i + 4) == 'E' && u8(i + 5) == 'x' &&
+            u8(i + 6) == 'i' && u8(i + 7) == 'f' && u8(i + 8) == 0)
+            exif = true
+          segs += 1
+          i += 2 + len
+      }
+    }
+    val (mk, prec, hh, ww, nc) = sof.getOrElse(fail(b.length, "no SOF segment"))
+    JpegMeta(ww, hh, prec, nc, progressive = mk == 0xc2, hasExif = exif,
+      nSegments = segs)
+  }
+
   /** Deterministic nearest-neighbor resize over a row-major ARGB grid:
     * `dst(x, y) = src((x * sw) / dw, (y * sh) / dh)` with integer
     * (floor) division — an EXACTLY specified mapping, unlike the JDK's
@@ -1016,6 +1153,46 @@ object Multimodal {
         }
       }.toDF("user_id", "width", "height", "profile_idc", "level_idc",
         "n_slices", "n_idr", "n_nal")
+      .orderBy(col("user_id"))
+  }
+
+  // -- JPEG marker-walk round-trip as a declared query ------------------------
+  // Each user's structure derives closed-form from user_id + event count
+  // (dimensions, grayscale-vs-YCbCr component count, progressive frame
+  // type, Exif presence); the payload goes through the REAL ImageIO
+  // encode (whose SOF/APP1 layout is a direct function of those inputs —
+  // pixel content stays lossy and unverified) and the REAL marker walk
+  // back, so the oracle's closed-form recomputation gates the full
+  // structural round-trip. Scale shape: one per-user aggregation, one
+  // mapPartitions pass, zero further shuffles (the mp3/h264 shape).
+  val q_jpeg_meta: QueryDef = QueryDef(
+    """SELECT user_id,
+      |  CAST(user_id % 30 + 10 AS BIGINT) AS width,
+      |  CAST(LEAST(count(*), 24) + 8 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+      |  CAST(user_id % 4 = 1 AS INT) AS progressive,
+      |  CAST(user_id % 5 = 0 AS INT) AS has_exif
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (uid, n) =>
+          val enc0 = encodeJpegStream(
+            width = (uid % 30 + 10).toInt,
+            height = (math.min(n, 24L) + 8).toInt,
+            gray = uid % 3 == 0, progressive = uid % 4 == 1, seed = uid)
+          val enc = if (uid % 5 == 0) withExifApp1(enc0) else enc0
+          val m = parseJpegMeta(uid, enc)
+          (uid, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
+            m.nComponents.toLong, if (m.progressive) 1 else 0,
+            if (m.hasExif) 1 else 0)
+        }
+      }.toDF("user_id", "width", "height", "bit_depth", "n_components",
+        "progressive", "has_exif")
       .orderBy(col("user_id"))
   }
 
@@ -1275,6 +1452,7 @@ object Multimodal {
     "q_wav_roundtrip" -> q_wav_roundtrip,
     "q_mp3_meta" -> q_mp3_meta,
     "q_h264_meta" -> q_h264_meta,
+    "q_jpeg_meta" -> q_jpeg_meta,
     "q_bmp_roundtrip" -> q_bmp_roundtrip,
     "q_png_roundtrip" -> q_png_roundtrip,
     "q_image_resize" -> q_image_resize,

@@ -273,6 +273,47 @@ class MediaCodecPropsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: JPEG encode+marker-walk reproduces the structure at every shape (40 cases)") {
+    val gen = for {
+      w <- Gen.choose(1, 200); h <- Gen.choose(1, 150)
+      gray <- Gen.oneOf(true, false); prog <- Gen.oneOf(true, false)
+      exif <- Gen.oneOf(true, false)
+    } yield (w, h, gray, prog, exif)
+    for (seed <- 1L to 40L) {
+      val (w, h, gray, prog, exif) =
+        gen.apply(Gen.Parameters.default, Seed(seed * 83L)).get
+      val enc0 = Multimodal.encodeJpegStream(w, h, gray, prog, seed)
+      val enc = if (exif) Multimodal.withExifApp1(enc0) else enc0
+      val m = Multimodal.parseJpegMeta(seed, enc)
+      withClue(s"seed=$seed ${w}x$h gray=$gray prog=$prog exif=$exif: ") {
+        m.width shouldBe w
+        m.height shouldBe h
+        m.bitDepth shouldBe 8
+        m.nComponents shouldBe (if (gray) 1 else 3)
+        m.progressive shouldBe prog
+        m.hasExif shouldBe exif
+        m.nSegments should be >= 5 // SOI, DQT, SOF, SOS, EOI at minimum
+      }
+    }
+  }
+
+  test("property: truncating a JPEG anywhere fails loudly, never mis-parses (40 cases)") {
+    // the stream has no valid prefix: every marker segment is
+    // length-prefixed and the walk must reach EOI, so ANY truncation
+    // (even inside entropy data, which can never contain a bare FFD9)
+    // throws with a byte offset instead of returning partial structure
+    val full = Multimodal.withExifApp1(
+      Multimodal.encodeJpegStream(40, 30, gray = false, progressive = true, seed = 7L))
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 131) % (full.length - 1)).toInt
+      withClue(s"seed=$seed cut=$cut: ") {
+        intercept[IllegalArgumentException] {
+          Multimodal.parseJpegMeta(seed, full.take(cut))
+        }.getMessage should include("JPEG parse at byte")
+      }
+    }
+  }
+
   test("property: truncating an encoded payload anywhere fails loudly, never mis-decodes (40 cases)") {
     val dec = new Multimodal.MediaDecoder()
     for (seed <- 1L to 20L) {

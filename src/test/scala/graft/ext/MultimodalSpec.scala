@@ -330,6 +330,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec with Matchers {
       "pic_order_cnt_type 3 invalid")
   }
 
+  test("JPEG marker walk: structural lies fail loudly; post-EOI padding is legal") {
+    val enc = Multimodal.encodeJpegStream(16, 12, gray = false,
+      progressive = false, seed = 3L)
+    // camera/EXIF padding after EOI is legal — parse succeeds
+    Multimodal.parseJpegMeta(80L, enc ++ Array[Byte](9, 9, 9)).width shouldBe 16
+    def lies(id: Long, b: Array[Byte], msg: String): Unit =
+      intercept[IllegalArgumentException] {
+        Multimodal.parseJpegMeta(id, b)
+      }.getMessage should include(msg)
+    // a second SOI mid-stream is a concatenated/corrupt file
+    lies(81L, enc.take(2) ++ Array(0xff.toByte, 0xd8.toByte) ++ enc.drop(2),
+      "second SOI")
+    lies(82L, Array(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0).map(_.toByte),
+      "SOS before SOF")
+    lies(83L, Array(0xff, 0xd8, 0xff, 0xd0).map(_.toByte), "restart marker")
+    lies(84L, Array[Byte](9, 9), "no SOI")
+    // lossless/hierarchical SOF types name themselves instead of guessing
+    lies(85L, Array(0xff, 0xd8, 0xff, 0xc3, 0x00, 0x0b,
+      8, 0, 1, 0, 1, 1, 1, 0x11, 0).map(_.toByte), "unsupported SOF")
+  }
+
   test("H.264 repeated SPS must match on the NAL header byte too (nal_ref_idc)") {
     val enc = Multimodal.encodeH264(4, 4, 0, 0, 1, 8)
     // clone the SPS NAL (bytes 4..) with nal_ref_idc 1 instead of 3:
