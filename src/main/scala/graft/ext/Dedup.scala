@@ -77,6 +77,14 @@ object Dedup {
   private def duckMh(k: Int): String =
     s"list_min(list_transform(hs, h -> (${A(k)}*(h >> 30) + ${B(k)}*(h & $Mask) + ${C(k)}) % $M))"
 
+  /** The same component as SPARK SQL text over a column named `hs` — the
+    * `spark.sql` surface of [[mhExpr]] (SqlParitySpec drives the minhash
+    * family through it; the md5-derived constants interpolate from the
+    * same Scala values, so the three faces cannot drift).
+    */
+  private[graft] def mhSparkSql(k: Int): String =
+    s"array_min(transform(hs, h -> (${A(k)} * shiftright(h, 30) + ${B(k)} * (h & $Mask) + ${C(k)}) % $M))"
+
   private val duckBaseHash =
     "list_transform(%s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))"
 

@@ -15,6 +15,22 @@ import graft.{SparkSpec, SparkEntry, Tables}
   * translations intentionally exercise the harder SQL surface: WINDOW
   * clauses, sorted-aggregate HOF folds, PIVOT, sequence-explode grid
   * joins, and the sorted-union as-of carry.
+  *
+  * Family coverage (r11, VERDICT r10 next #3) — one SQL-only form per
+  * catalog family: scalar census G (q1_agg), decode/normalize B
+  * (q_regex_normalize), graph C (q_triangle_count), temporal/analytics D
+  * (scd2, asof, range, funnel, sessionize, concurrency, retention,
+  * outliers, pivot), text H (q_token_count), dedup H (q_minhash_sig via
+  * graft_shingle_hashes + the md5-derived minhash constants), similarity
+  * H (q_similarity_topk via graft_dot + graft_topk_ordered), sampling H
+  * (q_train_test_split via graft_md5_prefix_long). The mounted STORE
+  * catalog's SQL face is oracle-gated by q_frame_sql (`VERSION AS OF`
+  * through StoreCatalog) and pinned by StoreCatalogSpec. NOT
+  * SQL-expressible (documented in SURVEY §F): the E-family streaming
+  * operators (no SQL surface for foreachBatch folds / watermarked
+  * state), the store WRITE lifecycle (A4/H64-66 — the catalog face is
+  * read-only by design), and the mapPartitions codec round-trips
+  * (H9/H10 — JVM codecs with no SQL function surface).
   */
 class SqlParitySpec extends AnyFunSuite with SparkSpec with Matchers
     with BeforeAndAfterAll {
@@ -25,6 +41,8 @@ class SqlParitySpec extends AnyFunSuite with SparkSpec with Matchers
     super.beforeAll()
     Tables.events(spark, dir).createOrReplaceTempView("events")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
   }
 
   /** Row-for-row equality: same column names, same values in the same
@@ -213,5 +231,79 @@ class SqlParitySpec extends AnyFunSuite with SparkSpec with Matchers
         |         IN ('view' AS `view`, 'click' AS click, 'purchase' AS purchase,
         |             'signup' AS signup, 'error' AS error))
         |ORDER BY user_id""".stripMargin)
+  }
+
+  test("q1_agg: scalar census family as plain aggregate SQL") {
+    assertParity("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  test("q_regex_normalize: decode/normalize family via RLIKE branches") {
+    assertParity("q_regex_normalize",
+      """SELECT normalized, count(*) AS cnt FROM (
+        |  SELECT CASE
+        |    WHEN raw RLIKE '^arn:aws:iam::[0-9]{12}:root$' THEN raw
+        |    WHEN raw RLIKE '^[0-9]{12}$'
+        |      THEN concat('arn:aws:iam::', raw, ':root')
+        |    END AS normalized
+        |  FROM (SELECT CASE
+        |      WHEN event_type = 'purchase'
+        |        THEN concat('arn:aws:iam::', lpad(CAST(user_id AS STRING), 12, '0'), ':root')
+        |      WHEN event_type = 'click' THEN 'not-an-account'
+        |      ELSE lpad(CAST(user_id AS STRING), 12, '0') END AS raw
+        |    FROM events) r) t
+        |GROUP BY normalized ORDER BY normalized ASC NULLS FIRST""".stripMargin)
+  }
+
+  test("q_token_count: text family via split + regexp_extract_all") {
+    assertParity("q_token_count",
+      s"""SELECT doc_id, size(split(text, ' ')) AS n_ws_tokens,
+         |  size(regexp_extract_all(text,
+         |    '${graft.ext.TextAnalysis.TokenRegex}', 0)) AS n_re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  test("q_similarity_topk: similarity family via graft_dot + graft_topk_ordered") {
+    assertParity("q_similarity_topk",
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |    sqrt(graft_dot(embedding, embedding)) AS nrm FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, graft_dot(qv, v) / (qn * nrm) AS cos, vec_id
+        |  FROM e JOIN q ON query_id <> vec_id),
+        |g AS (SELECT query_id, graft_topk_ordered(cos, vec_id, 3) AS top
+        |  FROM s GROUP BY query_id)
+        |SELECT query_id, t.id AS vec_id, round(t.score, 6) AS cosine,
+        |  CAST(pos + 1 AS INT) AS rnk
+        |FROM g LATERAL VIEW posexplode(top) x AS pos, t
+        |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  test("q_minhash_sig: dedup family via graft_shingle_hashes + shared minhash constants") {
+    assertParity("q_minhash_sig",
+      s"""SELECT doc_id,
+         |  ${(0 until 8).map(k => graft.ext.Dedup.mhSparkSql(k) + s" AS mh$k").mkString(",\n  ")}
+         |FROM (SELECT doc_id, graft_shingle_hashes(split(text, ' '), 3) AS hs
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  test("q_train_test_split: sampling family via graft_md5_prefix_long") {
+    assertParity("q_train_test_split",
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    graft_md5_prefix_long(concat('split|', CAST(doc_id AS STRING)), 15) % 1000 AS sk
+        |  FROM documents)
+        |SELECT CASE WHEN sk < 900 THEN 'train' WHEN sk < 950 THEN 'valid'
+        |         ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY split, source ORDER BY split, source""".stripMargin)
   }
 }
