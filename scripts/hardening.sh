@@ -21,4 +21,8 @@ export SPARK_SCALA_VERSION=2.13
 sbt -batch "Test/runMain graft.tools.SpillProbe $BIG 10"
 sbt -batch "Test/runMain graft.tools.SkewProbe $BIG 10 1000"
 sbt -batch "Test/runMain graft.tools.PipelineKillProbe $SMALL"
-echo "[hardening] all three probes green"
+# 4. ConcurrencyProbe — 8 writers x 50 versions of mixed full/upsert/
+#    delete commits racing ONE store root: exactly-one-winner per
+#    version, serial-replay equality, bounded retries (r11).
+sbt -batch "Test/runMain graft.tools.ConcurrencyProbe 8 50"
+echo "[hardening] all four probes green"

@@ -134,7 +134,18 @@ object StateStore {
         * keys are canonical ([[tables]]), and omitting them keeps graph
         * manifests byte-stable across this evolution.
         */
-      keys: Map[String, Seq[String]] = Map.empty) {
+      keys: Map[String, Seq[String]] = Map.empty,
+      /** table -> (pt -> content signature) for buckets WRITTEN at this
+        * version (recorded as `sig:` lines): an order-independent sum of
+        * per-row hashes over the staged parquet. The commit CAS compares
+        * these — pointer maps alone cannot tell a deterministic
+        * REDELIVERY (same content, must succeed idempotently) from a
+        * DIFFERENT fold that raced the same version and happened to touch
+        * the same bucket set (a silent lost update without this line).
+        * Absent in graph-store and pre-r11 manifests — those fall back to
+        * pointer-only comparison.
+        */
+      sigs: Map[String, Map[Int, Long]] = Map.empty) {
     def schemaOf(table: String): StructType =
       schemas.getOrElse(table,
         (tables :+ idxTable).find(_.name == table).map(_.schema).getOrElse(
@@ -190,11 +201,17 @@ object StateStore {
     */
   private def manifestBody(cfg: Config, pointers: Pointers,
       schemas: Map[String, StructType], dirs: Map[Long, String],
-      keys: Map[String, Seq[String]]): String = {
+      keys: Map[String, Seq[String]],
+      sigs: Map[String, Map[Int, Long]]): String = {
     val sb = new StringBuilder
     sb.append(s"buckets=${cfg.buckets}\n")
     for ((v, d) <- dirs.toSeq.sortBy(_._1))
       sb.append(s"dir:$v=$d\n")
+    // content signatures of the buckets this version writes — the CAS's
+    // same-content evidence (see [[Manifest.sigs]]); graph-store writes
+    // pass none, keeping graph manifests byte-stable
+    for ((t, m) <- sigs.toSeq.sortBy(_._1); (pt, sg) <- m.toSeq.sorted)
+      sb.append(s"sig:$t,$pt=$sg\n")
     // key columns: recorded ONLY for tables without canonical graph keys
     // (generic TableStore tables) — the manifest is their only authority,
     // and graph manifests stay byte-stable across this evolution
@@ -229,9 +246,10 @@ object StateStore {
       cfg: Config, pointers: Pointers, overwrite: Boolean = true,
       schemas: Map[String, StructType] = Map.empty,
       dirs: Map[Long, String] = Map.empty,
-      keys: Map[String, Seq[String]] = Map.empty): Unit = {
+      keys: Map[String, Seq[String]] = Map.empty,
+      sigs: Map[String, Map[Int, Long]] = Map.empty): Unit = {
     val (fs, _) = fsFor(spark, statePath)
-    val body = manifestBody(cfg, pointers, schemas, dirs, keys)
+    val body = manifestBody(cfg, pointers, schemas, dirs, keys, sigs)
     val out = fs.create(manifestPath(statePath, version), overwrite)
     try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
     finally out.close()
@@ -241,16 +259,26 @@ object StateStore {
     val (fs, _) = fsFor(spark, statePath)
     val p = manifestPath(statePath, version)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    // a checksum failure here can be a READ-WRITE RACE, not rot: on
+    // ChecksumFileSystem the .crc sidecar lands alongside the data, so a
+    // reader overlapping an in-flight manifest write (the CAS window —
+    // surfaced by StoreConcurrencySpec's multi-writer soak) sees a
+    // transient mismatch. Re-read briefly; only a PERSISTENT failure is
+    // corruption and stays loud — silently skipping would resurrect the
+    // previous version's rows.
+    var text: String = null
+    var attempt = 0
+    while (text == null) {
+      val in = fs.open(p)
+      try text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       catch {
-        // the FS layer's own integrity check (e.g. LocalFileSystem's .crc
-        // sidecar) detecting damage is corruption all the same — loud
         case e: org.apache.hadoop.fs.ChecksumException =>
-          throw new CorruptManifestException(
-            s"manifest $p: filesystem checksum failure: ${e.getMessage}")
+          attempt += 1
+          if (attempt >= 5) throw new CorruptManifestException(
+            s"manifest $p: filesystem checksum failure after $attempt reads: ${e.getMessage}")
+          Thread.sleep(50L * attempt)
       } finally in.close()
+    }
     val lines = text.split("\n").toSeq
     if (!lines.contains("END")) return None // crash-during-commit remnant
     // the manifest CLAIMS committed from here on: any integrity failure is
@@ -302,10 +330,25 @@ object StateStore {
         if (cols.isEmpty) corrupt(s"empty key column list in '$l'")
         l.substring("key:".length, eq) -> cols
       }.toMap
+    val sigs = lines
+      .filter(_.startsWith("sig:"))
+      .map { l =>
+        val eq = l.indexOf('=')
+        val cm = l.indexOf(',')
+        if (eq < 0 || cm < 0 || cm > eq) corrupt(s"malformed sig line '$l'")
+        (l.substring("sig:".length, cm),
+          l.substring(cm + 1, eq).toIntOption
+            .getOrElse(corrupt(s"bad bucket id in sig line '$l'")),
+          l.substring(eq + 1).toLongOption
+            .getOrElse(corrupt(s"bad signature in sig line '$l'")))
+      }
+      .groupBy(_._1).map { case (t, es) =>
+        t -> es.map(e => e._2 -> e._3).toMap
+      }
     val entries = lines
       .filter(l => l.nonEmpty && l != "END" && !l.startsWith("buckets=") &&
         !l.startsWith("crc=") && !l.startsWith("schema:") && !l.startsWith("dir:") &&
-        !l.startsWith("key:"))
+        !l.startsWith("key:") && !l.startsWith("sig:"))
       .map { l =>
         l.split(" ") match {
           case Array(t, pt, v) =>
@@ -316,7 +359,7 @@ object StateStore {
       }
     Some(Manifest(buckets, entries.groupBy(_._1).map { case (t, es) =>
       t -> es.map(e => e._2 -> e._3).toMap
-    }, schemas, dirs, keys))
+    }, schemas, dirs, keys, sigs))
   }
 
   /** Committed (manifest-complete) versions <= maxVersion, ascending.
@@ -557,13 +600,17 @@ object StateStore {
     * attempt's own staging/promoted dirs are deleted; dirs orphaned by a
     * crashed attempt are unreferenced by every manifest and reclaimed by
     * prune. A manifest file with no END terminator is a
-    * crash-during-commit remnant (never readable) and is simply
-    * overwritten. Note the equality check compares POINTERS: under the
-    * store's determinism contract (state is a pure function of
-    * predecessor + batch) equal pointers imply equal data; two
-    * non-deterministic writers racing the same version with identical
-    * touched-bucket sets are outside the contract — use distinct
-    * statePaths per pipeline instead.
+    * crash-during-commit remnant (never readable) and is reclaimed in
+    * place after a committedness re-check. The equality check compares
+    * pointers AND (r11) per-bucket CONTENT SIGNATURES when both sides
+    * carry them ([[Manifest.sigs]]): a deterministic redelivery
+    * recomputes identical signatures and succeeds idempotently, while a
+    * DIFFERENT fold racing the same version — even onto the same bucket
+    * set, where pointer maps alone are blind — loses retryably instead
+    * of silently dropping its data. In-JVM writer races are fully
+    * serialized by a per-root commit lock (StoreConcurrencySpec soaks
+    * 4×16 mixed commits); graph-store writes carry no signatures and
+    * keep pointer-only semantics (single logical pipeline by design).
     */
   private[streaming] def commit(spark: SparkSession, statePath: String,
       version: Long, cfg: Config, pointers: Pointers,
@@ -571,7 +618,35 @@ object StateStore {
       schemas: Map[String, StructType] = Map.empty,
       dirs: Map[Long, String] = Map.empty,
       dirName: String = "",
-      keys: Map[String, Seq[String]] = Map.empty): Unit = {
+      keys: Map[String, Seq[String]] = Map.empty,
+      sigs: Map[String, Map[Int, Long]] = Map.empty): Unit =
+    // JVM-level serialization of the decision-and-publish window per
+    // store root: concurrent writers IN ONE DRIVER (the common topology —
+    // several streams/threads maintaining one store; StoreConcurrencySpec
+    // soaks it) otherwise race the exists→classify→write steps — e.g. a
+    // racer reading a half-written in-flight manifest classifies it as a
+    // crash remnant and overwrites the winner in place (a measured lost
+    // update, surfaced by the r11 soak). The CAS legs stay — they carry
+    // the CROSS-PROCESS contract, whose residual window is the remnant
+    // reclassification below (see that branch's note).
+    commitLockFor(statePath).synchronized {
+      commitLocked(spark, statePath, version, cfg, pointers, expectedPrev,
+        staging, schemas, dirs, dirName, keys, sigs)
+    }
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def commitLockFor(statePath: String): Object =
+    commitLocks.computeIfAbsent(statePath, _ => new Object)
+
+  private def commitLocked(spark: SparkSession, statePath: String,
+      version: Long, cfg: Config, pointers: Pointers,
+      expectedPrev: Option[Long], staging: Option[String],
+      schemas: Map[String, StructType],
+      dirs: Map[Long, String],
+      dirName: String,
+      keys: Map[String, Seq[String]],
+      sigs: Map[String, Map[Int, Long]]): Unit = {
     val (fs, _) = fsFor(spark, statePath)
     // this attempt's own (writer-unique) dirs — never anyone else's
     var promoted: Option[Path] = None
@@ -595,9 +670,17 @@ object StateStore {
     // manifest only records non-empty tables, the computed map carries
     // them as empty entries
     def live(ps: Pointers): Pointers = ps.filter(_._2.nonEmpty)
+    // same-content evidence: pointer maps ALONE cannot tell deterministic
+    // redelivery from a different fold that raced the same version and
+    // touched the same bucket set — that case was a silent lost update
+    // (the loser returned "success" with its data dropped). When BOTH
+    // sides carry content signatures, they must match; a sig-less side
+    // (graph-store writes, pre-r11 manifests) keeps the pointer-only
+    // comparison for byte-stable redelivery compatibility.
     def winnerEquals(): Boolean =
       readManifest(spark, statePath, version)
-        .exists(m => m.buckets == cfg.buckets && live(m.pointers) == live(pointers))
+        .exists(m => m.buckets == cfg.buckets && live(m.pointers) == live(pointers) &&
+          (m.sigs.isEmpty || sigs.isEmpty || m.sigs == sigs))
     def loseTo(how: String): Nothing = {
       dropStaging()
       throw new ConcurrentWriteException(
@@ -634,14 +717,26 @@ object StateStore {
         promoted = Some(dest)
       }
     }
-    if (fs.exists(p))
-      // remnant manifest (no END): not committed, reclaim in place
-      writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
-        schemas = schemas, dirs = dirs, keys = keys)
-    else {
+    if (fs.exists(p)) {
+      // remnant manifest (no END): not committed, reclaim in place.
+      // Re-check committedness right before overwriting — in-JVM racers
+      // are excluded by the commit lock, but a CROSS-PROCESS writer may
+      // have completed this very file between the classification above
+      // and here; overwriting a now-committed manifest would drop the
+      // winner. (The residual cross-process window is this re-check-to-
+      // write gap on a filesystem without atomic exclusive create —
+      // reachable only with a crash remnant AND a concurrent foreign
+      // writer inside a millisecond window; named in SURVEY §5.)
+      if (readManifest(spark, statePath, version).isDefined) {
+        if (!winnerEquals()) loseTo("remnant completed by another writer")
+        dropStaging()
+      } else
+        writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
+          schemas = schemas, dirs = dirs, keys = keys, sigs = sigs)
+    } else {
       // CAS leg 2: exclusive create — of two racers, exactly one succeeds
       try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false,
-        schemas = schemas, dirs = dirs, keys = keys)
+        schemas = schemas, dirs = dirs, keys = keys, sigs = sigs)
       catch {
         case e: java.io.IOException =>
           // lost the exclusive-create race in the exists-check window:

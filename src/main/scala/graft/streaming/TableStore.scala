@@ -141,9 +141,34 @@ object TableStore {
 
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$statePath/.staging-v$version-$token"
+    val sigs = scala.collection.mutable.Map.empty[String, Map[Int, Long]]
     def writeDir(df: DataFrame, name: String): Set[Int] = {
       df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
-      StateStore.listBuckets(spark, s"$staging/$name")
+      // content signature per staged bucket — an order-independent sum of
+      // per-row hashes over the rows ACTUALLY written (columns in sorted
+      // order, so a deterministic redelivery recomputes the identical
+      // value from its own staging): the commit CAS's same-content
+      // evidence. Pointer maps alone cannot tell redelivery from a
+      // DIFFERENT fold racing the same version onto the same bucket set
+      // — that case silently dropped the loser's data before r11. One
+      // extra local scan of the delta-sized staged files + a <=buckets
+      // row collect.
+      val written = StateStore.listBuckets(spark, s"$staging/$name")
+      if (written.isEmpty) sigs(name) = Map.empty // all touched buckets emptied
+      else {
+        val back = spark.read.parquet(s"$staging/$name")
+        val dataCols = back.columns.filter(_ != "pt").sorted.map(col)
+        // decimal-summed then folded mod Long.MaxValue: order-independent,
+        // duplicate-row-sensitive (unlike xor), and never overflows under
+        // ANSI arithmetic
+        sigs(name) = back.groupBy(col("pt"))
+          .agg(pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
+            lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("sig"))
+          .collect()
+          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toMap
+      }
+      written
     }
     def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
 
@@ -221,7 +246,8 @@ object TableStore {
       Some(staging), schemas, dirs, dirName = s"d-$token",
       // record each table's key columns: the manifest alone then fully
       // describes this store to the DSv2/catalog read path
-      keys = specs.map(t => t.name -> t.bucketCols).toMap)
+      keys = specs.map(t => t.name -> t.bucketCols).toMap,
+      sigs = sigs.toMap)
   }
 
   /** One table at `version`, resolved through its manifest pointers and
