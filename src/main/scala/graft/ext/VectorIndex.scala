@@ -369,6 +369,18 @@ object VectorIndex {
     * there is no train-from-empty: assignment needs centroids, so a
     * committed [[trainIvf]] must precede the stream.
     */
+  /** Last-writer-wins envelope resolution inside one micro-batch: several
+    * events for one vec_id collapse to the max-seq entry, a delete
+    * beating an upsert on seq ties. Shared by the three streaming folds.
+    */
+  private def lastWriter(batch: DataFrame): DataFrame = batch
+    .groupBy(col("vec_id"))
+    .agg(max_by(
+      struct(col("v"), col("nrm"), col("op")),
+      struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
+    .select(col("vec_id"), col("r.v"), col("r.nrm"), col("r.op"))
+    .localCheckpoint(true)
+
   def foldVecBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, cfg: StateStore.Config = VectorIndex.cfg): Unit = {
     // the predecessor version AT THIS BATCH ID — not the global latest,
@@ -377,13 +389,7 @@ object VectorIndex {
       .getOrElse(throw new IllegalStateException(
         s"no trained IVF index under $root: run trainIvf before streaming"))
     val cents = TableStore.read(spark, ivfPath(root), prevV, "ivf_centroids")
-    val last = batch
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("v"), col("nrm"), col("op")),
-        struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
-      .select(col("vec_id"), col("r.v"), col("r.nrm"), col("r.op"))
-      .localCheckpoint(true)
+    val last = lastWriter(batch)
     val ups = Similarity.assignCells(
       last.filter(col("op") =!= "delete").select(col("vec_id"), col("v"), col("nrm")),
       cents)
@@ -404,19 +410,45 @@ object VectorIndex {
       .getOrElse(throw new IllegalStateException(
         s"no trained PQ index under $root: run trainPq before streaming"))
     val books = pqBooksAt(spark, root, prevV)
-    val last = batch
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("v"), col("nrm"), col("op")),
-        struct(col("seq"), (col("op") === "delete").cast("int"))).as("r"))
-      .select(col("vec_id"), col("r.v"), col("r.nrm"), col("r.op"))
-      .localCheckpoint(true)
+    val last = lastWriter(batch)
     val ups = Pq.codesOf(
       last.filter(col("op") =!= "delete").select(col("vec_id"), col("v"), col("nrm")),
       books)
     TableStore.write(spark, pqPath(root), batchId + 1, PqSpecs,
       Map("pq_codes" -> ups), delta = true, cfg = cfg,
       deletes = Map("pq_codes" ->
+        last.filter(col("op") === "delete").select(col("vec_id"))))
+  }
+
+  /** [[foldVecBatch]]'s IVFADC twin: upserts are cell-assigned and
+    * residual-coded under the FROZEN artifacts of the predecessor
+    * versions AT THIS BATCH ID — centroids from the IVF store (the
+    * `maxVersion = batchId` bound excludes the batch's OWN ivf commit,
+    * so the resolution is the same pre-batch centroids whatever the fold
+    * order, replays included), codebooks from the IVFADC store —
+    * retractions via the tombstone channel, batchId-keyed versions for
+    * idempotent replay. A committed [[trainIvfPq]] (and [[trainIvf]])
+    * must precede the stream.
+    */
+  def foldIvfPqBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, cfg: StateStore.Config = VectorIndex.cfg): Unit = {
+    val prevV = TableStore.latestVersion(spark, ivfPqPath(root), batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"no trained IVFADC index under $root: run trainIvfPq before streaming"))
+    val books = ivfPqBooksAt(spark, root, prevV)
+    val ivfPrev = TableStore.latestVersion(spark, ivfPath(root), batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"no trained IVF index under $root: run trainIvf before streaming"))
+    val cents = TableStore.read(spark, ivfPath(root), ivfPrev, "ivf_centroids")
+      .localCheckpoint(true)
+    val last = lastWriter(batch)
+    val ups = Pq.codesOf(
+      residualsOf(last.filter(col("op") =!= "delete")
+        .select(col("vec_id"), col("v"), col("nrm")), cents),
+      books, carry = Seq("cell"))
+    TableStore.write(spark, ivfPqPath(root), batchId + 1, IvfPqSpecs,
+      Map("ivfpq_codes" -> ups), delta = true, cfg = cfg,
+      deletes = Map("ivfpq_codes" ->
         last.filter(col("op") === "delete").select(col("vec_id"))))
   }
 
@@ -436,6 +468,8 @@ object VectorIndex {
         foldVecBatch(s, root, batch, batchId, cfg)
         if (TableStore.latestVersion(s, pqPath(root), batchId).isDefined)
           foldPqBatch(s, root, batch, batchId, cfg)
+        if (TableStore.latestVersion(s, ivfPqPath(root), batchId).isDefined)
+          foldIvfPqBatch(s, root, batch, batchId, cfg)
       }
       .start()
 }

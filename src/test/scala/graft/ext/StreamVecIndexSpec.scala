@@ -50,6 +50,7 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
     val base = embOf((0L until 40L).map(i => i -> vecOf(i, (i % 4).toInt)): _*)
     VectorIndex.trainIvf(spark, root, base) // v0
     VectorIndex.trainPq(spark, root, base) // PQ twin maintained in the same feed
+    VectorIndex.trainIvfPq(spark, root, base) // IVFADC twin too (r11)
 
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[VecEvent]
@@ -83,6 +84,12 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkSpec with Matchers {
     val books = VectorIndex.pqBooks(spark, root)
     VectorIndex.pqCodes(spark, root).collect().map(_.toString).sorted shouldBe
       Pq.codesOf(net, books).collect().map(_.toString).sorted
+    // ...and the IVFADC cell-carrying code table did too: net corpus
+    // residual-coded under the frozen quantizer + frozen residual books
+    val ivfPqBooks = VectorIndex.ivfPqBooks(spark, root)
+    VectorIndex.ivfPqCodes(spark, root).collect().map(_.toString).sorted shouldBe
+      Pq.codesOf(VectorIndex.residualsOf(net, cents), ivfPqBooks,
+        carry = Seq("cell")).collect().map(_.toString).sorted
   }
 
   test("an at-least-once replayed batch recommits against the same frozen centroids") {
