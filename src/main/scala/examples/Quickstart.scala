@@ -74,9 +74,10 @@ object Quickstart {
     //    LSH near-duplicate pairs, RRF hybrid retrieval, and the composed
     //    IVFADC (probe → cell-pruned residual ADC → exact re-rank)
     def peek(name: String): Unit = {
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      println(s"[quickstart] $name -> ${df.count()} rows; first: " +
-        df.limit(1).collect().mkString)
+      // one execution: collect once, report count + first row from it
+      val rows = graft.SparkEntry.queries(name)(spark, sfDir).collect()
+      println(s"[quickstart] $name -> ${rows.length} rows; first: " +
+        rows.headOption.fold("<empty>")(_.toString))
     }
     peek("q_minhash_lsh_pairs")
     peek("q_rrf_fusion")

@@ -89,25 +89,21 @@ object IvfPq {
           VectorIndex.ivfPqCodes(s, root).localCheckpoint(true), stored)
       } else graft.Materialize.timed("ivfpq_index") {
         val ivf = Similarity.ivfIndex(s, dir)
-        // residuals from the ALREADY cell-tagged corpus — no re-assignment
+        // residuals from the ALREADY cell-tagged corpus — no
+        // re-assignment; the training math itself lives in ONE place
+        // (VectorIndex.ivfPqArtifacts) shared with the persisted
+        // lifecycle, so the two build paths cannot drift
         val res = ivf.ec
           .join(broadcast(ivf.cents.select(col("cell"), col("cv"))), "cell")
           .select(col("vec_id"), col("cell"),
             zip_with(col("v"), col("cv"), (a, b) => a.cast("double") - b).as("v"))
           .localCheckpoint(true)
-        val books = Pq.trainBooks(res.select(col("vec_id"), col("v")), iters = BookIters)
-        val codes = Pq.codesOf(res, books, carry = Seq("cell")).localCheckpoint(true)
-        import s.implicits._
-        val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
-          b.map { case (code, cv) => (sub, code, cv) }
-        }
+        val (books, codesRaw) = VectorIndex.ivfPqArtifacts(res)
+        val codes = codesRaw.localCheckpoint(true)
         // persist for the NEXT session; non-fatal like the IVF/PQ builds
         val wrote =
           try {
-            graft.streaming.TableStore.write(s, s"$root/ivfpq", 0L,
-              VectorIndex.IvfPqSpecs,
-              Map("ivfpq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
-                "ivfpq_codes" -> codes), cfg = VectorIndex.cfg)
+            VectorIndex.writeIvfPq(s, root, books, codes)
             Some(0L)
           } catch { case ex: Exception =>
             System.err.println(s"[graft] IVFADC index persist failed (non-fatal): ${ex.getMessage}")

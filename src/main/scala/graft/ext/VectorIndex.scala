@@ -258,19 +258,39 @@ object VectorIndex {
     */
   def trainIvfPq(spark: SparkSession, root: String, e: DataFrame,
       version: Long = 0L): Seq[Seq[(Long, Seq[Double])]] = {
-    import spark.implicits._
     val cents = ivfCentroids(spark, root).localCheckpoint(true)
     val res = residualsOf(e, cents).localCheckpoint(true)
+    val (books, codes) = ivfPqArtifacts(res)
+    writeIvfPq(spark, root, books, codes, version)
+    books
+  }
+
+  /** THE residual-PQ training recipe — the single place the math lives
+    * (so the session-cached build in [[IvfPq]] and the persisted
+    * lifecycle here cannot drift; [[RecipeRev]] guards code-level changes
+    * to it): codebooks over the residual frame with [[IvfPq.BookIters]]
+    * Lloyd rounds, then the cell-carrying code projection.
+    */
+  private[ext] def ivfPqArtifacts(
+      res: DataFrame): (Seq[Seq[(Long, Seq[Double])]], DataFrame) = {
     val books = Pq.trainBooks(res.select(col("vec_id"), col("v")),
       iters = IvfPq.BookIters)
+    (books, Pq.codesOf(res, books, carry = Seq("cell")))
+  }
+
+  /** Persist trained IVFADC artifacts as `version` — shared by
+    * [[trainIvfPq]] (loud) and [[IvfPq]]'s session build (non-fatal).
+    */
+  private[ext] def writeIvfPq(spark: SparkSession, root: String,
+      books: Seq[Seq[(Long, Seq[Double])]], codes: DataFrame,
+      version: Long = 0L): Unit = {
+    import spark.implicits._
     val bookRows = books.zipWithIndex.flatMap { case (b, sub) =>
       b.map { case (code, cv) => (sub, code, cv) }
     }
     TableStore.write(spark, ivfPqPath(root), version, IvfPqSpecs,
       Map("ivfpq_codebooks" -> bookRows.toDF("sub", "code", "cv"),
-        "ivfpq_codes" -> Pq.codesOf(res, books, carry = Seq("cell"))),
-      cfg = cfg)
-    books
+        "ivfpq_codes" -> codes), cfg = cfg)
   }
 
   def latestIvfPq(spark: SparkSession, root: String): Long =

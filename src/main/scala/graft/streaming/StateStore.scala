@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 import graft.graph.GraphOps.State
 import graft.schema.Schemas
 import graft.state.ChangeSet
@@ -634,10 +634,25 @@ object StateStore {
         staging, schemas, dirs, dirName, keys, sigs)
     }
 
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  /** Striped (bounded) commit locks: per-statePath Objects would grow for
+    * the JVM lifetime (lifecycle queries mint UUID-named roots per run).
+    * Two roots sharing a stripe only serialize against each other — a
+    * liveness nicety lost, never a correctness one.
+    */
+  private val commitLocks = Array.fill(64)(new Object)
   private def commitLockFor(statePath: String): Object =
-    commitLocks.computeIfAbsent(statePath, _ => new Object)
+    commitLocks(math.floorMod(statePath.hashCode, commitLocks.length))
+
+  /** Whether a data type contains a MapType anywhere — Spark's hash
+    * functions reject map inputs, so content signatures sign over the
+    * hashable columns only.
+    */
+  private[streaming] def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
 
   private def commitLocked(spark: SparkSession, statePath: String,
       version: Long, cfg: Config, pointers: Pointers,
@@ -677,10 +692,14 @@ object StateStore {
     // sides carry content signatures, they must match; a sig-less side
     // (graph-store writes, pre-r11 manifests) keeps the pointer-only
     // comparison for byte-stable redelivery compatibility.
+    def liveSigs(x: Map[String, Map[Int, Long]]) = x.filter(_._2.nonEmpty)
     def winnerEquals(): Boolean =
       readManifest(spark, statePath, version)
-        .exists(m => m.buckets == cfg.buckets && live(m.pointers) == live(pointers) &&
-          (m.sigs.isEmpty || sigs.isEmpty || m.sigs == sigs))
+        .exists { m =>
+          val (ws, os) = (liveSigs(m.sigs), liveSigs(sigs))
+          m.buckets == cfg.buckets && live(m.pointers) == live(pointers) &&
+            (ws.isEmpty || os.isEmpty || ws == os)
+        }
     def loseTo(how: String): Nothing = {
       dropStaging()
       throw new ConcurrentWriteException(

@@ -154,14 +154,23 @@ object TableStore {
       // extra local scan of the delta-sized staged files + a <=buckets
       // row collect.
       val written = StateStore.listBuckets(spark, s"$staging/$name")
-      if (written.isEmpty) sigs(name) = Map.empty // all touched buckets emptied
-      else {
+      // zero-bucket stagings record NO sig entry (the manifest writer
+      // emits no lines for them, so an in-memory empty map would make a
+      // byte-identical redelivery spuriously fail the sig compare — the
+      // exact asymmetry live() normalizes for pointers)
+      if (written.nonEmpty) {
         val back = spark.read.parquet(s"$staging/$name")
-        val dataCols = back.columns.filter(_ != "pt").sorted.map(col)
+        // hash functions reject map-typed inputs: sign over the hashable
+        // columns only (a table that is ALL maps degrades to the
+        // pointer-only comparison instead of refusing schemas the store
+        // accepted before r11)
+        val dataCols = back.schema.fields
+          .filter(f => f.name != "pt" && !StateStore.containsMap(f.dataType))
+          .map(_.name).sorted.map(col)
         // decimal-summed then folded mod Long.MaxValue: order-independent,
         // duplicate-row-sensitive (unlike xor), and never overflows under
         // ANSI arithmetic
-        sigs(name) = back.groupBy(col("pt"))
+        if (dataCols.nonEmpty) sigs(name) = back.groupBy(col("pt"))
           .agg(pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
             lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("sig"))
           .collect()

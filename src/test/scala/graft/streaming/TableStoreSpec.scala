@@ -277,6 +277,50 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     StateStore.unpin(spark, root, "reader1")
   }
 
+  test("sig CAS: redelivery stays idempotent when a delete empties one table while another upserts") {
+    // the empty-sig asymmetry regression: the emptied table records NO
+    // sig line in the manifest, and an in-memory empty entry on the
+    // redelivery side must not make the byte-identical commit fail the
+    // content compare (the pointer map has the same normalization)
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L),
+        "facts" -> facts(1L -> "x")), cfg = cfg)
+    def v1(): Unit = TableStore.write(spark, root, 1L, specs,
+      Map("dim" -> dim("b" -> 2L)), delta = true, cfg = cfg,
+      deletes = Map("facts" -> Seq(1L).toDF("id")))
+    v1() // facts empties entirely: zero buckets staged, no sig lines
+    noException should be thrownBy v1() // identical redelivery
+    TableStore.latestVersion(spark, root) shouldBe Some(1L)
+    TableStore.read(spark, root, 1L, "facts").count() shouldBe 0L
+    // ...while a DIFFERENT-content racer on the non-empty table still loses
+    intercept[StateStore.ConcurrentWriteException] {
+      TableStore.write(spark, root, 1L, specs,
+        Map("dim" -> dim("b" -> 99L)), delta = true, cfg = cfg,
+        deletes = Map("facts" -> Seq(1L).toDF("id")))
+    }.getMessage should include("different content")
+  }
+
+  test("map-typed columns still write (sig signs the hashable columns only)") {
+    // hash functions reject MapType: the content signature must degrade
+    // to the hashable columns, never refuse a schema the store accepted
+    // before the sig existed
+    val root = tmp()
+    val mspec = Seq(TableStore.Spec("m", Seq("k")))
+    def frame(v: String) = Seq((1L, Map("tag" -> v)))
+      .toDF("k", "props")
+    TableStore.write(spark, root, 0L, mspec, Map("m" -> frame("a")), cfg = cfg)
+    TableStore.write(spark, root, 1L, mspec, Map("m" -> frame("b")),
+      delta = true, cfg = cfg)
+    // identical redelivery is idempotent through the degraded compare
+    noException should be thrownBy TableStore.write(spark, root, 1L, mspec,
+      Map("m" -> frame("b")), delta = true, cfg = cfg)
+    TableStore.read(spark, root, 1L, "m")
+      .select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("props"), "tag"))
+      .as[String].head() shouldBe "b"
+  }
+
   test("spec validation: manifest-unsafe and reserved names are refused at write time") {
     val root = tmp()
     def attempt(s: TableStore.Spec): IllegalArgumentException =

@@ -123,6 +123,11 @@ object ConcurrencySoak {
     }
     workers.foreach(_.start())
     workers.foreach(_.join(600000))
+    // a join timeout leaves a live thread still mutating shared state —
+    // fail loudly instead of reporting a baffling replay mismatch
+    val stuck = workers.filter(_.isAlive)
+    require(stuck.isEmpty,
+      s"soak threads did not finish: ${stuck.map(_.getName).mkString(", ")}")
     if (failure.get() != null) throw failure.get()
 
     import scala.jdk.CollectionConverters._
