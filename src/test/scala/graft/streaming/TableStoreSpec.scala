@@ -266,7 +266,8 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     // non-empty JSON markers there, and local _SUCCESS is merely 0 bytes;
     // without the marker carve-out every committed version would add
     // persistent phantom orphan_bytes
-    val versionDir = new java.io.File(s"$root/v0").listFiles().head
+    val versionDir = new java.io.File(s"$root/v0").listFiles()
+      .filter(_.isDirectory).head // the d-<token> data dir, not MANIFEST/.crc
     java.nio.file.Files.write(
       new java.io.File(versionDir, "facts/_SUCCESS").toPath,
       Array.fill[Byte](25)(1))
