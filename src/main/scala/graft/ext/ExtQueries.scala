@@ -1228,5 +1228,6 @@ object ExtQueries {
     "q_sketch_stats" -> q_sketch_stats,
     "q_countmin_freq" -> q_countmin_freq,
     "q_bloom_semijoin" -> q_bloom_semijoin) ++
-    Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pq.all ++ IvfPq.all
+    Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pq.all ++ IvfPq.all ++
+    Gif.all ++ Flac.all ++ ImageDedup.all
 }

@@ -73,6 +73,7 @@ object Multimodal {
       case "image/png" | "image/jpeg" => decodeImage(d)
       case "audio/mpeg" => decodeMp3(d)
       case "video/h264" => decodeH264(d)
+      case "image/gif" => Gif.features(d) // real LZW decode + block walk (Gif.scala)
       case _ => fake(d)
     }
 

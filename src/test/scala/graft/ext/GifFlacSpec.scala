@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** The r11 codec additions: the real GIF89a LZW codec + block walk
+  * (Gif.scala), the FLAC metadata walk + STREAMINFO bit parse
+  * (Flac.scala), and the dHash image near-dedup built on them
+  * (ImageDedup.scala). Property fuzzing follows MediaCodecPropsSpec's
+  * pattern; the GIF compressor is additionally CROSS-validated against
+  * the JDK's own independent ImageIO GIF implementation in both
+  * directions (our encode → ImageIO decode; ImageIO encode → our
+  * decode), which pins spec compliance, not just self-consistency.
+  */
+class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---- LZW -------------------------------------------------------------------
+
+  test("property: GIF LZW round-trips at every palette width, incl. dictionary reset (60 cases)") {
+    val g = for {
+      min <- Gen.choose(2, 8)
+      n <- Gen.oneOf(Gen.choose(0, 300), Gen.choose(4000, 9000)) // short + past-4096-reset
+      idx <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0, 1),          // run-heavy (deep dictionary chains)
+        Gen.const(0),              // constant run (KwKwK territory)
+        Gen.choose(0, Int.MaxValue))) // full palette range, masked below
+    } yield (min, idx)
+    for (seed <- 1L to 60L) {
+      val (min, idxRaw) = gen(g, seed * 61L)
+      val idx = idxRaw.map(v => math.floorMod(v, 1 << min)).toArray
+      val enc = Gif.lzwEncode(min, idx)
+      val dec = Gif.lzwDecode(min, enc, idx.length,
+        why => fail(s"seed=$seed min=$min n=${idx.length}: $why"))
+      withClue(s"seed=$seed min=$min n=${idx.length}: ") {
+        dec.toSeq shouldBe idx.toSeq
+      }
+    }
+  }
+
+  test("LZW KwKwK: the pathological aaaa... stream round-trips") {
+    for (n <- Seq(1, 2, 3, 7, 100, 5000)) {
+      val idx = Array.fill(n)(1)
+      val dec = Gif.lzwDecode(2, Gif.lzwEncode(2, idx), n, fail(_))
+      dec.toSeq shouldBe idx.toSeq
+    }
+  }
+
+  // ---- container round trip ---------------------------------------------------
+
+  test("property: GIF encode+parse round-trips frames, delays, palette mapping (40 cases)") {
+    val g = for {
+      w <- Gen.choose(1, 9); h <- Gen.choose(1, 9)
+      nf <- Gen.choose(1, 5)
+      palSize <- Gen.choose(2, 16)
+      pal <- Gen.listOfN(palSize, Gen.choose(0, 0xffffff))
+      frames <- Gen.listOfN(nf, for {
+        d <- Gen.choose(0, 500)
+        px <- Gen.listOfN(w * h, Gen.choose(0, palSize - 1))
+      } yield (d, px))
+      loop <- Gen.oneOf(true, false)
+    } yield (w, h, pal, frames, loop)
+    for (seed <- 1L to 40L) {
+      val (w, h, pal, frames, loop) = gen(g, seed * 67L)
+      val b = Gif.encodeGif(w, h, pal.toIndexedSeq,
+        frames.map { case (d, px) => (d, px.toArray) }, loop,
+        comment = if (seed % 2 == 0) Some("fuzz " * seed.toInt) else None)
+      val a = Gif.parseGif(seed, b)
+      withClue(s"seed=$seed ${w}x$h nf=${frames.size} pal=${pal.size}: ") {
+        a.width shouldBe w
+        a.height shouldBe h
+        a.looped shouldBe loop
+        a.frames.size shouldBe frames.size
+        a.frames.zip(frames).foreach { case (got, (d, px)) =>
+          got.delayCs shouldBe d
+          got.rgb.toSeq shouldBe px.map(pal(_))
+        }
+      }
+    }
+  }
+
+  test("property: truncating a GIF anywhere fails loudly with a byte offset (40 cases)") {
+    val pal = IndexedSeq.tabulate(16)(i => i * 0x111111)
+    val full = Gif.encodeGif(4, 3, pal,
+      Seq((10, Array.tabulate(12)(_ % 16)), (20, Array.tabulate(12)(i => (i * 7) % 16))))
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 131) % (full.length - 1)).toInt
+      withClue(s"seed=$seed cut=$cut: ") {
+        intercept[IllegalArgumentException] {
+          Gif.parseGif(seed, full.take(cut))
+        }.getMessage should include("GIF parse at byte")
+      }
+    }
+  }
+
+  // ---- cross-validation against the JDK's independent GIF implementation ------
+
+  test("cross-check: our GIF encode decodes identically under ImageIO (20 cases)") {
+    val g = for {
+      w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+      nf <- Gen.choose(1, 4)
+      frames <- Gen.listOfN(nf, Gen.listOfN(w * h, Gen.choose(0, 15)))
+    } yield (w, h, frames)
+    for (seed <- 1L to 20L) {
+      val (w, h, frames) = gen(g, seed * 71L)
+      val b = Gif.encodeGif(w, h, Gif.Palette,
+        frames.zipWithIndex.map { case (px, i) => (i + 1, px.toArray) })
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      withClue(s"seed=$seed ${w}x$h nf=${frames.size}: ") {
+        reader.getNumImages(true) shouldBe frames.size
+        for ((px, i) <- frames.zipWithIndex) {
+          val img = reader.read(i)
+          img.getWidth shouldBe w
+          img.getHeight shouldBe h
+          for (y <- 0 until h; x <- 0 until w)
+            withClue(s"frame $i px($x,$y): ") {
+              (img.getRGB(x, y) & 0xffffff) shouldBe Gif.Palette(px(y * w + x))
+            }
+        }
+      }
+      reader.dispose()
+    }
+  }
+
+  test("cross-check: an ImageIO-written GIF parses identically under our decoder (10 cases)") {
+    for (seed <- 1L to 10L) {
+      val (w, h) = (1 + (seed % 7).toInt, 1 + (seed % 5).toInt)
+      // indexed color model from our palette keeps the write lossless
+      val cm = new java.awt.image.IndexColorModel(8, Gif.Palette.size,
+        Gif.Palette.map(c => (c >> 16).toByte).toArray,
+        Gif.Palette.map(c => ((c >> 8) & 0xff).toByte).toArray,
+        Gif.Palette.map(c => (c & 0xff).toByte).toArray)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val px = Array.tabulate(w * h)(i => ((i * 7 + seed) % 16).toInt)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, Gif.Palette(px(y * w + x)) | 0xff000000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", baos) shouldBe true
+      val a = Gif.parseGif(seed, baos.toByteArray)
+      withClue(s"seed=$seed ${w}x$h: ") {
+        a.width shouldBe w
+        a.height shouldBe h
+        a.frames.size shouldBe 1
+        a.frames.head.rgb.toSeq shouldBe px.map(Gif.Palette(_)).toSeq
+      }
+    }
+  }
+
+  // ---- FLAC -------------------------------------------------------------------
+
+  test("property: FLAC encode+parse round-trips STREAMINFO bit fields (60 cases)") {
+    val g = for {
+      rate <- Gen.oneOf(Gen.choose(1, (1 << 20) - 1), Gen.oneOf(8000, 44100, 96000))
+      ch <- Gen.choose(1, 8)
+      bps <- Gen.choose(4, 32)
+      total <- Gen.oneOf(Gen.choose(0L, (1L << 36) - 1), Gen.const(0L),
+        Gen.const((1L << 36) - 1)) // boundary: all 36 bits set
+      pad <- Gen.choose(0, 5)
+      audio <- Gen.choose(0, 200)
+    } yield (rate, ch, bps, total, pad, audio)
+    for (seed <- 1L to 60L) {
+      val (rate, ch, bps, total, pad, audio) = gen(g, seed * 73L)
+      val m = Flac.parseFlac(seed,
+        Flac.encodeFlac(rate, ch, bps, total, pad, audio))
+      withClue(s"seed=$seed rate=$rate ch=$ch bps=$bps total=$total pad=$pad: ") {
+        m.sampleRate shouldBe rate
+        m.channels shouldBe ch
+        m.bitsPerSample shouldBe bps
+        m.totalSamples shouldBe total
+        m.minBlock shouldBe 4096
+        m.maxBlock shouldBe 4096
+        m.nMetaBlocks shouldBe 1 + pad
+        m.nPadding shouldBe pad
+        m.audioBytes shouldBe audio
+      }
+    }
+  }
+
+  test("property: truncating FLAC metadata fails loudly; audio-region cuts only shrink it (40 cases)") {
+    val full = Flac.encodeFlac(44100, 2, 16, 123456789L, nPadding = 2, audioBytes = 50)
+    val metaLen = full.length - 50
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 127) % (full.length - 1)).toInt
+      val t = full.take(cut)
+      withClue(s"seed=$seed cut=$cut metaLen=$metaLen: ") {
+        if (cut < metaLen)
+          intercept[IllegalArgumentException] {
+            Flac.parseFlac(seed, t)
+          }.getMessage should include("FLAC parse at byte")
+        else Flac.parseFlac(seed, t).audioBytes shouldBe cut - metaLen
+      }
+    }
+  }
+
+  // ---- the declared queries, end to end ----------------------------------------
+
+  test("q_gif_anim: every user round-trips; sums match a direct recomputation") {
+    val df = Gif.q_gif_anim.fn(spark, sf).collect()
+    df.length should be > 0
+    df.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      nf should be >= 1L
+      r.getAs[Long]("n_sampled") shouldBe nf - nf / 2
+      r.getAs[Long]("delay_total_cs") shouldBe 3 * nf + nf * (nf - 1) / 2
+      r.getAs[Int]("looped") shouldBe 1
+      // channel identity: r+g per pixel is 255 (palette construction)
+      r.getAs[Long]("sum_r") + r.getAs[Long]("sum_g") shouldBe
+        r.getAs[Long]("n_sampled") * 8 * 255
+    }
+  }
+
+  test("q_flac_meta: fields equal their closed forms for every user") {
+    val df = Flac.q_flac_meta.fn(spark, sf).collect()
+    df.length should be > 0
+    df.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      r.getAs[Long]("channels") shouldBe uid % 2 + 1
+      r.getAs[Long]("n_meta_blocks") shouldBe 1 + uid % 3
+      r.getAs[Long]("n_padding") shouldBe uid % 3
+    }
+  }
+
+  test("q_image_dhash_pairs: near-dup structure is cluster-shaped and thresholded") {
+    val hashes = ImageDedup.hashesReal(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = ImageDedup.q_image_dhash_pairs.fn(spark, sf).collect()
+    pairs.length should be > 0
+    pairs.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      a should be < b
+      d should be <= 14L
+      // the reported distance IS the hash distance
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong shouldBe d
+    }
+    // planted structure: most verified pairs share the user_id%4 cluster
+    val sameCluster = pairs.count(r => r.getLong(0) % 4 == r.getLong(1) % 4)
+    sameCluster.toDouble / pairs.length should be >= 0.7
+  }
+}
