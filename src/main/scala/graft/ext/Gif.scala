@@ -488,5 +488,90 @@ object Gif {
       .orderBy(col("user_id"))
   }
 
-  val all: Map[String, QueryDef] = Map("q_gif_anim" -> q_gif_anim)
+  // ---- scene-change detection over the decoded animation -----------------------
+
+  private val CutThreshold = 300
+
+  /** Video-curation composition over the real codec: frames are
+    * synthesized with SCENE structure (two frames per scene share a base
+    * pattern, per-pixel noise rides on top), go through the real GIF
+    * encode+decode, and adjacent DECODED frames' red-channel absolute
+    * difference flags a scene cut when it exceeds [[CutThreshold]] — the
+    * shot-boundary census a video training pipeline runs before frame
+    * dedup/sampling. The synthesis guarantees separation (within-scene
+    * diff ≤ 8·17 = 136, across-scene ≥ 8·68 = 544), but the REPORTED
+    * diffs are data, recomputed exactly by the oracle.
+    *
+    * Scale shape: identical to [[q_gif_anim]] — one per-user
+    * aggregation, one mapPartitions codec+diff pass, zero further
+    * shuffles.
+    */
+  val q_gif_scene_cuts: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT user_id,
+       |    ((CAST(floor(value*100) AS BIGINT) % 8) + 8) % 8 AS roll,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |f AS (SELECT user_id, LEAST(count(*) // ${FrameW * FrameH}, $MaxFrames) AS nf
+       |  FROM e GROUP BY user_id HAVING count(*) >= ${FrameW * FrameH}),
+       |px AS (SELECT e.user_id, f.nf,
+       |    (e.rn - 1) // ${FrameW * FrameH} AS frame,
+       |    (e.rn - 1) % ${FrameW * FrameH} AS p,
+       |    ((((e.rn - 1) // ${FrameW * FrameH}) // 2) * 5
+       |      + ((e.rn - 1) % ${FrameW * FrameH}) * 3) % 15
+       |      + CASE WHEN e.roll = 0 THEN 1 ELSE 0 END AS idx
+       |  FROM e JOIN f ON e.user_id = f.user_id AND e.rn <= f.nf * ${FrameW * FrameH}),
+       |d AS (SELECT a.user_id, a.frame,
+       |    sum(abs(b.idx * 17 - a.idx * 17)) AS diff
+       |  FROM px a JOIN px b ON a.user_id = b.user_id AND a.p = b.p
+       |    AND b.frame = a.frame + 1
+       |  GROUP BY a.user_id, a.frame)
+       |SELECT f.user_id, CAST(f.nf AS BIGINT) AS n_frames,
+       |  CAST(coalesce(sum(CASE WHEN d.diff > $CutThreshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(sum(d.diff), 0) AS BIGINT) AS total_diff,
+       |  CAST(coalesce(max(d.diff), 0) AS BIGINT) AS max_diff
+       |FROM f LEFT JOIN d ON f.user_id = d.user_id
+       |GROUP BY f.user_id, f.nf
+       |ORDER BY f.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val perFrame = FrameW * FrameH
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        pmod(floor(col("value") * 100).cast("long"), lit(8L)).cast("int").as("roll"),
+        col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("roll"))))
+        .as("evs"))
+      .filter(size(col("evs")) >= perFrame)
+      .select(col("user_id"),
+        expr(s"transform(slice(evs, 1, least((size(evs) div $perFrame) * $perFrame, " +
+          s"${perFrame * MaxFrames})), e -> e.roll)").as("rolls"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        it.map { case (uid, rolls) =>
+          val nf = rolls.size / perFrame
+          val idxs = rolls.zipWithIndex.map { case (roll, i) =>
+            val frame = i / perFrame
+            val p = i % perFrame
+            ((frame / 2) * 5 + p * 3) % 15 + (if (roll == 0) 1 else 0)
+          }
+          val frames = (0 until nf).map(fi =>
+            (1, idxs.slice(fi * perFrame, (fi + 1) * perFrame).toArray))
+          val a = parseGif(uid, encodeGif(FrameW, FrameH, Palette, frames))
+          // red channel of the DECODED composited frames
+          val reds = a.frames.map(_.rgb.map(v => (v >> 16) & 0xff))
+          val diffs = reds.zip(reds.drop(1)).map { case (x, y) =>
+            x.zip(y).map { case (u, v) => math.abs(v - u).toLong }.sum
+          }
+          (uid, a.frames.size.toLong,
+            diffs.count(_ > CutThreshold).toLong,
+            diffs.sum, if (diffs.isEmpty) 0L else diffs.max)
+        }
+      }
+      .toDF("user_id", "n_frames", "n_cuts", "total_diff", "max_diff")
+      .orderBy(col("user_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_gif_anim" -> q_gif_anim,
+    "q_gif_scene_cuts" -> q_gif_scene_cuts)
 }

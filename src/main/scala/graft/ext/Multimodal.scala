@@ -1447,8 +1447,61 @@ object Multimodal {
       .orderBy(col("user_id"))
   }
 
+  // -- REAL sample-level analysis: decode → silence segmentation -------------
+  // The audio-curation pass a speech pipeline runs before training
+  // (VAD-style): each user's PCM stream goes through the real WAV
+  // encode + decode, a sample is "silent" when |amplitude| < 16000, and
+  // the census reports the silent count, the number of maximal silent
+  // RUNS, and the longest run — run-length structure the oracle
+  // recomputes with a gaps-and-islands grouping. Same scale shape as the
+  // other codec passes: one per-user aggregation, one mapPartitions
+  // pass, zero further shuffles.
+  private val SilenceAbs = 16000
+
+  val q_audio_silence: QueryDef = QueryDef(
+    s"""WITH e AS (SELECT user_id,
+       |    LEAST(GREATEST(CAST(floor(value*100) AS INT) - 24000, -32768), 32767) AS v,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |s AS (SELECT * FROM e WHERE rn <= 4096),
+       |sil AS (SELECT user_id, rn,
+       |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+       |  FROM s WHERE abs(v) < $SilenceAbs),
+       |runs AS (SELECT user_id, grp, count(*) AS len
+       |  FROM sil GROUP BY user_id, grp)
+       |SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(coalesce(max(r.n_silent), 0) AS BIGINT) AS n_silent,
+       |  CAST(coalesce(max(r.n_segments), 0) AS BIGINT) AS n_segments,
+       |  CAST(coalesce(max(r.longest), 0) AS BIGINT) AS longest_run
+       |FROM s LEFT JOIN (SELECT user_id, sum(len) AS n_silent,
+       |    count(*) AS n_segments, max(len) AS longest
+       |  FROM runs GROUP BY user_id) r ON s.user_id = r.user_id
+       |GROUP BY s.user_id
+       |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    userSampleStreams(s, dir).mapPartitions { it =>
+      val dec = new MediaDecoder()
+      it.map { u =>
+        val (_, _, samples) = dec.decodeWavSamples(
+          MediaDoc(u.user_id, "audio/wav", encodeWav(8000, 1, u.samples)))
+        var (nSilent, nSegs, longest, run) = (0L, 0L, 0L, 0L)
+        samples.foreach { v =>
+          if (math.abs(v.toInt) < SilenceAbs) {
+            if (run == 0) nSegs += 1
+            run += 1
+            nSilent += 1
+            if (run > longest) longest = run
+          } else run = 0
+        }
+        (u.user_id, samples.length.toLong, nSilent, nSegs, longest)
+      }
+    }.toDF("user_id", "n_samples", "n_silent", "n_segments", "longest_run")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_multimodal_features" -> q_multimodal_features,
+    "q_audio_silence" -> q_audio_silence,
     "q_frame_sample" -> q_frame_sample,
     "q_wav_roundtrip" -> q_wav_roundtrip,
     "q_mp3_meta" -> q_mp3_meta,

@@ -232,6 +232,34 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("q_gif_scene_cuts: cuts land exactly at scene boundaries with separated magnitudes") {
+    val df = Gif.q_gif_scene_cuts.fn(spark, sf).collect()
+    df.length should be > 0
+    df.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      // scenes are two frames wide: transitions f->f+1 with f odd cut
+      r.getAs[Long]("n_cuts") shouldBe (nf - 1) / 2
+      if (nf >= 3) r.getAs[Long]("max_diff") should be >= 544L // across-scene floor
+    }
+  }
+
+  test("q_audio_silence: run-length census is internally consistent and non-trivial") {
+    val df = Multimodal.q_audio_silence.fn(spark, sf).collect()
+    df.length should be > 0
+    df.foreach { r =>
+      val (n, silent, segs, longest) = (r.getAs[Long]("n_samples"),
+        r.getAs[Long]("n_silent"), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("longest_run"))
+      silent should be <= n
+      segs should be <= silent
+      longest should be <= silent
+      if (silent > 0) { segs should be >= 1L; longest should be >= 1L }
+      // every run is at most the longest, so segments x longest covers all
+      silent should be <= segs * longest
+    }
+    df.map(_.getAs[Long]("n_segments")).sum should be > 0L
+  }
+
   test("q_image_dhash_pairs: near-dup structure is cluster-shaped and thresholded") {
     val hashes = ImageDedup.hashesReal(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
