@@ -36,7 +36,7 @@ object Flac {
     private var acc = 0L
     private var nbits = 0
     def put(v: Long, n: Int): Unit = {
-      require(n <= 56 && (n == 64 || (v >> n) == 0), s"value $v overflows $n bits")
+      require(n <= 56 && (v >> n) == 0, s"value $v overflows $n bits")
       acc = (acc << n) | v
       nbits += n
       while (nbits >= 8) {
@@ -161,7 +161,7 @@ object Flac {
        |    ELSE 96000 END AS BIGINT) AS sample_rate,
        |  CAST(user_id % 2 + 1 AS BIGINT) AS channels,
        |  CAST(CASE user_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS BIGINT) AS bits_per_sample,
-       |  CAST(count(*) * 4096 + ((user_id % 256) << 28) AS BIGINT) AS total_samples,
+       |  CAST(LEAST(count(*), 60000) * 4096 + ((user_id % 256) << 28) AS BIGINT) AS total_samples,
        |  CAST(1 + user_id % 3 AS BIGINT) AS n_meta_blocks,
        |  CAST(user_id % 3 AS BIGINT) AS n_padding,
        |  CAST(LEAST(count(*), 100) AS BIGINT) AS audio_bytes
@@ -173,9 +173,10 @@ object Flac {
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (uid, n) =>
-          // (uid << 28) keeps the 36-bit field's high bits exercised while
-          // staying exact: uid < 256 in the testdata, 255 << 28 < 2^36
-          val total = n * 4096L + ((uid & 0xff) << 28)
+          // (uid % 256) << 28 keeps the 36-bit field's high bits exercised
+          // while staying exact; the event-count term is capped at 60000
+          // so 255<<28 + 60000*4096 stays under 2^36 at ANY scale factor
+          val total = math.min(n, 60000L) * 4096L + ((uid & 0xff) << 28)
           val enc = encodeFlac(Rates((uid % 8).toInt), (uid % 2 + 1).toInt,
             Bps((uid % 3).toInt), total, nPadding = (uid % 3).toInt,
             audioBytes = math.min(n, 100L).toInt)

@@ -159,6 +159,7 @@ object Gif {
         done = true
       } else if (prev < 0) {
         if (code >= clear) fail(s"first LZW code $code after clear is not a literal")
+        if (n >= expected) fail(s"LZW emits more than $expected pixels")
         out(n) = code; n += 1
         prev = code
       } else {
@@ -338,6 +339,7 @@ object Gif {
           val top = u16()
           val iw = u16()
           val ih = u16()
+          if (iw == 0 || ih == 0) fail(at, s"zero-area frame ${iw}x$ih")
           val ip = u8()
           val interlaced = (ip & 0x40) != 0
           val pal =
@@ -387,9 +389,10 @@ object Gif {
   }
 
   /** [[Multimodal.MediaFeatures]] face for `image/gif` payloads: width,
-    * height, n_frames from the real walk; feat0-2 = mean R/G/B over all
-    * composited frames in [0,1]; feat3 = total animation delay in
-    * seconds.
+    * height, n_frames from the real walk; feat0-2 = mean B/G/R over all
+    * composited frames in [0,1] (the image-modality contract every other
+    * image decoder follows — MediaFeatures' scaladoc); feat3 = total
+    * animation delay in seconds.
     */
   private[ext] def features(d: Multimodal.MediaDoc): Multimodal.MediaFeatures = {
     val a = parseGif(d.doc_id, d.content)
@@ -404,7 +407,7 @@ object Gif {
     val n = a.width.toDouble * a.height * a.frames.size * 255.0
     Multimodal.MediaFeatures(d.doc_id, d.mime, d.content.length,
       a.width, a.height, a.frames.size,
-      feat0 = sr / n, feat1 = sg / n, feat2 = sb / n, feat3 = delay / 100.0)
+      feat0 = sb / n, feat1 = sg / n, feat2 = sr / n, feat3 = delay / 100.0)
   }
 
   // ---- the oracle-gated round-trip query --------------------------------------

@@ -149,7 +149,10 @@ object ImageDedup {
        |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $MaxHamming
        |ORDER BY user_a, user_b""".stripMargin) { (s, dir) =>
-    val dh = hashesReal(s, dir)
+    // the codec pass is the dominant cost and feeds BOTH sides of the
+    // band self-join — checkpoint it once (the Dedup band-join pattern)
+    // so Spark cannot re-run the PNG encode/decode lineage per side
+    val dh = hashesReal(s, dir).localCheckpoint(true)
     val bands = dh.select(col("user_id"), col("dhash"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),

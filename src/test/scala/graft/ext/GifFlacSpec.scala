@@ -101,6 +101,37 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("malformed GIFs fail loudly: zero-area frame, pixel overflow after a mid-stream clear") {
+    // zero-area image descriptor: single-frame encode (no loop/comment)
+    // puts the descriptor at byte 69 — patch its width field to 0
+    val b = Gif.encodeGif(3, 2, Gif.Palette,
+      Seq((0, Array.tabulate(6)(_ % 16))), loop = false)
+    (b(69) & 0xff) shouldBe 0x2c // layout guard: introducer where expected
+    val patched = b.clone()
+    patched(74) = 0; patched(75) = 0
+    intercept[IllegalArgumentException] {
+      Gif.parseGif(1L, patched)
+    }.getMessage should include("zero-area")
+    // literal code arriving after the expected pixel count is full
+    // (CLEAR resets prev, so the first-literal branch must also bound n):
+    // codes [clear, 0, clear, 0, eoi] at minCode=2 → 3-bit LSB packing
+    def pack(codes: Seq[Int], size: Int): Array[Byte] = {
+      var (buf, cnt) = (0L, 0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      codes.foreach { c =>
+        buf |= c.toLong << cnt; cnt += size
+        while (cnt >= 8) { out += (buf & 0xff).toByte; buf >>>= 8; cnt -= 8 }
+      }
+      if (cnt > 0) out += (buf & 0xff).toByte
+      out.toArray
+    }
+    val overfull = pack(Seq(4, 0, 4, 0, 5), 3)
+    intercept[IllegalArgumentException] {
+      Gif.lzwDecode(2, overfull, 1,
+        why => throw new IllegalArgumentException(why))
+    }.getMessage should include("more than 1 pixels")
+  }
+
   // ---- cross-validation against the JDK's independent GIF implementation ------
 
   test("cross-check: our GIF encode decodes identically under ImageIO (20 cases)") {
