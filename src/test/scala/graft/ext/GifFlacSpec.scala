@@ -235,6 +235,79 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  // ---- WARC -------------------------------------------------------------------
+
+  test("property: WARC member-per-record gzip round-trips payloads exactly (40 cases)") {
+    val g = for {
+      n <- Gen.choose(1, 12)
+      recs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 600)
+        body <- Gen.listOfN(len, Gen.choose(0, 255))
+      } yield body.map(_.toByte).toArray)
+    } yield recs
+    for (seed <- 1L to 40L) {
+      val payloads = gen(g, seed * 79L)
+      val recs = payloads.zipWithIndex.map { case (p, i) =>
+        (s"https://example.org/doc/$i", s"urn:doc:$i", p)
+      }
+      val parsed = Warc.parseWarc(seed, Warc.encodeWarc(recs))
+      withClue(s"seed=$seed n=${recs.size}: ") {
+        parsed.size shouldBe recs.size
+        parsed.zip(recs).foreach { case (got, (uri, id, p)) =>
+          got.uri shouldBe uri
+          got.id shouldBe id
+          got.contentLength shouldBe p.length
+          got.payload.toSeq shouldBe p.toSeq
+        }
+        // offsets are strictly increasing and start at 0
+        parsed.head.offset shouldBe 0L
+        parsed.map(_.offset) shouldBe parsed.map(_.offset).sorted
+      }
+    }
+  }
+
+  test("WARC framing survives adversarial payloads (embedded WARC/1.0 lines, CRLFCRLF)") {
+    // a delimiter-scanning reader would split these payloads; the
+    // Content-Length framing must not
+    val evil = Seq(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+      "\r\n\r\n\r\n\r\n",
+      "Content-Length: 0\r\n\r\n")
+      .zipWithIndex.map { case (s, i) =>
+        (s"https://example.org/doc/$i", s"urn:doc:$i", s.getBytes("UTF-8"))
+      }
+    val parsed = Warc.parseWarc(0L, Warc.encodeWarc(evil))
+    parsed.size shouldBe 3
+    parsed.zip(evil).foreach { case (got, (_, _, p)) =>
+      got.payload.toSeq shouldBe p.toSeq
+    }
+  }
+
+  test("property: truncating a WARC file anywhere fails loudly (40 cases)") {
+    val recs = (0 until 4).map(i =>
+      (s"https://example.org/doc/$i", s"urn:doc:$i",
+        (s"payload body $i " * 10).getBytes("UTF-8")))
+    val full = Warc.encodeWarc(recs)
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 131) % (full.length - 1)).toInt
+      withClue(s"seed=$seed cut=$cut: ") {
+        // a cut INSIDE a gzip member corrupts the stream; a cut exactly on
+        // a member boundary yields a shorter but well-formed file — the
+        // parse must then return exactly the complete prefix records
+        try {
+          val parsed = Warc.parseWarc(seed, full.take(cut))
+          parsed.size should be < recs.size
+          parsed.zip(recs).foreach { case (got, (uri, _, p)) =>
+            got.uri shouldBe uri
+            got.payload.toSeq shouldBe p.toSeq
+          }
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage should (include("WARC") or include("gzip"))
+        }
+      }
+    }
+  }
+
   // ---- the declared queries, end to end ----------------------------------------
 
   test("q_gif_anim: every user round-trips; sums match a direct recomputation") {
