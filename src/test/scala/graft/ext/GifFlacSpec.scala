@@ -308,6 +308,50 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  // ---- MP4 --------------------------------------------------------------------
+
+  test("property: MP4 encode+box-walk reproduces the structure at every shape (60 cases)") {
+    val g = for {
+      ts <- Gen.choose(1L, 1000000L)
+      dur <- Gen.choose(0L, 100000L)
+      w <- Gen.choose(16, 4096); h <- Gen.choose(16, 2160)
+      na <- Gen.choose(0, 5)
+      lang <- Gen.oneOf("eng", "und", "fra", "deu", "zho")
+      mb <- Gen.choose(0, 300)
+      large <- Gen.oneOf(true, false)
+    } yield (ts, dur, w, h, na, lang, mb, large)
+    for (seed <- 1L to 60L) {
+      val (ts, dur, w, h, na, lang, mb, large) = gen(g, seed * 89L)
+      val m = Mp4.parseMp4(seed,
+        Mp4.encodeMp4(ts, dur, w, h, na, lang, mb, large))
+      withClue(s"seed=$seed ts=$ts ${w}x$h na=$na lang=$lang large=$large: ") {
+        m.timescale shouldBe ts
+        m.duration shouldBe dur
+        m.nTracks shouldBe 1 + na
+        m.nVideo shouldBe 1
+        m.nAudio shouldBe na
+        m.width shouldBe w
+        m.height shouldBe h
+        m.lang shouldBe lang
+        m.nBoxes shouldBe 4 + 5 * (1 + na)
+        m.mdatBytes shouldBe mb
+      }
+    }
+  }
+
+  test("property: truncating an MP4 anywhere fails loudly, never mis-walks (40 cases)") {
+    val full = Mp4.encodeMp4(1000, 5000, 320, 240, nAudio = 2,
+      lang = "eng", mdatBytes = 50, largeMdat = true)
+    for (seed <- 1L to 40L) {
+      val cut = 1 + ((seed * 131) % (full.length - 1)).toInt
+      withClue(s"seed=$seed cut=$cut: ") {
+        intercept[IllegalArgumentException] {
+          Mp4.parseMp4(seed, full.take(cut))
+        }.getMessage should include("MP4 parse at byte")
+      }
+    }
+  }
+
   // ---- the declared queries, end to end ----------------------------------------
 
   test("q_gif_anim: every user round-trips; sums match a direct recomputation") {
