@@ -67,7 +67,9 @@ object Mp4 {
   def encodeMp4(timescale: Long, duration: Long, width: Int, height: Int,
       nAudio: Int, lang: String, mdatBytes: Int,
       largeMdat: Boolean = false): Array[Byte] = {
-    require(timescale > 0 && duration >= 0 && nAudio >= 0 && mdatBytes >= 0)
+    require(timescale > 0 && timescale <= 0xffffffffL, s"timescale $timescale not u32")
+    require(duration >= 0 && duration <= 0xffffffffL, s"duration $duration not u32")
+    require(nAudio >= 0 && mdatBytes >= 0)
     val out = ArrayBuffer.empty[Byte]
     out ++= box("ftyp") { b =>
       fourcc(b, "isom"); be32(b, 512); fourcc(b, "isom"); fourcc(b, "mp41")
@@ -80,7 +82,8 @@ object Mp4 {
         be32(b, 0) // reserved
         be32(b, duration)
         b ++= new Array[Byte](8) // reserved
-        be32(b, 0); be32(b, if (video) 0 else 0x0100) // layer+group, volume
+        be32(b, 0) // layer(2) + alternate_group(2)
+        be32(b, if (video) 0 else 0x01000000L) // volume(2) 8.8 fixed + reserved(2)
         // identity matrix (9 x 32-bit)
         Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
           .foreach(be32(b, _))
@@ -111,7 +114,8 @@ object Mp4 {
         be32(b, 0); be32(b, 0)
         be32(b, timescale)
         be32(b, duration)
-        be32(b, 0x10000); be32(b, 0x0100) // rate 1.0, volume 1.0 + reserved
+        be32(b, 0x10000) // rate 1.0 (16.16)
+        be32(b, 0x01000000L) // volume 1.0 (8.8) + reserved(2)
         b ++= new Array[Byte](8)
         Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
           .foreach(be32(b, _))
@@ -164,7 +168,8 @@ object Mp4 {
       var pos = from
       while (pos < to) {
         val at = pos
-        if (pos + 8 > to) fail(at.toLong, "truncated box header")
+        if (to - pos < 8) fail(at.toLong,
+          s"trailing ${to - pos} bytes do not tile their parent (no room for a box header)")
         val size0 = u32(pos)
         val typ = new String(b, pos + 4, 4, "US-ASCII")
         var hdr = 8
@@ -177,14 +182,20 @@ object Mp4 {
         nBoxes += 1
         val bodyAt = pos + hdr
         val bodyEnd = (pos + size).toInt
+        // leaf reads must stay INSIDE the box body — an undersized box
+        // must fail by name, never read sibling bytes as its own fields
+        def need(n: Int): Unit =
+          if (bodyEnd - bodyAt < n) fail(at.toLong, s"'$typ' body ${bodyEnd - bodyAt} bytes, needs $n")
         typ match {
           case t if Containers(t) => walk(bodyAt, bodyEnd, t :: path)
           case "ftyp" => sawFtyp = true
           case "mvhd" =>
+            need(20)
             if (u32(bodyAt) >>> 24 != 0) fail(at.toLong, "mvhd version != 0 unsupported")
             timescale = u32(bodyAt + 12)
             duration = u32(bodyAt + 16)
           case "mdhd" =>
+            need(22)
             if (u32(bodyAt) >>> 24 != 0) fail(at.toLong, "mdhd version != 0 unsupported")
             val packed = (((b(bodyAt + 20) & 0xff) << 8) | (b(bodyAt + 21) & 0xff)) & 0x7fff
             val l = new String(Array(
@@ -194,11 +205,13 @@ object Mp4 {
             if (lang == null) lang = l
             else if (lang != l) fail(at.toLong, s"tracks disagree on language ($lang vs $l)")
           case "hdlr" =>
+            need(12)
             val handler = new String(b, bodyAt + 8, 4, "US-ASCII")
             if (handler == "vide") nVideo += 1
             else if (handler == "soun") nAudio += 1
             else fail(at.toLong, s"handler '$handler' unsupported")
           case "tkhd" =>
+            need(84)
             if (u32(bodyAt) >>> 24 != 0) fail(at.toLong, "tkhd version != 0 unsupported")
             val w = (u32(bodyAt + 76) >> 16).toInt // 16.16 fixed
             val h = (u32(bodyAt + 80) >> 16).toInt
@@ -208,7 +221,8 @@ object Mp4 {
         }
         pos = bodyEnd
       }
-      if (pos != to) fail(pos.toLong, "box sizes do not tile their parent")
+      // pos == to is guaranteed here: the overrun check bounds every
+      // bodyEnd by `to`, and the entry guard rejects sub-header residue
     }
     if (b.length < 8) fail(0, "shorter than one box header")
     walk(0, b.length, Nil)

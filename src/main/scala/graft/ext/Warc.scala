@@ -1,9 +1,9 @@
 package graft.ext
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{CRC32, GZIPOutputStream, Inflater}
 
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -61,27 +61,83 @@ object Warc {
       gz.write(head.toString.getBytes(UTF_8))
       gz.write(payload)
       gz.write((Crlf + Crlf).getBytes(UTF_8))
-      gz.finish() // close the member WITHOUT closing the byte sink
+      gz.close() // ends the member AND the Deflater's native context
+      // (ByteArrayOutputStream.close() is a no-op, so the sink survives)
     }
     out.toByteArray
   }
 
-  /** Decompress (multi-member) + parse by Content-Length framing. */
+  /** Decompress the member-concatenated gzip stream with an explicit
+    * member walk (NOT GZIPInputStream, which silently swallows a corrupt
+    * or truncated later member and hands back a prefix): each member's
+    * 10-byte header is parsed by hand, the deflate body runs through a
+    * raw [[Inflater]], and the CRC32 + ISIZE trailer is VERIFIED, so
+    * corruption anywhere in the file fails loudly with the compressed
+    * offset instead of silently dropping tail records during ingest.
+    */
+  private def gunzipMembers(docId: Long, b: Array[Byte]): Array[Byte] = {
+    def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
+      s"doc $docId: WARC gzip member at compressed byte $off: $why")
+    val out = new ByteArrayOutputStream()
+    var pos = 0
+    while (pos < b.length) {
+      val at = pos
+      if (pos + 10 > b.length) fail(at, "truncated member header")
+      if ((b(pos) & 0xff) != 0x1f || (b(pos + 1) & 0xff) != 0x8b)
+        fail(at, "bad gzip magic")
+      if ((b(pos + 2) & 0xff) != 8) fail(at, s"compression method ${b(pos + 2)} != deflate")
+      val flg = b(pos + 3) & 0xff
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (pos + 2 > b.length) fail(at, "truncated FEXTRA length")
+        val xlen = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (pos < b.length && b(pos) != 0) pos += 1
+        pos += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (pos < b.length && b(pos) != 0) pos += 1
+        pos += 1
+      }
+      if ((flg & 2) != 0) pos += 2 // FHCRC
+      if (pos > b.length) fail(at, "truncated member header fields")
+      val inf = new Inflater(true)
+      try {
+        inf.setInput(b, pos, b.length - pos)
+        val crc = new CRC32()
+        val chunk = new Array[Byte](8192)
+        var isize = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(chunk)
+            catch { case e: java.util.zip.DataFormatException =>
+              fail(at, s"deflate data corrupt: ${e.getMessage}")
+            }
+          if (n == 0 && !inf.finished()) fail(at, "deflate stream truncated")
+          out.write(chunk, 0, n)
+          crc.update(chunk, 0, n)
+          isize += n
+        }
+        val consumed = (b.length - pos) - inf.getRemaining
+        val tAt = pos + consumed
+        if (tAt + 8 > b.length) fail(tAt, "truncated member trailer")
+        def le32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+          ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+        if (le32(tAt) != crc.getValue) fail(tAt, "member CRC32 mismatch")
+        if (le32(tAt + 4) != (isize & 0xffffffffL)) fail(tAt + 4, "member ISIZE mismatch")
+        pos = tAt + 8
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  /** Decompress (multi-member, verified) + parse by Content-Length framing. */
   def parseWarc(docId: Long, b: Array[Byte]): Vector[Record] = {
     def fail(off: Long, why: String): Nothing = throw new IllegalArgumentException(
       s"doc $docId: WARC parse at decompressed byte $off: $why")
-    val bytes =
-      try {
-        val in = new GZIPInputStream(new ByteArrayInputStream(b))
-        val buf = new ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } catch { case e: java.io.IOException =>
-        throw new IllegalArgumentException(
-          s"doc $docId: WARC gzip stream corrupt/truncated: ${e.getMessage}")
-      }
+    val bytes = gunzipMembers(docId, b)
     var pos = 0
     def line(): String = {
       val start = pos
@@ -120,7 +176,7 @@ object Warc {
       if (uri == null) fail(at, "missing WARC-Target-URI")
       if (id == null) fail(at, "missing WARC-Record-ID")
       if (len < 0) fail(at, "missing Content-Length")
-      if (pos + len + 4 > bytes.length) fail(at, s"payload of $len bytes truncated")
+      if (len > bytes.length - pos - 4) fail(at, s"payload of $len bytes truncated")
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len
       if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&

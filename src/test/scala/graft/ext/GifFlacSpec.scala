@@ -352,6 +352,40 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("corrupting a LATER gzip member fails loudly (the GZIPInputStream silent-prefix trap)") {
+    val recs = (0 until 3).map(i =>
+      (s"https://example.org/doc/$i", s"urn:doc:$i", s"body $i".getBytes("UTF-8")))
+    val full = Warc.encodeWarc(recs)
+    // find the second member's header (gzip magic 1f 8b after offset 0)
+    val m2 = (1 until full.length - 1).find(i =>
+      (full(i) & 0xff) == 0x1f && (full(i + 1) & 0xff) == 0x8b).get
+    // flip a bit in the second member's magic: a silent-prefix reader
+    // returns record 0 only; the verified member walk must fail loudly
+    val corrupt = full.clone()
+    corrupt(m2) = 0x55
+    intercept[IllegalArgumentException] {
+      Warc.parseWarc(9L, corrupt)
+    }.getMessage should include("gzip member")
+    // trailing garbage after valid members must also fail, not vanish
+    intercept[IllegalArgumentException] {
+      Warc.parseWarc(9L, full ++ Array[Byte](1, 2, 3))
+    }.getMessage should include("gzip member")
+  }
+
+  test("an undersized MP4 leaf box fails by name instead of reading sibling bytes") {
+    val full = Mp4.encodeMp4(1000, 500, 320, 240, nAudio = 1,
+      lang = "eng", mdatBytes = 4)
+    // shrink the first hdlr box: find its fourcc and rewrite the size
+    // field to 8 (empty body); the walk must fail loudly, not mis-census
+    val i = (0 until full.length - 4).find(p =>
+      new String(full, p, 4, "US-ASCII") == "hdlr").get
+    val patched = full.clone()
+    patched(i - 4) = 0; patched(i - 3) = 0; patched(i - 2) = 0; patched(i - 1) = 8
+    val e = intercept[IllegalArgumentException] { Mp4.parseMp4(7L, patched) }
+    e.getMessage should (include("'hdlr' body") or include("do not tile") or
+      include("overruns"))
+  }
+
   // ---- the declared queries, end to end ----------------------------------------
 
   test("q_gif_anim: every user round-trips; sums match a direct recomputation") {
