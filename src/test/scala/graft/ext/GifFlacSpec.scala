@@ -386,6 +386,93 @@ class GifFlacSpec extends AnyFunSuite with SparkSpec with Matchers {
       include("overruns"))
   }
 
+  // ---- TAR --------------------------------------------------------------------
+
+  test("property: ustar encode+parse round-trips names, payloads, offsets (40 cases)") {
+    val g = for {
+      n <- Gen.choose(1, 10)
+      recs <- Gen.listOfN(n, for {
+        len <- Gen.oneOf(Gen.choose(0, 1500), Gen.const(512), Gen.const(0))
+        body <- Gen.listOfN(len, Gen.choose(0, 255))
+      } yield body.map(_.toByte).toArray)
+    } yield recs
+    for (seed <- 1L to 40L) {
+      val payloads = gen(g, seed * 97L)
+      val entries = payloads.zipWithIndex.map { case (p, i) => (s"e$i.bin", p) }
+      val parsed = Tar.parseTar(seed, Tar.encodeTar(entries))
+      withClue(s"seed=$seed n=${entries.size}: ") {
+        parsed.size shouldBe entries.size
+        parsed.zip(entries).foreach { case (got, (name, p)) =>
+          got.name shouldBe name
+          got.payload.toSeq shouldBe p.toSeq
+          got.dataOffset % 512 shouldBe 0
+        }
+      }
+    }
+  }
+
+  test("property: corrupting any tar byte fails loudly or leaves the archive exact (40 cases)") {
+    val entries = (0 until 3).map(i => (s"f$i.txt", (s"content $i " * 20).getBytes("UTF-8")))
+    val full = Tar.encodeTar(entries)
+    val ref = Tar.parseTar(0L, full)
+    for (seed <- 1L to 40L) {
+      val at = ((seed * 131) % full.length).toInt
+      val corrupt = full.clone()
+      corrupt(at) = (corrupt(at) ^ 0x55).toByte
+      withClue(s"seed=$seed at=$at: ") {
+        try {
+          // a flip inside PAYLOAD or padding bytes cannot be detected by a
+          // header walk (tar has no data checksum) — but the structure
+          // must stay exact; a flip in any HEADER byte must fail loudly
+          val got = Tar.parseTar(seed, corrupt)
+          got.size shouldBe ref.size
+          got.map(_.name) shouldBe ref.map(_.name)
+          got.map(_.dataOffset) shouldBe ref.map(_.dataOffset)
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage should include("TAR")
+        }
+      }
+    }
+  }
+
+  test("cross-check: our tar extracts identically under GNU tar, and vice versa") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+    try {
+      // direction 1: our encoder -> GNU tar extract
+      val entries = (0 until 4).map(i =>
+        (s"doc$i.txt", (s"payload $i with spark bytes " * (i + 1)).getBytes("UTF-8")))
+      val ours = new java.io.File(dir, "ours.tar")
+      java.nio.file.Files.write(ours.toPath, Tar.encodeTar(entries))
+      val xd = new java.io.File(dir, "x"); xd.mkdir()
+      (Seq("tar", "-xf", ours.getAbsolutePath, "-C", xd.getAbsolutePath).! ) shouldBe 0
+      entries.foreach { case (name, p) =>
+        java.nio.file.Files.readAllBytes(new java.io.File(xd, name).toPath)
+          .toSeq shouldBe p.toSeq
+      }
+      // direction 2: GNU tar create -> our parser
+      val sd = new java.io.File(dir, "s"); sd.mkdir()
+      entries.foreach { case (name, p) =>
+        java.nio.file.Files.write(new java.io.File(sd, name).toPath, p)
+      }
+      val theirs = new java.io.File(dir, "theirs.tar")
+      (Seq("tar", "--format=ustar", "-cf", theirs.getAbsolutePath,
+        "-C", sd.getAbsolutePath) ++ entries.map(_._1)).! shouldBe 0
+      val parsed = Tar.parseTar(0L, java.nio.file.Files.readAllBytes(theirs.toPath))
+      parsed.map(_.name).sorted shouldBe entries.map(_._1).sorted
+      parsed.foreach { e =>
+        val want = entries.find(_._1 == e.name).get._2
+        e.payload.toSeq shouldBe want.toSeq
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   // ---- the declared queries, end to end ----------------------------------------
 
   test("q_gif_anim: every user round-trips; sums match a direct recomputation") {
