@@ -1229,5 +1229,6 @@ object ExtQueries {
     "q_countmin_freq" -> q_countmin_freq,
     "q_bloom_semijoin" -> q_bloom_semijoin) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pq.all ++ IvfPq.all ++
-    Gif.all ++ Flac.all ++ ImageDedup.all ++ Warc.all ++ Mp4.all ++ Tar.all
+    Gif.all ++ Flac.all ++ ImageDedup.all ++ Warc.all ++ Mp4.all ++ Tar.all ++
+    Html.all ++ TextNorm.all
 }

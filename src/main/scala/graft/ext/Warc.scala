@@ -196,7 +196,7 @@ object Warc {
     * (version line + 4 headers + separators + terminator): everything
     * except len(id) + len(uri) + digits(Content-Length) + payload.
     */
-  private val RecFixed = 92
+  private[ext] val RecFixed = 92
 
   /** Documents → 8-record member-per-record gzip WARC files → REAL
     * decompress + framed parse back. Output gates the payload bytes

@@ -156,6 +156,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ShingleHashes(es(0),
           intLit(es(1), "graft_shingle_hashes", "n"))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_url_normalize"),
+      info("graft_url_normalize",
+        "graft_url_normalize(url) - RFC 3986 syntax normalization; NULL if not an absolute URL"),
+      (es: Seq[Expression]) => {
+        arity("graft_url_normalize", es, 1); graft.functions.UrlNormalize(es(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
+      (es: Seq[Expression]) => {
+        arity("graft_nfc", es, 1); graft.functions.NfcNormalize(es(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_strip_accents"),
+      info("graft_strip_accents",
+        "graft_strip_accents(s) - NFD decomposition with combining marks removed"),
+      (es: Seq[Expression]) => {
+        arity("graft_strip_accents", es, 1); graft.functions.StripAccents(es(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_topk_ordered"),
       info("graft_topk_ordered",
         "graft_topk_ordered(score, id, k) - top-k (score DESC, id ASC) as array<struct>"),
