@@ -72,6 +72,11 @@ object Html {
     "li", "ul", "ol", "br", "tr", "td", "th", "table", "blockquote", "pre",
     "section", "article", "header", "footer", "body", "html", "head")
 
+  // hoisted: flush() runs per block of every page in the hot
+  // mapPartitions pass — replaceAll would recompile the pattern per call
+  private val Ws = java.util.regex.Pattern.compile("[ \t\r\n]+")
+  private def collapse(s: String): String = Ws.matcher(s).replaceAll(" ").trim
+
   /** Tokenize + extract. Offsets in failures are CHAR offsets into the
     * markup string.
     */
@@ -89,13 +94,29 @@ object Html {
     val links = Vector.newBuilder[(String, String)]
     var anchorHref: String = null
     var anchorFrom = 0 // cur position where the open <a> started
+    var anchorBuf: StringBuilder = null // anchor text carried across flushes
 
-    // flush the current block: collapse whitespace runs, trim, drop empty
+    // flush the current block: collapse whitespace runs, trim, drop empty.
+    // An open anchor's text-so-far is carried over (block elements inside
+    // <a> are valid HTML5 — card links — and must not lose anchor text).
     def flush(): Unit = {
       val s = cur.toString
       cur.clear()
-      val collapsed = s.replaceAll("[ \t\r\n]+", " ").trim
+      if (anchorHref != null) {
+        anchorBuf.append(s.substring(math.min(anchorFrom, s.length))).append(' ')
+        anchorFrom = 0
+      }
+      val collapsed = collapse(s)
       if (collapsed.nonEmpty) blocks += collapsed
+    }
+
+    // emit the open anchor (on </a>, or auto-close when a new <a> opens
+    // before the previous closed — browsers auto-close nested anchors)
+    def closeAnchor(): Unit = if (anchorHref != null) {
+      val tail = cur.substring(math.min(anchorFrom, cur.length))
+      links += ((anchorHref, collapse(anchorBuf.toString + tail)))
+      anchorHref = null
+      anchorBuf = null
     }
 
     // decode one character reference starting at `&` (pos on the '&');
@@ -146,12 +167,19 @@ object Html {
     }
 
     // scan for the raw-text/RCDATA end tag `</name` (ASCII
-    // case-insensitive, per spec); returns the index of its '<'
+    // case-insensitive); per spec the name must be FOLLOWED by
+    // whitespace, '/' or '>' — `</scripts>` inside JS must not
+    // terminate a <script> element. Returns the index of its '<'.
     def findEndTag(name: String, from: Int): Int = {
       val needle = "</" + name
       var i = from
       while (i + needle.length <= n) {
-        if (html.regionMatches(true, i, needle, 0, needle.length)) return i
+        if (html.regionMatches(true, i, needle, 0, needle.length)) {
+          val after = i + needle.length
+          if (after >= n) return -1 // needle at EOF: no closing '>' can follow
+          val c = html.charAt(after)
+          if (Character.isWhitespace(c) || c == '/' || c == '>') return i
+        }
         i += 1
       }
       -1
@@ -175,22 +203,17 @@ object Html {
           val s = pos
           while (pos < n && html.charAt(pos) != '>') pos += 1
           if (pos >= n) fail(at, "unterminated close tag")
-          val name = html.substring(s, pos).trim.toLowerCase
+          val name = html.substring(s, pos).trim.toLowerCase(java.util.Locale.ROOT)
           pos += 1
           if (name == "body") inBody = false
-          if (name == "a" && anchorHref != null) {
-            val text = cur.substring(anchorFrom)
-              .replaceAll("[ \t\r\n]+", " ").trim
-            links += ((anchorHref, text))
-            anchorHref = null
-          }
+          if (name == "a") closeAnchor()
           if (Block(name)) flush()
         } else if (pos + 1 < n && Character.isLetter(html.charAt(pos + 1))) {
           // open tag: name, attributes, optional self-close
           pos += 1
           val s = pos
           while (pos < n && (Character.isLetterOrDigit(html.charAt(pos)))) pos += 1
-          val name = html.substring(s, pos).toLowerCase
+          val name = html.substring(s, pos).toLowerCase(java.util.Locale.ROOT)
           val attrs = Map.newBuilder[String, String]
           var selfClose = false
           var open = true
@@ -209,7 +232,7 @@ object Html {
                   html.charAt(pos) != '=' && html.charAt(pos) != '>' &&
                   html.charAt(pos) != '/') pos += 1
                 if (pos == as) fail(pos, "malformed attribute")
-                val aname = html.substring(as, pos).toLowerCase
+                val aname = html.substring(as, pos).toLowerCase(java.util.Locale.ROOT)
                 while (pos < n && Character.isWhitespace(html.charAt(pos))) pos += 1
                 if (pos < n && html.charAt(pos) == '=') {
                   pos += 1
@@ -247,7 +270,10 @@ object Html {
             val gt = html.indexOf('>', end)
             if (gt < 0) fail(end, "unterminated </title>")
             pos = gt + 1
-          } else if (!selfClose && (name == "script" || name == "style")) {
+          } else if (name == "script" || name == "style") {
+            // HTML5 ignores the self-closing flag on non-foreign elements:
+            // <script src="x"/> is an OPEN script consuming raw text until
+            // </script> — honoring the slash would leak JS into the text
             val end = findEndTag(name, pos)
             if (end < 0) fail(at, s"unterminated <$name> (raw text)")
             rawSkipped += end - pos
@@ -256,8 +282,10 @@ object Html {
             pos = gt + 1
           } else {
             if (name == "a" && inBody) {
+              closeAnchor() // browsers auto-close a still-open <a>
               anchorHref = attrs.result().getOrElse("href", "")
               anchorFrom = cur.length
+              anchorBuf = new StringBuilder
             }
             if (Block(name)) flush()
           }
@@ -274,6 +302,7 @@ object Html {
         pos += 1
       }
     }
+    closeAnchor() // an <a> still open at EOF keeps its link (browser behavior)
     flush()
     Extraction(if (title == null) "" else title, blocks.mkString("\n"),
       links.result(), nTags, rawSkipped)

@@ -46,20 +46,10 @@ object NfcNormalize {
 
   def compute(s: UTF8String): UTF8String = {
     // ASCII fast path: NFC is the identity on pure ASCII
-    if (isAscii(s)) return s
+    if (UnicodeNorm.isAscii(s)) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
-  }
-
-  private def isAscii(s: UTF8String): Boolean = {
-    val n = s.numBytes
-    var i = 0
-    while (i < n) {
-      if ((s.getByte(i) & 0x80) != 0) return false
-      i += 1
-    }
-    true
   }
 
   /** Column form. */
@@ -93,17 +83,23 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared fast-path predicate for both expressions. */
+private[functions] object UnicodeNorm {
+  def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
 object StripAccents {
 
   def compute(s: UTF8String): UTF8String = {
-    val n = s.numBytes
-    var ascii = true
-    var i = 0
-    while (ascii && i < n) {
-      if ((s.getByte(i) & 0x80) != 0) ascii = false
-      i += 1
-    }
-    if (ascii) return s
+    if (UnicodeNorm.isAscii(s)) return s
     val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     val sb = new StringBuilder(nfd.length)
     var j = 0

@@ -120,7 +120,7 @@ object UrlNormalize {
     val s = u.toString
     val sep = s.indexOf("://")
     if (sep <= 0) return null
-    val scheme = s.substring(0, sep).toLowerCase
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
     if (!scheme.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
       c == '+' || c == '-' || c == '.')) return null
     var rest = s.substring(sep + 3)
@@ -146,7 +146,7 @@ object UrlNormalize {
         (hostPort.substring(0, colon), hostPort.substring(colon + 1))
       else (hostPort, "")
     if (host0.isEmpty) return null
-    val host = host0.toLowerCase
+    val host = host0.toLowerCase(java.util.Locale.ROOT)
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
     // split path from query
@@ -167,23 +167,6 @@ object UrlNormalize {
     sb.append(path)
     if (query != null) sb.append('?').append(query)
     UTF8String.fromString(sb.toString)
-  }
-
-  /** The registered-domain-ish host key (last two labels) a crawl
-    * pipeline groups by — a heuristic, not the public-suffix list.
-    */
-  def hostOf(normalized: String): String = {
-    val i = normalized.indexOf("://") + 3
-    val at = normalized.indexOf('@', i)
-    val from = if (at >= 0 && at < hostEnd(normalized, i)) at + 1 else i
-    normalized.substring(from, hostEnd(normalized, from))
-  }
-
-  private def hostEnd(s: String, from: Int): Int = {
-    var i = from
-    while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?' &&
-      s.charAt(i) != ':') i += 1
-    i
   }
 
   /** Column form. */

@@ -156,6 +156,36 @@ class HtmlSpec extends AnyFunSuite with Matchers {
     ex.bodyText shouldBe "a bold c\none\ntwo"
   }
 
+  test("block elements inside <a> keep the anchor text across the block flush") {
+    // card links — block content inside an anchor is valid HTML5
+    val ex = Html.parseHtml(0L,
+      "<body>pre<a href=\"u\">head<p>body text</p>tail</a>post</body>")
+    ex.links shouldBe Vector(("u", "head body text tail"))
+    ex.bodyText shouldBe "prehead\nbody text\ntailpost"
+  }
+
+  test("nested <a> auto-closes the outer link (browser behavior); EOF keeps an open one") {
+    val ex = Html.parseHtml(0L,
+      "<body><a href=\"https://x\">see <a href=\"https://y\">here</a></body>")
+    ex.links shouldBe Vector(("https://x", "see"), ("https://y", "here"))
+    Html.parseHtml(0L, "<body><a href=\"u\">dangling")
+      .links shouldBe Vector(("u", "dangling"))
+  }
+
+  test("a longer end-tag name does not terminate raw text early") {
+    val ex = Html.parseHtml(0L,
+      "<body><script>var s = \"</scripts> fake\";</script><p>ok</p></body>")
+    ex.bodyText shouldBe "ok"
+    ex.rawSkipped shouldBe "var s = \"</scripts> fake\";".length
+  }
+
+  test("self-closing flag is ignored on script (HTML5 non-foreign rule)") {
+    val ex = Html.parseHtml(0L,
+      "<body><script src=\"x\"/>var a = \"</div>\";</script><p>ok</p></body>")
+    ex.bodyText shouldBe "ok"
+    ex.rawSkipped shouldBe "var a = \"</div>\";".length
+  }
+
   test("anchor text collapses internal whitespace and nested inline markup") {
     val ex = Html.parseHtml(0L,
       "<body><a href=\"u\">  spaced <b>inner</b>\n text </a></body>")
