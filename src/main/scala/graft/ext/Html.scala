@@ -495,7 +495,51 @@ object Html {
   /** Escape a Scala string constant into a single-quoted SQL literal. */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // ---- q_host_links: the web-graph edge aggregation -------------------------------
+
+  /** The step after WET extraction in a crawl pipeline: extracted links
+    * become the HOST-LEVEL web graph (the input to host ranking, spam
+    * clustering, crawl prioritization). Each page's declared host links
+    * to the hosts of its extracted hrefs; edges aggregate to (src_host,
+    * dst_host, link count, distinct pages). Scale shape: the extraction
+    * is the same single mapPartitions pass, and the edge aggregation is
+    * ONE hash-partitioned groupBy on (src, dst) — host-pair cardinality
+    * is tiny next to the page count, so the map-side partial aggregation
+    * collapses almost everything before the exchange.
+    */
+  val q_host_links: QueryDef = QueryDef(
+    """WITH r(x) AS (VALUES (0),(1),(2),(3)),
+      |e AS (SELECT doc_id,
+      |    'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com' AS src_host,
+      |    'h' || CAST((doc_id + x) % 8 AS VARCHAR) || '.example.com' AS dst_host
+      |  FROM documents JOIN r ON r.x <= doc_id % 4)
+      |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM e GROUP BY src_host, dst_host
+      |ORDER BY src_host, dst_host""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, source, text) =>
+          val ex = parseHtml(id, renderHtml(id, source, text, (id % 4 + 1).toInt))
+          ex.links.map { case (href, _) =>
+            val i = href.indexOf("://") + 3
+            (id, s"h${id % 8}.example.com",
+              href.substring(i, href.indexOf('/', i)))
+          }
+        }
+      }
+      .toDF("doc_id", "src_host", "dst_host")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_html_extract" -> q_html_extract,
-    "q_wet_pipeline" -> q_wet_pipeline)
+    "q_wet_pipeline" -> q_wet_pipeline,
+    "q_host_links" -> q_host_links)
 }

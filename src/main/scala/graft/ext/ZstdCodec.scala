@@ -1,0 +1,203 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Zstandard (RFC 8878) shard round-trip — the compression modern LLM
+  * corpora actually ship in (`.jsonl.zst` interchange shards,
+  * `.warc.zst` crawls): text shards are compressed through the REAL
+  * zstd codec (zstd-jni, the same native library Spark's own shuffle
+  * compression uses), and read back through BOTH an independent
+  * bit-level FRAME WALK of ours and the real decompressor.
+  *
+  * The walk parses the RFC 8878 container skeleton — magic, the
+  * Frame_Header_Descriptor bit fields (frame-content-size code,
+  * single-segment, checksum, dictionary-id flags, the reserved bit),
+  * window descriptor, the little-endian FCS field in all four widths,
+  * then every Block_Header (last-block bit, type, 21-bit size; RLE
+  * blocks consume ONE byte regardless of their regenerated size — the
+  * trap in naive walkers), the checksum trailer, and multi-frame
+  * concatenation including skippable frames (0x184D2A5? magic) — the
+  * layout `.warc.zst` readers must navigate for random access. Bad
+  * magic, a set reserved bit, a truncated header/block/trailer, or a
+  * dictionary requirement each fail LOUDLY with the byte offset (the
+  * MediaDecoder contract); entropy decoding itself is delegated to the
+  * real library, whose output the oracle gates by md5.
+  *
+  * [[q_zstd_shard]] gates the whole path: 8 documents per shard as
+  * newline-terminated lines, one zstd frame per shard, the walked
+  * frame-content-size (exactly the sum of line byte lengths — the
+  * single-shot encoder always records FCS) and the per-line md5 after
+  * REAL decompression recomputed closed-form by DuckDB.
+  *
+  * Scale shape: one bounded per-shard aggregation + one mapPartitions
+  * compress/walk/decompress pass, zero further shuffles —
+  * embarrassingly parallel over shards, exactly how `.jsonl.zst`
+  * corpora are processed.
+  */
+object ZstdCodec {
+
+  /** One parsed frame: content size from the header (-1 when absent),
+    * checksum flag, block count, byte extent in the stream, and whether
+    * it was a skippable frame.
+    */
+  final case class Frame(offset: Long, byteLen: Int, contentSize: Long,
+      hasChecksum: Boolean, nBlocks: Int, skippable: Boolean)
+
+  private val Magic = 0xfd2fb528L
+  private val SkippableBase = 0x184d2a50L
+
+  /** Walk a (possibly multi-frame) zstd stream's container skeleton. */
+  def parseZstd(docId: Long, b: Array[Byte]): Vector[Frame] = {
+    def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
+      s"doc $docId: zstd parse at byte $off: $why")
+    def le32(p: Int): Long = {
+      if (p + 4 > b.length) fail(p, "truncated 32-bit field")
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    }
+    def leN(p: Int, n: Int): Long = {
+      if (p + n > b.length) fail(p, s"truncated $n-byte field")
+      var v = 0L
+      var i = 0
+      while (i < n) { v |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    val frames = Vector.newBuilder[Frame]
+    var pos = 0
+    while (pos < b.length) {
+      val at = pos
+      val magic = le32(pos)
+      pos += 4
+      if ((magic & 0xfffffff0L) == SkippableBase) {
+        // skippable frame: LE32 size + opaque content
+        val sz = le32(pos)
+        pos += 4
+        if (sz > b.length.toLong - pos) fail(at, s"skippable frame of $sz bytes truncated")
+        pos += sz.toInt
+        frames += Frame(at.toLong, pos - at, sz, hasChecksum = false, 0, skippable = true)
+      } else if (magic == Magic) {
+        if (pos >= b.length) fail(pos, "truncated frame header descriptor")
+        val fhd = b(pos) & 0xff
+        pos += 1
+        if ((fhd & 0x08) != 0) fail(at + 4, "reserved FHD bit set")
+        val singleSegment = (fhd & 0x20) != 0
+        val hasChecksum = (fhd & 0x04) != 0
+        val dictIdBytes = (fhd & 0x03) match {
+          case 0 => 0
+          case 1 => 1
+          case 2 => 2
+          case 3 => 4
+        }
+        if (!singleSegment) {
+          if (pos >= b.length) fail(pos, "truncated window descriptor")
+          pos += 1
+        }
+        if (dictIdBytes > 0) {
+          val dictId = leN(pos, dictIdBytes)
+          pos += dictIdBytes
+          if (dictId != 0) fail(at, s"frame requires dictionary $dictId (unsupported)")
+        }
+        val fcsCode = (fhd >>> 6) & 0x03
+        val contentSize = fcsCode match {
+          case 0 =>
+            // 1-byte field only in single-segment mode; otherwise absent
+            if (singleSegment) { val v = leN(pos, 1); pos += 1; v } else -1L
+          case 1 => val v = leN(pos, 2) + 256L; pos += 2; v
+          case 2 => val v = leN(pos, 4); pos += 4; v
+          case 3 => val v = leN(pos, 8); pos += 8; v
+        }
+        // block walk: 3-byte headers; RLE payload is ONE byte
+        var nBlocks = 0
+        var last = false
+        while (!last) {
+          val h = leN(pos, 3)
+          pos += 3
+          last = (h & 1L) != 0
+          val btype = ((h >>> 1) & 0x3L).toInt
+          val bsize = (h >>> 3).toInt
+          val consumed = btype match {
+            case 0 => bsize // raw
+            case 1 => 1 // RLE: one byte regenerates bsize copies
+            case 2 => bsize // compressed
+            case 3 => fail(pos - 3, "reserved block type")
+          }
+          if (consumed > b.length - pos) fail(pos - 3, s"block of $consumed bytes truncated")
+          pos += consumed
+          nBlocks += 1
+        }
+        if (hasChecksum) {
+          if (pos + 4 > b.length) fail(pos, "truncated content checksum")
+          pos += 4
+        }
+        frames += Frame(at.toLong, pos - at, contentSize, hasChecksum, nBlocks,
+          skippable = false)
+      } else fail(at, f"bad zstd magic 0x$magic%08x")
+    }
+    frames.result()
+  }
+
+  // ---- the oracle-gated round-trip query ---------------------------------------
+
+  private val PerShard = 8
+  private val Level = 3
+
+  /** Documents → newline-terminated lines → one REAL zstd frame per
+    * shard → our frame walk (content size, framing) + REAL decompression
+    * (line payloads) — every gated column closed-form in the documents
+    * table. Block count and compressed size are encoder-dependent and
+    * deliberately NOT gated (ZstdSpec bounds them instead).
+    */
+  val q_zstd_shard: QueryDef = QueryDef(
+    s"""WITH d AS (SELECT doc_id, doc_id // $PerShard AS shard, text,
+       |    octet_length(encode(text)) AS plen
+       |  FROM documents)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n_lines,
+       |  CAST(sum(plen + 1) OVER (PARTITION BY shard) AS BIGINT) AS content_size,
+       |  md5(text) AS line_md5
+       |FROM d
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .groupBy(expr(s"doc_id div $PerShard").as("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (shard, docs) =>
+          val payload = docs.map(_._2 + "\n").mkString.getBytes(UTF_8)
+          val zst = com.github.luben.zstd.Zstd.compress(payload, Level)
+          val frames = parseZstd(shard, zst)
+          if (frames.size != 1 || frames.head.skippable)
+            throw new IllegalStateException(
+              s"shard $shard: expected one data frame, got $frames")
+          val f = frames.head
+          if (f.contentSize != payload.length)
+            throw new IllegalStateException(
+              s"shard $shard: walked FCS ${f.contentSize} != ${payload.length}")
+          // the REAL decompressor, sized by OUR walked content size
+          val back = com.github.luben.zstd.Zstd.decompress(zst, f.contentSize.toInt)
+          val lines = new String(back, UTF_8).split("\n", -1).init
+          if (lines.length != docs.size)
+            throw new IllegalStateException(
+              s"shard $shard: ${docs.size} lines in, ${lines.length} out")
+          docs.zip(lines).map { case ((id, _), line) =>
+            md.reset()
+            val hex = md.digest(line.getBytes(UTF_8)).map("%02x".format(_)).mkString
+            (id, shard, docs.size.toLong, f.contentSize, hex)
+          }
+        }
+      }
+      .toDF("doc_id", "shard", "n_lines", "content_size", "line_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map("q_zstd_shard" -> q_zstd_shard)
+}

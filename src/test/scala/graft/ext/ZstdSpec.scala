@@ -1,0 +1,135 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.github.luben.zstd.{Zstd, ZstdCompressCtx}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The RFC 8878 frame walk behind q_zstd_shard (ZstdCodec.scala):
+  * cross-validated against the REAL zstd codec in both directions (the
+  * library's frames parse under our walk; a frame WE craft by hand
+  * decompresses under the library), plus the loud-failure contract.
+  * No SparkSession — the walk is pure; the Spark plumbing is
+  * driver-gated by the oracle query.
+  */
+class ZstdSpec extends AnyFunSuite with Matchers {
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  test("property: library frames at several levels parse and round-trip (40 cases)") {
+    val g = for {
+      n <- Gen.oneOf(Gen.choose(0, 64), Gen.choose(1000, 60000))
+      mode <- Gen.oneOf("random", "runs", "text")
+      level <- Gen.oneOf(1, 3, 9, 19)
+    } yield (n, mode, level)
+    for (seed <- 1L to 40L) {
+      val (n, mode, level) = gen(g, seed * 31L)
+      val payload = mode match {
+        case "random" => gen(Gen.listOfN(n, Gen.choose(-128, 127)), seed)
+          .map(_.toByte).toArray
+        case "runs" => Array.fill(n)((seed % 7).toByte)
+        case "text" => ("the quick brown zstd fox " * (n / 25 + 1)).take(n)
+          .getBytes(UTF_8)
+      }
+      val zst = Zstd.compress(payload, level)
+      val frames = ZstdCodec.parseZstd(seed, zst)
+      withClue(s"n=$n mode=$mode level=$level: ") {
+        frames.size shouldBe 1
+        val f = frames.head
+        f.skippable shouldBe false
+        f.offset shouldBe 0L
+        f.byteLen shouldBe zst.length // the walk lands exactly on the frame end
+        f.contentSize shouldBe payload.length.toLong // single-shot always records FCS
+        f.nBlocks should be >= 1
+        if (payload.nonEmpty)
+          Zstd.decompress(zst, f.contentSize.toInt) shouldBe payload
+      }
+    }
+  }
+
+  test("multi-frame streams with an interleaved skippable frame walk exactly") {
+    val a = Zstd.compress("first shard".getBytes(UTF_8), 3)
+    val b = Zstd.compress("second shard, rather longer than the first".getBytes(UTF_8), 3)
+    val skipContent = "cdx index goes here".getBytes(UTF_8)
+    val skip = le32(0x184d2a5eL) ++ le32(skipContent.length.toLong) ++ skipContent
+    val frames = ZstdCodec.parseZstd(0L, a ++ skip ++ b)
+    frames.size shouldBe 3
+    frames(0).contentSize shouldBe 11L
+    frames(1).skippable shouldBe true
+    frames(1).contentSize shouldBe skipContent.length.toLong
+    frames(1).offset shouldBe a.length.toLong
+    frames(2).contentSize shouldBe 42L
+    frames(2).offset shouldBe (a.length + skip.length).toLong
+  }
+
+  test("checksummed frames report the flag and the walk consumes the trailer") {
+    val ctx = new ZstdCompressCtx()
+    try {
+      ctx.setChecksum(true)
+      ctx.setLevel(3)
+      val payload = "checksummed payload ".* (20).getBytes(UTF_8)
+      val zst = ctx.compress(payload)
+      val frames = ZstdCodec.parseZstd(0L, zst)
+      frames.size shouldBe 1
+      frames.head.hasChecksum shouldBe true
+      frames.head.byteLen shouldBe zst.length
+      frames.head.contentSize shouldBe payload.length.toLong
+    } finally ctx.close()
+  }
+
+  test("a hand-crafted RLE frame decompresses under the REAL library") {
+    // magic | FHD: single-segment + 1-byte FCS | FCS=100 | one RLE block
+    // (last=1, type=1, size=100 -> header 803) | the one repeated byte
+    val h = 803L
+    val crafted = le32(0xfd2fb528L) ++ Array(0x20.toByte, 100.toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+      'A'.toByte)
+    val frames = ZstdCodec.parseZstd(0L, crafted)
+    frames.size shouldBe 1
+    frames.head.contentSize shouldBe 100L
+    frames.head.nBlocks shouldBe 1
+    frames.head.byteLen shouldBe crafted.length
+    // the real decoder accepts our crafting — spec compliance, not
+    // self-consistency
+    Zstd.decompress(crafted, 100) shouldBe Array.fill(100)('A'.toByte)
+  }
+
+  test("structural damage fails loudly with the byte offset") {
+    val zst = Zstd.compress("loud failure please".getBytes(UTF_8), 3)
+    // bad magic
+    val bad = zst.clone(); bad(0) = 0x00
+    intercept[IllegalArgumentException](ZstdCodec.parseZstd(1L, bad))
+      .getMessage should include("bad zstd magic")
+    // reserved FHD bit
+    val res = zst.clone(); res(4) = (res(4) | 0x08).toByte
+    intercept[IllegalArgumentException](ZstdCodec.parseZstd(2L, res))
+      .getMessage should include("reserved FHD bit")
+    // dictionary requirement
+    val dict = le32(0xfd2fb528L) ++ Array(0x21.toByte, 7.toByte, 50.toByte)
+    intercept[IllegalArgumentException](ZstdCodec.parseZstd(3L, dict))
+      .getMessage should include("requires dictionary")
+    // reserved block type: craft header with type=3
+    val hdr = 1L | (3L << 1) | (4L << 3)
+    val rblk = le32(0xfd2fb528L) ++ Array(0x20.toByte, 4.toByte,
+      (hdr & 0xff).toByte, ((hdr >> 8) & 0xff).toByte, ((hdr >> 16) & 0xff).toByte)
+    intercept[IllegalArgumentException](ZstdCodec.parseZstd(4L, rblk))
+      .getMessage should include("reserved block type")
+  }
+
+  test("property: every strict prefix of a single frame fails loudly (all cuts)") {
+    val zst = Zstd.compress("truncation torture payload, long enough for several fields".getBytes(UTF_8), 3)
+    for (cut <- 1 until zst.length) {
+      val e = intercept[IllegalArgumentException](
+        ZstdCodec.parseZstd(cut.toLong, zst.take(cut)))
+      withClue(s"cut=$cut: ") { e.getMessage should include("at byte") }
+    }
+  }
+}
