@@ -175,6 +175,7 @@ object AvroCodec {
     val blocks = Vector.newBuilder[(Long, Long)]
     while (!r.atEnd) {
       val nRecs = r.readVarLong()
+      if (nRecs <= 0) r.fail(r.pos, s"non-positive block record count $nRecs")
       val size = r.readVarLong()
       val at = r.pos
       val payload0 = r.readBytes(size)
@@ -209,6 +210,8 @@ object AvroCodec {
           s"doc $docId: avro parse at byte $at: deflate block truncated")
         out.write(chunk, 0, n)
       }
+      if (inf.getRemaining > 0) throw new IllegalArgumentException(
+        s"doc $docId: avro parse at byte $at: ${inf.getRemaining} bytes trail the deflate stream inside the block")
       out.toByteArray
     } finally inf.end()
   }

@@ -77,6 +77,21 @@ object Html {
   private val Ws = java.util.regex.Pattern.compile("[ \t\r\n]+")
   private def collapse(s: String): String = Ws.matcher(s).replaceAll(" ").trim
 
+  /** Host of an absolute href: the authority up to the first `/` or `?`
+    * (host-only URLs have neither). None for scheme-less/empty hrefs —
+    * real crawled pages carry `mailto:`, fragments and relative links.
+    */
+  private[ext] def hostOfHref(href: String): Option[String] = {
+    val sep = href.indexOf("://")
+    if (sep < 0) return None
+    val i = sep + 3
+    val slash = href.indexOf('/', i)
+    val q = href.indexOf('?', i)
+    val end0 = if (slash < 0) href.length else slash
+    val end = if (q >= 0 && q < end0) q else end0
+    if (end <= i) None else Some(href.substring(i, end))
+  }
+
   /** Tokenize + extract. Offsets in failures are CHAR offsets into the
     * markup string.
     */
@@ -388,10 +403,8 @@ object Html {
           val ex = parseHtml(id, renderHtml(id, source, text, nLinks))
           if (ex.links.size != nLinks) throw new IllegalStateException(
             s"doc $id: rendered $nLinks links, extracted ${ex.links.size}")
-          val hosts = ex.links.map { case (href, _) =>
-            val i = href.indexOf("://") + 3
-            href.substring(i, href.indexOf('/', i))
-          }.distinct.sorted.mkString(",")
+          val hosts = ex.links.flatMap { case (href, _) => hostOfHref(href) }
+            .distinct.sorted.mkString(",")
           md.reset()
           val hex = md.digest(ex.bodyText.getBytes(UTF_8))
             .map("%02x".format(_)).mkString
@@ -524,10 +537,8 @@ object Html {
       .mapPartitions { it =>
         it.flatMap { case (id, source, text) =>
           val ex = parseHtml(id, renderHtml(id, source, text, (id % 4 + 1).toInt))
-          ex.links.map { case (href, _) =>
-            val i = href.indexOf("://") + 3
-            (id, s"h${id % 8}.example.com",
-              href.substring(i, href.indexOf('/', i)))
+          ex.links.flatMap { case (href, _) =>
+            hostOfHref(href).map(h => (id, s"h${id % 8}.example.com", h))
           }
         }
       }

@@ -67,6 +67,7 @@ object ZstdCodec {
       while (i < n) { v |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
+    if (b.isEmpty) fail(0, "empty stream (no frame)")
     val frames = Vector.newBuilder[Frame]
     var pos = 0
     while (pos < b.length) {

@@ -98,10 +98,12 @@ class AvroSpec extends AnyFunSuite with Matchers {
 
   // ---- OCF container: real writer, our walk (and codec matrix) ------------------
 
-  private def ocfVia(docs: Seq[Doc], codec: Option[CodecFactory]): Array[Byte] = {
+  private def ocfVia(docs: Seq[Doc], codec: Option[CodecFactory],
+      syncInterval: Option[Int] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     codec.foreach(w.setCodec)
+    syncInterval.foreach(w.setSyncInterval)
     w.create(schema, out)
     docs.foreach { d =>
       val rec = new GenericData.Record(schema)
@@ -131,18 +133,8 @@ class AvroSpec extends AnyFunSuite with Matchers {
 
   test("multi-block containers (small sync interval) keep record order and census") {
     val docs = (0 until 30).map(i => Doc(i.toLong, s"text $i " * 50, "en"))
-    val out = new java.io.ByteArrayOutputStream()
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.setSyncInterval(1024) // force several blocks
-    w.create(schema, out)
-    docs.foreach { d =>
-      val rec = new GenericData.Record(schema)
-      rec.put("id", java.lang.Long.valueOf(d.id))
-      rec.put("text", d.text); rec.put("lang", d.lang)
-      w.append(rec)
-    }
-    w.close()
-    val c = AvroCodec.parseOcf(0L, out.toByteArray)
+    val c = AvroCodec.parseOcf(0L,
+      ocfVia(docs, codec = None, syncInterval = Some(1024)))
     c.blocks.size should be > 1
     c.docs shouldBe docs.toVector
     c.blocks.map(_._1).sum shouldBe 30L
@@ -171,7 +163,8 @@ class AvroSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](AvroCodec.parseOcf(1L, badMagic))
       .getMessage should include("bad OCF magic")
     // flip a byte in the LAST sync marker: sync verification must catch it
-    val badSync = bytes.clone(); badSync(badSync.length - 3) = (badSync.last ^ 0x55).toByte
+    val badSync = bytes.clone()
+    badSync(badSync.length - 3) = (badSync(badSync.length - 3) ^ 0x55).toByte
     intercept[IllegalArgumentException](AvroCodec.parseOcf(2L, badSync))
       .getMessage should include("sync marker mismatch")
     // truncation anywhere strictly inside fails loudly
@@ -182,8 +175,7 @@ class AvroSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("unknown codec is named loudly") {
-    // hand-build a header claiming codec 'snappy'
+  private def craftHeader(codec: String): java.io.ByteArrayOutputStream = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
     AvroCodec.writeVarLong(out, 2L) // map block: 2 entries
@@ -193,10 +185,24 @@ class AvroSpec extends AnyFunSuite with Matchers {
       AvroCodec.writeVarLong(out, vb.length.toLong); out.write(vb, 0, vb.length)
     }
     kv("avro.schema", AvroCodec.SchemaJson)
-    kv("avro.codec", "snappy")
+    kv("avro.codec", codec)
     AvroCodec.writeVarLong(out, 0L)
     out.write(new Array[Byte](16), 0, 16)
-    intercept[IllegalArgumentException](AvroCodec.parseOcf(0L, out.toByteArray))
+    out
+  }
+
+  test("unknown codec is named loudly") {
+    intercept[IllegalArgumentException](
+      AvroCodec.parseOcf(0L, craftHeader("snappy").toByteArray))
       .getMessage should include("unsupported avro.codec 'snappy'")
+  }
+
+  test("a non-positive block record count is rejected, not looped over") {
+    val out = craftHeader("null")
+    AvroCodec.writeVarLong(out, -1L) // block count: corrupt
+    AvroCodec.writeVarLong(out, 0L) // block size
+    out.write(new Array[Byte](16), 0, 16) // matching (all-zero) sync
+    intercept[IllegalArgumentException](AvroCodec.parseOcf(0L, out.toByteArray))
+      .getMessage should include("non-positive block record count")
   }
 }

@@ -104,6 +104,9 @@ class ZstdSpec extends AnyFunSuite with Matchers {
 
   test("structural damage fails loudly with the byte offset") {
     val zst = Zstd.compress("loud failure please".getBytes(UTF_8), 3)
+    // empty stream (failed/zero-byte shard download)
+    intercept[IllegalArgumentException](ZstdCodec.parseZstd(0L, Array.empty[Byte]))
+      .getMessage should include("empty stream")
     // bad magic
     val bad = zst.clone(); bad(0) = 0x00
     intercept[IllegalArgumentException](ZstdCodec.parseZstd(1L, bad))
