@@ -112,6 +112,46 @@ object AvroCodec {
   def readDoc(r: Reader): Doc =
     Doc(r.readVarLong(), r.readString(), r.readString())
 
+  // ---- union / array primitives (nullable Kafka envelopes ride these) ----------
+
+  /** Avro union ["null","string"]: a varint branch index then the value —
+    * how a Kafka tombstone (`value IS NULL`) is actually encoded.
+    */
+  def writeOptString(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    if (s == null) writeVarLong(out, 0L)
+    else { writeVarLong(out, 1L); val b = s.getBytes(UTF_8)
+      writeVarLong(out, b.length.toLong); out.write(b, 0, b.length) }
+
+  def readOptString(r: Reader): String = r.readVarLong() match {
+    case 0 => null
+    case 1 => r.readString()
+    case i => r.fail(r.pos, s"union branch $i out of range for [null,string]")
+  }
+
+  /** Avro array encoding: the same signed block-count framing the file
+    * metadata map uses (negative count carries a byte size; 0 ends).
+    */
+  def writeArray[T](out: java.io.ByteArrayOutputStream, items: Seq[T])(
+      one: (java.io.ByteArrayOutputStream, T) => Unit): Unit = {
+    if (items.nonEmpty) {
+      writeVarLong(out, items.size.toLong)
+      items.foreach(one(out, _))
+    }
+    writeVarLong(out, 0L)
+  }
+
+  def readArray[T](r: Reader)(one: Reader => T): Vector[T] = {
+    val items = Vector.newBuilder[T]
+    var count = r.readVarLong()
+    while (count != 0) {
+      val n = if (count < 0) { r.readVarLong(); -count } else count
+      var i = 0L
+      while (i < n) { items += one(r); i += 1 }
+      count = r.readVarLong()
+    }
+    items.result()
+  }
+
   // ---- Confluent Schema-Registry wire envelope ---------------------------------
 
   /** magic 0x00 | int32 BE schema id | avro binary — what a production
@@ -143,10 +183,18 @@ object AvroCodec {
   /** One parsed container: schema JSON, codec, records in order, and the
     * per-block (record count, payload byte offset) census.
     */
-  final case class Container(schema: String, codec: String, docs: Vector[Doc],
+  final case class Container[T](schema: String, codec: String, docs: Vector[T],
       blocks: Vector[(Long, Long)])
 
-  def parseOcf(docId: Long, b: Array[Byte]): Container = {
+  /** Walk an OCF with the [[Doc]] record schema. */
+  def parseOcf(docId: Long, b: Array[Byte]): Container[Doc] =
+    parseOcfWith(docId, b)(readDoc)
+
+  /** Walk an OCF whose records decode through `read` — the same
+    * container skeleton serves any record schema (the envelope fixture
+    * twin rides this with the union/array readers).
+    */
+  def parseOcfWith[T](docId: Long, b: Array[Byte])(read: Reader => T): Container[T] = {
     val r = new Reader(docId, b, 0)
     if (b.length < 4 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
       r.fail(0, "bad OCF magic")
@@ -171,7 +219,7 @@ object AvroCodec {
     if (codec != "null" && codec != "deflate")
       r.fail(r.pos, s"unsupported avro.codec '$codec'")
     val sync = r.readBytes(16)
-    val docs = Vector.newBuilder[Doc]
+    val docs = Vector.newBuilder[T]
     val blocks = Vector.newBuilder[(Long, Long)]
     while (!r.atEnd) {
       val nRecs = r.readVarLong()
@@ -186,7 +234,7 @@ object AvroCodec {
         r.fail(r.pos - 16, "block sync marker mismatch")
       val br = new Reader(docId, payload, 0)
       var i = 0L
-      while (i < nRecs) { docs += readDoc(br); i += 1 }
+      while (i < nRecs) { docs += read(br); i += 1 }
       if (!br.atEnd) br.fail(br.pos, "trailing bytes inside a block")
       blocks += ((nRecs, at.toLong))
     }

@@ -59,6 +59,95 @@ object Fixtures {
       .csv(path)
   }
 
+  /** Avro OCF twin — the interchange format the reference's own domain
+    * ships (Kafka ecosystems archive topics as Avro container files, and
+    * a tombstone is literally the `["null","string"]` union's null
+    * branch). The WRITE half goes through the real Avro library
+    * (GenericDatumWriter + DataFileWriter, deflate); the READ half is
+    * the engine's own byte-level container walk
+    * ([[graft.ext.AvroCodec.parseOcfWith]]) with the union/array
+    * primitives — so loading a fixture log cross-validates the
+    * hand-rolled decode against the library's encode on every replay.
+    * One container file per partition under `path`; row order inside a
+    * file is NOT relied on (the explicit `offset` column sequences, the
+    * same contract as every other loader).
+    */
+  val avroSchemaJson: String =
+    """{"type":"record","name":"FixtureEnvelope","fields":[
+      |{"name":"offset","type":"long"},
+      |{"name":"key","type":["null","string"]},
+      |{"name":"value","type":["null","string"]},
+      |{"name":"metadata","type":["null",{"type":"array","items":
+      |{"type":"record","name":"MetadataEntry","fields":[
+      |{"name":"key","type":["null","string"]},
+      |{"name":"value","type":["null","string"]}]}}]}]}""".stripMargin
+      .replace("\n", "")
+
+  def saveAvro(envelopes: DataFrame, path: String): Unit = {
+    new java.io.File(path).mkdirs()
+    val schemaJson = avroSchemaJson
+    envelopes.select("offset", "key", "value", "metadata").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          import org.apache.avro.{Schema => ASchema}
+          import org.apache.avro.file.{CodecFactory, DataFileWriter}
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+          val schema = new ASchema.Parser().parse(schemaJson)
+          val metaSchema = schema.getField("metadata").schema().getTypes.get(1)
+          val entrySchema = metaSchema.getElementType
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(CodecFactory.deflateCodec(6))
+          val f = new java.io.File(path, f"part-$pid%05d.avro")
+          w.create(schema, f)
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            rec.put("offset", java.lang.Long.valueOf(row.getLong(0)))
+            rec.put("key", if (row.isNullAt(1)) null else row.getString(1))
+            rec.put("value", if (row.isNullAt(2)) null else row.getString(2))
+            rec.put("metadata",
+              if (row.isNullAt(3)) null
+              else {
+                val list = new java.util.ArrayList[GenericRecord]()
+                row.getSeq[org.apache.spark.sql.Row](3).foreach { m =>
+                  val e = new GenericData.Record(entrySchema)
+                  e.put("key", if (m.isNullAt(0)) null else m.getString(0))
+                  e.put("value", if (m.isNullAt(1)) null else m.getString(1))
+                  list.add(e)
+                }
+                list
+              })
+            w.append(rec)
+          }
+          w.close()
+          Iterator.single(1)
+        }
+      }.count() // force the write
+    ()
+  }
+
+  def loadAvro(spark: SparkSession, path: String): DataFrame = {
+    import graft.ext.AvroCodec
+    import org.apache.spark.sql.Row
+    val rows = spark.sparkContext.binaryFiles(s"$path/part-*.avro")
+      .flatMap { case (file, pds) =>
+        AvroCodec.parseOcfWith(0L, pds.toArray()) { r =>
+          val offset = r.readVarLong()
+          val key = AvroCodec.readOptString(r)
+          val value = AvroCodec.readOptString(r)
+          val metadata = r.readVarLong() match {
+            case 0 => null
+            case 1 => AvroCodec.readArray(r)(m =>
+              Row(AvroCodec.readOptString(m), AvroCodec.readOptString(m)))
+            case i => r.fail(r.pos, s"union branch $i out of range for [null,array]")
+          }
+          Row(offset, key, value, metadata)
+        }.docs
+      }
+    spark.createDataFrame(rows, fixtureSchema)
+  }
+
   def loadCsv(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val flat = StructType(fixtureSchema.fields.map {
