@@ -134,10 +134,17 @@ object Warc {
   }
 
   /** Decompress (multi-member, verified) + parse by Content-Length framing. */
-  def parseWarc(docId: Long, b: Array[Byte]): Vector[Record] = {
+  def parseWarc(docId: Long, b: Array[Byte]): Vector[Record] =
+    parseWarcRecords(docId, gunzipMembers(docId, b))
+
+  /** The Content-Length record framing over an ALREADY-decompressed
+    * stream — shared by the gzip-member reader above and the
+    * zstd-member reader ([[ZstdCodec.parseWarcZstd]], the `.warc.zst`
+    * layout).
+    */
+  private[ext] def parseWarcRecords(docId: Long, bytes: Array[Byte]): Vector[Record] = {
     def fail(off: Long, why: String): Nothing = throw new IllegalArgumentException(
       s"doc $docId: WARC parse at decompressed byte $off: $why")
-    val bytes = gunzipMembers(docId, b)
     var pos = 0
     def line(): String = {
       val start = pos

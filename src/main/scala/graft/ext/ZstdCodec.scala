@@ -200,5 +200,122 @@ object ZstdCodec {
       .orderBy(col("doc_id"))
   }
 
-  val all: Map[String, QueryDef] = Map("q_zstd_shard" -> q_zstd_shard)
+  // ---- .warc.zst: zstd-member WARC, the modern crawl layout ---------------------
+
+  /** Encode WARC records frame-per-record (the random-access `.warc.zst`
+    * layout: one zstd frame per record, so a CDX offset seeks to a frame
+    * boundary), with a trailing SKIPPABLE frame carrying the index blob —
+    * readers must skip it, not choke on it.
+    */
+  def encodeWarcZst(records: Seq[(String, String, Array[Byte])],
+      index: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (uri, id, payload) =>
+      val head = new StringBuilder()
+        .append("WARC/1.0").append("\r\n")
+        .append("WARC-Type: response").append("\r\n")
+        .append("WARC-Record-ID: ").append(id).append("\r\n")
+        .append("WARC-Target-URI: ").append(uri).append("\r\n")
+        .append("Content-Length: ").append(payload.length).append("\r\n")
+        .append("\r\n")
+      val rec = head.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+      val z = com.github.luben.zstd.Zstd.compress(rec, Level)
+      out.write(z, 0, z.length)
+    }
+    // skippable frame: LE magic 0x184D2A50, LE32 size, opaque index
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(SkippableBase)
+    le32(index.length.toLong)
+    out.write(index, 0, index.length)
+    out.toByteArray
+  }
+
+  /** Walk the frames (skippables ignored), decompress each data frame by
+    * its OWN walked content size, then run the shared Content-Length
+    * record framing over the concatenation. Returns the records plus the
+    * frame census (data frames, skippable frames).
+    */
+  def parseWarcZst(docId: Long, b: Array[Byte]): (Vector[Warc.Record], Int, Int) = {
+    val frames = parseZstd(docId, b)
+    val out = new java.io.ByteArrayOutputStream()
+    var data = 0
+    var skip = 0
+    frames.foreach { f =>
+      if (f.skippable) skip += 1
+      else {
+        if (f.contentSize < 0) throw new IllegalArgumentException(
+          s"doc $docId: zstd parse at byte ${f.offset}: frame without content size (streaming frame) unsupported in .warc.zst")
+        val frame = java.util.Arrays.copyOfRange(b, f.offset.toInt,
+          f.offset.toInt + f.byteLen)
+        val dec = com.github.luben.zstd.Zstd.decompress(frame, f.contentSize.toInt)
+        out.write(dec, 0, dec.length)
+        data += 1
+      }
+    }
+    (Warc.parseWarcRecords(docId, out.toByteArray), data, skip)
+  }
+
+  /** The H71 × H77 compose: documents → frame-per-record `.warc.zst`
+    * (with a trailing skippable index frame) → frame walk + REAL
+    * decompression + the verified Content-Length framing. The oracle is
+    * the SAME decompressed-offset arithmetic as `q_warc_roundtrip` —
+    * compression never changes the CDX math — plus the closed-form frame
+    * census (one data frame per record, one skippable).
+    */
+  val q_warc_zst: QueryDef = QueryDef(
+    s"""WITH d AS (SELECT doc_id, doc_id // $PerShard AS wf, text,
+       |    octet_length(encode(text)) AS plen,
+       |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       |    'urn:doc:' || CAST(doc_id AS VARCHAR) AS rid
+       |  FROM documents),
+       |z AS (SELECT *, ${Warc.RecFixed} + length(rid) + length(uri)
+       |    + length(CAST(plen AS VARCHAR)) + plen AS rec_bytes
+       |  FROM d)
+       |SELECT doc_id, CAST(wf AS BIGINT) AS warc_file, uri,
+       |  CAST(count(*) OVER (PARTITION BY wf) AS BIGINT) AS n_records,
+       |  CAST(count(*) OVER (PARTITION BY wf) + 1 AS BIGINT) AS n_frames,
+       |  CAST(plen AS BIGINT) AS content_length,
+       |  md5(text) AS payload_md5,
+       |  CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY wf ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset
+       |FROM z
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .groupBy(expr(s"doc_id div $PerShard").as("wf"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (wf, docs) =>
+          val recs = docs.map { case (id, text) =>
+            (s"https://example.org/doc/$id", s"urn:doc:$id", text.getBytes(UTF_8))
+          }
+          val zst = encodeWarcZst(recs, s"cdx index for $wf".getBytes(UTF_8))
+          val (parsed, dataFrames, skipFrames) = parseWarcZst(wf, zst)
+          if (parsed.size != docs.size || dataFrames != docs.size || skipFrames != 1)
+            throw new IllegalStateException(
+              s"warc.zst $wf: ${docs.size} in, ${parsed.size} out ($dataFrames data, $skipFrames skippable)")
+          parsed.map { r =>
+            md.reset()
+            val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+            val docId = r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong
+            (docId, wf, r.uri, parsed.size.toLong, parsed.size.toLong + 1,
+              r.contentLength.toLong, hex, r.offset)
+          }
+        }
+      }
+      .toDF("doc_id", "warc_file", "uri", "n_records", "n_frames",
+        "content_length", "payload_md5", "rec_offset")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_zstd_shard" -> q_zstd_shard,
+    "q_warc_zst" -> q_warc_zst)
 }

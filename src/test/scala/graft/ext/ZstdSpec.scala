@@ -102,6 +102,30 @@ class ZstdSpec extends AnyFunSuite with Matchers {
     Zstd.decompress(crafted, 100) shouldBe Array.fill(100)('A'.toByte)
   }
 
+  test(".warc.zst: frame-per-record round-trip with adversarial payloads and a skipped index frame") {
+    // payloads that break delimiter-scanning readers: a literal WARC
+    // version line and a CRLFCRLF inside the body
+    val recs = Seq(
+      ("https://a/1", "urn:1", "plain body".getBytes(UTF_8)),
+      ("https://a/2", "urn:2", "WARC/1.0\r\nfake: header\r\n\r\ninner".getBytes(UTF_8)),
+      ("https://a/3", "urn:3", Array.empty[Byte]))
+    val zst = ZstdCodec.encodeWarcZst(recs, "the cdx".getBytes(UTF_8))
+    val (parsed, data, skip) = ZstdCodec.parseWarcZst(0L, zst)
+    data shouldBe 3
+    skip shouldBe 1
+    parsed.map(_.uri) shouldBe Vector("https://a/1", "https://a/2", "https://a/3")
+    parsed.map(r => new String(r.payload, UTF_8)) shouldBe
+      recs.map(r => new String(r._3, UTF_8)).toVector
+    // offsets are in the DECOMPRESSED stream: each record starts where
+    // the previous ended (header + payload + terminator)
+    parsed(1).offset shouldBe (parsed(0).offset +
+      92 + "urn:1".length + "https://a/1".length + "10".length + 10)
+    // truncation mid-frame fails loudly through the frame walk
+    intercept[IllegalArgumentException](
+      ZstdCodec.parseWarcZst(1L, zst.take(zst.length / 2)))
+      .getMessage should include("at byte")
+  }
+
   test("structural damage fails loudly with the byte offset") {
     val zst = Zstd.compress("loud failure please".getBytes(UTF_8), 3)
     // empty stream (failed/zero-byte shard download)
