@@ -268,6 +268,20 @@ object AvroCodec {
 
   private val SchemaId = 7
 
+  /** The full zigzag-varint byte-width ladder for a NON-NEGATIVE value
+    * (zigzag doubles it, then 7 bits ride per byte) — scale-independent:
+    * correct for any doc_id / string length a bigger SF produces, not
+    * just the widths the small fixtures happen to exercise.
+    */
+  private def sqlVarLen(col: String): String =
+    s"""CASE WHEN $col < 64 THEN 1 WHEN $col < 8192 THEN 2
+       | WHEN $col < 1048576 THEN 3 WHEN $col < 134217728 THEN 4
+       | WHEN $col < 17179869184 THEN 5 WHEN $col < 2199023255552 THEN 6
+       | WHEN $col < 281474976710656 THEN 7
+       | WHEN $col < 36028797018963968 THEN 8
+       | WHEN $col < 4611686018427387904 THEN 9 ELSE 10 END""".stripMargin
+      .replace("\n", "")
+
   /** Per-document Confluent envelopes encoded AND decoded by the
     * hand-rolled codec; the oracle recomputes the decoded fields and the
     * exact envelope byte length — 5 header bytes plus the zigzag-varint
@@ -281,10 +295,9 @@ object AvroCodec {
        |SELECT doc_id, CAST($SchemaId AS INT) AS schema_id,
        |  md5(text) AS text_md5, lang,
        |  CAST(5
-       |    + CASE WHEN doc_id < 64 THEN 1 WHEN doc_id < 8192 THEN 2
-       |           WHEN doc_id < 1048576 THEN 3 ELSE 4 END
-       |    + CASE WHEN plen < 64 THEN 1 WHEN plen < 8192 THEN 2 ELSE 3 END + plen
-       |    + CASE WHEN clen < 64 THEN 1 WHEN clen < 8192 THEN 2 ELSE 3 END + clen
+       |    + ${sqlVarLen("doc_id")}
+       |    + ${sqlVarLen("plen")} + plen
+       |    + ${sqlVarLen("clen")} + clen
        |    AS BIGINT) AS envelope_bytes
        |FROM d
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>

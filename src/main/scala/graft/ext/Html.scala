@@ -85,10 +85,14 @@ object Html {
     val sep = href.indexOf("://")
     if (sep < 0) return None
     val i = sep + 3
+    // authority ends at the first of '/', '?' or '#' (a fragment can
+    // directly follow the host: "https://h#frag")
     val slash = href.indexOf('/', i)
     val q = href.indexOf('?', i)
-    val end0 = if (slash < 0) href.length else slash
-    val end = if (q >= 0 && q < end0) q else end0
+    val h = href.indexOf('#', i)
+    var end = if (slash < 0) href.length else slash
+    if (q >= 0 && q < end) end = q
+    if (h >= 0 && h < end) end = h
     if (end <= i) None else Some(href.substring(i, end))
   }
 

@@ -173,6 +173,15 @@ object ZstdCodec {
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.flatMap { case (shard, docs) =>
+          // the newline-terminated line framing (and its sum(plen+1)
+          // oracle) requires newline-free documents; assert the
+          // invariant at encode time rather than failing obscurely in
+          // the post-decompress line-count check
+          docs.foreach { case (id, text) =>
+            if (text.indexOf('\n') >= 0) throw new IllegalArgumentException(
+              s"doc $id: embedded newline breaks the shard's line framing; " +
+                "strip or escape newlines before zstd sharding")
+          }
           val payload = docs.map(_._2 + "\n").mkString.getBytes(UTF_8)
           val zst = com.github.luben.zstd.Zstd.compress(payload, Level)
           val frames = parseZstd(shard, zst)

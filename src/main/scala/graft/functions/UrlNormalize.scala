@@ -121,6 +121,8 @@ object UrlNormalize {
     val sep = s.indexOf("://")
     if (sep <= 0) return null
     val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    // RFC 3986 §3.1: scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+    if (!(scheme.head >= 'a' && scheme.head <= 'z')) return null
     if (!scheme.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
       c == '+' || c == '-' || c == '.')) return null
     var rest = s.substring(sep + 3)

@@ -84,8 +84,15 @@ object Fixtures {
       .replace("\n", "")
 
   def saveAvro(envelopes: DataFrame, path: String): Unit = {
-    new java.io.File(path).mkdirs()
     val schemaJson = avroSchemaJson
+    // Hadoop-aware like the ORC/parquet/CSV savers: executors resolve the
+    // FileSystem from a broadcast configuration instead of java.io.File,
+    // so the writer works on any cluster filesystem, not just local mode.
+    val sc = envelopes.sparkSession.sparkContext
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(sc.hadoopConfiguration).mkdirs(root)
     envelopes.select("offset", "key", "value", "metadata").rdd
       .mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
@@ -99,8 +106,10 @@ object Fixtures {
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           w.setCodec(CodecFactory.deflateCodec(6))
-          val f = new java.io.File(path, f"part-$pid%05d.avro")
-          w.create(schema, f)
+          val part = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(path), f"part-$pid%05d.avro")
+          val os = part.getFileSystem(confBc.value.value).create(part, true)
+          w.create(schema, os)
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
             rec.put("offset", java.lang.Long.valueOf(row.getLong(0)))
@@ -130,9 +139,10 @@ object Fixtures {
   def loadAvro(spark: SparkSession, path: String): DataFrame = {
     import graft.ext.AvroCodec
     import org.apache.spark.sql.Row
+    val expectedJson = avroSchemaJson
     val rows = spark.sparkContext.binaryFiles(s"$path/part-*.avro")
       .flatMap { case (file, pds) =>
-        AvroCodec.parseOcfWith(0L, pds.toArray()) { r =>
+        val c = AvroCodec.parseOcfWith(0L, pds.toArray()) { r =>
           val offset = r.readVarLong()
           val key = AvroCodec.readOptString(r)
           val value = AvroCodec.readOptString(r)
@@ -143,7 +153,19 @@ object Fixtures {
             case i => r.fail(r.pos, s"union branch $i out of range for [null,array]")
           }
           Row(offset, key, value, metadata)
-        }.docs
+        }
+        // The record reader above decodes POSITIONALLY, so the container's
+        // embedded writer schema must match the fixture schema structurally
+        // (field order included) — a reordered or evolved part file would
+        // otherwise decode silently into wrong rows. Avro's Schema equality
+        // is exactly that structural comparison (names, order, types; not
+        // whitespace/doc).
+        val expected = new org.apache.avro.Schema.Parser().parse(expectedJson)
+        val actual = new org.apache.avro.Schema.Parser().parse(c.schema)
+        if (actual != expected) throw new IllegalArgumentException(
+          s"$file: container schema does not match the fixture envelope " +
+            s"schema (positional decode would mis-read); found: ${c.schema}")
+        c.docs
       }
     spark.createDataFrame(rows, fixtureSchema)
   }

@@ -17,6 +17,15 @@ class HtmlSpec extends AnyFunSuite with Matchers {
   private def gen[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("hostOfHref cuts the authority at '/', '?' and '#'") {
+    Html.hostOfHref("https://h.example/path") shouldBe Some("h.example")
+    Html.hostOfHref("https://h.example?q=1") shouldBe Some("h.example")
+    Html.hostOfHref("https://h.example#frag") shouldBe Some("h.example")
+    Html.hostOfHref("https://h.example") shouldBe Some("h.example")
+    Html.hostOfHref("relative/path") shouldBe None
+    Html.hostOfHref("https://#frag") shouldBe None
+  }
+
   // ---- the render/parse round-trip -------------------------------------------
 
   test("rendered page extracts exactly: title, blocks, links, tag census") {

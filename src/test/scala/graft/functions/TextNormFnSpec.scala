@@ -61,6 +61,11 @@ class TextNormFnSpec extends AnyFunSuite with SparkSpec with Matchers {
     norm("http://") shouldBe null
     norm("http://host/%zz") shouldBe null // malformed triplet
     norm("mailto:a@b.com") shouldBe null // not hierarchical
+    // RFC 3986 §3.1: scheme must start with ALPHA
+    norm("1http://host/") shouldBe null
+    norm("+ssh://host/") shouldBe null
+    norm("-x://host/") shouldBe null
+    norm(".y://host/") shouldBe null
   }
 
   // ---- Unicode -----------------------------------------------------------------

@@ -48,6 +48,34 @@ class FixturesSpec extends AnyFunSuite with SparkSpec with Matchers {
     stateShape(Pipeline.replay(spark, back)) shouldBe expected
   }
 
+  test("Avro loader rejects a container whose writer schema differs from the fixture schema") {
+    // build a part file with key/value REORDERED (both [null,string] unions,
+    // so a positional decode would silently swap the columns)
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val swapped = new ASchema.Parser().parse(
+      Fixtures.avroSchemaJson
+        .replace("""{"name":"key","type":["null","string"]},{"name":"value","type":["null","string"]}""",
+          """{"name":"value","type":["null","string"]},{"name":"key","type":["null","string"]}"""))
+    swapped.getFields.get(1).name() shouldBe "value" // the replace really swapped
+    val dir = Files.createTempDirectory("graft_avro_bad").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](swapped))
+    w.create(swapped, new java.io.File(dir, "part-00000.avro"))
+    val rec = new GenericData.Record(swapped)
+    rec.put("offset", java.lang.Long.valueOf(1L))
+    rec.put("key", "k"); rec.put("value", "v"); rec.put("metadata", null)
+    w.append(rec); w.close()
+
+    val e = intercept[Exception] {
+      Fixtures.loadAvro(spark, dir.toString).collect()
+    }
+    // the executor-side failure may arrive wrapped in a SparkException
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    msgs should include("does not match the fixture envelope")
+  }
+
   test("CSV envelope log round-trips nested metadata and null tombstones") {
     val path = getClass.getResource("/fixtures/scenario.json").getPath
     val json = Fixtures.loadJson(spark, path)
