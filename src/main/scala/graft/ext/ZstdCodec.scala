@@ -211,6 +211,26 @@ object ZstdCodec {
 
   // ---- .warc.zst: zstd-member WARC, the modern crawl layout ---------------------
 
+  /** One WARC record's bytes (headers + payload + record separator) —
+    * the unit each `.warc.zst` frame compresses.
+    */
+  private def warcRecordBytes(uri: String, id: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0").append("\r\n")
+      .append("WARC-Type: response").append("\r\n")
+      .append("WARC-Record-ID: ").append(id).append("\r\n")
+      .append("WARC-Target-URI: ").append(uri).append("\r\n")
+      .append("Content-Length: ").append(payload.length).append("\r\n")
+      .append("\r\n")
+    head.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
   /** Encode WARC records frame-per-record (the random-access `.warc.zst`
     * layout: one zstd frame per record, so a CDX offset seeks to a frame
     * boundary), with a trailing SKIPPABLE frame carrying the index blob —
@@ -220,25 +240,121 @@ object ZstdCodec {
       index: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { case (uri, id, payload) =>
-      val head = new StringBuilder()
-        .append("WARC/1.0").append("\r\n")
-        .append("WARC-Type: response").append("\r\n")
-        .append("WARC-Record-ID: ").append(id).append("\r\n")
-        .append("WARC-Target-URI: ").append(uri).append("\r\n")
-        .append("Content-Length: ").append(payload.length).append("\r\n")
-        .append("\r\n")
-      val rec = head.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
-      val z = com.github.luben.zstd.Zstd.compress(rec, Level)
+      val z = com.github.luben.zstd.Zstd.compress(warcRecordBytes(uri, id, payload), Level)
       out.write(z, 0, z.length)
     }
     // skippable frame: LE magic 0x184D2A50, LE32 size, opaque index
-    def le32(v: Long): Unit = {
-      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-    }
-    le32(SkippableBase)
-    le32(index.length.toLong)
+    le32(out, SkippableBase)
+    le32(out, index.length.toLong)
     out.write(index, 0, index.length)
+    out.toByteArray
+  }
+
+  // ---- zstd SEEKABLE format (public spec: zstd contrib "Zstandard ---------------
+  // Seekable Format", version 0.1.0) — the standard seek index a
+  // production reader uses to fetch record N from a 100 TB crawl shard
+  // without decompressing the shard prefix.
+
+  /** The seek table rides the skippable magic variant 0xE. */
+  private val SeekTableMagic = SkippableBase | 0xeL
+  /** The footer's own magic — the LAST 4 bytes of a seekable file. */
+  private val SeekableFooterMagic = 0x8f92eab1L
+
+  /** One seek-table entry: the frame's compressed and decompressed size. */
+  final case class SeekEntry(compressedSize: Int, decompressedSize: Int)
+
+  /** Append the standard seek table as a skippable frame: per-frame
+    * (compressed, decompressed) LE32 pairs, then the 9-byte footer —
+    * Number_Of_Frames | Seek_Table_Descriptor | 0x8F92EAB1 — parsed
+    * from the END of the file (that is the whole point: a reader
+    * fetches the last bytes of the object, never the prefix).
+    */
+  def writeSeekTable(out: java.io.ByteArrayOutputStream,
+      entries: Seq[SeekEntry]): Unit = {
+    le32(out, SeekTableMagic)
+    le32(out, entries.size.toLong * 8L + 9L)
+    entries.foreach { e =>
+      le32(out, e.compressedSize.toLong)
+      le32(out, e.decompressedSize.toLong)
+    }
+    le32(out, entries.size.toLong)
+    out.write(0) // descriptor: no per-frame checksums, reserved bits clear
+    le32(out, SeekableFooterMagic)
+  }
+
+  /** Parse the seek table from the file END (footer-first — no frame
+    * walk, no prefix read past the table itself). Fails loudly on a
+    * missing/corrupt footer, set reserved descriptor bits, a skippable
+    * header that disagrees with the footer's frame count, or entries
+    * that don't cover exactly the bytes before the table.
+    */
+  def parseSeekTable(docId: Long, b: Array[Byte]): Vector[SeekEntry] = {
+    def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
+      s"doc $docId: zstd seek-table parse at byte $off: $why")
+    def le32At(p: Int): Long = {
+      if (p < 0 || p + 4 > b.length) fail(math.max(p, 0), "truncated 32-bit field")
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    }
+    if (b.length < 17) fail(0, "too short for a seekable footer")
+    if (le32At(b.length - 4) != SeekableFooterMagic)
+      fail(b.length - 4, f"bad seekable footer magic (want 0x$SeekableFooterMagic%08x)")
+    val desc = b(b.length - 5) & 0xff
+    if ((desc & 0x7c) != 0) fail(b.length - 5, f"reserved descriptor bits set (0x$desc%02x)")
+    val checksums = (desc & 0x80) != 0
+    val entrySize = if (checksums) 12 else 8
+    val nFrames = le32At(b.length - 9)
+    if (nFrames < 0 || nFrames > (b.length - 17) / entrySize)
+      fail(b.length - 9, s"frame count $nFrames inconsistent with file size")
+    val tableContent = nFrames * entrySize + 9
+    val hdrPos = b.length - 9 - nFrames.toInt * entrySize - 8
+    if (hdrPos < 0) fail(0, "seek table larger than the file")
+    if (le32At(hdrPos) != SeekTableMagic)
+      fail(hdrPos, f"seek table skippable magic missing (want 0x$SeekTableMagic%08x)")
+    if (le32At(hdrPos + 4) != tableContent)
+      fail(hdrPos + 4, s"skippable size ${le32At(hdrPos + 4)} != table content $tableContent")
+    val entries = Vector.tabulate(nFrames.toInt) { i =>
+      val p = hdrPos + 8 + i * entrySize
+      SeekEntry(le32At(p).toInt, le32At(p + 4).toInt)
+    }
+    val covered = entries.foldLeft(0L)(_ + _.compressedSize)
+    if (covered != hdrPos)
+      fail(0, s"entries cover $covered bytes but $hdrPos precede the table")
+    entries
+  }
+
+  /** Fetch ONE frame by seek-table position: slices exactly
+    * [offset, offset+compressedSize) out of the shard — the bytes of
+    * every other frame are never even handed to the decompressor (the
+    * ZstdSpec leg corrupts them all and this still succeeds) — and
+    * decompresses it sized by the table's decompressed size.
+    */
+  def seekFetch(docId: Long, b: Array[Byte], entries: Vector[SeekEntry],
+      n: Int): Array[Byte] = {
+    if (n < 0 || n >= entries.size) throw new IllegalArgumentException(
+      s"doc $docId: seek fetch of frame $n outside table of ${entries.size}")
+    var off = 0L
+    var i = 0
+    while (i < n) { off += entries(i).compressedSize; i += 1 }
+    val e = entries(n)
+    val frame = java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + e.compressedSize)
+    com.github.luben.zstd.Zstd.decompress(frame, e.decompressedSize)
+  }
+
+  /** Encode WARC records frame-per-record and append the STANDARD
+    * seekable-format seek table (not an opaque blob): the layout a
+    * reader random-accesses with [[parseSeekTable]] + [[seekFetch]].
+    */
+  def encodeWarcZstSeekable(
+      records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = records.map { case (uri, id, payload) =>
+      val rec = warcRecordBytes(uri, id, payload)
+      val z = com.github.luben.zstd.Zstd.compress(rec, Level)
+      out.write(z, 0, z.length)
+      SeekEntry(z.length, rec.length)
+    }
+    writeSeekTable(out, entries)
     out.toByteArray
   }
 
@@ -324,7 +440,84 @@ object ZstdCodec {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q_warc_seek: random access through the standard seek table ---------------
+
+  /** The production read path into a `.warc.zst` crawl: every record is
+    * fetched INDIVIDUALLY through the standard seekable-format table —
+    * footer parsed from the END of the shard, one frame sliced and
+    * decompressed per fetch — never by decompressing the shard prefix.
+    * The proof is in-query and adversarial: before each fetch, every
+    * byte of every OTHER data frame is overwritten with garbage; a
+    * reader that touched anything outside the target frame's
+    * [offset, offset+csize) slice would throw or hash-mismatch. The
+    * oracle gates the same CDX arithmetic as `q_warc_zst` (the seek
+    * table's decompressed sizes ARE the record offsets) plus
+    * frames_decoded = 1 per fetch.
+    */
+  val q_warc_seek: QueryDef = QueryDef(
+    s"""WITH d AS (SELECT doc_id, doc_id // $PerShard AS wf, text,
+       |    octet_length(encode(text)) AS plen,
+       |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       |    'urn:doc:' || CAST(doc_id AS VARCHAR) AS rid
+       |  FROM documents),
+       |z AS (SELECT *, ${Warc.RecFixed} + length(rid) + length(uri)
+       |    + length(CAST(plen AS VARCHAR)) + plen AS rec_bytes
+       |  FROM d)
+       |SELECT doc_id, CAST(wf AS BIGINT) AS warc_file, uri,
+       |  CAST(count(*) OVER (PARTITION BY wf) AS BIGINT) AS n_frames,
+       |  CAST(plen AS BIGINT) AS content_length,
+       |  md5(text) AS payload_md5,
+       |  CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY wf ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+       |  CAST(1 AS BIGINT) AS frames_decoded
+       |FROM z
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .groupBy(expr(s"doc_id div $PerShard").as("wf"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (wf, docs) =>
+          val recs = docs.map { case (id, text) =>
+            (s"https://example.org/doc/$id", s"urn:doc:$id", text.getBytes(UTF_8))
+          }
+          val shard = encodeWarcZstSeekable(recs)
+          // footer-first: the table is all a reader needs — no frame walk
+          val table = parseSeekTable(wf, shard)
+          if (table.size != docs.size) throw new IllegalStateException(
+            s"warc.zst $wf: ${docs.size} records in, seek table of ${table.size}")
+          val offsets = table.scanLeft(0L)(_ + _.compressedSize)
+          val recOffsets = table.scanLeft(0L)(_ + _.decompressedSize)
+          (0 until table.size).map { n =>
+            // adversarial copy: garbage every data frame EXCEPT the target
+            // (the seek table region at the tail stays intact)
+            val hostile = shard.clone()
+            java.util.Arrays.fill(hostile, 0, offsets(n).toInt, 0xaa.toByte)
+            java.util.Arrays.fill(hostile, (offsets(n) + table(n).compressedSize).toInt,
+              offsets.last.toInt, 0xaa.toByte)
+            val one = Warc.parseWarcRecords(wf, seekFetch(wf, hostile, table, n))
+            if (one.size != 1) throw new IllegalStateException(
+              s"warc.zst $wf frame $n: expected one record, got ${one.size}")
+            val r = one.head
+            md.reset()
+            val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+            val docId = r.uri.substring(r.uri.lastIndexOf('/') + 1).toLong
+            (docId, wf, r.uri, table.size.toLong, r.contentLength.toLong, hex,
+              recOffsets(n), 1L)
+          }
+        }
+      }
+      .toDF("doc_id", "warc_file", "uri", "n_frames", "content_length",
+        "payload_md5", "rec_offset", "frames_decoded")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_zstd_shard" -> q_zstd_shard,
-    "q_warc_zst" -> q_warc_zst)
+    "q_warc_zst" -> q_warc_zst,
+    "q_warc_seek" -> q_warc_seek)
 }

@@ -126,6 +126,69 @@ class ZstdSpec extends AnyFunSuite with Matchers {
       .getMessage should include("at byte")
   }
 
+  test("seekable format: footer-first table parse, per-frame fetch, walkable as skippable") {
+    val recs = (0 until 5).map(i =>
+      (s"https://a/$i", s"urn:$i", s"payload number $i ${"x" * i * 7}".getBytes(UTF_8)))
+    val shard = ZstdCodec.encodeWarcZstSeekable(recs)
+    val table = ZstdCodec.parseSeekTable(0L, shard)
+    table.size shouldBe 5
+    // entries cover exactly the data-frame bytes; the table itself is a
+    // legal skippable frame so a plain frame walk still traverses the file
+    val frames = ZstdCodec.parseZstd(0L, shard)
+    frames.count(!_.skippable) shouldBe 5
+    frames.count(_.skippable) shouldBe 1
+    frames.filterNot(_.skippable).map(_.byteLen) shouldBe table.map(_.compressedSize)
+    // every fetch round-trips its record
+    (0 until 5).foreach { n =>
+      val rec = Warc.parseWarcRecords(0L, ZstdCodec.seekFetch(0L, shard, table, n))
+      rec.size shouldBe 1
+      rec.head.uri shouldBe s"https://a/$n"
+      new String(rec.head.payload, UTF_8) shouldBe new String(recs(n)._3, UTF_8)
+    }
+  }
+
+  test("seekable fetch provably touches only the target frame: all others corrupted") {
+    val recs = (0 until 4).map(i =>
+      (s"https://b/$i", s"urn:b:$i", s"record $i body".getBytes(UTF_8)))
+    val shard = ZstdCodec.encodeWarcZstSeekable(recs)
+    val table = ZstdCodec.parseSeekTable(7L, shard)
+    val offsets = table.scanLeft(0)(_ + _.compressedSize)
+    (0 until 4).foreach { n =>
+      val hostile = shard.clone()
+      java.util.Arrays.fill(hostile, 0, offsets(n), 0x55.toByte)
+      java.util.Arrays.fill(hostile, offsets(n) + table(n).compressedSize,
+        offsets.last, 0x55.toByte)
+      // a reader that decompressed the prefix (or any other frame) would
+      // throw on the garbage; the slice-based fetch cannot see it
+      val rec = Warc.parseWarcRecords(7L, ZstdCodec.seekFetch(7L, hostile, table, n))
+      new String(rec.head.payload, UTF_8) shouldBe s"record $n body"
+    }
+  }
+
+  test("seek table structural damage fails loudly") {
+    val shard = ZstdCodec.encodeWarcZstSeekable(
+      Seq(("https://c/0", "urn:c:0", "x".getBytes(UTF_8))))
+    // bad footer magic
+    val badMagic = shard.clone(); badMagic(shard.length - 1) = 0x00
+    intercept[IllegalArgumentException](ZstdCodec.parseSeekTable(0L, badMagic))
+      .getMessage should include("footer magic")
+    // reserved descriptor bits
+    val badDesc = shard.clone(); badDesc(shard.length - 5) = 0x04
+    intercept[IllegalArgumentException](ZstdCodec.parseSeekTable(0L, badDesc))
+      .getMessage should include("reserved descriptor")
+    // frame count inconsistent with the file size
+    val badCount = shard.clone(); badCount(shard.length - 9) = 0x7f
+    intercept[IllegalArgumentException](ZstdCodec.parseSeekTable(0L, badCount))
+      .getMessage should (include("inconsistent") or include("cover"))
+    // too short for any footer
+    intercept[IllegalArgumentException](ZstdCodec.parseSeekTable(0L, shard.take(10)))
+      .getMessage should include("too short")
+    // out-of-range fetch
+    val table = ZstdCodec.parseSeekTable(0L, shard)
+    intercept[IllegalArgumentException](ZstdCodec.seekFetch(0L, shard, table, 1))
+      .getMessage should include("outside table")
+  }
+
   test("structural damage fails loudly with the byte offset") {
     val zst = Zstd.compress("loud failure please".getBytes(UTF_8), 3)
     // empty stream (failed/zero-byte shard download)
