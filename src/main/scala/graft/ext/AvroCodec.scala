@@ -194,7 +194,16 @@ object AvroCodec {
     * container skeleton serves any record schema (the envelope fixture
     * twin rides this with the union/array readers).
     */
-  def parseOcfWith[T](docId: Long, b: Array[Byte])(read: Reader => T): Container[T] = {
+  def parseOcfWith[T](docId: Long, b: Array[Byte])(read: Reader => T): Container[T] =
+    parseOcfBy(docId, b)(_ => read)
+
+  /** Walk an OCF whose record reader is BUILT FROM the container's
+    * embedded writer schema (`mk` receives the `avro.schema` JSON before
+    * the first block) — the hook schema RESOLUTION rides: the reader
+    * shape is fixed, the writer shape arrives with the file.
+    */
+  def parseOcfBy[T](docId: Long, b: Array[Byte])(
+      mk: String => Reader => T): Container[T] = {
     val r = new Reader(docId, b, 0)
     if (b.length < 4 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
       r.fail(0, "bad OCF magic")
@@ -218,6 +227,7 @@ object AvroCodec {
     val codec = m.get("avro.codec").map(new String(_, UTF_8)).getOrElse("null")
     if (codec != "null" && codec != "deflate")
       r.fail(r.pos, s"unsupported avro.codec '$codec'")
+    val read = mk(schema)
     val sync = r.readBytes(16)
     val docs = Vector.newBuilder[T]
     val blocks = Vector.newBuilder[(Long, Long)]

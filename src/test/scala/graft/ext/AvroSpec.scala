@@ -205,4 +205,189 @@ class AvroSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](AvroCodec.parseOcf(0L, out.toByteArray))
       .getMessage should include("non-positive block record count")
   }
+
+  // ---- schema resolution: OUR resolver vs the library's RESOLVING reader -------
+
+  /** Encode one GenericRecord as Avro binary via the real library. */
+  private def libEncode(schema: ASchema, fill: GenericData.Record => Unit): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    fill(rec)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Decode via the library's RESOLVING reader (writer, reader). */
+  private def libResolve(bytes: Array[Byte], writer: ASchema,
+      reader: ASchema): GenericRecord = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
+  }
+
+  /** Normalize a library value for comparison with ours. */
+  private def norm(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a.toSeq
+    case b: Array[Byte] => b.toSeq
+    case r: GenericRecord =>
+      (0 until r.getSchema.getFields.size).map(i => norm(r.get(i))).toVector
+    case l: java.util.List[_] =>
+      { val b = Vector.newBuilder[Any]; l.forEach(x => b += norm(x)); b.result() }
+    case l: Seq[_] => l.map(norm).toVector
+    case x => x
+  }
+
+  private def ourResolve(bytes: Array[Byte], writer: ASchema,
+      reader: ASchema): Vector[Any] = {
+    val r = new AvroCodec.Reader(0L, bytes, 0)
+    val v = AvroResolve.read(r, writer, reader).asInstanceOf[Vector[Any]]
+    r.atEnd shouldBe true
+    v
+  }
+
+  test("resolution: added-with-default fields agree with the library's resolving reader") {
+    val w = new ASchema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"id","type":"long"},{"name":"text","type":"string"}]}"""
+        .stripMargin.replace("\n", ""))
+    val r = new ASchema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"id","type":"long"},{"name":"text","type":"string"},
+        |{"name":"lang","type":"string","default":"und"},
+        |{"name":"score","type":"double","default":1.5},
+        |{"name":"opt","type":["null","string"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+    val bytes = libEncode(w, rec => { rec.put("id", 42L); rec.put("text", "hello") })
+    val ours = ourResolve(bytes, w, r)
+    val lib = libResolve(bytes, w, r)
+    ours.map(norm) shouldBe (0 until 5).map(i => norm(lib.get(i))).toVector
+    ours shouldBe Vector(42L, "hello", "und", 1.5, null)
+  }
+
+  test("resolution: numeric promotions and string<->bytes agree with the library") {
+    val w = new ASchema.Parser().parse(
+      """{"type":"record","name":"P","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"long"},
+        |{"name":"c","type":"float"},{"name":"s","type":"string"},
+        |{"name":"x","type":"bytes"}]}""".stripMargin.replace("\n", ""))
+    val r = new ASchema.Parser().parse(
+      """{"type":"record","name":"P","fields":[
+        |{"name":"a","type":"long"},{"name":"b","type":"double"},
+        |{"name":"c","type":"double"},{"name":"s","type":"bytes"},
+        |{"name":"x","type":"string"}]}""".stripMargin.replace("\n", ""))
+    val bytes = libEncode(w, rec => {
+      rec.put("a", Int.MaxValue); rec.put("b", 1L << 40)
+      rec.put("c", 2.5f); rec.put("s", "solid")
+      rec.put("x", java.nio.ByteBuffer.wrap("raw".getBytes(UTF_8)))
+    })
+    val ours = ourResolve(bytes, w, r)
+    val lib = libResolve(bytes, w, r)
+    ours.map(norm) shouldBe (0 until 5).map(i => norm(lib.get(i))).toVector
+    ours(0) shouldBe Int.MaxValue.toLong
+    ours(1) shouldBe (1L << 40).toDouble
+    ours(2) shouldBe 2.5d
+    new String(ours(3).asInstanceOf[Array[Byte]], UTF_8) shouldBe "solid"
+    ours(4) shouldBe "raw"
+  }
+
+  test("resolution: reordered fields and writer-only skips (incl. array/union) agree") {
+    val w = new ASchema.Parser().parse(
+      """{"type":"record","name":"S","fields":[
+        |{"name":"drop_arr","type":{"type":"array","items":"string"}},
+        |{"name":"keep1","type":"string"},
+        |{"name":"drop_u","type":["null","long"]},
+        |{"name":"keep2","type":"long"},
+        |{"name":"drop_s","type":"string"}]}""".stripMargin.replace("\n", ""))
+    val r = new ASchema.Parser().parse(
+      """{"type":"record","name":"S","fields":[
+        |{"name":"keep2","type":"long"},{"name":"keep1","type":"string"}]}"""
+        .stripMargin.replace("\n", ""))
+    val bytes = libEncode(w, rec => {
+      val arr = new java.util.ArrayList[String](); arr.add("a"); arr.add("bb")
+      rec.put("drop_arr", arr); rec.put("keep1", "alpha")
+      rec.put("drop_u", java.lang.Long.valueOf(9L))
+      rec.put("keep2", 77L); rec.put("drop_s", "gone")
+    })
+    val ours = ourResolve(bytes, w, r)
+    val lib = libResolve(bytes, w, r)
+    ours.map(norm) shouldBe (0 until 2).map(i => norm(lib.get(i))).toVector
+    ours shouldBe Vector(77L, "alpha")
+  }
+
+  test("resolution: union legs agree (writer union, reader union, both)") {
+    val wu = new ASchema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |{"name":"v","type":["null","string"]}]}""".stripMargin.replace("\n", ""))
+    val rPlain = new ASchema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |{"name":"v","type":"string"}]}""".stripMargin.replace("\n", ""))
+    // writer union -> reader non-union (string branch written)
+    val b1 = libEncode(wu, _.put("v", "branchy"))
+    ourResolve(b1, wu, rPlain) shouldBe Vector("branchy")
+    norm(libResolve(b1, wu, rPlain).get(0)) shouldBe "branchy"
+    // writer non-union -> reader union (+ promotion inside the branch)
+    val wPlain = new ASchema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |{"name":"v","type":"int"}]}""".stripMargin.replace("\n", ""))
+    val ru = new ASchema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |{"name":"v","type":["null","long"]}]}""".stripMargin.replace("\n", ""))
+    val b2 = libEncode(wPlain, _.put("v", 5))
+    ourResolve(b2, wPlain, ru) shouldBe Vector(5L)
+    norm(libResolve(b2, wPlain, ru).get(0)) shouldBe 5L
+    // union -> union, null branch
+    val b3 = libEncode(wu, _.put("v", null))
+    val ruS = new ASchema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |{"name":"v","type":["string","null"]}]}""".stripMargin.replace("\n", ""))
+    ourResolve(b3, wu, ruS) shouldBe Vector(null)
+    libResolve(b3, wu, ruS).get(0) shouldBe null
+  }
+
+  test("resolution errors are loud: missing default, name mismatch, no union branch") {
+    val w = new ASchema.Parser().parse(
+      """{"type":"record","name":"E","fields":[{"name":"id","type":"long"}]}""")
+    val bytes = libEncode(w, _.put("id", 1L))
+    val noDefault = new ASchema.Parser().parse(
+      """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":"long"},{"name":"need","type":"string"}]}"""
+        .stripMargin.replace("\n", ""))
+    intercept[IllegalArgumentException](ourResolve(bytes, w, noDefault))
+      .getMessage should include("has no default")
+    val wrongName = new ASchema.Parser().parse(
+      """{"type":"record","name":"Other","fields":[{"name":"id","type":"long"}]}""")
+    intercept[IllegalArgumentException](ourResolve(bytes, w, wrongName))
+      .getMessage should include("record name mismatch")
+    val noBranch = new ASchema.Parser().parse(
+      """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":["null","string"]}]}""".stripMargin.replace("\n", ""))
+    intercept[IllegalArgumentException](ourResolve(bytes, w, noBranch))
+      .getMessage should include("no reader union branch")
+  }
+
+  test("mixed-version OCFs resolve identically to the library's DataFileReader") {
+    val reader = new ASchema.Parser().parse(AvroResolve.ReaderV3)
+    val docs = Seq((1L, "uno", "es"), (2L, "due", "it"), (3L, "trois", "fr"))
+    Seq(1, 2).foreach { version =>
+      val bytes = AvroResolve.writeEvolvedOcf(version, docs)
+      val ours = AvroResolve.parseOcfResolving(0L, bytes, reader.toString).docs
+      val dfr = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord](null, reader))
+      val lib = Iterator.continually(dfr).takeWhile(_.hasNext).map(_.next()).toVector
+      dfr.close()
+      ours.size shouldBe 3
+      ours.zip(lib).foreach { case (o, l) =>
+        o.map(norm) shouldBe (0 until 5).map(i => norm(l.get(i))).toVector
+      }
+      // v1 files default lang and promote views; v2 files carry lang
+      if (version == 1) ours.map(_(2)) shouldBe Vector("und", "und", "und")
+      else ours.map(_(2)) shouldBe Vector("es", "it", "fr")
+      ours.map(_(3)) shouldBe Vector(1L, 2L, 3L)
+      ours.map(_(4)) shouldBe Vector(1.5, 1.5, 1.5)
+    }
+  }
 }
