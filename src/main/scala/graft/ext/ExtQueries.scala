@@ -1230,5 +1230,6 @@ object ExtQueries {
     "q_bloom_semijoin" -> q_bloom_semijoin) ++
     Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pq.all ++ IvfPq.all ++
     Gif.all ++ Flac.all ++ ImageDedup.all ++ Warc.all ++ Mp4.all ++ Tar.all ++
-    Html.all ++ TextNorm.all ++ ZstdCodec.all ++ AvroCodec.all ++ AvroResolve.all
+    Html.all ++ TextNorm.all ++ ZstdCodec.all ++ AvroCodec.all ++ AvroResolve.all ++
+    Opq.all
 }

@@ -34,7 +34,7 @@ object Pq {
 
   private[ext] val Dim = 64
   private[ext] val M = 4 // subspaces
-  private val SubDim = Dim / M
+  private[ext] val SubDim = Dim / M
   private[ext] val Ksub = 16 // codes per subspace (4 bits) — fixed, see above
   private val Iters = 1 // Lloyd rounds after seeded init (production: more)
   private val NQueries = 5
@@ -190,6 +190,8 @@ object Pq {
   private def esSql(s: Int): String =
     s"es$s AS (SELECT vec_id, list_transform(range(${s * SubDim + 1}, ${s * SubDim + SubDim + 1}), i -> v[i]) AS vs FROM e)"
 
+  private[ext] def duckDistSql(vs: String, cv: String): String = duckDist(vs, cv)
+
   private def duckDist(vs: String, cv: String): String =
     s"list_reduce(list_transform(range(1, $SubDim + 1), i -> (CAST($vs[i] AS DOUBLE) - $cv[i]) * (CAST($vs[i] AS DOUBLE) - $cv[i])), (x, y) -> x + y)"
 
@@ -198,7 +200,7 @@ object Pq {
     * [[subCodebook]] + [[argminCode]] (seeded init via the shared `rs`
     * rank, one Lloyd round, strict argmin with id tiebreak).
     */
-  private def subSql(s: Int): String =
+  private[ext] def subSql(s: Int): String =
     s"""${esSql(s)},
        |i$s AS (SELECT es.vec_id AS code,
        |    list_transform(range(1, $SubDim + 1), i -> CAST(vs[i] AS DOUBLE)) AS cv

@@ -88,5 +88,37 @@ class PqSpec extends AnyFunSuite with SparkSpec with Matchers {
     ivfadc shouldBe ceiling
     ivfadc should be >= 0.5
     ivfadc should be > raw
+    // OPQ (rotation + PQ + same R=50 shortlist + exact re-rank): the
+    // rotation decorrelates/balances subspace variance, so the ADC
+    // shortlist is no worse at recovering true neighbors than the
+    // unrotated PQ path on the same corpus — the CVPR-2013 claim, pinned
+    // per-instance here alongside the gross floor.
+    val opq = recallOf(Opq.q_opq_search.fn(spark, sf))
+    info(f"recall@3: OPQ shortlist+re-rank $opq%.2f (plain PQ $rer%.2f, IVFADC $ivfadc%.2f)")
+    opq should be >= rer
+    opq should be >= 0.6
+  }
+
+  test("OPQ rotation is orthonormal and norm-preserving") {
+    val e = Similarity.embFrame(spark, sf)
+    val r = Opq.trainRotation(e)
+    r.size shouldBe 64
+    // R Rᵀ = I (rows are the permuted eigenvector columns of a symmetric
+    // matrix, orthonormal up to Jacobi fp error)
+    for (i <- 0 until 64 by 9; j <- 0 until 64 by 9) {
+      val d = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      d shouldBe (if (i == j) 1.0 else 0.0) +- 1e-9
+    }
+    // rotation preserves L2 norms (spot-check through the Column path)
+    val got = e.limit(7)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("v"),
+          (a, b) => a.cast("double") * b.cast("double")), lit(0.0), (x, y) => x + y).as("n0"),
+        aggregate(zip_with(Opq.rotate(col("v"), r), Opq.rotate(col("v"), r),
+          (a, b) => a * b), lit(0.0), (x, y) => x + y).as("n1"))
+      .collect()
+    got.foreach { row =>
+      row.getDouble(2) shouldBe row.getDouble(1) +- 1e-9
+    }
   }
 }
