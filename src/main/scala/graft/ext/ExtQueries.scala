@@ -1098,6 +1098,66 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -- H66g: audited compaction + version reclaim ------------------------------
+  // The storage-reclaim lifecycle a long-lived store actually needs:
+  // incremental maintenance (v0 stale base, v1 insert+replace delta)
+  // leaves multi-file buckets across two live versions; one
+  // TableStore.compact rewrites the head with ONE file per bucket,
+  // proves content equality through the order-independent signature,
+  // and prunes the old versions. The oracle sees the true final corpus
+  // plus the audit invariants as literals — a compaction that loses a
+  // row, leaves extra files, or fails to reclaim versions breaks the
+  // gate.
+  val q_store_compact: QueryDef = QueryDef(
+    """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+      |  WHERE term <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST('0x' || substr(md5('7|' || term || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % 1000000007) % 1000000007 AS BIGINT) AS h,
+      |  CAST(1 AS BIGINT) AS n_versions,
+      |  TRUE AS one_file_per_bucket,
+      |  TRUE AS sig_ok
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, substring(col("text"), 1, 20))
+          .otherwise(col("text")))
+    val delta = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 1)
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_cmpidx_${java.util.UUID.randomUUID()}"
+    graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
+    val cfg = graft.streaming.StateStore.Config(buckets = 8)
+    val path = CorpusIndex.tokensPath(root)
+    val report = graft.Materialize.queryBuild("q_store_compact") {
+      CorpusIndex.buildTokens(s, root, base, cfg = cfg) // v0: stale/partial
+      CorpusIndex.appendTokenDocs(s, root, delta, cfg = cfg) // v1: delta
+      graft.streaming.TableStore.compact( // v2: one file/bucket, v0-v1 pruned
+        s, path, Seq(CorpusIndex.TokenSpec), cfg).collect()
+    }
+    val r = report.head
+    val nVersions = r.getAs[Long]("versions_after")
+    val liveBuckets = graft.streaming.TableStore.describe(s, path)
+      .filter(col("table") === CorpusIndex.TokenSpec.name)
+      .agg(max(col("live_buckets"))).head().getInt(0).toLong
+    val oneFilePerBucket = r.getAs[Long]("files_after") == liveBuckets
+    CorpusIndex.storedTokens(s, root)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_terms"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("term"), col("pos")), 7) % 1000000007L)
+          % 1000000007L).as("h"))
+      .withColumn("n_versions", lit(nVersions))
+      .withColumn("one_file_per_bucket", lit(oneFilePerBucket))
+      .withColumn("sig_ok", lit(r.getAs[Boolean]("sig_ok")))
+      .orderBy(col("doc_id"))
+  }
+
   // -- H66e: the maintenance commit's audit diff ------------------------------
   // What did that commit actually change? TableStore.diff reads ONLY the
   // buckets whose pointers differ between the two versions and emits
@@ -1205,6 +1265,7 @@ object ExtQueries {
     "q_frame_sql" -> q_frame_sql,
     "q_frame_diff" -> q_frame_diff,
     "q_token_rebucket" -> q_token_rebucket,
+    "q_store_compact" -> q_store_compact,
     "q_dedup_exact" -> q_dedup_exact,
     "q_token_count" -> q_token_count,
     "q_quality_score" -> q_quality_score,

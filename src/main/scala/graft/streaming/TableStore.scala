@@ -327,6 +327,101 @@ object TableStore {
     v + 1
   }
 
+  /** Order-independent content signature of a whole table — the audit
+    * half of [[compact]]: the same sum-of-row-hashes fold the per-bucket
+    * commit signatures use, over every hashable column in sorted order,
+    * so byte-movement (coalescing, re-laying-out files) that preserves
+    * the row multiset preserves the signature.
+    */
+  private def tableSig(df: DataFrame): Long = {
+    val cols = df.schema.fields
+      .filterNot(f => StateStore.containsMap(f.dataType))
+      .map(_.name).sorted.map(col)
+    if (cols.isEmpty) 0L
+    else {
+      val r = df.agg(pmod(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
+        lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+  }
+
+  /** (file count, byte total) of one table's live buckets at `version` —
+    * manifest-pointer listing only, no data pages.
+    */
+  private def fileCensus(spark: SparkSession, statePath: String,
+      m: Manifest, table: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var files = 0L
+    var bytes = 0L
+    m.pointers.getOrElse(table, Map.empty).foreach { case (pt, pv) =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"${StateStore.tableDataDir(statePath, m.dirs, pv, table)}/pt=$pt")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isFile).foreach { f =>
+        files += 1; bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** Audited compaction — the space-reclaim operation a long-lived store
+    * needs (SURVEY §2 A4's named residual): incremental maintenance
+    * leaves each touched bucket as several small parquet files per
+    * version, and retention keeps whole version dirs alive. One call
+    *
+    *   1. rewrites the LATEST version's tables as a new full version
+    *      with ONE file per bucket (the frame is pre-partitioned by the
+    *      store's own bucket hash, so `partitionBy("pt")` emits exactly
+    *      one file per live bucket),
+    *   2. verifies content equality before/after through the
+    *      order-independent [[tableSig]] — a compaction that loses or
+    *      duplicates a row fails LOUDLY and the old head stays live,
+    *   3. prunes every version below the new head — reader pins still
+    *      floor the reclaim ([[StateStore.pinVersion]]), so a pinned old
+    *      version survives with its data intact.
+    *
+    * Returns the audit report, one row per table: rows, files and bytes
+    * before/after, version counts before/after, and the signature
+    * verdict. Crash-safe by construction: the rewrite is an ordinary
+    * CAS-committed write (a crash before commit leaves the old head
+    * live; after commit, re-running prune is idempotent).
+    */
+  def compact(spark: SparkSession, statePath: String, specs: Seq[Spec],
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no committed version under $statePath"))
+    val versionsBefore = StateStore.committedVersions(spark, statePath, Long.MaxValue).size
+    val mBefore = manifestAt(spark, statePath, v)
+    val before = specs.map(t => t.name -> fileCensus(spark, statePath, mBefore, t.name)).toMap
+    val sigBefore = specs.map(t => t.name -> tableSig(read(spark, statePath, v, t.name))).toMap
+    val rowsBefore = specs.map(t => t.name -> read(spark, statePath, v, t.name).count()).toMap
+    val frames = specs.map { t =>
+      val kb = StateStore.bucket(t.bucketCols, cfg.buckets)
+      // one partition per bucket hash → exactly one parquet file per pt dir
+      t.name -> read(spark, statePath, v, t.name).repartition(cfg.buckets, kb)
+    }.toMap
+    write(spark, statePath, v + 1, specs, frames, cfg = cfg)
+    val mAfter = manifestAt(spark, statePath, v + 1)
+    val report = specs.map { t =>
+      val sigAfter = tableSig(read(spark, statePath, v + 1, t.name))
+      if (sigAfter != sigBefore(t.name)) throw new IllegalStateException(
+        s"compaction of '${t.name}' under $statePath changed content " +
+          s"(sig ${sigBefore(t.name)} -> $sigAfter): new head v${v + 1} is " +
+          "committed but NOT content-equal — investigate before pruning")
+      val (fa, ba) = fileCensus(spark, statePath, mAfter, t.name)
+      (t.name, rowsBefore(t.name), before(t.name)._1, fa, before(t.name)._2, ba)
+    }
+    // reclaim below the new head; reader pins still floor this
+    StateStore.prune(spark, statePath, keepFrom = v + 1)
+    val versionsAfter = StateStore.committedVersions(spark, statePath, Long.MaxValue).size
+    report.toDF("table", "rows", "files_before", "files_after",
+        "bytes_before", "bytes_after")
+      .withColumn("versions_before", lit(versionsBefore.toLong))
+      .withColumn("versions_after", lit(versionsAfter.toLong))
+      .withColumn("sig_ok", lit(true))
+  }
+
   /** Operator-facing store census, driver-side from manifests + file
     * listings alone (no data pages): one row per (version, table) with
     * the live bucket count, how many of those buckets this version

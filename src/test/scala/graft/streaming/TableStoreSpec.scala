@@ -394,6 +394,70 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
       ("removed", 3L, "p3"), ("removed", 7L, "p7"))
   }
 
+  test("compact: one file per bucket, content-equal, old versions reclaimed") {
+    val root = tmp()
+    // several incremental commits -> multi-file buckets across versions
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim(('a' to 'p').map(c => c.toString -> c.toLong): _*),
+        "facts" -> facts((1L to 40L).map(i => i -> s"p$i"): _*)), cfg = cfg)
+    for (v <- 1L to 3L)
+      TableStore.write(spark, root, v, specs,
+        Map("facts" -> facts((v * 10 to v * 10 + 5).map(i => i -> s"u$v-$i"): _*)),
+        delta = true, cfg = cfg)
+    val expectDim = TableStore.read(spark, root, 3L, "dim")
+      .as[(String, Long)].collect().sorted
+    val expectFacts = TableStore.read(spark, root, 3L, "facts")
+      .as[(Long, String)].collect().sorted
+    val report = TableStore.compact(spark, root, specs, cfg).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // content survives byte-for-byte (rows, not files)
+    TableStore.read(spark, root, 4L, "dim")
+      .as[(String, Long)].collect().sorted shouldBe expectDim
+    TableStore.read(spark, root, 4L, "facts")
+      .as[(Long, String)].collect().sorted shouldBe expectFacts
+    // audit: files dropped to one per live bucket, versions collapsed to 1
+    val facts4 = report("facts")
+    facts4.getAs[Long]("files_after") should be <= facts4.getAs[Long]("files_before")
+    facts4.getAs[Long]("files_after") should be <= cfg.buckets.toLong
+    facts4.getAs[Long]("versions_after") shouldBe 1L
+    facts4.getAs[Boolean]("sig_ok") shouldBe true
+    StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe Seq(4L)
+    // one parquet file per pt dir, verified against the filesystem
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val v4 = new org.apache.hadoop.fs.Path(s"$root/v4")
+    val ptDirs = fs.listFiles(v4, true)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    while (ptDirs.hasNext) {
+      val f = ptDirs.next()
+      if (f.getPath.getName.endsWith(".parquet") || f.getPath.getName.startsWith("part-")) {
+        val d = f.getPath.getParent.toString
+        if (d.contains("pt=")) counts(d) = counts.getOrElse(d, 0) + 1
+      }
+    }
+    counts.values.foreach(_ shouldBe 1)
+  }
+
+  test("compact: a reader pin floors the reclaim; the pinned version stays readable") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x")), cfg = cfg)
+    TableStore.write(spark, root, 1L, specs,
+      Map("facts" -> facts(2L -> "y")), delta = true, cfg = cfg)
+    StateStore.pinVersion(spark, root, 0L, "reader-1")
+    TableStore.compact(spark, root, specs, cfg)
+    // v0 survives the compaction's prune and still reads its own content
+    StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe Seq(0L, 1L, 2L)
+    TableStore.read(spark, root, 0L, "facts")
+      .as[(Long, String)].collect() shouldBe Array(1L -> "x")
+    // release the pin: the next compaction reclaims everything below head
+    StateStore.unpin(spark, root, "reader-1")
+    TableStore.compact(spark, root, specs, cfg)
+    StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe Seq(3L)
+    TableStore.read(spark, root, 3L, "facts")
+      .as[(Long, String)].collect().sorted shouldBe Seq(1L -> "x", 2L -> "y")
+  }
+
   test("full write requires every table; unknown table names are refused") {
     val root = tmp()
     intercept[IllegalArgumentException] {
