@@ -65,7 +65,19 @@ object StateStore {
     *                inherited pointers would be bucketed under the old
     *                modulus (rebucket via a full write instead).
     */
-  final case class Config(buckets: Int = 32)
+  /** `remnantGraceMs` — the cross-process remnant-reclaim LEASE: a
+    * terminator-less manifest younger than this is refused (retryably)
+    * instead of overwritten, because without a clock a fresh remnant is
+    * indistinguishable from a FOREIGN writer's in-flight create on a
+    * filesystem without atomic exclusive create. A healthy manifest
+    * write is milliseconds, so any remnant older than the grace window
+    * really is a crash; the residual race now needs a foreign writer
+    * stalled MID-SMALL-FILE-WRITE for the whole window and resuming
+    * inside the reclaim's re-check gap — pathological, vs r11's
+    * bare millisecond window. The horizon must dominate writer-vs-
+    * filesystem clock skew; 60 s does on any sane deployment.
+    */
+  final case class Config(buckets: Int = 32, remnantGraceMs: Long = 60000L)
 
   private final case class TableSpec(name: String, schema: StructType,
       /** columns whose hash places a row in its bucket — a deterministic
@@ -749,9 +761,25 @@ object StateStore {
       if (readManifest(spark, statePath, version).isDefined) {
         if (!winnerEquals()) loseTo("remnant completed by another writer")
         dropStaging()
-      } else
+      } else {
+        // r12 lease/grace: a YOUNG terminator-less manifest may be a
+        // cross-process writer's IN-FLIGHT create, not a crash — refuse
+        // retryably until it ages past the grace window (a healthy
+        // manifest write is ms; see Config.remnantGraceMs). This closes
+        // the r11 residual to the pathological stalled-foreign-writer
+        // case; ClusterProbe's two-JVM remnant legs pin both halves.
+        val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        if (age < cfg.remnantGraceMs) {
+          dropStaging()
+          throw new ConcurrentWriteException(
+            s"terminator-less manifest for v$version under $statePath is " +
+              s"${age}ms old — younger than the ${cfg.remnantGraceMs}ms remnant " +
+              "grace window, so it may be a cross-process writer mid-commit " +
+              "rather than a crash remnant; retry after the window")
+        }
         writeManifest(spark, statePath, version, cfg, pointers, overwrite = true,
           schemas = schemas, dirs = dirs, keys = keys, sigs = sigs)
+      }
     } else {
       // CAS leg 2: exclusive create — of two racers, exactly one succeeds
       try writeManifest(spark, statePath, version, cfg, pointers, overwrite = false,

@@ -126,8 +126,12 @@ class FaultInjectionSpec extends AnyFunSuite with SparkSpec with Matchers
     intercept[Exception] { writeV1(root) }
     // the remnant file exists but has no END terminator: never readable,
     // never listed as committed
-    new java.io.File(root.stripPrefix("faulty://"), "v1/MANIFEST") should exist
+    val remnant = new java.io.File(root.stripPrefix("faulty://"), "v1/MANIFEST")
+    remnant should exist
     StateStore.readManifest(spark, root, 1L) shouldBe None
+    // age the remnant past the r12 reclaim grace window (a fresh one is
+    // refused retryably — it could be a foreign writer mid-commit)
+    remnant.setLastModified(System.currentTimeMillis() - 120000L)
     checkRecovery(root)
   }
 

@@ -357,7 +357,15 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     val (v, st) = StateStore.readLatest(spark, root, Long.MaxValue).get
     v shouldBe 0L
     assetRows(st) shouldBe assetRows(mkState(8))
-    // and a RE-COMMIT of v1 reclaims the remnant (the redelivery path)
+    // a FRESH remnant is refused retryably (r12 lease/grace: it may be a
+    // cross-process writer mid-commit, not a crash)
+    val fresh = intercept[StateStore.ConcurrentWriteException] {
+      StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
+    }
+    fresh.getMessage should include("grace window")
+    // once the remnant ages past the window, a RE-COMMIT of v1 reclaims
+    // it (the redelivery path)
+    mp.toFile.setLastModified(System.currentTimeMillis() - 2 * cfg.remnantGraceMs)
     StateStore.write(spark, root, 1L, mkState(8, Set("a3")), Some(ch), cfg)
     assetRows(StateStore.read(spark, root, 1L)) shouldBe assetRows(mkState(8, Set("a3")))
   }

@@ -35,6 +35,7 @@ object ConcurrencySoak {
       versions: Long,
       winners: Map[Long, (Int, Op)], // version -> (thread, op)
       falseSuccesses: Int,
+      benignDoubleWins: Int,
       retriesPerThread: Map[Int, Int],
       retryHistogram: Map[Int, Int], // retries before one success -> count
       finalRows: Map[Long, String],
@@ -55,6 +56,15 @@ object ConcurrencySoak {
 
     val winners = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Op)]
     val falseSuccesses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val benignDoubleWins = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the op's content effect on a predecessor state — the store's actual
+    // idempotence contract is CONTENT, not op identity: two different
+    // no-op deletes (both keys absent) legitimately both pass the sig CAS
+    def apply(prev: Map[Long, String], op: Op): Map[Long, String] = op match {
+      case FullOp(rows) => rows
+      case UpsertOp(rows) => prev ++ rows
+      case DeleteOp(keys) => prev -- keys
+    }
     val retries = new java.util.concurrent.ConcurrentHashMap[Int, Int]
     val histogram = new java.util.concurrent.ConcurrentHashMap[Int, Int]
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
@@ -102,8 +112,19 @@ object ConcurrencySoak {
               // the same version, so only a DIFFERENT-content double-win
               // is the lost-update pathology
               val prevWin = winners.putIfAbsent(v, (tid, op))
-              if (prevWin != null && prevWin._2 != op)
-                falseSuccesses.incrementAndGet(): Unit
+              if (prevWin != null && prevWin._2 != op) {
+                // double-win with a DIFFERENT op: the lost-update
+                // pathology ONLY if the two ops' content effects differ
+                // on the predecessor state — a content-identical pair
+                // (e.g. two no-op deletes of absent keys) is the store's
+                // documented benign idempotent case
+                import spark.implicits._
+                val prevRows = TableStore.read(spark, root, v - 1, "t")
+                  .as[(Long, String)].collect().toMap
+                if (apply(prevRows, prevWin._2) == apply(prevRows, op))
+                  benignDoubleWins.incrementAndGet(): Unit
+                else falseSuccesses.incrementAndGet(): Unit
+              }
               histogram.merge(retriesSinceWin, 1, _ + _)
               retriesSinceWin = 0
             } catch {
@@ -142,7 +163,7 @@ object ConcurrencySoak {
     val headV = TableStore.latestVersion(spark, root).get
     val finalRows = TableStore.read(spark, root, headV, "t")
       .as[(Long, String)].collect().toMap
-    Result(threads, headV, winMap, falseSuccesses.get(),
+    Result(threads, headV, winMap, falseSuccesses.get(), benignDoubleWins.get(),
       retries.asScala.toMap, histogram.asScala.toMap, finalRows, replay)
   }
 }
@@ -167,6 +188,7 @@ object ConcurrencyProbe {
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
     println(s"""{"probe":"concurrency","threads":${r.threads},""" +
       s""""versions":${r.versions},"false_successes":${r.falseSuccesses},""" +
+      s""""benign_double_wins":${r.benignDoubleWins},""" +
       s""""total_retries":${r.totalRetries},"retry_histogram":$hist,""" +
       s""""serial_replay_equal":${r.finalRows == r.replayRows},"ok":$ok}""")
     spark.stop()
