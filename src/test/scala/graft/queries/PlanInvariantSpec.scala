@@ -26,6 +26,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkSpec with Matchers {
       // frame broadcast against the corpus scan — same shape as
       // q_similarity_topk.
       "q_pq_adc", "q_pq_rerank", "q_hard_negatives",
+      // q_opq_search (r12): the same NQueries-row broadcast ADC-shortlist
+      // shape as q_pq_rerank, over the OPQ-rotated codes.
+      "q_opq_search",
       // q_boilerplate_strip: two deliberate ONE-ROW broadcast cross joins
       // (the corpus-count scalar into the DF threshold; the flagged-token
       // array against the corpus scan) — each moves a single row.
