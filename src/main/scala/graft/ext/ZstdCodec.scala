@@ -42,17 +42,26 @@ import graft.queries.QueryDef
 object ZstdCodec {
 
   /** One parsed frame: content size from the header (-1 when absent),
-    * checksum flag, block count, byte extent in the stream, and whether
-    * it was a skippable frame.
+    * checksum flag, block count, byte extent in the stream, whether it
+    * was a skippable frame, and the dictionary id the frame requires
+    * (0 = none — only nonzero when the walk was told to allow them).
     */
   final case class Frame(offset: Long, byteLen: Int, contentSize: Long,
-      hasChecksum: Boolean, nBlocks: Int, skippable: Boolean)
+      hasChecksum: Boolean, nBlocks: Int, skippable: Boolean,
+      dictId: Long = 0L)
 
   private val Magic = 0xfd2fb528L
   private val SkippableBase = 0x184d2a50L
 
-  /** Walk a (possibly multi-frame) zstd stream's container skeleton. */
-  def parseZstd(docId: Long, b: Array[Byte]): Vector[Frame] = {
+  /** Walk a (possibly multi-frame) zstd stream's container skeleton.
+    * `allowDict = false` (the default) keeps the fail-loud contract for
+    * readers with no dictionary in hand — decompressing such a frame
+    * without its dict is impossible, so guessing would mis-frame; a
+    * dictionary-aware reader passes `allowDict = true` and gets the
+    * required id in [[Frame.dictId]] to resolve the dict itself.
+    */
+  def parseZstd(docId: Long, b: Array[Byte],
+      allowDict: Boolean = false): Vector[Frame] = {
     def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
       s"doc $docId: zstd parse at byte $off: $why")
     def le32(p: Int): Long = {
@@ -98,10 +107,12 @@ object ZstdCodec {
           if (pos >= b.length) fail(pos, "truncated window descriptor")
           pos += 1
         }
+        var dictId = 0L
         if (dictIdBytes > 0) {
-          val dictId = leN(pos, dictIdBytes)
+          dictId = leN(pos, dictIdBytes)
           pos += dictIdBytes
-          if (dictId != 0) fail(at, s"frame requires dictionary $dictId (unsupported)")
+          if (dictId != 0 && !allowDict)
+            fail(at, s"frame requires dictionary $dictId (no dictionary in hand)")
         }
         val fcsCode = (fhd >>> 6) & 0x03
         val contentSize = fcsCode match {
@@ -136,7 +147,7 @@ object ZstdCodec {
           pos += 4
         }
         frames += Frame(at.toLong, pos - at, contentSize, hasChecksum, nBlocks,
-          skippable = false)
+          skippable = false, dictId = dictId)
       } else fail(at, f"bad zstd magic 0x$magic%08x")
     }
     frames.result()
@@ -440,6 +451,85 @@ object ZstdCodec {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q_zstd_dict: shared-dictionary compression for small records --------------
+
+  private val PerDict = 32
+  private val DictSize = 1024
+
+  /** The small-record path a real crawl/interchange pipeline actually
+    * takes: individual documents are far below zstd's break-even frame
+    * size, so shards train a SHARED DICTIONARY (zdict) and compress each
+    * record as its own dict-referencing frame — random access per record
+    * (no shard-prefix decompression) at close-to-batch ratios. Both
+    * halves real: the dictionary is trained by the real zdict trainer
+    * (samples in doc_id order, repeated to satisfy zdict's minimum
+    * corpus), each doc compresses through a dict-loaded context, OUR
+    * walk (allowDict) verifies every frame names exactly the trained
+    * dictionary's embedded id, and the real dict-loaded decompressor
+    * round-trips each record sized by the walked content size. The
+    * oracle recomputes every gated column closed-form; dictionary bytes
+    * and ratios are trainer-dependent and deliberately not gated
+    * (ZstdSpec bounds the behavior instead).
+    */
+  val q_zstd_dict: QueryDef = QueryDef(
+    s"""WITH d AS (SELECT doc_id, doc_id // $PerDict AS shard, text,
+       |    octet_length(encode(text)) AS plen
+       |  FROM documents)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n_docs,
+       |  CAST(plen AS BIGINT) AS content_size,
+       |  TRUE AS dict_id_match,
+       |  md5(text) AS doc_md5
+       |FROM d
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .groupBy(expr(s"doc_id div $PerDict").as("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (shard, docs) =>
+          val payloads = docs.map(_._2.getBytes(UTF_8))
+          // zdict needs a corpus many times the dictionary size; small
+          // shards repeat their samples (deterministically, doc_id order)
+          // until the trainer has enough — quality is irrelevant to the
+          // round-trip contract
+          val repeats = math.max(1,
+            math.ceil(DictSize * 32.0 / math.max(1, payloads.map(_.length).sum)).toInt)
+          val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+            payloads.map(_.length).sum * repeats + 1024, DictSize)
+          (0 until repeats).foreach(_ => payloads.foreach(p => trainer.addSample(p)))
+          val dict = trainer.trainSamples()
+          val dictId = com.github.luben.zstd.Zstd.getDictIdFromDict(dict)
+          val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+          cctx.setLevel(Level)
+          cctx.loadDict(dict)
+          val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+          dctx.loadDict(dict)
+          try docs.zip(payloads).map { case ((id, _), p) =>
+            val frame = cctx.compress(p)
+            val walked = parseZstd(id, frame, allowDict = true)
+            if (walked.size != 1) throw new IllegalStateException(
+              s"doc $id: one dict frame expected, got $walked")
+            val f = walked.head
+            if (f.contentSize != p.length) throw new IllegalStateException(
+              s"doc $id: walked FCS ${f.contentSize} != ${p.length}")
+            val idMatch = f.dictId == dictId && dictId != 0L
+            val back = dctx.decompress(frame, f.contentSize.toInt)
+            md.reset()
+            val hex = md.digest(back).map("%02x".format(_)).mkString
+            (id, shard, docs.size.toLong, p.length.toLong, idMatch, hex)
+          } finally { cctx.close(); dctx.close() }
+        }
+      }
+      .toDF("doc_id", "shard", "n_docs", "content_size", "dict_id_match",
+        "doc_md5")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- q_warc_seek: random access through the standard seek table ---------------
 
   /** The production read path into a `.warc.zst` crawl: every record is
@@ -518,6 +608,7 @@ object ZstdCodec {
 
   val all: Map[String, QueryDef] = Map(
     "q_zstd_shard" -> q_zstd_shard,
+    "q_zstd_dict" -> q_zstd_dict,
     "q_warc_zst" -> q_warc_zst,
     "q_warc_seek" -> q_warc_seek)
 }

@@ -165,6 +165,33 @@ class ZstdSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dictionary frames: walk reports the trained dict id; no-dict readers still fail loudly") {
+    val docs = (0 until 24).map(i => s"small record number $i with shared structure".getBytes(UTF_8))
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      docs.map(_.length).sum * 16 + 1024, 1024)
+    (0 until 16).foreach(_ => docs.foreach(d => trainer.addSample(d)))
+    val dict = trainer.trainSamples()
+    val dictId = Zstd.getDictIdFromDict(dict)
+    dictId should not be 0L
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    cctx.setLevel(3); cctx.loadDict(dict)
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    dctx.loadDict(dict)
+    try docs.foreach { d =>
+      val frame = cctx.compress(d)
+      // dict-aware walk: the frame names exactly the trained dictionary
+      val walked = ZstdCodec.parseZstd(0L, frame, allowDict = true)
+      walked.size shouldBe 1
+      walked.head.dictId shouldBe dictId
+      walked.head.contentSize shouldBe d.length.toLong
+      // the fail-loud contract survives for readers with no dict in hand
+      intercept[IllegalArgumentException](ZstdCodec.parseZstd(0L, frame))
+        .getMessage should include("requires dictionary")
+      // real dict decompression round-trips, sized by OUR walked FCS
+      dctx.decompress(frame, walked.head.contentSize.toInt) shouldBe d
+    } finally { cctx.close(); dctx.close() }
+  }
+
   test("seek table structural damage fails loudly") {
     val shard = ZstdCodec.encodeWarcZstSeekable(
       Seq(("https://c/0", "urn:c:0", "x".getBytes(UTF_8))))
