@@ -26,8 +26,9 @@ import graft.queries.QueryDef
   *     float→double; string↔bytes
   *   - writer union: the branch index picks the written branch, which
   *     then resolves against the reader schema; reader union vs a
-  *     non-union writer: the FIRST reader branch the writer can resolve
-  *     to is chosen (spec rule), else a loud error
+  *     non-union writer: a reader branch with the writer's EXACT type is
+  *     preferred, then the first promotable branch (the real resolving
+  *     reader's rule), else a loud error
   *   - arrays resolve item-wise under the block framing (a negative
   *     block count's byte size lets writer-only array fields skip
   *     without decoding items)
@@ -99,7 +100,16 @@ object AvroResolve {
           r.fail(r.pos, s"union branch $branch out of range for ${types.size}")
         read(r, types.get(branch.toInt), reader)
       case (_, Type.UNION) =>
-        reader.getTypes.asScala.find(canResolve(writer, _)) match {
+        // Two-pass branch selection, matching the real resolving reader
+        // (GenericDatumReader/Resolver): prefer a reader branch with the
+        // writer's EXACT type (full-name match for records) and only then
+        // fall back to a promotable branch — otherwise writer long vs
+        // reader ["float","long"] would silently decode a lossy float
+        // (ADVICE r12).
+        val branches = reader.getTypes.asScala
+        val exact = branches.find(b =>
+          b.getType == writer.getType && canResolve(writer, b))
+        exact.orElse(branches.find(canResolve(writer, _))) match {
           case Some(b) => read(r, writer, b)
           case None => r.fail(r.pos,
             s"no reader union branch accepts writer ${writer.getType}")

@@ -329,14 +329,21 @@ object TableStore {
 
   /** Order-independent content signature of a whole table — the audit
     * half of [[compact]]: the same sum-of-row-hashes fold the per-bucket
-    * commit signatures use, over every hashable column in sorted order,
-    * so byte-movement (coalescing, re-laying-out files) that preserves
-    * the row multiset preserves the signature.
+    * commit signatures use, over EVERY column in sorted order, so
+    * byte-movement (coalescing, re-laying-out files) that preserves the
+    * row multiset preserves the signature. Map-typed columns (which
+    * `xxhash64` cannot hash) are signed through a canonical string
+    * rendering instead of being dropped (ADVICE r12: an all-map table
+    * previously signed a vacuous constant 0): a compaction only MOVES
+    * rows — the parquet round-trip preserves each map's stored entry
+    * order — so the rendering is deterministic across the rewrite, and
+    * corruption confined to a map column now fails the audit.
     */
   private def tableSig(df: DataFrame): Long = {
-    val cols = df.schema.fields
-      .filterNot(f => StateStore.containsMap(f.dataType))
-      .map(_.name).sorted.map(col)
+    val cols = df.schema.fields.sortBy(_.name).map { f =>
+      if (StateStore.containsMap(f.dataType)) col(f.name).cast("string")
+      else col(f.name)
+    }
     if (cols.isEmpty) 0L
     else {
       val r = df.agg(pmod(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
@@ -375,7 +382,9 @@ object TableStore {
     *      one file per live bucket),
     *   2. verifies content equality before/after through the
     *      order-independent [[tableSig]] — a compaction that loses or
-    *      duplicates a row fails LOUDLY and the old head stays live,
+    *      duplicates a row fails LOUDLY, and before failing the old
+    *      content is re-committed as the next head so readers never
+    *      serve the content-wrong version,
     *   3. prunes every version below the new head — reader pins still
     *      floor the reclaim ([[StateStore.pinVersion]]), so a pinned old
     *      version survives with its data intact.
@@ -393,6 +402,16 @@ object TableStore {
       throw new IllegalStateException(s"no committed version under $statePath"))
     val versionsBefore = StateStore.committedVersions(spark, statePath, Long.MaxValue).size
     val mBefore = manifestAt(spark, statePath, v)
+    // A table live in the head manifest but missing from `specs` would be
+    // dropped from the rebuilt manifest and its data then irreversibly
+    // deleted by the prune below — refuse a partial spec list loudly
+    // instead of silently losing data (ADVICE r12).
+    val live = mBefore.pointers.keySet ++ mBefore.schemas.keySet ++ mBefore.keys.keySet
+    val omitted = live.diff(specs.map(_.name).toSet)
+    require(omitted.isEmpty,
+      s"compact specs omit live table(s) ${omitted.toSeq.sorted.mkString(", ")} " +
+        s"of $statePath v$v: compacting a partial spec list would drop them " +
+        "from the new head and prune their data — pass every live table")
     val before = specs.map(t => t.name -> fileCensus(spark, statePath, mBefore, t.name)).toMap
     val sigBefore = specs.map(t => t.name -> tableSig(read(spark, statePath, v, t.name))).toMap
     val rowsBefore = specs.map(t => t.name -> read(spark, statePath, v, t.name).count()).toMap
@@ -403,12 +422,26 @@ object TableStore {
     }.toMap
     write(spark, statePath, v + 1, specs, frames, cfg = cfg)
     val mAfter = manifestAt(spark, statePath, v + 1)
+    val sigAfter = specs.map(t =>
+      t.name -> tableSig(read(spark, statePath, v + 1, t.name))).toMap
+    val bad = specs.filter(t => sigAfter(t.name) != sigBefore(t.name))
+    if (bad.nonEmpty) {
+      // v+1 is already committed, so readers of latestVersion would serve
+      // the content-wrong compaction until an operator intervened (ADVICE
+      // r12). Roll the head forward to the known-good content FIRST: v's
+      // data is still on disk (prune has not run), so re-commit it as
+      // v+2, then fail loudly. The head is never left content-wrong.
+      val restore = specs.map(t => t.name -> read(spark, statePath, v, t.name)).toMap
+      write(spark, statePath, v + 2, specs, restore, cfg = cfg)
+      throw new IllegalStateException(
+        s"compaction under $statePath changed content of " +
+          bad.map(t => s"'${t.name}' (sig ${sigBefore(t.name)} -> ${sigAfter(t.name)})")
+            .mkString(", ") +
+          s": content-wrong v${v + 1} was quarantined by re-committing " +
+          s"v$v's content as the new head v${v + 2}; nothing was pruned — " +
+          "investigate the compaction rewrite")
+    }
     val report = specs.map { t =>
-      val sigAfter = tableSig(read(spark, statePath, v + 1, t.name))
-      if (sigAfter != sigBefore(t.name)) throw new IllegalStateException(
-        s"compaction of '${t.name}' under $statePath changed content " +
-          s"(sig ${sigBefore(t.name)} -> $sigAfter): new head v${v + 1} is " +
-          "committed but NOT content-equal — investigate before pruning")
       val (fa, ba) = fileCensus(spark, statePath, mAfter, t.name)
       (t.name, rowsBefore(t.name), before(t.name)._1, fa, before(t.name)._2, ba)
     }

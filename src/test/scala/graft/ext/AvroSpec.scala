@@ -347,6 +347,32 @@ class AvroSpec extends AnyFunSuite with Matchers {
     libResolve(b3, wu, ruS).get(0) shouldBe null
   }
 
+  test("resolution: reader union prefers the exact branch over a promotable one") {
+    // Writer long vs reader ["float","long"]: first-promotable-wins would
+    // silently decode a lossy float; the real resolving reader picks the
+    // exact long branch (ADVICE r12). Use a value float cannot represent.
+    val w = new ASchema.Parser().parse(
+      """{"type":"record","name":"X","fields":[
+        |{"name":"v","type":"long"}]}""".stripMargin.replace("\n", ""))
+    val r = new ASchema.Parser().parse(
+      """{"type":"record","name":"X","fields":[
+        |{"name":"v","type":["float","long"]}]}""".stripMargin.replace("\n", ""))
+    val big = (1L << 53) + 1L // not exactly representable as float/double
+    val b = libEncode(w, _.put("v", java.lang.Long.valueOf(big)))
+    ourResolve(b, w, r) shouldBe Vector(big)
+    norm(libResolve(b, w, r).get(0)) shouldBe big
+    // and int vs ["double","int"]: exact int beats the earlier double
+    val wi = new ASchema.Parser().parse(
+      """{"type":"record","name":"Y","fields":[
+        |{"name":"v","type":"int"}]}""".stripMargin.replace("\n", ""))
+    val ri = new ASchema.Parser().parse(
+      """{"type":"record","name":"Y","fields":[
+        |{"name":"v","type":["double","int"]}]}""".stripMargin.replace("\n", ""))
+    val bi = libEncode(wi, _.put("v", 7))
+    ourResolve(bi, wi, ri) shouldBe Vector(7)
+    norm(libResolve(bi, wi, ri).get(0)) shouldBe 7
+  }
+
   test("resolution errors are loud: missing default, name mismatch, no union branch") {
     val w = new ASchema.Parser().parse(
       """{"type":"record","name":"E","fields":[{"name":"id","type":"long"}]}""")

@@ -438,6 +438,47 @@ class TableStoreSpec extends AnyFunSuite with SparkSpec with Matchers {
     counts.values.foreach(_ shouldBe 1)
   }
 
+  test("compact: a partial spec list is refused loudly and nothing is lost") {
+    val root = tmp()
+    TableStore.write(spark, root, 0L, specs,
+      Map("dim" -> dim("a" -> 1L), "facts" -> facts(1L -> "x")), cfg = cfg)
+    // omitting 'dim' would drop it from the rebuilt manifest and prune
+    // its data — compact must refuse before writing anything (ADVICE r12)
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.compact(spark, root, specs.filter(_.name == "facts"), cfg)
+    }
+    ex.getMessage should include("dim")
+    // the refusal left the store untouched: head unchanged, both readable
+    StateStore.committedVersions(spark, root, Long.MaxValue) shouldBe Seq(0L)
+    TableStore.read(spark, root, 0L, "dim")
+      .as[(String, Long)].collect() shouldBe Array("a" -> 1L)
+    TableStore.read(spark, root, 0L, "facts")
+      .as[(Long, String)].collect() shouldBe Array(1L -> "x")
+  }
+
+  test("compact: map-typed columns are signed, not skipped (audit non-vacuous)") {
+    import org.apache.spark.sql.functions.{col, map_from_entries}
+    val root = tmp()
+    val mspecs = Seq(TableStore.Spec("props", Seq("id")))
+    // a table whose ONLY payload is a map column — under the old
+    // drop-map-columns signature this audited a constant independent of
+    // the map content (ADVICE r12)
+    val props = Seq(
+      (1L, Seq(("lang", "en"), ("src", "web"))),
+      (2L, Seq(("lang", "de")))).toDF("id", "kv")
+      .select(col("id"), map_from_entries(col("kv")).as("props"))
+    TableStore.write(spark, root, 0L, mspecs, Map("props" -> props), cfg = cfg)
+    TableStore.write(spark, root, 1L, mspecs,
+      Map("props" -> Seq((3L, Seq(("lang", "fr")))).toDF("id", "kv")
+        .select(col("id"), map_from_entries(col("kv")).as("props"))),
+      delta = true, cfg = cfg)
+    val report = TableStore.compact(spark, root, mspecs, cfg).collect()
+    report.map(_.getAs[Boolean]("sig_ok")).toSeq shouldBe Seq(true)
+    val got = TableStore.read(spark, root, 2L, "props")
+      .selectExpr("id", "props['lang']").as[(Long, String)].collect().sorted
+    got shouldBe Array(1L -> "en", 2L -> "de", 3L -> "fr")
+  }
+
   test("compact: a reader pin floors the reclaim; the pinned version stays readable") {
     val root = tmp()
     TableStore.write(spark, root, 0L, specs,
