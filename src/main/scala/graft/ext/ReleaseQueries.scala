@@ -184,44 +184,59 @@ object ReleaseQueries {
   // plan, driver-looped like ancestorsClosure's rounds).
   private val BpeMerges = 3
 
-  val q_bpe_apply: QueryDef = QueryDef {
+  /** The oracle's per-word merge replay + piece projection: CTEs `m`
+    * (ranked merges), `spaced` (sentinel-wrapped chars), `ap` (merges
+    * applied), `pieces` (w, cnt, pieces, n_pieces) — appended after
+    * [[duckBpeCtes]]; shared by q_bpe_apply and q_bpe_encode.
+    */
+  private def duckPiecesCtes: String = {
     val applied = (1 to BpeMerges).foldLeft("s0") { (acc, r) =>
       s"""replace($acc,
          |  '|' || string_split((SELECT pair FROM m WHERE rk = $r), ' ')[1] ||
          |    '| |' || string_split((SELECT pair FROM m WHERE rk = $r), ' ')[2] || '|',
          |  '|' || replace((SELECT pair FROM m WHERE rk = $r), ' ', '') || '|')""".stripMargin
     }
-    s"""WITH $duckBpeCtes,
-       |m AS (SELECT pair, row_number() OVER (ORDER BY freq DESC, pair) AS rk
+    s"""m AS (SELECT pair, row_number() OVER (ORDER BY freq DESC, pair) AS rk
        |  FROM pf QUALIFY rk <= $BpeMerges),
        |spaced AS (SELECT w, cnt,
        |    '|' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), '| |') || '|'
        |      AS s0
        |  FROM wf),
-       |ap AS (SELECT w, cnt, $applied AS sn FROM spaced)
-       |SELECT w, cnt, replace(replace(sn, '| |', ' '), '|', '') AS pieces,
+       |ap AS (SELECT w, cnt, $applied AS sn FROM spaced),
+       |pieces AS (SELECT w, cnt, replace(replace(sn, '| |', ' '), '|', '') AS pieces,
        |  CAST(len(string_split(replace(replace(sn, '| |', ' '), '|', ''), ' ')) AS BIGINT)
        |    AS n_pieces
-       |FROM ap ORDER BY w""".stripMargin
-  } { (s, dir) =>
-    // the ranked merge list: BpeMerges rows to the driver, by design
+       |FROM ap)""".stripMargin
+  }
+
+  /** The trained merge list: BpeMerges rows to the driver, by design.
+    * A PARTIALLY short merge list (0 < pairs < rules) would NULL-poison
+    * the oracle's rank-r scalar subqueries against live vocab rows —
+    * fail loudly. A fully EMPTY corpus is fine: pad with sentinel rules
+    * that can never match; both engines emit zero vocab rows, so the
+    * padded rules are never applied.
+    */
+  private def bpeRules(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
     val merges = bpePairFreqs(s, dir)
       .orderBy(col("freq").desc, col("pair")).limit(BpeMerges)
       .collect().map(_.getString(0)).toSeq
-    // a PARTIALLY short merge list (0 < pairs < rules) would NULL-poison
-    // the oracle's rank-r scalar subqueries against live vocab rows —
-    // fail loudly. A fully EMPTY corpus is fine: pad with sentinel rules
-    // that can never match; both engines emit zero vocab rows, so the
-    // padded rules are never applied.
     require(merges.isEmpty || merges.size == BpeMerges,
       s"corpus has ${merges.size} distinct char pairs < $BpeMerges merge rules")
-    val rules = if (merges.nonEmpty) merges
-      else (1 to BpeMerges).map(r => s"\u0001$r \u0001$r")
+    if (merges.nonEmpty) merges
+    else (1 to BpeMerges).map(r => s"\u0001$r \u0001$r")
+  }
+
+  /** The vocabulary segmented under the trained merges:
+    * (w, cnt, pieces, n_pieces) — q_bpe_apply's body, shared with the
+    * corpus-encode pass.
+    */
+  private def bpeVocabPieces(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val spaced = concat(lit("|"),
       array_join(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))), "| |"),
       lit("|"))
-    val applied = rules.foldLeft(spaced) { (c, m) =>
+    val applied = bpeRules(s, dir).foldLeft(spaced) { (c, m) =>
       val Array(x, y) = m.split(' ')
       // merge strings come from corpus tokens; the sentinel rewrite uses
       // literal (non-regex) replace on both engines
@@ -234,7 +249,55 @@ object ReleaseQueries {
           lit("|"), lit("")))
       .withColumn("n_pieces", size(split(col("pieces"), " ")).cast("long"))
       .select(col("w"), col("cnt"), col("pieces"), col("n_pieces"))
-      .orderBy(col("w"))
+  }
+
+  val q_bpe_apply: QueryDef = QueryDef(
+    s"""WITH $duckBpeCtes,
+       |$duckPiecesCtes
+       |SELECT w, cnt, pieces, n_pieces FROM pieces ORDER BY w""".stripMargin) {
+    (s, dir) => bpeVocabPieces(s, dir).orderBy(col("w"))
+  }
+
+  // -- H82: BPE corpus encode (tokenizer training, step 3) -------------------
+  // q_bpe_pairs trains, q_bpe_apply segments the VOCABULARY; this encodes
+  // the CORPUS under the trained merge table — the exact token count
+  // every mixing/packing decision (H17b, H24) otherwise approximates
+  // with whitespace tokens, plus an order-sensitive 60-bit checksum of
+  // the encoded piece sequence (piece string + token position), which
+  // pins the exact segmentation at every position — token ids derive
+  // bijectively from piece strings, so hashing pieces IS hashing ids.
+  //
+  // Scale shape: the merge replay runs once per VOCABULARY word (the
+  // corpus collapsed first — production BPE-encoder layout), then the
+  // corpus pass is one broadcast hash join of the token frame against
+  // the segmented vocab (vocab is MB-scale at any corpus size) and one
+  // per-doc aggregation; zero corpus-side shuffles beyond the groupBy.
+  val q_bpe_encode: QueryDef = QueryDef(
+    s"""WITH $duckBpeCtes,
+       |$duckPiecesCtes,
+       |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |t AS (SELECT doc_id, w, CAST(pos - 1 AS BIGINT) AS pos FROM t0
+       |  WHERE w <> '')
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST('0x' || substr(md5('13|' || p.pieces || '|' ||
+       |      CAST(t.pos AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007)
+       |    % 1000000007 AS BIGINT) AS h
+       |FROM t JOIN pieces p ON t.w = p.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val vocab = bpeVocabPieces(s, dir).select(col("w"), col("pieces"), col("n_pieces"))
+    TextAnalysis.corpusTokens(s, dir)
+      .join(broadcast(vocab), col("term") === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        (sum(TextAnalysis.hash60(
+          concat_ws("|", col("pieces"), col("pos")), 13) % 1000000007L)
+          % 1000000007L).as("h"))
+      .orderBy(col("doc_id"))
   }
 
   // -- H49: benchmark-suite x corpus-source contamination matrix ------------
@@ -676,6 +739,7 @@ object ReleaseQueries {
     "q_dup_breakdown" -> q_dup_breakdown,
     "q_oov_rate" -> q_oov_rate,
     "q_bpe_apply" -> q_bpe_apply,
+    "q_bpe_encode" -> q_bpe_encode,
     "q_paragraph_dedup" -> q_paragraph_dedup,
     "q_dedup_incremental" -> q_dedup_incremental,
     "q_bpe_pairs" -> q_bpe_pairs,
