@@ -214,6 +214,16 @@ object IvfPq {
        |SELECT query_id, vec_id, round(d, 6) AS dist, rnk
        |FROM r WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    searchAt(s, dir, NProbe)
+  }
+
+  /** The composed IVFADC read path at an explicit probe depth — the
+    * q_ivfpq_search body with `nprobe` as a parameter, so PqSpec can
+    * sweep the recall/scan-cost curve (VERDICT r12 #5); the declared
+    * query pins [[NProbe]].
+    */
+  private[ext] def searchAt(s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ix = index(s, dir)
     val ivf = Similarity.ivfIndex(s, dir)
@@ -225,7 +235,7 @@ object IvfPq {
       .withColumn("prk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy((Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).desc,
           col("cell"))))
-      .filter(col("prk") <= NProbe)
+      .filter(col("prk") <= nprobe)
       .select(col("query_id"), col("cell"))
     // the probe result IS the production index lookup: nqueries × nprobe
     // rows collected so the code scan gets a LITERAL cell filter — the

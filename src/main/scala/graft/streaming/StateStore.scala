@@ -77,7 +77,25 @@ object StateStore {
     * bare millisecond window. The horizon must dominate writer-vs-
     * filesystem clock skew; 60 s does on any sane deployment.
     */
-  final case class Config(buckets: Int = 32, remnantGraceMs: Long = 60000L)
+  /** `atomicPublish` — opt-in ATOMIC manifest publication for
+    * filesystems with an atomic no-replace primitive (r13, closing the
+    * lease/grace protocol's documented pathological residual where the
+    * FS supports it): the complete manifest (END terminator included) is
+    * written to a writer-unique tmp and published in ONE atomic
+    * operation — `link(2)` via `Files.createLink` on a local filesystem,
+    * no-replace `rename` on HDFS — so a PARTIAL manifest can never
+    * appear at the final path and a stalled writer's resume can never
+    * clobber a committed one (its publish fails EEXIST and it loses
+    * retryably). A terminator-less file at the final path is then, by
+    * construction, a crashed LEGACY (non-atomic) writer's remnant; it is
+    * still given the grace window (mixed-deployment defense) and then
+    * deleted and re-raced atomically. The impossible-by-construction
+    * guarantee holds when every writer of the store runs atomic mode;
+    * keep the default (lease/grace) on object stores, where rename is a
+    * non-atomic copy.
+    */
+  final case class Config(buckets: Int = 32, remnantGraceMs: Long = 60000L,
+      atomicPublish: Boolean = false)
 
   private final case class TableSpec(name: String, schema: StructType,
       /** columns whose hash places a row in its bucket — a deterministic
@@ -265,6 +283,48 @@ object StateStore {
     val out = fs.create(manifestPath(statePath, version), overwrite)
     try out.write((body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Atomic no-replace manifest publication ([[Config.atomicPublish]]):
+    * write the COMPLETE manifest to a writer-unique tmp, then publish in
+    * one atomic operation — `Files.createLink` (POSIX `link(2)`, fails
+    * EEXIST atomically) on a local filesystem, no-replace `rename` on
+    * HDFS. Returns false when the destination already exists (lost the
+    * publish race — the caller re-classifies the winner). The tmp is
+    * removed on every path; a crash between write and publish leaves
+    * only a small dot-tmp inside the version dir, reclaimed with the
+    * dir when prune passes it.
+    */
+  private def publishManifestAtomic(spark: SparkSession, statePath: String,
+      version: Long, cfg: Config, pointers: Pointers,
+      schemas: Map[String, StructType], dirs: Map[Long, String],
+      keys: Map[String, Seq[String]],
+      sigs: Map[String, Map[Int, Long]]): Boolean = {
+    val (fs, _) = fsFor(spark, statePath)
+    val dst = manifestPath(statePath, version)
+    val body = manifestBody(cfg, pointers, schemas, dirs, keys, sigs)
+    val bytes = (body + s"crc=${crcOf(body)}\nEND\n").getBytes("UTF-8")
+    val tmp = new Path(dst.getParent,
+      s".MANIFEST.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val scheme = Option(dst.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme == "file") {
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      java.nio.file.Files.createDirectories(dstNio.getParent)
+      java.nio.file.Files.write(tmpNio, bytes)
+      try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { java.nio.file.Files.deleteIfExists(tmpNio): Unit }
+    } else {
+      fs.mkdirs(dst.getParent)
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val ok =
+        try fs.rename(tmp, dst)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!ok) fs.delete(tmp, false): Unit
+      ok
+    }
   }
 
   def readManifest(spark: SparkSession, statePath: String, version: Long): Option[Manifest] = {
@@ -746,6 +806,46 @@ object StateStore {
             s"could not promote staging $sd to $dest (unique destination — " +
               "filesystem error, not a writer race)")
         promoted = Some(dest)
+      }
+    }
+    if (cfg.atomicPublish) {
+      // r13 atomic-publish CAS: the manifest only ever APPEARS complete
+      // (one hardlink/rename of a fully-written tmp), so there is no
+      // re-check-to-write gap to race — a publish either lands first or
+      // fails EEXIST and the loop re-classifies the winner. A
+      // terminator-less file at the final path is a crashed LEGACY
+      // writer's remnant by construction; it still gets the grace window
+      // (mixed-deployment defense), then is deleted and re-raced.
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        if (attempts > 5) {
+          dropStaging()
+          throw new ConcurrentWriteException(
+            s"v$version under $statePath: lost the atomic manifest publish " +
+              s"$attempts times in a row without a readable winner appearing — " +
+              "another writer is churning this version; retry the fold")
+        }
+        if (readManifest(spark, statePath, version).isDefined) {
+          if (!winnerEquals()) loseTo("atomic publish raced")
+          dropStaging() // identical winner: idempotent redelivery
+          return
+        }
+        if (fs.exists(p)) {
+          val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+          if (age < cfg.remnantGraceMs) {
+            dropStaging()
+            throw new ConcurrentWriteException(
+              s"terminator-less manifest for v$version under $statePath is " +
+                s"${age}ms old — younger than the ${cfg.remnantGraceMs}ms remnant " +
+                "grace window; a LEGACY (non-atomic) writer may be mid-commit; " +
+                "retry after the window")
+          }
+          fs.delete(p, false): Unit // aged legacy remnant: clear, then re-race
+        }
+        if (publishManifestAtomic(spark, statePath, version, cfg, pointers,
+            schemas, dirs, keys, sigs)) return
+        // lost the EEXIST race: loop re-reads the winner
       }
     }
     if (fs.exists(p)) {

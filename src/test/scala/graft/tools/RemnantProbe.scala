@@ -54,11 +54,13 @@ object RemnantProbe {
     * 3 = retryable ConcurrentWrite refusal (message on stdout), 1 = any
     * other failure.
     */
-  private def childCommit(root: String, version: Long, tag: String): Unit = {
+  private def childCommit(root: String, version: Long, tag: String,
+      atomic: Boolean): Unit = {
     val spark = session(s"remnant-child-$tag")
     try {
       TableStore.write(spark, root, version, spec,
-        Map("t" -> rows(spark, tag)), cfg = cfg)
+        Map("t" -> rows(spark, tag)),
+        cfg = cfg.copy(atomicPublish = atomic))
       println(s"[child] committed v$version tag=$tag")
       sys.exit(0)
     } catch {
@@ -72,7 +74,8 @@ object RemnantProbe {
   }
 
   /** Fork a child JVM running [[childCommit]]; returns (exit, stdout). */
-  private def fork(root: String, version: Long, tag: String): (Int, String) = {
+  private def fork(root: String, version: Long, tag: String,
+      atomic: Boolean = false): (Int, String) = {
     val java = s"${sys.props("java.home")}/bin/java"
     // the same JDK-17 module opens build.sbt forks the parent with
     val opens = Seq(
@@ -86,7 +89,8 @@ object RemnantProbe {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(java, "-Xmx2g", "-cp", sys.props("java.class.path")) ++ opens ++
       Seq("-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "graft.tools.RemnantProbe", "commit", root, version.toString, tag)
+        "graft.tools.RemnantProbe", "commit", root, version.toString, tag) ++
+      (if (atomic) Seq("atomic") else Nil)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -109,7 +113,8 @@ object RemnantProbe {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "commit" :: root :: v :: tag :: Nil => childCommit(root, v.toLong, tag)
+    case "commit" :: root :: v :: tag :: rest =>
+      childCommit(root, v.toLong, tag, atomic = rest.contains("atomic"))
     case rest =>
       val outJson = rest.headOption.getOrElse("/tmp/remnant_probe.json")
       val spark = session("remnant-probe-parent")
@@ -154,6 +159,59 @@ object RemnantProbe {
           .collect().map(_.getString(1)).sorted.toSeq
         (code == 3 && content.forall(_.startsWith("winner")),
           s"exit=$code winnerIntact=${content.forall(_.startsWith("winner"))}")
+      }
+
+      // ---- legs 4-6: the r13 ATOMIC-PUBLISH mode ----------------------------
+
+      // leg 4: the pathological case the lease/grace protocol documents —
+      // a writer stalled mid-commit — is IMPOSSIBLE BY CONSTRUCTION under
+      // atomic publish: a mid-commit atomic writer leaves only a tmp,
+      // NOTHING at the final path, so a foreign writer commits with no
+      // grace wait; the stalled writer's resumed publish fails EEXIST.
+      val root4 = Files.createTempDirectory("graft_remnant4").toString
+      TableStore.write(spark, root4, 0L, spec, Map("t" -> rows(spark, "base")),
+        cfg = cfg.copy(atomicPublish = true))
+      leg("atomic: stalled writer leaves no remnant; resume loses EEXIST") {
+        // the stalled writer: a COMPLETE manifest sitting in its tmp,
+        // unpublished (copy v0's manifest text as stand-in content)
+        val v1 = Paths.get(s"$root4/v1"); Files.createDirectories(v1)
+        val stalledTmp = v1.resolve(".MANIFEST.tmp-stalled")
+        Files.write(stalledTmp, Files.readAllBytes(Paths.get(s"$root4/v0/MANIFEST")))
+        // the foreign writer commits immediately — no grace refusal
+        val (code, _) = fork(root4, 1L, "winner", atomic = true)
+        // the stalled writer resumes: its atomic publish must fail EEXIST
+        val resumed =
+          try { Files.createLink(v1.resolve("MANIFEST"), stalledTmp); false }
+          catch { case _: java.nio.file.FileAlreadyExistsException => true }
+        val content = TableStore.read(spark, root4, 1L, "t")
+          .collect().map(_.getString(1)).sorted.toSeq
+        (code == 0 && resumed && content.forall(_.startsWith("winner")),
+          s"exit=$code resumeLostEEXIST=$resumed winnerIntact=" +
+            s"${content.forall(_.startsWith("winner"))}")
+      }
+
+      // leg 5: a fresh LEGACY remnant still gets the grace window under
+      // atomic mode (mixed-deployment defense)
+      val root5 = Files.createTempDirectory("graft_remnant5").toString
+      TableStore.write(spark, root5, 0L, spec, Map("t" -> rows(spark, "base")),
+        cfg = cfg.copy(atomicPublish = true))
+      plantRemnant(root5, 1L)
+      leg("atomic: fresh legacy remnant refused within the grace window") {
+        val (code, out) = fork(root5, 1L, "alien", atomic = true)
+        (code == 3 && out.contains("grace window"),
+          s"exit=$code, grace-window refusal=${out.contains("grace window")}")
+      }
+
+      // leg 6: an aged legacy remnant is deleted and re-raced atomically
+      leg("atomic: aged legacy remnant reclaimed via delete + atomic link") {
+        val remnant = new java.io.File(s"$root5/v1/MANIFEST")
+        remnant.setLastModified(System.currentTimeMillis() - 2 * cfg.remnantGraceMs)
+        val (code, _) = fork(root5, 1L, "alien6", atomic = true)
+        val committed = StateStore.readManifest(spark, root5, 1L).isDefined
+        val content = TableStore.read(spark, root5, 1L, "t")
+          .collect().map(_.getString(1)).sorted.toSeq
+        (code == 0 && committed && content == (1 to 8).map(i => s"alien6-$i").sorted,
+          s"exit=$code committed=$committed rows=${content.take(2).mkString(",")}...")
       }
 
       val ok = legs.forall(_._2)
