@@ -441,5 +441,54 @@ object OrcLite {
     }
   }
 
+  /** The 4-column twin of [[writeViaOrcCore]] for the stripe-data read
+    * gate (q_orc_read): adds a NULLABLE `opt_len` bigint —
+    * `(doc_id*37+11)%1000`, absent when `doc_id%3==0` — so the PRESENT
+    * (boolean RLE) stream carries real nulls.
+    */
+  def writeViaOrcCoreOpt(docs: Seq[(Long, String, String)], codec: String): Array[Byte] = {
+    import org.apache.orc.{CompressionKind, OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector, VectorizedRowBatch}
+    val schema = TypeDescription.fromString(
+      "struct<doc_id:bigint,text:string,lang:string,opt_len:bigint>")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+    val file = tmp.resolve("g.orc")
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val writer = OrcFile.createWriter(
+        new org.apache.hadoop.fs.Path(file.toUri.toString),
+        OrcFile.writerOptions(conf).setSchema(schema)
+          .compress(CompressionKind.valueOf(codec))
+          .overwrite(true))
+      try {
+        val batch = schema.createRowBatch()
+        val ids = batch.cols(0).asInstanceOf[LongColumnVector]
+        val texts = batch.cols(1).asInstanceOf[BytesColumnVector]
+        val langs = batch.cols(2).asInstanceOf[BytesColumnVector]
+        val opts = batch.cols(3).asInstanceOf[LongColumnVector]
+        opts.noNulls = false
+        docs.foreach { case (id, text, lang) =>
+          if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset(); opts.noNulls = false }
+          val r = batch.size
+          ids.vector(r) = id
+          val tb = text.getBytes(UTF_8)
+          texts.setVal(r, tb, 0, tb.length)
+          val lb = lang.getBytes(UTF_8)
+          langs.setVal(r, lb, 0, lb.length)
+          if (id % 3 == 0) opts.isNull(r) = true
+          else { opts.isNull(r) = false; opts.vector(r) = (id * 37 + 11) % 1000 }
+          batch.size += 1
+        }
+        if (batch.size > 0) writer.addRowBatch(batch)
+      } finally writer.close()
+      java.nio.file.Files.readAllBytes(file)
+    } finally {
+      java.nio.file.Files.deleteIfExists(file)
+      val ls = java.nio.file.Files.list(tmp)
+      try ls.forEach(p => java.nio.file.Files.deleteIfExists(p)) finally ls.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   val all: Map[String, QueryDef] = Map("q_orc_meta" -> q_orc_meta)
 }
