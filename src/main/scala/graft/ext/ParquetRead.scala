@@ -30,13 +30,22 @@ import graft.queries.QueryDef
   *  - **dictionary pages**: PLAIN-encoded entry lists for INT32 /
   *    INT64 / DOUBLE / BYTE_ARRAY.
   *
+  *  - **v2 data pages** (what modern writers emit): levels ride
+  *    UNCOMPRESSED ahead of a values-only-compressed section, header-
+  *    declared level byte lengths, num_nulls cross-checked against the
+  *    decoded levels — plus the three DELTA encodings v2 writers fall
+  *    back to: DELTA_BINARY_PACKED (zigzag block header, per-miniblock
+  *    bit widths, LSB-first packed delta offsets over a min-delta),
+  *    DELTA_LENGTH_BYTE_ARRAY and DELTA_BYTE_ARRAY (shared-prefix
+  *    front coding).
+  *
   * GZIP pages inflate through the JDK (`GZIPInputStream` — zlib is a
-  * JDK primitive, not a codec library); DATA_PAGE_V2, unsupported
-  * codecs, bad snappy tags (offset 0, copy before window start,
-  * literal crossing the input), hybrid runs past the declared value
-  * count, and a page walk that does not land exactly on the next page
-  * boundary all fail LOUDLY with the byte offset (the MediaDecoder
-  * contract).
+  * JDK primitive, not a codec library); unsupported codecs, bad snappy
+  * tags (offset 0, copy before window start, literal crossing the
+  * input), hybrid runs past the declared value count, DELTA prefixes
+  * longer than their predecessor, and a page walk that does not land
+  * exactly on the next page boundary all fail LOUDLY with the byte
+  * offset (the MediaDecoder contract).
   *
   * Cross-validated in ParquetReadSpec against the real stack in both
   * directions: snappy vs snappy-java (xerial, the copy Spark ships),
@@ -193,6 +202,125 @@ object ParquetRead {
     (out, pos)
   }
 
+  // ---- DELTA encodings (v2 data pages) ------------------------------------------------
+
+  /** DELTA_BINARY_PACKED: block header (block size / miniblocks per
+    * block / total count / zigzag first value), then per block a zigzag
+    * min-delta, one bit-width byte per miniblock, and LSB-first
+    * bit-packed delta offsets. The last block's unused miniblocks are
+    * absent but their width bytes are present. Returns (values, end).
+    */
+  def decodeDeltaBinaryPacked(ctx: String, b: Array[Byte], from: Int, end: Int,
+      expect: Int): (Array[Long], Int) = {
+    def fail(off: Int, why: String): Nothing = throw new IllegalArgumentException(
+      s"$ctx: DELTA_BINARY_PACKED decode at byte $off: $why")
+    var pos = from
+    def varint(): Long = {
+      val at = pos
+      var shift = 0
+      var acc = 0L
+      while (true) {
+        if (shift >= 70) fail(at, "varint longer than 10 bytes")
+        if (pos >= end) fail(pos, "varint truncated")
+        val byte = b(pos) & 0xff; pos += 1
+        acc |= (byte & 0x7fL) << shift
+        if ((byte & 0x80) == 0) return acc
+        shift += 7
+      }
+      0L // unreachable
+    }
+    def zig(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    val blockSize = varint().toInt
+    val numMini = varint().toInt
+    if (numMini <= 0 || blockSize <= 0 || blockSize % numMini != 0)
+      fail(from, s"block geometry $blockSize/$numMini")
+    val miniSize = blockSize / numMini
+    if (miniSize % 8 != 0) fail(from, s"miniblock of $miniSize values not a multiple of 8")
+    val total = varint().toInt
+    if (total != expect) fail(from, s"header claims $total values, page claims $expect")
+    val out = new Array[Long](total)
+    if (total == 0) return (out, pos)
+    out(0) = zig()
+    var k = 1
+    while (k < total) {
+      val minDelta = zig()
+      val widths = new Array[Int](numMini)
+      var i = 0
+      while (i < numMini) {
+        if (pos >= end) fail(pos, "miniblock width list truncated")
+        widths(i) = b(pos) & 0xff; pos += 1; i += 1
+      }
+      i = 0
+      while (i < numMini && k < total) {
+        val w = widths(i)
+        if (w > 64) fail(pos, s"miniblock bit width $w")
+        val nbytes = miniSize.toLong * w / 8
+        if (pos + nbytes > end) fail(pos, s"miniblock of $miniSize x $w bits truncated")
+        var j = 0
+        while (j < miniSize && k < total) {
+          var v = 0L
+          var got = 0
+          val bitPos = j.toLong * w
+          while (got < w) {
+            val byteAt = pos + ((bitPos + got) / 8).toInt
+            val bitAt = ((bitPos + got) % 8).toInt
+            val avail = 8 - bitAt
+            val use = math.min(avail, w - got)
+            v |= (((b(byteAt) & 0xff) >>> bitAt) & ((1 << use) - 1)).toLong << got
+            got += use
+          }
+          out(k) = out(k - 1) + minDelta + v
+          k += 1; j += 1
+        }
+        pos += nbytes.toInt
+        i += 1
+      }
+    }
+    (out, pos)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths, then the
+    * concatenated value bytes.
+    */
+  def decodeDeltaLengthByteArray(ctx: String, b: Array[Byte], from: Int, end: Int,
+      n: Int): (Vector[Array[Byte]], Int) = {
+    val (lens, at0) = decodeDeltaBinaryPacked(ctx, b, from, end, n)
+    var at = at0
+    val out = Vector.newBuilder[Array[Byte]]
+    lens.foreach { len =>
+      if (len < 0 || at + len > end) throw new IllegalArgumentException(
+        s"$ctx: DELTA_LENGTH_BYTE_ARRAY at byte $at: value of $len crosses the page end")
+      out += java.util.Arrays.copyOfRange(b, at, at + len.toInt)
+      at += len.toInt
+    }
+    (out.result(), at)
+  }
+
+  /** DELTA_BYTE_ARRAY: shared-prefix lengths (DELTA_BINARY_PACKED) +
+    * suffixes (DELTA_LENGTH_BYTE_ARRAY); value = previous value's
+    * prefix + suffix.
+    */
+  def decodeDeltaByteArray(ctx: String, b: Array[Byte], from: Int, end: Int,
+      n: Int): (Vector[Array[Byte]], Int) = {
+    val (prefixes, at0) = decodeDeltaBinaryPacked(ctx, b, from, end, n)
+    val (suffixes, at1) = decodeDeltaLengthByteArray(ctx, b, at0, end, n)
+    val out = Vector.newBuilder[Array[Byte]]
+    var prev = Array.emptyByteArray
+    var i = 0
+    while (i < n) {
+      val p = prefixes(i)
+      if (p < 0 || p > prev.length) throw new IllegalArgumentException(
+        s"$ctx: DELTA_BYTE_ARRAY value $i: prefix of $p from a ${prev.length}-byte predecessor")
+      val v = new Array[Byte](p.toInt + suffixes(i).length)
+      System.arraycopy(prev, 0, v, 0, p.toInt)
+      System.arraycopy(suffixes(i), 0, v, p.toInt, suffixes(i).length)
+      out += v
+      prev = v
+      i += 1
+    }
+    (out.result(), at1)
+  }
+
   // ---- PLAIN decoders ---------------------------------------------------------------
 
   /** Decode `n` PLAIN values of physical type `typ` from `b[from, end)`.
@@ -278,14 +406,18 @@ object ParquetRead {
       if (compSz < 0 || bodyStart + compSz > file.length)
         fail(bodyStart, s"page body of $compSz crosses the file end")
       val raw = java.util.Arrays.copyOfRange(file, bodyStart, bodyStart + compSz.toInt)
-      val body = chunk.codec match {
-        case "UNCOMPRESSED" => raw
-        case "SNAPPY" => snappyUncompress(ctx, raw)
-        case "GZIP" => inflateGzip(ctx, raw, uncompSz)
-        case other => fail(bodyStart, s"unsupported codec $other on the page path")
+      def inflate(in: Array[Byte], expect: Long): Array[Byte] = {
+        val out = chunk.codec match {
+          case "UNCOMPRESSED" => in
+          case "SNAPPY" => snappyUncompress(ctx, in)
+          case "GZIP" => inflateGzip(ctx, in, expect)
+          case other => fail(bodyStart, s"unsupported codec $other on the page path")
+        }
+        if (out.length != expect)
+          fail(bodyStart, s"page inflated to ${out.length}, header declared $expect")
+        out
       }
-      if (body.length != uncompSz)
-        fail(bodyStart, s"page inflated to ${body.length}, header declared $uncompSz")
+      lazy val body = inflate(raw, uncompSz)
       ptype match {
         case 2 => // DICTIONARY_PAGE
           if (dict != null) fail(pos, "second dictionary page in one chunk")
@@ -341,7 +473,74 @@ object ParquetRead {
             else values += null
           }
           counted += n
-        case 3 => fail(pos, "DATA_PAGE_V2 is not supported by this v1 reader")
+        case 3 => // DATA_PAGE_V2: levels ride uncompressed ahead of the values
+          val dph = header.struct(8).getOrElse(fail(pos, "v2 page without data_page_header_v2"))
+          val n = req(dph.int(1), "page num_values").toInt
+          val numNulls = req(dph.int(2), "page num_nulls").toInt
+          val enc = req(dph.int(4), "page encoding").toInt
+          val defLen = req(dph.int(5), "definition_levels_byte_length").toInt
+          val repLen = req(dph.int(6), "repetition_levels_byte_length").toInt
+          val isCompressed = dph.fields.get(7) match {
+            case Some(ParquetLite.TBool(v)) => v
+            case None => true // the IDL default
+            case Some(other) => fail(pos,
+              s"is_compressed is not a bool (${other.getClass.getSimpleName})")
+          }
+          if (repLen + defLen > raw.length)
+            fail(bodyStart, s"v2 level sections of ${repLen + defLen} cross the page body")
+          val defs: Array[Int] =
+            if (maxDef == 0) {
+              if (defLen != 0) fail(bodyStart,
+                s"required column carries $defLen definition-level bytes")
+              Array.fill(n)(0)
+            } else {
+              val (ds, dEnd) = readHybrid(ctx, raw, repLen, repLen + defLen, defWidth, n)
+              if (dEnd > repLen + defLen) fail(bodyStart, "v2 definition levels overran their section")
+              ds
+            }
+          val present = defs.count(_ == maxDef)
+          if (present != n - numNulls)
+            fail(bodyStart, s"v2 header claims ${n - numNulls} present values, levels carry $present")
+          val vraw = java.util.Arrays.copyOfRange(raw, repLen + defLen, raw.length)
+          val vbytes = if (isCompressed) inflate(vraw, uncompSz - repLen - defLen) else vraw
+          val decoded: IndexedSeq[Any] = ParquetLite.encodingName(ctx, enc) match {
+            case "PLAIN" =>
+              val (vs, vEnd) = decodePlain(ctx, vbytes, 0, vbytes.length, chunk.typ, present)
+              if (vEnd != vbytes.length) fail(bodyStart, s"PLAIN walk left ${vbytes.length - vEnd} bytes")
+              vs
+            case "PLAIN_DICTIONARY" | "RLE_DICTIONARY" =>
+              if (dict == null) fail(pos, "dictionary-encoded page before any dictionary page")
+              if (vbytes.isEmpty) fail(bodyStart, "dictionary index section truncated")
+              val w = vbytes(0) & 0xff
+              if (w > 32) fail(bodyStart, s"dictionary index bit width $w")
+              val (idx, iEnd) = readHybrid(ctx, vbytes, 1, vbytes.length, w, present)
+              if (iEnd != vbytes.length)
+                fail(bodyStart, s"index walk left ${vbytes.length - iEnd} bytes")
+              idx.map { i =>
+                if (i < 0 || i >= dict.size) fail(bodyStart, s"dictionary index $i of ${dict.size}")
+                dict(i)
+              }.toIndexedSeq
+            case "DELTA_BINARY_PACKED" =>
+              if (chunk.typ != "INT64" && chunk.typ != "INT32")
+                fail(pos, s"DELTA_BINARY_PACKED on ${chunk.typ}")
+              val (vs, _) = decodeDeltaBinaryPacked(ctx, vbytes, 0, vbytes.length, present)
+              vs.map(v => v: Any).toIndexedSeq
+            case "DELTA_LENGTH_BYTE_ARRAY" =>
+              if (chunk.typ != "BYTE_ARRAY") fail(pos, s"DELTA_LENGTH_BYTE_ARRAY on ${chunk.typ}")
+              val (vs, _) = decodeDeltaLengthByteArray(ctx, vbytes, 0, vbytes.length, present)
+              vs.map(v => v: Any).toIndexedSeq
+            case "DELTA_BYTE_ARRAY" =>
+              if (chunk.typ != "BYTE_ARRAY") fail(pos, s"DELTA_BYTE_ARRAY on ${chunk.typ}")
+              val (vs, _) = decodeDeltaByteArray(ctx, vbytes, 0, vbytes.length, present)
+              vs.map(v => v: Any).toIndexedSeq
+            case other => fail(pos, s"unsupported v2 data page encoding $other")
+          }
+          var vi = 0
+          defs.foreach { d =>
+            if (d == maxDef) { values += decoded(vi); vi += 1 }
+            else values += null
+          }
+          counted += n
         case t => fail(pos, s"unexpected page type $t in a column chunk")
       }
       pos = bodyStart + compSz
@@ -456,7 +655,8 @@ object ParquetRead {
     * `(doc_id*37+11)%1000`, absent when `doc_id%3==0` so the
     * definition-level path carries real nulls.
     */
-  def writeViaParquetMr(docs: Seq[(Long, String, String)]): Array[Byte] = {
+  def writeViaParquetMr(docs: Seq[(Long, String, String)], v2: Boolean = false,
+      dictionary: Boolean = true): Array[Byte] = {
     import org.apache.parquet.schema.MessageTypeParser
     import org.apache.parquet.example.data.simple.SimpleGroup
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -475,8 +675,10 @@ object ParquetRead {
         .withConf(new org.apache.hadoop.conf.Configuration())
         .withType(schema)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .withDictionaryEncoding(true)
-        .withWriterVersion(org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0)
+        .withDictionaryEncoding(dictionary)
+        .withWriterVersion(
+          if (v2) org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0
+          else org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0)
         .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
         .build()
       try docs.foreach { case (id, text, lang) =>
@@ -491,5 +693,68 @@ object ParquetRead {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
-  val all: Map[String, QueryDef] = Map("q_parquet_read" -> q_parquet_read)
+  /** The v2 twin of [[q_parquet_read]]: the same files written as
+    * DATA_PAGE_V2 with dictionary encoding OFF, so every column takes
+    * the encoding a v2 writer falls back to — doc_id / opt_len
+    * DELTA_BINARY_PACKED, text / lang DELTA_BYTE_ARRAY — decoded
+    * value-for-value by the hand-rolled v2 path (uncompressed levels,
+    * values-only snappy, num_nulls cross-check) and gated by the same
+    * closed-form DuckDB columns.
+    */
+  val q_parquet_v2: QueryDef = QueryDef(
+    s"""SELECT CAST(doc_id // $PerFile AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  'SNAPPY' AS codec,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       |  md5(string_agg(text, '' ORDER BY doc_id)) AS text_md5,
+       |  md5(string_agg(lang, '' ORDER BY doc_id)) AS lang_md5,
+       |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS opt_nulls,
+       |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 37 + 11) % 1000 END) AS BIGINT) AS opt_sum
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .mapPartitions { it =>
+        it.map { case (fileId, docs) =>
+          val ctx = s"file $fileId"
+          val bytes = writeViaParquetMr(docs, v2 = true, dictionary = false)
+          val (m, cols) = readAll(ctx, bytes)
+          if (m.numRows != docs.size) throw new IllegalStateException(
+            s"$ctx: wrote ${docs.size} rows, footer says ${m.numRows}")
+          def chunk(p: String): DecodedChunk = cols.getOrElse(p,
+            throw new IllegalStateException(s"$ctx: no decoded chunk for $p"))
+          val ids = chunk("doc_id").values.map(_.asInstanceOf[Long])
+          val texts = chunk("text").values.map(_.asInstanceOf[Array[Byte]])
+          val langs = chunk("lang").values.map(_.asInstanceOf[Array[Byte]])
+          val opts = chunk("opt_len").values
+          if (chunk("doc_id").dictEntries.nonEmpty) throw new IllegalStateException(
+            s"$ctx: dictionary page on a dictionary-off v2 file")
+          val codec = m.groups.head.chunks.map(_.codec).distinct match {
+            case Vector(c) => c
+            case other => throw new IllegalStateException(s"$ctx: mixed codecs $other")
+          }
+          val textCat = new java.io.ByteArrayOutputStream()
+          texts.foreach(t => textCat.write(t, 0, t.length))
+          val langCat = new java.io.ByteArrayOutputStream()
+          langs.foreach(l => langCat.write(l, 0, l.length))
+          (fileId, ids.size.toLong, codec, ids.sum,
+            md5hex(textCat.toByteArray), md5hex(langCat.toByteArray),
+            opts.count(_ == null).toLong,
+            opts.collect { case v: Long => v }.sum)
+        }
+      }
+      .toDF("file_id", "n_rows", "codec", "sum_doc_id", "text_md5", "lang_md5",
+        "opt_nulls", "opt_sum")
+      .orderBy(col("file_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_parquet_read" -> q_parquet_read,
+    "q_parquet_v2" -> q_parquet_v2)
 }

@@ -175,14 +175,66 @@ class ParquetReadSpec extends AnyFunSuite with SparkSpec with Matchers {
     cols("doc_id").dictEntries shouldBe None
   }
 
-  test("DATA_PAGE_V2 files fail loudly instead of decoding garbage") {
+  test("spark-written DATA_PAGE_V2 file decodes row-identical to spark.read") {
     val dir = tmp() + "/v2"
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.set("parquet.writer.version", "v2")
     try sampleDf.coalesce(1).write.option("compression", "snappy").parquet(dir)
     finally hconf.unset("parquet.writer.version")
-    intercept[IllegalArgumentException](
-      decodeToRows(onePartFile(dir))).getMessage should include("DATA_PAGE_V2")
+    val ours = decodeToRows(onePartFile(dir)).sortBy(_._1)
+    val theirs = spark.read.parquet(dir)
+      .as[(Long, String, Option[String], Option[Long])].collect().toSeq
+      .map(r => (r._1, r._2, r._3.orNull, r._4)).sortBy(_._1)
+    ours shouldBe theirs
+  }
+
+  test("DELTA_BINARY_PACKED: parquet-column-encoded streams decode value-identical") {
+    val alloc = org.apache.parquet.bytes.HeapByteBufferAllocator.getInstance()
+    val rnd = new java.util.Random(11)
+    val cases = Seq(
+      (0 until 1000).map(_.toLong * 3), // monotone
+      Seq.fill(700)(42L), // constant
+      (0 until 513).map(_ => rnd.nextLong() % 1000000), // noise incl. negatives
+      Seq(Long.MaxValue, Long.MinValue + 1, 0L, -1L), // extremes
+      Seq(7L) // single value
+    )
+    cases.zipWithIndex.foreach { case (vs, i) =>
+      val w = new org.apache.parquet.column.values.delta.DeltaBinaryPackingValuesWriterForLong(
+        64, 1 << 20, alloc)
+      vs.foreach(w.writeLong)
+      val bytes = w.getBytes.toByteArray
+      val (got, at) = ParquetRead.decodeDeltaBinaryPacked(s"dbp $i", bytes, 0,
+        bytes.length, vs.size)
+      withClue(s"case $i:") { got.toSeq shouldBe vs }
+      assert(at <= bytes.length)
+    }
+  }
+
+  test("DELTA_BYTE_ARRAY: parquet-column-encoded strings decode value-identical") {
+    val alloc = org.apache.parquet.bytes.HeapByteBufferAllocator.getInstance()
+    val vals = (0 until 400).map(i => s"prefix-shared-${i / 7}-suffix-$i") :+ "" :+ "solo"
+    val w = new org.apache.parquet.column.values.deltastrings.DeltaByteArrayWriter(
+      64, 1 << 20, alloc)
+    vals.foreach(v => w.writeBytes(org.apache.parquet.io.api.Binary.fromString(v)))
+    val bytes = w.getBytes.toByteArray
+    val (got, _) = ParquetRead.decodeDeltaByteArray("dba", bytes, 0, bytes.length, vals.size)
+    got.map(new String(_, UTF_8)) shouldBe vals
+  }
+
+  test("the v2 query writer (dictionary off) round-trips through the v2 path") {
+    val docs = (0 until 257).map(i =>
+      (i.toLong, s"body $i " + ("z" * (i % 41)), Seq("en", "sv", "fi")(i % 3)))
+    val bytes = ParquetRead.writeViaParquetMr(docs, v2 = true, dictionary = false)
+    val (m, cols) = ParquetRead.readAll("v2-file", bytes)
+    m.numRows shouldBe 257L
+    cols("doc_id").dictEntries shouldBe None
+    cols("doc_id").values.map(_.asInstanceOf[Long]) shouldBe docs.map(_._1)
+    cols("text").values.map(b => new String(b.asInstanceOf[Array[Byte]], UTF_8)) shouldBe
+      docs.map(_._2)
+    cols("opt_len").values.zipWithIndex.foreach { case (v, i) =>
+      if (i % 3 == 0) assert(v == null, s"row $i")
+      else v shouldBe (i * 37 + 11) % 1000L
+    }
   }
 
   test("q_parquet_read: decoded aggregates match a driver-side recompute at sf0.001") {
