@@ -465,6 +465,22 @@ object ParquetRead {
                 if (i < 0 || i >= dict.size) fail(bodyStart, s"dictionary index $i of ${dict.size}")
                 dict(i)
               }.toIndexedSeq
+            // the DELTA encodings are legal in v1 pages too (parquet-format
+            // does not restrict them to v2; parquet-mr has been observed
+            // emitting them under v1 headers)
+            case "DELTA_BINARY_PACKED" =>
+              if (chunk.typ != "INT64" && chunk.typ != "INT32")
+                fail(pos, s"DELTA_BINARY_PACKED on ${chunk.typ}")
+              val (vs, _) = decodeDeltaBinaryPacked(ctx, body, at, body.length, present)
+              vs.map(v => v: Any).toIndexedSeq
+            case "DELTA_LENGTH_BYTE_ARRAY" =>
+              if (chunk.typ != "BYTE_ARRAY") fail(pos, s"DELTA_LENGTH_BYTE_ARRAY on ${chunk.typ}")
+              val (vs, _) = decodeDeltaLengthByteArray(ctx, body, at, body.length, present)
+              vs.map(v => v: Any).toIndexedSeq
+            case "DELTA_BYTE_ARRAY" =>
+              if (chunk.typ != "BYTE_ARRAY") fail(pos, s"DELTA_BYTE_ARRAY on ${chunk.typ}")
+              val (vs, _) = decodeDeltaByteArray(ctx, body, at, body.length, present)
+              vs.map(v => v: Any).toIndexedSeq
             case other => fail(pos, s"unsupported data page encoding $other")
           }
           var vi = 0
