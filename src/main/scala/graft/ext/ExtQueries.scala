@@ -1292,5 +1292,6 @@ object ExtQueries {
     Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pq.all ++ IvfPq.all ++
     Gif.all ++ Flac.all ++ ImageDedup.all ++ Warc.all ++ Mp4.all ++ Tar.all ++
     Html.all ++ TextNorm.all ++ ZstdCodec.all ++ AvroCodec.all ++ AvroResolve.all ++
-    Opq.all ++ Proto.all ++ ParquetLite.all ++ ParquetRead.all ++ OrcLite.all ++ OrcRead.all
+    Opq.all ++ Proto.all ++ ParquetLite.all ++ ParquetRead.all ++ OrcLite.all ++ OrcRead.all ++
+    Zip.all ++ Npy.all ++ Safetensors.all
 }
