@@ -169,7 +169,7 @@ object Safetensors {
 
   // ---- encode -----------------------------------------------------------------
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[ext] def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"

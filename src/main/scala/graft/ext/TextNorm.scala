@@ -99,7 +99,67 @@ object TextNorm {
       .orderBy(col("doc_id"))
   }
 
+  /** Mojibake detection + repair — the ftfy-style fix for the most
+    * common corpus corruption: UTF-8 bytes decoded as Latin-1 somewhere
+    * upstream ("café" shipped as "cafÃ©"). The heuristic is the
+    * standard one: a string is repairable iff (a) every char is in the
+    * Latin-1 range, (b) reading its chars AS bytes yields valid UTF-8,
+    * and (c) that reading contains at least one multibyte sequence
+    * (strictly shorter result). ASCII passes through untouched and a
+    * genuine "café" is NOT mangled (its 0xE9 byte reading is invalid
+    * UTF-8) — the discriminator that makes the fix safe to run blind
+    * over a corpus.
+    *
+    * Implementation is ALL native expressions — `rlike` range gate,
+    * `encode`/`decode`, `is_valid_utf8` (Spark 4), conditional via
+    * `when` so the strict Spark 4 charset errors can never fire —
+    * zero UDFs, whole-stage codegen end to end, embarrassingly
+    * parallel: the 100 TB scale story is "it's a projection".
+    *
+    * The query augments the (all-ASCII) corpus with Latin-1 accents
+    * closed-form, corrupts every third document by the real double-
+    * encoding, then detects + repairs; the oracle recomputes the
+    * augmented text directly — the repaired md5 must land back on it
+    * exactly.
+    */
+  val q_mojibake_repair: QueryDef = QueryDef(
+    s"""WITH a AS (SELECT doc_id,
+       |    replace(replace(text, 'a', 'ä'), 'e', 'é') AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS was_corrupted,
+       |  CAST(CASE WHEN doc_id % 3 = 0 AND octet_length(encode(aug)) > length(aug)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS moji_detected,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(aug))
+       |    ELSE length(aug) END AS BIGINT) AS n_wire_chars,
+       |  md5(aug) AS repaired_md5
+       |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wire = when(col("doc_id") % 3 === 0,
+      decode(encode(col("aug"), "UTF-8"), "ISO-8859-1")).otherwise(col("aug"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("replace(replace(text, 'a', 'ä'), 'e', 'é')").as("aug"))
+      .withColumn("wire", wire)
+      // (a) Latin-1 range gate — also guards the strict Spark 4 encode
+      .withColumn("latin1able", col("wire").rlike("^[\\u0000-\\u00FF]*$"))
+      .withColumn("bytes1", when(col("latin1able"), encode(col("wire"), "ISO-8859-1")))
+      // (b) the byte reading must be valid UTF-8
+      .withColumn("valid", col("latin1able") && is_valid_utf8(col("bytes1")))
+      .withColumn("cand", when(col("valid"), decode(col("bytes1"), "UTF-8")))
+      // (c) and strictly shorter — i.e. at least one multibyte sequence
+      .withColumn("detected",
+        coalesce(col("valid") && length(col("cand")) < length(col("wire")), lit(false)))
+      .withColumn("repaired", when(col("detected"), col("cand")).otherwise(col("wire")))
+      .select(col("doc_id"),
+        (col("doc_id") % 3 === 0).cast("long").as("was_corrupted"),
+        col("detected").cast("long").as("moji_detected"),
+        length(col("wire")).cast("long").as("n_wire_chars"),
+        md5(col("repaired").cast("binary")).as("repaired_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_url_normalize" -> q_url_normalize,
-    "q_unicode_normalize" -> q_unicode_normalize)
+    "q_unicode_normalize" -> q_unicode_normalize,
+    "q_mojibake_repair" -> q_mojibake_repair)
 }
