@@ -228,20 +228,25 @@ object DeltaLog {
        |WHERE ((doc_id // $DocsPerFile) % 5 NOT IN (1, 3))
        |   OR ((doc_id // $DocsPerFile) % 10 = 1)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_delta_${java.util.UUID.randomUUID()}"
     buildTable(s, Tables.documents(s, dir), out)
     val (version, live) = snapshot(s, out)
     val livePaths = live.select(col("path")).collect().map(_.getString(0)).sorted
-    val data = s.read.parquet(livePaths.map(p => s"$out/$p"): _*)
-      .withColumn("path", regexp_extract(input_file_name(), "part-\\d{5}\\.parquet", 0))
-    data
-      .select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("text_len"),
-        md5(col("text")).as("text_md5"),
-        col("path"),
-        expr(s"doc_id div $DocsPerFile").as("file_id"),
-        lit(version).as("version"))
-      .orderBy(col("doc_id"))
+    if (livePaths.isEmpty)
+      // an empty table snapshots to an empty frame, not a scan of no files
+      Seq.empty[(Long, Long, String, String, Long, Long)]
+        .toDF("doc_id", "text_len", "text_md5", "path", "file_id", "version")
+    else
+      s.read.parquet(livePaths.map(p => s"$out/$p"): _*)
+        .withColumn("path", regexp_extract(input_file_name(), "part-\\d{5}\\.parquet", 0))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("text_len"),
+          md5(col("text")).as("text_md5"),
+          col("path"),
+          expr(s"doc_id div $DocsPerFile").as("file_id"),
+          lit(version).as("version"))
+        .orderBy(col("doc_id"))
   }
 
   val all: Map[String, QueryDef] = Map("q_delta_snapshot" -> q_delta_snapshot)

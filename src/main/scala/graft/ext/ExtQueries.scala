@@ -1293,5 +1293,6 @@ object ExtQueries {
     Gif.all ++ Flac.all ++ ImageDedup.all ++ Warc.all ++ Mp4.all ++ Tar.all ++
     Html.all ++ TextNorm.all ++ ZstdCodec.all ++ AvroCodec.all ++ AvroResolve.all ++
     Opq.all ++ Proto.all ++ ParquetLite.all ++ ParquetRead.all ++ OrcLite.all ++ OrcRead.all ++
-    Zip.all ++ Npy.all ++ Safetensors.all ++ DeltaLog.all ++ GzipCodec.all ++ Iceberg.all
+    Zip.all ++ Npy.all ++ Safetensors.all ++ DeltaLog.all ++ GzipCodec.all ++ Iceberg.all ++
+    Roaring.all
 }

@@ -285,19 +285,26 @@ object Iceberg {
     buildTable(s, Tables.documents(s, dir), out)
     val (snapId, nManifests, live) = planScan(out)
     val paths = live.map(_.filePath).sorted
-    // manifest-declared record counts, joined broadcast (KB-scale frame)
-    val counts = live.map(e => (e.filePath, e.recordCount)).toDF("path", "record_count")
-    s.read.parquet(paths.map(p => s"$out/$p"): _*)
-      .withColumn("path", regexp_extract(input_file_name(), "data/part-\\d{5}\\.parquet", 0))
-      .join(broadcast(counts), "path")
-      .select(col("doc_id"),
-        md5(col("text")).as("text_md5"),
-        col("path"),
-        expr(s"doc_id div $DocsPerFile").as("file_id"),
-        lit(snapId).as("snapshot_id"),
-        lit(nManifests.toLong).as("n_manifests"),
-        col("record_count"))
-      .orderBy(col("doc_id"))
+    if (paths.isEmpty)
+      // an empty table snapshots to an empty frame, not a scan of no files
+      Seq.empty[(Long, String, String, Long, Long, Long, Long)]
+        .toDF("doc_id", "text_md5", "path", "file_id", "snapshot_id",
+          "n_manifests", "record_count")
+    else {
+      // manifest-declared record counts, joined broadcast (KB-scale frame)
+      val counts = live.map(e => (e.filePath, e.recordCount)).toDF("path", "record_count")
+      s.read.parquet(paths.map(p => s"$out/$p"): _*)
+        .withColumn("path", regexp_extract(input_file_name(), "data/part-\\d{5}\\.parquet", 0))
+        .join(broadcast(counts), "path")
+        .select(col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          col("path"),
+          expr(s"doc_id div $DocsPerFile").as("file_id"),
+          lit(snapId).as("snapshot_id"),
+          lit(nManifests.toLong).as("n_manifests"),
+          col("record_count"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   val all: Map[String, QueryDef] = Map("q_iceberg_snapshot" -> q_iceberg_snapshot)

@@ -411,6 +411,12 @@ object ParquetRead {
           case "UNCOMPRESSED" => in
           case "SNAPPY" => snappyUncompress(ctx, in)
           case "GZIP" => inflateGzip(ctx, in, expect)
+          case "LZ4_RAW" => Lz4.decompress(ctx, in, expect.toInt)
+          case "LZ4" => Lz4.hadoopUncompress(ctx, in, expect.toInt) // legacy Hadoop framing
+          case "ZSTD" =>
+            // frame content via the zstd-jni Spark ships (as GZIP rides
+            // the JDK); the FRAME walk itself is hand-rolled in H77
+            com.github.luben.zstd.Zstd.decompress(in, expect.toInt)
           case other => fail(bodyStart, s"unsupported codec $other on the page path")
         }
         if (out.length != expect)
@@ -672,7 +678,7 @@ object ParquetRead {
     * definition-level path carries real nulls.
     */
   def writeViaParquetMr(docs: Seq[(Long, String, String)], v2: Boolean = false,
-      dictionary: Boolean = true): Array[Byte] = {
+      dictionary: Boolean = true, codecName: String = "SNAPPY"): Array[Byte] = {
     import org.apache.parquet.schema.MessageTypeParser
     import org.apache.parquet.example.data.simple.SimpleGroup
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -690,7 +696,7 @@ object ParquetRead {
         .builder(new org.apache.hadoop.fs.Path(tmp.toUri.toString))
         .withConf(new org.apache.hadoop.conf.Configuration())
         .withType(schema)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withCompressionCodec(CompressionCodecName.valueOf(codecName))
         .withDictionaryEncoding(dictionary)
         .withWriterVersion(
           if (v2) org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0
@@ -770,7 +776,69 @@ object ParquetRead {
       .orderBy(col("file_id"))
   }
 
+  /** The codec-matrix face of [[q_parquet_read]]: the SAME files
+    * written by parquet-mr under ZSTD, LZ4_RAW, and legacy
+    * Hadoop-framed LZ4 (the three enums `spark.write` emits for
+    * zstd/lz4_raw/lz4), each decoded value-for-value by the hand-rolled
+    * reader — LZ4_RAW through the hand-rolled block decoder, LZ4
+    * through the Hadoop frame walk over it, ZSTD content through the
+    * zstd-jni Spark ships under the H77 frame machinery. One output row
+    * per (file, codec), all columns closed-form in DuckDB.
+    */
+  val q_parquet_codecs: QueryDef = QueryDef(
+    s"""SELECT file_id, codec, n_rows, sum_doc_id, text_md5, opt_nulls, opt_sum
+       |FROM (
+       |  SELECT CAST(doc_id // $PerFile AS BIGINT) AS file_id,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       |    md5(string_agg(text, '' ORDER BY doc_id)) AS text_md5,
+       |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS opt_nulls,
+       |    CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 37 + 11) % 1000 END) AS BIGINT) AS opt_sum
+       |  FROM documents GROUP BY 1) g
+       |CROSS JOIN (SELECT unnest(['ZSTD', 'LZ4_RAW', 'LZ4']) AS codec) c
+       |ORDER BY file_id, codec""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .mapPartitions { it =>
+        it.flatMap { case (fileId, docs) =>
+          Seq("ZSTD", "LZ4_RAW", "LZ4").map { codecName =>
+            val ctx = s"file $fileId/$codecName"
+            val bytes = writeViaParquetMr(docs, codecName = codecName)
+            val (m, cols) = readAll(ctx, bytes)
+            if (m.numRows != docs.size) throw new IllegalStateException(
+              s"$ctx: wrote ${docs.size} rows, footer says ${m.numRows}")
+            val seen = m.groups.head.chunks.map(_.codec).distinct
+            if (seen != Vector(codecName)) throw new IllegalStateException(
+              s"$ctx: expected codec $codecName, footer says $seen")
+            def chunk(p: String): DecodedChunk = cols.getOrElse(p,
+              throw new IllegalStateException(s"$ctx: no decoded chunk for $p"))
+            val ids = chunk("doc_id").values.map(_.asInstanceOf[Long])
+            val texts = chunk("text").values.map(_.asInstanceOf[Array[Byte]])
+            val opts = chunk("opt_len").values
+            if (ids.size != docs.size || texts.size != docs.size || opts.size != docs.size)
+              throw new IllegalStateException(s"$ctx: decoded column lengths " +
+                s"${ids.size}/${texts.size}/${opts.size} != ${docs.size}")
+            val textCat = new java.io.ByteArrayOutputStream()
+            texts.foreach(t => textCat.write(t, 0, t.length))
+            (fileId, codecName, ids.size.toLong, ids.sum,
+              md5hex(textCat.toByteArray),
+              opts.count(_ == null).toLong,
+              opts.collect { case v: Long => v }.sum)
+          }
+        }
+      }
+      .toDF("file_id", "codec", "n_rows", "sum_doc_id", "text_md5",
+        "opt_nulls", "opt_sum")
+      .orderBy(col("file_id"), col("codec"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q_parquet_read" -> q_parquet_read,
-    "q_parquet_v2" -> q_parquet_v2)
+    "q_parquet_v2" -> q_parquet_v2,
+    "q_parquet_codecs" -> q_parquet_codecs)
 }

@@ -132,7 +132,7 @@ class ParquetReadSpec extends AnyFunSuite with SparkSpec with Matchers {
     (0 until n).map(i => (ids(i), strs("text")(i), strs("lang")(i), nums(i)))
   }
 
-  for (codec <- Seq("snappy", "gzip", "none")) {
+  for (codec <- Seq("snappy", "gzip", "none", "zstd", "lz4_raw", "lz4")) {
     test(s"spark-written file ($codec) decodes row-identical to spark.read") {
       val dir = tmp() + s"/$codec"
       sampleDf.coalesce(1).write.option("compression", codec).parquet(dir)
