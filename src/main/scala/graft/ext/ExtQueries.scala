@@ -1294,5 +1294,5 @@ object ExtQueries {
     Html.all ++ TextNorm.all ++ ZstdCodec.all ++ AvroCodec.all ++ AvroResolve.all ++
     Opq.all ++ Proto.all ++ ParquetLite.all ++ ParquetRead.all ++ OrcLite.all ++ OrcRead.all ++
     Zip.all ++ Npy.all ++ Safetensors.all ++ DeltaLog.all ++ GzipCodec.all ++ Iceberg.all ++
-    Roaring.all
+    Roaring.all ++ ParquetIndex.all
 }

@@ -1,0 +1,350 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Parquet's scan-pruning auxiliary structures — the PAGE INDEX
+  * (ColumnIndex + OffsetIndex, the modern page-skipping path that
+  * replaced page-header statistics) and the BLOOM FILTER (split-block
+  * bloom over XXH64, the point-lookup path for columns min/max cannot
+  * prune). Both hand-rolled on the public spec:
+  *
+  *  - ColumnIndex / OffsetIndex ride the same thrift compact protocol
+  *    as the footer (H81's generic walk): per-page null flags,
+  *    min/max values, boundary order, null counts; page locations
+  *    (offset, compressed size, first row index). The locations come
+  *    from `ColumnChunk` fields 4-7, which the footer walk now
+  *    projects.
+  *  - The bloom filter is the spec's split-block bloom (SBBF): a
+  *    thrift `BloomFilterHeader` (numBytes + BLOCK/XXHASH/UNCOMPRESSED
+  *    unions), then 32-byte blocks of eight 32-bit words; membership
+  *    hashes the PLAIN-encoded value with a HAND-ROLLED XXH64 (seed
+  *    0), picks the block by the fixed-point multiply
+  *    `((h >>> 32) * nBlocks) >>> 32`, and tests one salted bit per
+  *    word. No false negatives by construction; the spec's eight salt
+  *    constants verbatim.
+  *
+  * Cross-validated against parquet-mr's own `readColumnIndex` /
+  * `readOffsetIndex` / `readBloomFilter` on the same files, and the
+  * XXH64 against parquet-column's `XxHash` (ParquetIndexSpec).
+  *
+  * Scale shape: the page index prunes I/O BEFORE decompression — at
+  * 100 TB the index regions are the only bytes a selective scan reads;
+  * blooms answer point lookups without touching data pages at all.
+  */
+object ParquetIndex {
+
+  // ---- XXH64 (seed 0), the spec's hash ----------------------------------------
+
+  private val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  private val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  private val P3 = 1609587929392839161L // 0x165667B19E3779F9
+  private val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  private val P5 = 2870177450012600261L // 0x27D4EB2F165667C5
+
+  private def rotl(v: Long, n: Int): Long = java.lang.Long.rotateLeft(v, n)
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 8) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+  private def le32(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 4) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+
+  /** XXH64 of `data` with seed 0 — hand-rolled from the public spec. */
+  def xxh64(data: Array[Byte]): Long = {
+    val len = data.length
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var v1 = P1 + P2
+        var v2 = P2
+        var v3 = 0L
+        var v4 = -P1
+        while (i <= len - 32) {
+          v1 = rotl(v1 + le64(data, i) * P2, 31) * P1
+          v2 = rotl(v2 + le64(data, i + 8) * P2, 31) * P1
+          v3 = rotl(v3 + le64(data, i + 16) * P2, 31) * P1
+          v4 = rotl(v4 + le64(data, i + 24) * P2, 31) * P1
+          i += 32
+        }
+        var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        def merge(a: Long, v: Long): Long = (a ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+        acc = merge(acc, v1); acc = merge(acc, v2)
+        acc = merge(acc, v3); acc = merge(acc, v4)
+        acc
+      } else P5
+    h += len
+    while (i <= len - 8) {
+      h = rotl(h ^ (rotl(le64(data, i) * P2, 31) * P1), 27) * P1 + P4
+      i += 8
+    }
+    if (i <= len - 4) {
+      h = rotl(h ^ (le32(data, i) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = rotl(h ^ ((data(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // ---- page index -------------------------------------------------------------
+
+  final case class PageLoc(offset: Long, compressedSize: Long, firstRowIndex: Long)
+  final case class ColIndex(nullPages: Vector[Boolean], minLongs: Vector[Option[Long]],
+      maxLongs: Vector[Option[Long]], boundaryOrder: String, nullCounts: Vector[Long])
+
+  private def boundaryName(ctx: String, v: Int): String = v match {
+    case 0 => "UNORDERED"
+    case 1 => "ASCENDING"
+    case 2 => "DESCENDING"
+    case other => throw new IllegalArgumentException(s"$ctx: unknown BoundaryOrder $other")
+  }
+
+  /** Walk an OffsetIndex region. */
+  def parseOffsetIndex(ctx: String, b: Array[Byte], at: Int, len: Int): Vector[PageLoc] = {
+    val r = new ParquetLite.TReader(ctx, b, at, at + len)
+    val s = r.readStruct()
+    if (r.pos != at + len) throw new IllegalArgumentException(
+      s"$ctx: OffsetIndex walk ended at ${r.pos}, region ends at ${at + len}")
+    s.list(1).getOrElse(throw new IllegalArgumentException(s"$ctx: OffsetIndex has no page_locations"))
+      .map {
+        case pl: ParquetLite.TStruct =>
+          def req(o: Option[Long], what: String): Long = o.getOrElse(
+            throw new IllegalArgumentException(s"$ctx: PageLocation missing $what"))
+          PageLoc(req(pl.int(1), "offset"), req(pl.int(2), "compressed_page_size"),
+            req(pl.int(3), "first_row_index"))
+        case _ => throw new IllegalArgumentException(s"$ctx: page_location is not a struct")
+      }
+  }
+
+  /** Walk a ColumnIndex region, projecting INT64 min/max. */
+  def parseColumnIndex(ctx: String, b: Array[Byte], at: Int, len: Int, isInt64: Boolean): ColIndex = {
+    val r = new ParquetLite.TReader(ctx, b, at, at + len)
+    val s = r.readStruct()
+    if (r.pos != at + len) throw new IllegalArgumentException(
+      s"$ctx: ColumnIndex walk ended at ${r.pos}, region ends at ${at + len}")
+    def reqList(id: Int, what: String) = s.list(id).getOrElse(
+      throw new IllegalArgumentException(s"$ctx: ColumnIndex has no $what"))
+    val nulls = reqList(1, "null_pages").map {
+      case ParquetLite.TBool(v) => v
+      case _ => throw new IllegalArgumentException(s"$ctx: null_pages element is not a bool")
+    }
+    def longs(id: Int, what: String): Vector[Option[Long]] =
+      reqList(id, what).zip(nulls).map {
+        case (ParquetLite.TBin(v), false) if isInt64 =>
+          require(v.length == 8, s"$ctx: INT64 $what entry of ${v.length} bytes")
+          Some(le64(v, 0))
+        case (ParquetLite.TBin(_), _) => None
+        case _ => throw new IllegalArgumentException(s"$ctx: $what element is not binary")
+      }
+    val bo = s.int(4).getOrElse(throw new IllegalArgumentException(
+      s"$ctx: ColumnIndex has no boundary_order")).toInt
+    val nullCounts = s.list(5).getOrElse(Vector.empty).map {
+      case ParquetLite.TInt(v) => v
+      case _ => throw new IllegalArgumentException(s"$ctx: null_counts element is not an integer")
+    }
+    ColIndex(nulls, longs(2, "min_values"), longs(3, "max_values"),
+      boundaryName(ctx, bo), nullCounts)
+  }
+
+  // ---- bloom filter -----------------------------------------------------------
+
+  private val Salt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
+    0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  final case class Bloom(numBytes: Int, algorithm: String, hash: String,
+      compression: String, bits: Array[Byte])
+
+  /** Parse a BloomFilterHeader + bitset at `at`. */
+  def parseBloom(ctx: String, b: Array[Byte], at: Int): Bloom = {
+    val r = new ParquetLite.TReader(ctx, b, at, b.length)
+    val s = r.readStruct()
+    def req(o: Option[Long], what: String): Long = o.getOrElse(
+      throw new IllegalArgumentException(s"$ctx: BloomFilterHeader missing $what"))
+    val numBytes = req(s.int(1), "numBytes").toInt
+    def union(id: Int, what: String, names: Map[Int, String]): String = {
+      val u = s.struct(id).getOrElse(throw new IllegalArgumentException(
+        s"$ctx: BloomFilterHeader missing $what"))
+      val set = names.keys.filter(k => u.fields.contains(k)).toList
+      set match {
+        case one :: Nil => names(one)
+        case _ => throw new IllegalArgumentException(s"$ctx: $what union has ${set.size} branches set")
+      }
+    }
+    val algo = union(2, "algorithm", Map(1 -> "BLOCK"))
+    val hash = union(3, "hash", Map(1 -> "XXHASH"))
+    val comp = union(4, "compression", Map(1 -> "UNCOMPRESSED"))
+    if (numBytes <= 0 || numBytes % 32 != 0) throw new IllegalArgumentException(
+      s"$ctx: bloom numBytes $numBytes is not a positive multiple of the 32-byte block")
+    if (r.pos + numBytes > b.length) throw new IllegalArgumentException(
+      s"$ctx: bloom bitset of $numBytes bytes crosses the file end")
+    Bloom(numBytes, algo, hash, comp,
+      java.util.Arrays.copyOfRange(b, r.pos, r.pos + numBytes))
+  }
+
+  /** SBBF membership for a plain-encoded value. */
+  def bloomCheck(bloom: Bloom, plain: Array[Byte]): Boolean = {
+    val h = xxh64(plain)
+    val nBlocks = bloom.numBytes / 32
+    val blockIdx = (((h >>> 32) * nBlocks) >>> 32).toInt
+    val key = h.toInt
+    var i = 0
+    while (i < 8) {
+      val bit = 1 << ((key * Salt(i)) >>> 27)
+      val word = le32(bloom.bits, blockIdx * 32 + i * 4).toInt
+      if ((word & bit) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def plainLong(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  // ---- the oracle-gated queries ------------------------------------------------
+
+  private val PerFile = 100L
+  private val PageRows = 20
+  private val WinLo = 150L
+  private val WinHi = 249L
+
+  /** 100-doc parquet-mr files pinned to 20-row pages; the doc_id
+    * column's OffsetIndex + ColumnIndex walked by the hand-rolled
+    * thrift machinery — one gated row per PAGE: first row index, row
+    * count, INT64 min/max, boundary order, and the page-pruning verdict
+    * for `doc_id BETWEEN $WinLo AND $WinHi` — all closed-form (pages
+    * are exact 20-row slices of the sorted file).
+    */
+  val q_parquet_pageindex: QueryDef = QueryDef(
+    s"""WITH d AS (SELECT doc_id, doc_id // $PerFile AS file_id,
+       |    row_number() OVER (PARTITION BY doc_id // $PerFile ORDER BY doc_id) - 1 AS rn
+       |  FROM documents),
+       |p AS (SELECT file_id, rn // $PageRows AS page_idx,
+       |    count(*) AS page_rows, min(rn) AS first_row,
+       |    min(doc_id) AS min_id, max(doc_id) AS max_id
+       |  FROM d GROUP BY 1, 2)
+       |SELECT CAST(file_id AS BIGINT) AS file_id, CAST(page_idx AS BIGINT) AS page_idx,
+       |  CAST(count(*) OVER (PARTITION BY file_id) AS BIGINT) AS n_pages,
+       |  CAST(first_row AS BIGINT) AS first_row_index,
+       |  CAST(page_rows AS BIGINT) AS page_rows,
+       |  CAST(min_id AS BIGINT) AS min_id, CAST(max_id AS BIGINT) AS max_id,
+       |  'ASCENDING' AS boundary_order,
+       |  CAST(CASE WHEN max_id >= $WinLo AND min_id <= $WinHi THEN 1 ELSE 0 END AS BIGINT) AS in_window
+       |FROM p ORDER BY file_id, page_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .flatMap { case (fileId, docs) =>
+        val ctx = s"file $fileId"
+        val bytes = ParquetRead.writeViaParquetMr(docs, pageRowLimit = Some(PageRows))
+        val meta = ParquetLite.parseFooter(ctx, bytes)
+        val chunk = meta.groups.head.chunks.find(_.path == "doc_id").getOrElse(
+          throw new IllegalStateException(s"$ctx: no doc_id chunk"))
+        def reqLoc(o: Option[Long], what: String): Int = o.getOrElse(
+          throw new IllegalStateException(s"$ctx: chunk carries no $what")).toInt
+        val oi = parseOffsetIndex(ctx, bytes,
+          reqLoc(chunk.offsetIndexOffset, "offset_index_offset"),
+          reqLoc(chunk.offsetIndexLength, "offset_index_length"))
+        val ci = parseColumnIndex(ctx, bytes,
+          reqLoc(chunk.columnIndexOffset, "column_index_offset"),
+          reqLoc(chunk.columnIndexLength, "column_index_length"), isInt64 = true)
+        require(oi.size == ci.nullPages.size,
+          s"$ctx: ${oi.size} page locations vs ${ci.nullPages.size} index entries")
+        // page byte extents must ascend and abut the chunk layout
+        oi.sliding(2).foreach {
+          case Vector(a, b) =>
+            require(a.offset + a.compressedSize <= b.offset, s"$ctx: page extents overlap")
+          case _ =>
+        }
+        oi.zipWithIndex.map { case (loc, idx) =>
+          val rows = (if (idx + 1 < oi.size) oi(idx + 1).firstRowIndex
+            else docs.size.toLong) - loc.firstRowIndex
+          val minId = ci.minLongs(idx).getOrElse(
+            throw new IllegalStateException(s"$ctx: null page $idx in a required column"))
+          val maxId = ci.maxLongs(idx).getOrElse(
+            throw new IllegalStateException(s"$ctx: null page $idx in a required column"))
+          require(!ci.nullPages(idx) && ci.nullCounts.lift(idx).forall(_ == 0L),
+            s"$ctx: required column reports nulls on page $idx")
+          (fileId, idx.toLong, oi.size.toLong, loc.firstRowIndex, rows, minId, maxId,
+            ci.boundaryOrder,
+            if (maxId >= WinLo && minId <= WinHi) 1L else 0L)
+        }
+      }
+      .toDF("file_id", "page_idx", "n_pages", "first_row_index", "page_rows",
+        "min_id", "max_id", "boundary_order", "in_window")
+      .orderBy(col("file_id"), col("page_idx"))
+  }
+
+  /** The same files written with bloom hints on `doc_id` (NDV 100 →
+    * parquet-mr's power-of-two sizing lands on 256 bytes) AND on
+    * `lang`: doc_id's unique values kick it out of dictionary encoding
+    * so its bloom is WRITTEN; lang stays fully dictionary-encoded so
+    * parquet-mr DROPS its bloom (the dictionary already answers point
+    * lookups exactly) — both behaviors are the spec's, and both are
+    * gated. Every present doc_id probed through the hand-rolled
+    * XXH64 + SBBF: zero false negatives is the format's guarantee, so
+    * `found == present` is closed-form. (False-positive verdicts are
+    * pinned bit-for-bit against parquet-mr in ParquetIndexSpec.)
+    */
+  val q_parquet_bloom: QueryDef = QueryDef(
+    s"""SELECT CAST(doc_id // $PerFile AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  'BLOCK' AS algorithm, 'XXHASH' AS hash, 'UNCOMPRESSED' AS compression,
+       |  CAST(256 AS BIGINT) AS id_bloom_bytes,
+       |  CAST(1 AS BIGINT) AS lang_bloom_absent,
+       |  CAST(count(*) AS BIGINT) AS ids_found
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .map { case (fileId, docs) =>
+        val ctx = s"file $fileId"
+        val bytes = ParquetRead.writeViaParquetMr(docs,
+          bloomNdv = Seq("doc_id" -> 100L, "lang" -> 8L))
+        val meta = ParquetLite.parseFooter(ctx, bytes)
+        def chunkOf(colName: String) = meta.groups.head.chunks.find(_.path == colName)
+          .getOrElse(throw new IllegalStateException(s"$ctx: no $colName chunk"))
+        val idBloom = parseBloom(s"$ctx/doc_id", bytes, chunkOf("doc_id").bloomOffset
+          .getOrElse(throw new IllegalStateException(s"$ctx: doc_id carries no bloom")).toInt)
+        require(idBloom.algorithm == "BLOCK" && idBloom.hash == "XXHASH" &&
+          idBloom.compression == "UNCOMPRESSED", s"$ctx: unexpected bloom header")
+        // lang stays dictionary-encoded → parquet-mr must NOT write a bloom
+        val langAbsent = chunkOf("lang").bloomOffset.isEmpty
+        val idsFound = docs.count { case (id, _, _) => bloomCheck(idBloom, plainLong(id)) }
+        (fileId, docs.size.toLong, idBloom.algorithm, idBloom.hash, idBloom.compression,
+          idBloom.numBytes.toLong, if (langAbsent) 1L else 0L, idsFound.toLong)
+      }
+      .toDF("file_id", "n_rows", "algorithm", "hash", "compression",
+        "id_bloom_bytes", "lang_bloom_absent", "ids_found")
+      .orderBy(col("file_id"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q_parquet_pageindex" -> q_parquet_pageindex,
+    "q_parquet_bloom" -> q_parquet_bloom)
+}

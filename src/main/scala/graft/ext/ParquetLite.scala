@@ -274,7 +274,11 @@ object ParquetLite {
       encodings: Vector[String], numValues: Long, totalUncompressed: Long,
       totalCompressed: Long, dataPageOffset: Long, dictPageOffset: Option[Long],
       nullCount: Option[Long], minLong: Option[Long], maxLong: Option[Long],
-      minBin: Option[Array[Byte]], maxBin: Option[Array[Byte]])
+      minBin: Option[Array[Byte]], maxBin: Option[Array[Byte]],
+      // scan-pruning auxiliary structures (page index + bloom), when present
+      offsetIndexOffset: Option[Long] = None, offsetIndexLength: Option[Long] = None,
+      columnIndexOffset: Option[Long] = None, columnIndexLength: Option[Long] = None,
+      bloomOffset: Option[Long] = None, bloomLength: Option[Long] = None)
   final case class GroupMeta(numRows: Long, totalByteSize: Long,
       chunks: Vector[ChunkMeta])
   final case class Leaf(path: String, typ: String, repetition: Int)
@@ -376,7 +380,10 @@ object ParquetLite {
         req(md.int(6), "total_uncompressed_size"),
         req(md.int(7), "total_compressed_size"),
         req(md.int(9), "data_page_offset"), md.int(11),
-        stats.flatMap(_.int(3)), asLong(minB), asLong(maxB), minB, maxB)
+        stats.flatMap(_.int(3)), asLong(minB), asLong(maxB), minB, maxB,
+        // ColumnChunk 4/5 = offset index, 6/7 = column index;
+        // ColumnMetaData 14/15 = bloom filter offset/length
+        cs.int(4), cs.int(5), cs.int(6), cs.int(7), md.int(14), md.int(15))
     }
     val groups = req(fm.list(4), "row_groups").map {
       case g: TStruct => GroupMeta(req(g.int(3), "row group num_rows"),

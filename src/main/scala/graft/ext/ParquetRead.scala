@@ -678,7 +678,9 @@ object ParquetRead {
     * definition-level path carries real nulls.
     */
   def writeViaParquetMr(docs: Seq[(Long, String, String)], v2: Boolean = false,
-      dictionary: Boolean = true, codecName: String = "SNAPPY"): Array[Byte] = {
+      dictionary: Boolean = true, codecName: String = "SNAPPY",
+      pageRowLimit: Option[Int] = None,
+      bloomNdv: Seq[(String, Long)] = Nil): Array[Byte] = {
     import org.apache.parquet.schema.MessageTypeParser
     import org.apache.parquet.example.data.simple.SimpleGroup
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -692,7 +694,7 @@ object ParquetRead {
         |}""".stripMargin)
     val tmp = java.nio.file.Files.createTempFile("graft_pqread", ".parquet")
     try {
-      val writer = ExampleParquetWriter
+      var builder = ExampleParquetWriter
         .builder(new org.apache.hadoop.fs.Path(tmp.toUri.toString))
         .withConf(new org.apache.hadoop.conf.Configuration())
         .withType(schema)
@@ -702,7 +704,17 @@ object ParquetRead {
           if (v2) org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0
           else org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0)
         .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
-        .build()
+      pageRowLimit.foreach { n =>
+        // enforce the limit exactly: parquet-mr only checks the page
+        // cut condition every 100 rows unless told otherwise
+        builder = builder.withPageRowCountLimit(n)
+          .withMinRowCountForPageSizeCheck(1)
+      }
+      bloomNdv.foreach { case (colName, ndv) =>
+        builder = builder.withBloomFilterEnabled(colName, true)
+          .withBloomFilterNDV(colName, ndv)
+      }
+      val writer = builder.build()
       try docs.foreach { case (id, text, lang) =>
         val g = new SimpleGroup(schema)
         g.add("doc_id", id)
