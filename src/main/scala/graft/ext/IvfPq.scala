@@ -327,7 +327,7 @@ object IvfPq {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
     graft.Materialize.queryBuild("q_ivfpq_incremental") {
-      VectorIndex.trainIvf(s, root, base) // v0 ivf: base-trained quantizer
+      VectorIndex.trainIvf(s, root, base, computeErr = false) // v0 ivf: base-trained quantizer
       VectorIndex.trainIvfPq(s, root, base) // v0 ivfpq: base books + codes
       VectorIndex.appendIvfPq(s, root, delta) // v1: delta under frozen artifacts
     }

@@ -85,34 +85,10 @@ object Pq {
   private[graft] def codebooks(s: SparkSession, dir: String): Seq[Seq[(Long, Seq[Double])]] =
     pqIndex(s, dir).books
 
-  /** Train one subspace's codebook: md5-ranked seeded init (the same
-    * pseudo-random sample rule as the IVF quantizer), then `iters` Lloyd
-    * rounds — each round ONE argmin projection over the corpus plus a
-    * ksub-row fixed-order mean aggregate. Codebooks are ksub rows and
-    * live on the driver (embedded into assignment plans as literals).
-    */
-  private def subCodebook(es: DataFrame, iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents: Seq[(Long, Seq[Double])] = es
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(Ksub)
-      .select(col("vec_id"), transform(col("vs"), x => x.cast("double")).as("cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
-    // empty corpus: one zero codeword keeps the argmin literal typed;
-    // the codes frame has no rows to assign, so consumers emit zero rows
-    if (cents.isEmpty) return Seq((0L, List.fill(SubDim)(0.0)))
-    for (_ <- 1 to iters) {
-      cents = es.select(col("vec_id"), col("vs"), argminCode(col("vs"), cents).as("code"))
-        .groupBy(col("code"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("vs")))).as("ms"),
-          count(lit(1)).as("c"))
-        .select(col("code"), transform(
-          aggregate(col("ms"), typedlit(Seq.fill(SubDim)(0.0)),
-            (acc, m) => zip_with(acc, m.getField("vs"), (a, b) => a + b.cast("double"))),
-          x => x / col("c")).as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
-    }
-    cents.sortBy(_._1)
-  }
+  // (subCodebook was the per-subspace training loop: M chained
+  // collect-per-round jobs per subspace. trainBooks below now fuses all M
+  // subspaces into one job per Lloyd round — r13 optimization; math and
+  // fold order unchanged, see trainBooks.)
 
   /** The trained index per (session, sfDir): M codebooks + the corpus
     * codes frame — materialized once, like the IVF/LSH indexes (each
@@ -129,25 +105,77 @@ object Pq {
   /** Train all M subspace codebooks over an embeddings frame
     * (vec_id, v) — shared by the session build and the persisted-index
     * maintenance path ([[VectorIndex]]).
+    *
+    * One Spark job per Lloyd round for ALL M subspaces (r13 optimization,
+    * guide §1.2: fewer passes): the md5-ranked seeded init is a row-level
+    * rank — identical for every subspace — so ONE collect of the top-Ksub
+    * full vectors seeds all M books; each round then assigns every
+    * subspace's argmin code in one projection, explodes to (sub, code)
+    * keys and aggregates the member means in ONE groupBy. Previously this
+    * was M independent chains = M × (1 + iters) sequential corpus jobs;
+    * the per-group math (strict-< argmin over id-ordered literals,
+    * vec_id-ordered member fold, per-element mean) is byte-identical, so
+    * the trained books — and every oracle-gated consumer — are unchanged
+    * (PqSpec pins the books against the from-scratch derivation).
     */
   private[ext] def trainBooks(e: DataFrame,
-      iters: Int = Iters): Seq[Seq[(Long, Seq[Double])]] =
-    (0 until M).map { sub =>
-      subCodebook(e.select(col("vec_id"), subVec(col("v"), sub).as("vs")), iters)
+      iters: Int = Iters): Seq[Seq[(Long, Seq[Double])]] = {
+    val initRows = e
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(Ksub)
+      .select(col("vec_id"), transform(col("v"), x => x.cast("double")).as("cv"))
+      .collect()
+    // empty corpus: one zero codeword per subspace keeps the argmin
+    // literal typed; the codes frame has no rows to assign
+    if (initRows.isEmpty) return Seq.fill(M)(Seq((0L, List.fill(SubDim)(0.0))))
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until M).map { sub =>
+      initRows.toSeq.map(r => (r.getLong(0),
+        r.getSeq[Double](1).slice(sub * SubDim, (sub + 1) * SubDim).toList))
     }
+    for (_ <- 1 to iters) {
+      val codes = graft.functions.PqCodes(col("v"), books)
+      val perSub = (0 until M).map { sub =>
+        struct(lit(sub).as("sub"),
+          element_at(codes, sub + 1).as("code"),
+          subVec(col("v"), sub).as("vs"))
+      }
+      val rows = e
+        .select(col("vec_id"), explode(array(perSub: _*)).as("sc"))
+        .select(col("sc.sub").as("sub"), col("sc.code").as("code"),
+          col("vec_id"), col("sc.vs").as("vs"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("vs")))).as("ms"),
+          count(lit(1)).as("c"))
+        .select(col("sub"), col("code"), transform(
+          aggregate(col("ms"), typedlit(Seq.fill(SubDim)(0.0)),
+            (acc, m) => zip_with(acc, m.getField("vs"), (a, b) => a + b.cast("double"))),
+          x => x / col("c")).as("cv"))
+        .collect()
+      books = (0 until M).map { sub =>
+        rows.filter(_.getInt(0) == sub)
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toList))
+          .sortBy(_._1).toSeq
+      }
+    }
+    books
+  }
 
   /** Code assignment under FROZEN codebooks — a pure projection (the
     * books ride the plan as literals), the PQ twin of
     * [[Similarity.assignCells]]. `carry` names extra input columns to
     * keep alongside the codes (the IVFADC composition carries the cell
-    * id so the stored code table is cell-filterable).
+    * id so the stored code table is cell-filterable). One native
+    * [[graft.functions.PqCodes]] evaluation computes all M codes per row
+    * (r13: replaces M interpreted argmin HOF folds; bit-identical
+    * contract pinned on the expression).
     */
   private[ext] def codesOf(e: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
-      carry: Seq[String] = Nil): DataFrame =
+      carry: Seq[String] = Nil): DataFrame = {
+    val codes = graft.functions.PqCodes(col("v"), books)
     e.select(
       (col("vec_id") +: carry.map(col)) ++
-        (0 until M).map(sub =>
-          argminCode(subVec(col("v"), sub), books(sub)).as(s"c$sub")): _*)
+        (0 until M).map(sub => element_at(codes, sub + 1).as(s"c$sub")): _*)
+  }
 
   private def pqIndex(s: SparkSession, dir: String): PqIndex = {
     val root = VectorIndex.storeRootFor(dir)

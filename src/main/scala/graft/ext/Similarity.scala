@@ -382,20 +382,34 @@ object Similarity {
     */
   private[graft] def ivfCentroidsKmeans(e: DataFrame, nlist: Int = NList,
       iters: Int = KmeansIters): DataFrame = {
-    // empty corpus (routine at 100 TB: a new tenant, day one of a topic):
-    // one synthetic zero centroid keeps every downstream plan typed and
-    // the k-means loop skipped — no vector exists to assign, so every
-    // consumer query correctly emits zero rows
-    if (e.isEmpty) {
-      import e.sparkSession.implicits._
-      return Seq((0L, Seq.fill(Dim)(0.0), 0.0)).toDF("cell", "cv", "cn")
-    }
-    var cents = e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    import e.sparkSession.implicits._
+    // One corpus job per Lloyd round, nothing else (r13 optimization,
+    // guide §1.2: fewer passes). The centroid set is bounded (≤4096 by
+    // the nlistFor clamp), so the loop carries it as DRIVER rows: the
+    // seeded init is one collect (an empty corpus shows up here for free
+    // — no separate isEmpty job), each round is one assign+mean
+    // aggregation job whose result is collected, and the return value is
+    // a LocalRelation — downstream centroid fetches (assignCells,
+    // quantErr, store writes) read it without launching a job. The
+    // per-round expressions (ArgmaxCell assignment, vec_id-ordered member
+    // fold, per-element mean, sqrt(dot) norm) are the exact ones the
+    // previous chained-DataFrame form ran, so the trained centroids are
+    // bit-identical and every oracle stays green.
+    var cents: Seq[(Long, Seq[Double], Double)] = e
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id").as("cell"),
-        transform(col("v"), x => x.cast("double")).as("cv"), col("nrm").cast("double").as("cn"))
+        transform(col("v"), x => x.cast("double")).as("cv"),
+        col("nrm").cast("double").as("cn"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    // empty corpus (routine at 100 TB: a new tenant, day one of a topic):
+    // one synthetic zero centroid keeps every downstream plan typed —
+    // no vector exists to assign, so every consumer emits zero rows
+    if (cents.isEmpty) return Seq((0L, Seq.fill(Dim)(0.0), 0.0)).toDF("cell", "cv", "cn")
     for (_ <- 1 to iters) {
-      val asg = assignCellsWithV(e, cents)
+      val asg = e.select(col("vec_id"),
+        graft.functions.ArgmaxCell(col("v"), col("nrm"), cents).as("cell"), col("v"))
       cents = asg.groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"),
           count(lit(1)).as("c"))
@@ -404,8 +418,10 @@ object Similarity {
             (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b.cast("double"))),
           x => x / col("c")).as("cv"))
         .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     }
-    cents
+    cents.toDF("cell", "cv", "cn")
   }
 
   /** Vector→cell assignment: nearest centroid by cosine (ties to the
@@ -763,7 +779,7 @@ object Similarity {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
     graft.Materialize.queryBuild("q_ivf_incremental") {
-      VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
+      VectorIndex.trainIvf(s, root, base, computeErr = false) // v0: base-trained, base-assigned
       VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
     }
     VectorIndex.ivfAssignments(s, root).orderBy(col("vec_id"))
@@ -797,7 +813,7 @@ object Similarity {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vecidx_${java.util.UUID.randomUUID()}"
     graft.queries.CoreQueries.SinkCleanup.register(new java.io.File(root))
     graft.Materialize.queryBuild("q_ivf_retract") {
-      VectorIndex.trainIvf(s, root, base) // v0: base-trained, base-assigned
+      VectorIndex.trainIvf(s, root, base, computeErr = false) // v0: base-trained, base-assigned
       VectorIndex.appendIvf(s, root, delta) // v1: delta under frozen centroids
       VectorIndex.retractIvf(s, root, // v2: erasure of the %7==3 vectors
         e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))

@@ -80,15 +80,22 @@ object VectorIndex {
   /** Train the coarse quantizer on `e` (vec_id, v float, nrm) and
     * full-write centroids + assignments as `version`. Returns the mean
     * quantization error at train time — the drift monitor's baseline.
+    * Callers that never consume the baseline (the lifecycle queries,
+    * which re-derive everything from the store) pass
+    * `computeErr = false` to skip that one corpus aggregation job
+    * (r13 optimization; NaN is returned so an accidental consumer fails
+    * loudly instead of reading a fabricated 0-drift baseline).
     */
   def trainIvf(spark: SparkSession, root: String, e: DataFrame,
-      version: Long = 0L, cfg: StateStore.Config = VectorIndex.cfg): Double = {
+      version: Long = 0L, cfg: StateStore.Config = VectorIndex.cfg,
+      computeErr: Boolean = true): Double = {
+    // kmeans returns a LocalRelation (bounded centroid rows) — no
+    // checkpoint needed; downstream fetches are job-free
     val cents = Similarity.ivfCentroidsKmeans(e, Similarity.nlistFor(e.count()))
-      .localCheckpoint(true)
     val asg = Similarity.assignCells(e, cents)
     TableStore.write(spark, ivfPath(root), version, IvfSpecs,
       Map("ivf_centroids" -> cents, "ivf_assign" -> asg), cfg = cfg)
-    quantErr(e, cents)
+    if (computeErr) quantErr(e, cents) else Double.NaN
   }
 
   /** The stored centroid table at the latest committed version. */
@@ -159,7 +166,6 @@ object VectorIndex {
     if (driftPpm >= retrainAtPpm) {
       val newCents = Similarity
         .ivfCentroidsKmeans(fullE, Similarity.nlistFor(fullE.count()))
-        .localCheckpoint(true)
       TableStore.write(spark, ivfPath(root), v + 1, IvfSpecs,
         Map("ivf_centroids" -> newCents,
           "ivf_assign" -> Similarity.assignCells(fullE, newCents)), cfg = cfg)

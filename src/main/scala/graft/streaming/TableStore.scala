@@ -141,43 +141,57 @@ object TableStore {
 
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$statePath/.staging-v$version-$token"
-    val sigs = scala.collection.mutable.Map.empty[String, Map[Int, Long]]
+    // staged tables pending their content signature — computed in ONE
+    // fused job after every table's staging write (r13 optimization:
+    // previously one read-back job per table, each with its own driver
+    // footer-inference pass; the schema is pinned from the written frame
+    // so the read-back never re-infers)
+    val stagedForSig = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
     def writeDir(df: DataFrame, name: String): Set[Int] = {
       df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
-      // content signature per staged bucket — an order-independent sum of
-      // per-row hashes over the rows ACTUALLY written (columns in sorted
-      // order, so a deterministic redelivery recomputes the identical
-      // value from its own staging): the commit CAS's same-content
-      // evidence. Pointer maps alone cannot tell redelivery from a
-      // DIFFERENT fold racing the same version onto the same bucket set
-      // — that case silently dropped the loser's data before r11. One
-      // extra local scan of the delta-sized staged files + a <=buckets
-      // row collect.
       val written = StateStore.listBuckets(spark, s"$staging/$name")
       // zero-bucket stagings record NO sig entry (the manifest writer
       // emits no lines for them, so an in-memory empty map would make a
       // byte-identical redelivery spuriously fail the sig compare — the
       // exact asymmetry live() normalizes for pointers)
-      if (written.nonEmpty) {
-        val back = spark.read.parquet(s"$staging/$name")
+      if (written.nonEmpty) stagedForSig += ((name, df.schema))
+      written
+    }
+    // content signature per staged bucket — an order-independent sum of
+    // per-row hashes over the rows ACTUALLY written (columns in sorted
+    // order, so a deterministic redelivery recomputes the identical
+    // value from its own staging): the commit CAS's same-content
+    // evidence. Pointer maps alone cannot tell redelivery from a
+    // DIFFERENT fold racing the same version onto the same bucket set
+    // — that case silently dropped the loser's data before r11. One
+    // extra local scan of the delta-sized staged files + a <=buckets
+    // row collect, fused across ALL staged tables into one action.
+    def computeSigs(): Map[String, Map[Int, Long]] = {
+      val perTable = stagedForSig.toSeq.flatMap { case (name, schema) =>
+        val back = spark.read.schema(schema).parquet(s"$staging/$name")
         // hash functions reject map-typed inputs: sign over the hashable
         // columns only (a table that is ALL maps degrades to the
         // pointer-only comparison instead of refusing schemas the store
         // accepted before r11)
-        val dataCols = back.schema.fields
+        val dataCols = schema.fields
           .filter(f => f.name != "pt" && !StateStore.containsMap(f.dataType))
           .map(_.name).sorted.map(col)
         // decimal-summed then folded mod Long.MaxValue: order-independent,
         // duplicate-row-sensitive (unlike xor), and never overflows under
         // ANSI arithmetic
-        if (dataCols.nonEmpty) sigs(name) = back.groupBy(col("pt"))
+        if (dataCols.isEmpty) None
+        else Some(back.groupBy(col("pt"))
           .agg(pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
             lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("sig"))
-          .collect()
-          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-          .toMap
+          .select(lit(name).as("t"), col("pt"), col("sig")))
       }
-      written
+      if (perTable.isEmpty) Map.empty
+      else perTable.reduce(_.unionByName(_)).collect()
+        .groupBy(_.getString(0))
+        .map { case (n, rows) =>
+          n -> rows.map(r =>
+            r.getInt(1) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+        }
     }
     def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
 
@@ -209,12 +223,21 @@ object TableStore {
           val touchedKeys = (dfOpt.filterNot(provablyNoRows)
             .map(_.select(t.bucketCols.map(col): _*).distinct()).toSeq ++ del.toSeq)
             .reduceOption(_.unionByName(_)).map(_.distinct())
-          // touched buckets from those keys — a bounded driver collect
-          // (at most `buckets` ints), the same shape as StateStore's
-          // touched-bucket election
-          val touched: Set[Int] = touchedKeys.map(
-            _.select(keyBucket.as("pt")).distinct()
-              .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+          // touched buckets — a bounded driver collect (at most `buckets`
+          // ints), the same shape as StateStore's touched-bucket
+          // election. Computed from the PRE-distinct key projections at
+          // the RDD layer (r13 optimization): buckets of keys == buckets
+          // of distinct keys, each branch is then a pure projection, and
+          // the RDD distinct+collect is ONE two-stage job — the SQL
+          // distinct form paid several AQE stage-jobs of scheduling
+          // latency for the same bounded answer (the
+          // StateStore.collectBucketsTagged rationale).
+          val electionFrames = dfOpt.filterNot(provablyNoRows).toSeq ++ del.toSeq
+          val touched: Set[Int] = electionFrames
+            .map(_.select(keyBucket.as("pt")).rdd.map(_.getInt(0)))
+            .reduceOption(_ union _)
+            .map(_.distinct(numPartitions = 2).collect().toSet)
+            .getOrElse(Set.empty)
           if (touched.isEmpty) inherited
           else {
             // read-modify-write ONLY the touched buckets: stored rows
@@ -256,7 +279,7 @@ object TableStore {
       // record each table's key columns: the manifest alone then fully
       // describes this store to the DSv2/catalog read path
       keys = specs.map(t => t.name -> t.bucketCols).toMap,
-      sigs = sigs.toMap)
+      sigs = computeSigs())
   }
 
   /** One table at `version`, resolved through its manifest pointers and
