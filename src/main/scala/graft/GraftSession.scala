@@ -56,6 +56,18 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes post-shuffle partitions BY BYTES (parallelismFirst
+      // target = max(totalBytes / parallelism, minPartitionSize)), which
+      // serializes the engine's CPU-heavy small-byte reduce stages: a
+      // codec group (~100 KB of blob per file group) coalesces under the
+      // default 1 MB floor to ONE task that then decodes every group
+      // serially. 64k keeps such stages parallel; the formula is
+      // scale-adaptive — any stage whose bytes/parallelism exceeds the
+      // floor (every real stage at cluster scale) is sized exactly as
+      // before, so this only affects stages whose byte size UNDERSTATES
+      // their CPU cost. Deployments layering on this builder can
+      // override it like any other conf.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // Streaming keyed state lives in RocksDB, not executor heap: the
