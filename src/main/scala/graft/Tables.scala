@@ -43,6 +43,19 @@ object Tables {
     }
   }
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per (session, file) — parquet schema inference is a
+    * driver-side footer read on EVERY `spark.read.parquet` call, and the
+    * bench/verify harnesses load each table hundreds of times per run
+    * (r13 optimization, guide §7.3 driver-side work). Safe under the
+    * SessionCache immutability contract: testdata and production
+    * snapshot dirs are write-once for a session's lifetime.
+    */
+  private val schemaCache = new SessionCache[String, org.apache.spark.sql.types.StructType]
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrBuild(spark, path)(
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 }

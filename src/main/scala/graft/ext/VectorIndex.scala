@@ -53,6 +53,22 @@ object VectorIndex {
   private def ivfPath(root: String) = s"$root/ivf"
   private def pqPath(root: String) = s"$root/pq"
 
+  /** Collect a BOUNDED store table to driver rows and re-wrap it as a
+    * LocalRelation (r13 optimization): the centroid/codebook tables are
+    * ≤4096/≤65536 rows by contract, every consumer fetches them to the
+    * driver anyway (ArgmaxCell literals, codebook folds, broadcast
+    * builds), and a LocalRelation makes each of those fetches job-free —
+    * one collect job total instead of a checkpoint job plus a collect
+    * per consumer.
+    */
+  private def localized(df: DataFrame, what: String, bound: Int = 65536): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= bound,
+      s"$what of ${rows.length} rows exceeds the localize bound $bound")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Training-recipe revision, part of the store key: the persisted
     * artifacts are DETERMINISTIC FUNCTIONS of (corpus, recipe), so a
     * recipe change (Lloyd rounds, codebook sizing, residual anchoring)
@@ -264,7 +280,7 @@ object VectorIndex {
     */
   def trainIvfPq(spark: SparkSession, root: String, e: DataFrame,
       version: Long = 0L): Seq[Seq[(Long, Seq[Double])]] = {
-    val cents = ivfCentroids(spark, root).localCheckpoint(true)
+    val cents = localized(ivfCentroids(spark, root), "centroid table")
     val res = residualsOf(e, cents).localCheckpoint(true)
     val (books, codes) = ivfPqArtifacts(res)
     writeIvfPq(spark, root, books, codes, version)
@@ -327,7 +343,7 @@ object VectorIndex {
     */
   def appendIvfPq(spark: SparkSession, root: String, deltaE: DataFrame): Long = {
     val v = latestIvfPq(spark, root)
-    val cents = ivfCentroids(spark, root).localCheckpoint(true)
+    val cents = localized(ivfCentroids(spark, root), "centroid table")
     val books = ivfPqBooksAt(spark, root, v)
     TableStore.write(spark, ivfPqPath(root), v + 1, IvfPqSpecs,
       Map("ivfpq_codes" ->
@@ -465,8 +481,9 @@ object VectorIndex {
     val ivfPrev = TableStore.latestVersion(spark, ivfPath(root), batchId)
       .getOrElse(throw new IllegalStateException(
         s"no trained IVF index under $root: run trainIvf before streaming"))
-    val cents = TableStore.read(spark, ivfPath(root), ivfPrev, "ivf_centroids")
-      .localCheckpoint(true)
+    val cents = localized(
+      TableStore.read(spark, ivfPath(root), ivfPrev, "ivf_centroids"),
+      "centroid table")
     val last = lastWriter(batch)
     val ups = Pq.codesOf(
       residualsOf(last.filter(col("op") =!= "delete")

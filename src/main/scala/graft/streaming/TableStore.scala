@@ -362,17 +362,31 @@ object TableStore {
     * order — so the rendering is deterministic across the rewrite, and
     * corruption confined to a map column now fails the audit.
     */
-  private def tableSig(df: DataFrame): Long = {
-    val cols = df.schema.fields.sortBy(_.name).map { f =>
-      if (StateStore.containsMap(f.dataType)) col(f.name).cast("string")
-      else col(f.name)
+  /** Whole-table content signature plus row count for SEVERAL tables in
+    * ONE action (r13 optimization — compact's audit previously paid one
+    * sig job plus one count job per table): each table contributes one
+    * aggregated row tagged with its name, the tagged aggregates union
+    * into a single collect. The signature is the same sum-of-row-hashes
+    * fold the per-bucket commit signatures use, over EVERY column in
+    * sorted name order (map-typed columns through a canonical string
+    * rendering — ADVICE r12), so byte movement that preserves the row
+    * multiset preserves it.
+    */
+  private def tableSigCounts(frames: Seq[(String, DataFrame)]): Map[String, (Long, Long)] = {
+    val perTable = frames.map { case (name, df) =>
+      val cols = df.schema.fields.sortBy(_.name).map { f =>
+        if (StateStore.containsMap(f.dataType)) col(f.name).cast("string")
+        else col(f.name)
+      }
+      val sig =
+        if (cols.isEmpty) lit(0L)
+        else coalesce(pmod(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
+          lit(Long.MaxValue).cast("decimal(38,0)")).cast("long"), lit(0L))
+      df.agg(sig.as("sig"), count(lit(1)).as("rows"))
+        .select(lit(name).as("t"), col("sig"), col("rows"))
     }
-    if (cols.isEmpty) 0L
-    else {
-      val r = df.agg(pmod(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
-        lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    perTable.reduce(_.unionByName(_)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
 
   /** (file count, byte total) of one table's live buckets at `version` —
@@ -404,7 +418,7 @@ object TableStore {
     *      store's own bucket hash, so `partitionBy("pt")` emits exactly
     *      one file per live bucket),
     *   2. verifies content equality before/after through the
-    *      order-independent [[tableSig]] — a compaction that loses or
+    *      order-independent content signature — a compaction that loses or
     *      duplicates a row fails LOUDLY, and before failing the old
     *      content is re-committed as the next head so readers never
     *      serve the content-wrong version,
@@ -436,8 +450,11 @@ object TableStore {
         s"of $statePath v$v: compacting a partial spec list would drop them " +
         "from the new head and prune their data — pass every live table")
     val before = specs.map(t => t.name -> fileCensus(spark, statePath, mBefore, t.name)).toMap
-    val sigBefore = specs.map(t => t.name -> tableSig(read(spark, statePath, v, t.name))).toMap
-    val rowsBefore = specs.map(t => t.name -> read(spark, statePath, v, t.name).count()).toMap
+    // sig + row count for every table in ONE action (r13; see tableSigCounts)
+    val scBefore = tableSigCounts(
+      specs.map(t => t.name -> read(spark, statePath, v, t.name)))
+    val sigBefore = scBefore.map { case (n, (s, _)) => n -> s }
+    val rowsBefore = scBefore.map { case (n, (_, c)) => n -> c }
     val frames = specs.map { t =>
       val kb = StateStore.bucket(t.bucketCols, cfg.buckets)
       // one partition per bucket hash → exactly one parquet file per pt dir
@@ -445,8 +462,9 @@ object TableStore {
     }.toMap
     write(spark, statePath, v + 1, specs, frames, cfg = cfg)
     val mAfter = manifestAt(spark, statePath, v + 1)
-    val sigAfter = specs.map(t =>
-      t.name -> tableSig(read(spark, statePath, v + 1, t.name))).toMap
+    val sigAfter = tableSigCounts(
+      specs.map(t => t.name -> read(spark, statePath, v + 1, t.name)))
+      .map { case (n, (s, _)) => n -> s }
     val bad = specs.filter(t => sigAfter(t.name) != sigBefore(t.name))
     if (bad.nonEmpty) {
       // v+1 is already committed, so readers of latestVersion would serve

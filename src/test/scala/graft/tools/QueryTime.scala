@@ -12,6 +12,9 @@ object QueryTime {
     val runs = if (args.length > 1) args(1).toInt else 3
     val names = if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSpec.session
+    // ad-hoc conf overrides for A/B timing: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.range(1000).selectExpr("sum(id)").collect()
     for (name <- names) {
       val fn = SparkEntry.queries(name)
