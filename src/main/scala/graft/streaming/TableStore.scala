@@ -94,10 +94,15 @@ object TableStore {
     * apply to the stored base, then the delta upserts — the CDC
     * delete-then-reinsert ordering).
     */
+  /** Returns each staged table's per-bucket (content signature, row
+    * count) — the write's own observed stats ([[compact]]'s audit rides
+    * them instead of re-reading the store; other callers ignore the
+    * value).
+    */
   def write(spark: SparkSession, statePath: String, version: Long,
       specs: Seq[Spec], frames: Map[String, DataFrame],
       delta: Boolean = false, cfg: Config = Config(),
-      deletes: Map[String, DataFrame] = Map.empty): Unit = {
+      deletes: Map[String, DataFrame] = Map.empty): Map[String, Map[Int, (Long, Long)]] = {
     validateSpecs(specs)
     require(frames.keySet.subsetOf(specs.map(_.name).toSet),
       s"frames ${frames.keySet.diff(specs.map(_.name).toSet)} not in specs")
@@ -141,57 +146,47 @@ object TableStore {
 
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$statePath/.staging-v$version-$token"
-    // staged tables pending their content signature — computed in ONE
-    // fused job after every table's staging write (r13 optimization:
-    // previously one read-back job per table, each with its own driver
-    // footer-inference pass; the schema is pinned from the written frame
-    // so the read-back never re-infers)
-    val stagedForSig = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
+    // per-table staged bucket stats: pt -> (content signature, row count).
+    // The signature is the order-independent sum of per-row hashes over
+    // the rows ACTUALLY written (columns in sorted order, so a
+    // deterministic redelivery recomputes the identical value from its
+    // own staging): the commit CAS's same-content evidence. Pointer maps
+    // alone cannot tell redelivery from a DIFFERENT fold racing the same
+    // version onto the same bucket set — that case silently dropped the
+    // loser's data before r11. r14: computed as an OBSERVED metric of the
+    // staging write itself (graft.functions.BucketSig — bit-identical to
+    // the r11-r13 decimal read-back fold, BucketSigSpec pins it), so the
+    // per-write sig read-back job AND the written-bucket directory
+    // listing both collapse into the one write action (guide §1.2 fewer
+    // passes; the read-back was fixed per-commit latency at every scale).
+    val stagedStats = scala.collection.mutable.Map.empty[String, Map[Int, (Long, Long)]]
     def writeDir(df: DataFrame, name: String): Set[Int] = {
-      df.write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
-      val written = StateStore.listBuckets(spark, s"$staging/$name")
-      // zero-bucket stagings record NO sig entry (the manifest writer
-      // emits no lines for them, so an in-memory empty map would make a
-      // byte-identical redelivery spuriously fail the sig compare — the
-      // exact asymmetry live() normalizes for pointers)
-      if (written.nonEmpty) stagedForSig += ((name, df.schema))
-      written
-    }
-    // content signature per staged bucket — an order-independent sum of
-    // per-row hashes over the rows ACTUALLY written (columns in sorted
-    // order, so a deterministic redelivery recomputes the identical
-    // value from its own staging): the commit CAS's same-content
-    // evidence. Pointer maps alone cannot tell redelivery from a
-    // DIFFERENT fold racing the same version onto the same bucket set
-    // — that case silently dropped the loser's data before r11. One
-    // extra local scan of the delta-sized staged files + a <=buckets
-    // row collect, fused across ALL staged tables into one action.
-    def computeSigs(): Map[String, Map[Int, Long]] = {
-      val perTable = stagedForSig.toSeq.flatMap { case (name, schema) =>
-        val back = spark.read.schema(schema).parquet(s"$staging/$name")
-        // hash functions reject map-typed inputs: sign over the hashable
-        // columns only (a table that is ALL maps degrades to the
-        // pointer-only comparison instead of refusing schemas the store
-        // accepted before r11)
-        val dataCols = schema.fields
-          .filter(f => f.name != "pt" && !StateStore.containsMap(f.dataType))
-          .map(_.name).sorted.map(col)
-        // decimal-summed then folded mod Long.MaxValue: order-independent,
-        // duplicate-row-sensitive (unlike xor), and never overflows under
-        // ANSI arithmetic
-        if (dataCols.isEmpty) None
-        else Some(back.groupBy(col("pt"))
-          .agg(pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
-            lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("sig"))
-          .select(lit(name).as("t"), col("pt"), col("sig")))
+      // hash functions reject map-typed inputs: sign over the hashable
+      // columns only (a table that is ALL maps degrades to the
+      // pointer-only comparison instead of refusing schemas the store
+      // accepted before r11)
+      val dataCols = df.schema.fields
+        .filter(f => f.name != "pt" && !StateStore.containsMap(f.dataType))
+        .map(_.name).sorted.toSeq.map(col)
+      val obs = new org.apache.spark.sql.Observation(s"stage-$name-$token")
+      val metric =
+        if (dataCols.isEmpty) collect_set(col("pt")).as("pts")
+        else graft.functions.BucketSig(col("pt"), xxhash64(dataCols: _*)).as("sigs")
+      df.observe(obs, metric)
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$staging/$name")
+      if (dataCols.isEmpty)
+        obs.get("pts").asInstanceOf[scala.collection.Seq[Int]].toSet
+      else {
+        val stats = obs.get("sigs")
+          .asInstanceOf[scala.collection.Map[Int, org.apache.spark.sql.Row]]
+          .map { case (pt, r) => pt -> ((r.getLong(0), r.getLong(1))) }.toMap
+        // zero-bucket stagings record NO sig entry (the manifest writer
+        // emits no lines for them, so an in-memory empty map would make a
+        // byte-identical redelivery spuriously fail the sig compare — the
+        // exact asymmetry live() normalizes for pointers)
+        if (stats.nonEmpty) stagedStats(name) = stats
+        stats.keySet
       }
-      if (perTable.isEmpty) Map.empty
-      else perTable.reduce(_.unionByName(_)).collect()
-        .groupBy(_.getString(0))
-        .map { case (n, rows) =>
-          n -> rows.map(r =>
-            r.getInt(1) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
-        }
     }
     def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
 
@@ -212,15 +207,21 @@ object TableStore {
           else writeDir(df.withColumn("pt", keyBucket), t.name)
             .map(_ -> version).toMap
         case (dfOpt, del) =>
+          // the delta frame feeds TWO actions — the bucket election and
+          // the merged staging write. r13 measured lazy re-derivation
+          // cheaper than an EAGER localCheckpoint (1.74 s vs 2.21 s on
+          // q_token_incremental: the checkpoint's blocking block write
+          // costs more than a second derivation); r14 gets the single
+          // derivation WITHOUT the blocking write with a plain lazy
+          // persist — the election job populates the cache, the staging
+          // write reads it, and it is released right after staging. The
+          // cache is O(delta rows) by the incremental-write contract.
+          val cached = dfOpt.filterNot(provablyNoRows)
+            .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           // every key this commit touches: the delta's keys (upserts —
           // stored rows of these keys are replaced) plus the retracted
-          // keys (deletes — stored rows of these keys vanish). The frame
-          // feeds both the bucket election and the upsert anti-join; each
-          // consumer re-derives the delta, which measures CHEAPER than an
-          // eager checkpoint's blocking write at batch scale (QueryTime:
-          // 1.74 s vs 2.21 s on q_token_incremental) — both passes are
-          // O(batch), so the choice doesn't change the scale contract
-          val touchedKeys = (dfOpt.filterNot(provablyNoRows)
+          // keys (deletes — stored rows of these keys vanish)
+          val touchedKeys = (cached
             .map(_.select(t.bucketCols.map(col): _*).distinct()).toSeq ++ del.toSeq)
             .reduceOption(_.unionByName(_)).map(_.distinct())
           // touched buckets — a bounded driver collect (at most `buckets`
@@ -232,13 +233,13 @@ object TableStore {
           // distinct form paid several AQE stage-jobs of scheduling
           // latency for the same bounded answer (the
           // StateStore.collectBucketsTagged rationale).
-          val electionFrames = dfOpt.filterNot(provablyNoRows).toSeq ++ del.toSeq
+          val electionFrames = cached.toSeq ++ del.toSeq
           val touched: Set[Int] = electionFrames
             .map(_.select(keyBucket.as("pt")).rdd.map(_.getInt(0)))
             .reduceOption(_ union _)
             .map(_.distinct(numPartitions = 2).collect().toSet)
             .getOrElse(Set.empty)
-          if (touched.isEmpty) inherited
+          try if (touched.isEmpty) inherited
           else {
             // read-modify-write ONLY the touched buckets: stored rows
             // lose to delta/delete rows on key equality, then the delta
@@ -259,14 +260,14 @@ object TableStore {
             val tk = touchedKeys.get
             val kept = old.join(tk,
               t.bucketCols.map(c => old(c) <=> tk(c)).reduce(_ && _), "left_anti")
-            val merged = dfOpt.fold(kept)(kept.unionByName(_, allowMissingColumns = true))
+            val merged = cached.fold(kept)(kept.unionByName(_, allowMissingColumns = true))
               .withColumn("pt", keyBucket)
               .filter(col("pt").isin(touched.toSeq: _*))
             val written = writeDir(merged, t.name)
             // a bucket every row left simply writes nothing: its pointer
             // drops here rather than pointing at an empty dir
             (inherited -- touched) ++ written.map(_ -> version).toMap
-          }
+          } finally cached.foreach(_.unpersist(blocking = false))
       })
     }.toMap
 
@@ -279,7 +280,8 @@ object TableStore {
       // record each table's key columns: the manifest alone then fully
       // describes this store to the DSv2/catalog read path
       keys = specs.map(t => t.name -> t.bucketCols).toMap,
-      sigs = computeSigs())
+      sigs = stagedStats.view.mapValues(_.map { case (pt, (s, _)) => pt -> s }).toMap)
+    stagedStats.toMap
   }
 
   /** One table at `version`, resolved through its manifest pointers and
@@ -385,7 +387,8 @@ object TableStore {
       df.agg(sig.as("sig"), count(lit(1)).as("rows"))
         .select(lit(name).as("t"), col("sig"), col("rows"))
     }
-    perTable.reduce(_.unionByName(_)).collect()
+    if (perTable.isEmpty) Map.empty
+    else perTable.reduce(_.unionByName(_)).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
 
@@ -450,21 +453,68 @@ object TableStore {
         s"of $statePath v$v: compacting a partial spec list would drop them " +
         "from the new head and prune their data — pass every live table")
     val before = specs.map(t => t.name -> fileCensus(spark, statePath, mBefore, t.name)).toMap
-    // sig + row count for every table in ONE action (r13; see tableSigCounts)
+    // BEFORE-signature per table, derived from the COMMITTED per-bucket
+    // sig: lines instead of a full-store read (r14, guide §6/§1.2 — the
+    // audit previously read every table once for the before-sig, once
+    // inside the rewrite and once for the after-sig; now the rewrite is
+    // the only data read). Each live pointer (pt -> pv) looks up its sig
+    // in pv's manifest; the whole-table value is the modular fold of the
+    // bucket residues (the sig is a sum mod Long.MaxValue, so per-bucket
+    // folds compose exactly — BucketSig's contract). Valid only when
+    // every live bucket carries a sig AND was staged under the head's
+    // hashable column set (an additively-evolved table's old buckets
+    // signed fewer columns); tables that fail either condition — and
+    // map-typed tables, whose legacy audit signs a canonical string
+    // rendering the commit sigs exclude — keep the r13 full-read compare.
+    val manifestCache = scala.collection.mutable.Map(v -> mBefore)
+    def mAt(pv: Long): Manifest =
+      manifestCache.getOrElseUpdate(pv, manifestAt(spark, statePath, pv))
+    def dataColsOf(sc: StructType): Seq[String] = sc.fields
+      .filter(f => f.name != "pt" && !StateStore.containsMap(f.dataType))
+      .map(_.name).sorted.toSeq
+    val M = BigInt(Long.MaxValue)
+    def sigBeforeFromManifests(t: Spec): Option[Long] = {
+      val headCols = dataColsOf(mBefore.schemaOf(t.name))
+      if (headCols.size != mBefore.schemaOf(t.name).fields.count(_.name != "pt"))
+        return None // map-typed column: legacy audit signs it, commit sigs don't
+      val ptrs = mBefore.pointers.getOrElse(t.name, Map.empty[Int, Long])
+      val sigs = ptrs.toSeq.map { case (pt, pv) =>
+        val m = mAt(pv)
+        if (dataColsOf(m.schemaOf(t.name)) != headCols) None
+        else m.sigs.getOrElse(t.name, Map.empty).get(pt)
+      }
+      if (sigs.exists(_.isEmpty)) None
+      else Some((sigs.flatten.map(BigInt(_)).sum mod M).toLong)
+    }
+    val fastBefore: Map[String, Option[Long]] =
+      specs.map(t => t.name -> sigBeforeFromManifests(t)).toMap
+    // legacy full-read compare for the tables the fast path cannot cover
+    val slowTables = specs.filter(t => fastBefore(t.name).isEmpty)
     val scBefore = tableSigCounts(
-      specs.map(t => t.name -> read(spark, statePath, v, t.name)))
-    val sigBefore = scBefore.map { case (n, (s, _)) => n -> s }
-    val rowsBefore = scBefore.map { case (n, (_, c)) => n -> c }
+      slowTables.map(t => t.name -> read(spark, statePath, v, t.name)))
     val frames = specs.map { t =>
       val kb = StateStore.bucket(t.bucketCols, cfg.buckets)
       // one partition per bucket hash → exactly one parquet file per pt dir
       t.name -> read(spark, statePath, v, t.name).repartition(cfg.buckets, kb)
     }.toMap
-    write(spark, statePath, v + 1, specs, frames, cfg = cfg)
+    val staged = write(spark, statePath, v + 1, specs, frames, cfg = cfg)
     val mAfter = manifestAt(spark, statePath, v + 1)
-    val sigAfter = tableSigCounts(
-      specs.map(t => t.name -> read(spark, statePath, v + 1, t.name)))
-      .map { case (n, (s, _)) => n -> s }
+    def stagedFold(name: String): Long =
+      (staged.getOrElse(name, Map.empty).values.map(p => BigInt(p._1)).sum mod M).toLong
+    val scAfterSlow = tableSigCounts(
+      slowTables.map(t => t.name -> read(spark, statePath, v + 1, t.name)))
+    val sigBefore = specs.map(t => t.name ->
+      fastBefore(t.name).getOrElse(scBefore(t.name)._1)).toMap
+    val sigAfter = specs.map(t => t.name ->
+      (if (fastBefore(t.name).isDefined) stagedFold(t.name)
+       else scAfterSlow(t.name)._1)).toMap
+    // rows: the audit reports on SUCCESS only, where content equality
+    // makes before-rows == staged-rows; the fallback tables carry their
+    // own counted value
+    val rowsBefore = specs.map(t => t.name ->
+      (if (fastBefore(t.name).isDefined)
+        staged.getOrElse(t.name, Map.empty).values.map(_._2).sum
+       else scBefore(t.name)._2)).toMap
     val bad = specs.filter(t => sigAfter(t.name) != sigBefore(t.name))
     if (bad.nonEmpty) {
       // v+1 is already committed, so readers of latestVersion would serve
