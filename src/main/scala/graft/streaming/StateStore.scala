@@ -1277,8 +1277,25 @@ object StateStore {
         s"${older.map(_.name).mkString(", ")} absent in v$vNew) is not defined")
     val oldRows = readPaths(spark, sc, pathsOld)
     val newRows = readPaths(spark, sc, pathsNew)
-    val changed = newRows.exceptAll(oldRows).withColumn("change", lit("added"))
-      .unionByName(oldRows.exceptAll(newRows).withColumn("change", lit("removed")))
+    // BOTH diff directions in ONE aggregation pass (r14, guide §1.2):
+    // `new exceptAll old UNION old exceptAll new` planned two aggregate
+    // subtrees, each reading both sides — Spark rewrites every exceptAll
+    // into exactly this union/sum-of-±1/replicate shape, so fusing the
+    // directions halves the diff's scans and shuffles with bit-identical
+    // multiset semantics: per row, exceptAll yields max(cNew-cOld, 0)
+    // copies on the added side and max(cOld-cNew, 0) on the removed side,
+    // which is |d| copies on the side sign(d) picks, d = cNew - cOld.
+    val dataCols = sc.fields.toSeq.map(f => col(f.name))
+    val w = "__graft_diff_w"
+    val d = "__graft_diff_d"
+    val changed = newRows.withColumn(w, lit(1L))
+      .unionByName(oldRows.withColumn(w, lit(-1L)))
+      .groupBy(dataCols: _*).agg(sum(col(w)).as(d))
+      .filter(col(d) =!= 0L)
+      .withColumn("change",
+        when(col(d) > 0, lit("added")).otherwise(lit("removed")))
+      .withColumn(w, explode(sequence(lit(1L), abs(col(d)))))
+      .select(dataCols :+ col("change"): _*)
     (changed, pathsOld, pathsNew)
   }
 
