@@ -56,18 +56,17 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE sizes post-shuffle partitions BY BYTES (parallelismFirst
-      // target = max(totalBytes / parallelism, minPartitionSize)), which
-      // serializes the engine's CPU-heavy small-byte reduce stages: a
-      // codec group (~100 KB of blob per file group) coalesces under the
-      // default 1 MB floor to ONE task that then decodes every group
-      // serially. 64k keeps such stages parallel; the formula is
-      // scale-adaptive — any stage whose bytes/parallelism exceeds the
-      // floor (every real stage at cluster scale) is sized exactly as
-      // before, so this only affects stages whose byte size UNDERSTATES
-      // their CPU cost. Deployments layering on this builder can
-      // override it like any other conf.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE post-shuffle coalescing keeps its DEFAULT byte sizing (r14).
+      // r13 lowered minPartitionSize to 64k because the codec decode
+      // stages (~100 KB of grouped blob, seconds of per-group CPU)
+      // coalesced to ONE serial task under the 1 MB floor — but the
+      // session-wide floor leaked into every byte-proportional small
+      // shuffle, costing 1.2-3x in tiny-task scheduling at 32 cores
+      // (q_bloom_semijoin 1.93s vs 0.65s, QueryTime A/B r14). The decode
+      // stages now size their exchange explicitly instead
+      // (graft.ext.DecodeStage.spread: a user-numbered repartition AQE
+      // never coalesces), so the CPU-heavy small-byte stages keep full
+      // parallelism without distorting the rest of the engine.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // Streaming keyed state lives in RocksDB, not executor heap: the

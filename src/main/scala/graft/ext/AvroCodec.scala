@@ -351,6 +351,7 @@ object AvroCodec {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
       .groupBy(expr(s"doc_id div $PerFile").as("ocf"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("text").as("_2"), col("lang").as("_3")))).as("docs"))

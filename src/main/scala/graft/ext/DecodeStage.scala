@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Explicit parallelism for the codec/media DECODE stages — the
+  * `groupBy(file_group).agg(collect_list(...)) -> mapPartitions(decode)`
+  * shape every hand-rolled reader (parquet/ORC/avro/zip/tar/gzip/npy/
+  * safetensors/delta/iceberg/roaring/html, and the media families over
+  * per-user event streams) shares.
+  *
+  * These stages carry a few hundred KB of grouped rows but seconds of
+  * per-group CPU (encode + decode of a whole file group), so AQE's
+  * byte-based post-shuffle coalescing — target = max(bytes/parallelism,
+  * minPartitionSize) — collapses them to one or two tasks and the decode
+  * runs serially (r13 measured q_orc_read's decode as ONE 1.33 s task).
+  * r13 compensated with a session-wide 64k coalesce floor, but that
+  * floor leaks into every OTHER small shuffle stage: at 32 cores the
+  * shuffle-bound queries paid 1.2-3x in tiny-task scheduling for no
+  * bytes (q_bloom_semijoin 1.93 s vs 0.65 s under the default floor,
+  * QueryTime A/B, this round). The structural fix is to size the decode
+  * exchange EXPLICITLY: a user-numbered `repartition(n, key)` is never
+  * coalesced by AQE, and the downstream groupBy on the same key reuses
+  * the exchange (guide §2.4), so the decode stage keeps cluster-wide
+  * parallelism while every byte-proportional stage stays under AQE's
+  * default sizing. `defaultParallelism` (total cores) is scale-adaptive
+  * by construction — never a constant tuned to one deployment.
+  */
+object DecodeStage {
+
+  /** `df.transform(DecodeStage.spread(key))` immediately before a
+    * `groupBy(key...)` whose aggregation feeds a per-group decode.
+    */
+  def spread(key: Column)(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+}

@@ -83,6 +83,7 @@ object DeltaLog {
     // the returned manifest is bounded by the file count (corpus/50)
     val files = docs
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $DocsPerFile")))
       .groupBy(expr(s"doc_id div $DocsPerFile").as("fid"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("text").as("_2")))).as("rows"))

@@ -460,6 +460,7 @@ object Gif {
       .select(col("user_id"),
         pmod(floor(col("value") * 100).cast("long"), lit(16L)).cast("int").as("idx"),
         col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("idx"))))
         .as("evs"))
@@ -541,6 +542,7 @@ object Gif {
       .select(col("user_id"),
         pmod(floor(col("value") * 100).cast("long"), lit(8L)).cast("int").as("roll"),
         col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("roll"))))
         .as("evs"))

@@ -481,6 +481,7 @@ object Html {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
       .groupBy(expr(s"doc_id div $PerFile").as("wf"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("source").as("_2"), col("text").as("_3")))).as("docs"))

@@ -144,6 +144,7 @@ object Iceberg {
     Files.createDirectories(Paths.get(dir, "data"))
     val files = docs
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $DocsPerFile")))
       .groupBy(expr(s"doc_id div $DocsPerFile").as("fid"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("text").as("_2")))).as("rows"))

@@ -84,6 +84,7 @@ object ImageDedup {
     val perRow = GridW
     Tables.events(s, dir)
       .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
         .as("evs"))

@@ -1209,6 +1209,7 @@ object Multimodal {
         least(greatest(floor(col("value") * 100).cast("int") - 24000,
           lit(-32768)), lit(32767)).as("v"),
         col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("v"))))
         .as("evs"))
@@ -1243,6 +1244,7 @@ object Multimodal {
         pmod(floor(col("value")).cast("long"), lit(256L)).cast("int").as("g"),
         pmod(col("event_id"), lit(256L)).cast("int").as("r"),
         col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))
@@ -1327,6 +1329,7 @@ object Multimodal {
         pmod(floor(col("value") * 100).cast("long") + col("event_id"), lit(256L))
           .cast("int").as("r"),
         col("ts"), col("event_id"))
+      .transform(DecodeStage.spread(col("user_id")))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("b"), col("g"), col("r")))).as("evs"))

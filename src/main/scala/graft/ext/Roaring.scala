@@ -210,6 +210,7 @@ object Roaring {
     // write the data files + one DV per file (distributed, bounded groups)
     val dvs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $DocsPerFile")))
       .groupBy(expr(s"doc_id div $DocsPerFile").as("fid"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("text").as("_2")))).as("rows"))

@@ -331,6 +331,7 @@ object Safetensors {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
+      .transform(DecodeStage.spread(expr(s"vec_id div $PerShard")))
       .groupBy(expr(s"vec_id div $PerShard").as("shard"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("_1"),
         col("embedding").as("_2")))).as("vecs"))

@@ -307,6 +307,7 @@ object Zip {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerShard")))
       .groupBy(expr(s"doc_id div $PerShard").as("shard"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
         col("text").as("_2"), col("lang").as("_3"), col("source").as("_4")))).as("docs"))

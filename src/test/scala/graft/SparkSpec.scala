@@ -10,7 +10,9 @@ trait SparkSpec { this: Suite =>
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.local(cpus = 4)
+    // GRAFT_CPUS: A/B tooling hook (QueryTime/JobProfile at the bench's
+    // core count, e.g. 32) — suites keep the 4-core default
+    val s = GraftSession.local(cpus = sys.env.get("GRAFT_CPUS").map(_.toInt).getOrElse(4))
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
