@@ -56,17 +56,27 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE post-shuffle coalescing keeps its DEFAULT byte sizing (r14).
-      // r13 lowered minPartitionSize to 64k because the codec decode
-      // stages (~100 KB of grouped blob, seconds of per-group CPU)
-      // coalesced to ONE serial task under the 1 MB floor — but the
-      // session-wide floor leaked into every byte-proportional small
-      // shuffle, costing 1.2-3x in tiny-task scheduling at 32 cores
-      // (q_bloom_semijoin 1.93s vs 0.65s, QueryTime A/B r14). The decode
-      // stages now size their exchange explicitly instead
-      // (graft.ext.DecodeStage.spread: a user-numbered repartition AQE
-      // never coalesces), so the CPU-heavy small-byte stages keep full
-      // parallelism without distorting the rest of the engine.
+      // AQE sizes post-shuffle partitions BY BYTES (parallelismFirst
+      // target = max(totalBytes / parallelism, minPartitionSize)), which
+      // serializes this engine's many CPU-heavy small-byte reduce stages
+      // (codec/media decode groups, k-means member folds, text-hash
+      // aggregations: KBs of bytes, seconds of CPU) to one or two tasks
+      // under the default 1 MB floor. r14 A/B'd BOTH directions at 32
+      // cores: removing the floor in favor of explicit decode-stage
+      // repartitions (DecodeStage.spread) recovered the spread sites but
+      // regressed every OTHER CPU-heavy small stage — ~20 s across the
+      // 204-query bench (q_zstd_dict 0.40→1.09 s, q_warc_seek 0.23→0.60,
+      // plus dozens of 0.1-0.3 s hits) — while the floor's tiny-task
+      // scheduling cost on genuinely byte-proportional shuffles totals
+      // only ~2-4 s (q_bloom_semijoin 0.70→1.07, q_dup_span_ratio
+      // 0.27→0.77, q_bpe_encode 0.51→0.81). 64k stays: the formula is
+      // scale-adaptive — any stage whose bytes/parallelism exceeds the
+      // floor (every real stage at cluster scale) is sized exactly as
+      // under the default, so this only affects stages whose byte size
+      // UNDERSTATES their CPU cost. Deployments layering on this builder
+      // can override it like any other conf. DecodeStage.spread stays on
+      // the decode sites as the structural, floor-independent sizing.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // Streaming keyed state lives in RocksDB, not executor heap: the

@@ -239,7 +239,11 @@ object DeltaLog {
       Seq.empty[(Long, Long, String, String, Long, Long)]
         .toDF("doc_id", "text_len", "text_md5", "path", "file_id", "version")
     else
-      s.read.parquet(livePaths.map(p => s"$out/$p"): _*)
+      // schema pinned (the table's metaData action declares it, and every
+      // data file is ours): skips footer-inference over ~300 tiny files —
+      // a driver-side pass per snapshot read (guide §6)
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(livePaths.map(p => s"$out/$p"): _*)
         .withColumn("path", regexp_extract(input_file_name(), "part-\\d{5}\\.parquet", 0))
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("text_len"),

@@ -294,7 +294,10 @@ object Iceberg {
     else {
       // manifest-declared record counts, joined broadcast (KB-scale frame)
       val counts = live.map(e => (e.filePath, e.recordCount)).toDF("path", "record_count")
-      s.read.parquet(paths.map(p => s"$out/$p"): _*)
+      // schema pinned (iceberg metadata declares it; the files are ours):
+      // no footer-inference pass over the live file set (guide §6)
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(paths.map(p => s"$out/$p"): _*)
         .withColumn("path", regexp_extract(input_file_name(), "data/part-\\d{5}\\.parquet", 0))
         .join(broadcast(counts), "path")
         .select(col("doc_id"),

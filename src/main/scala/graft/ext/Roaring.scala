@@ -238,7 +238,9 @@ object Roaring {
       val geometry = dvs.map { case (fid, bytes, card, _) => (fid, bytes, card) }
         .toSeq.toDF("file_id", "dv_bytes", "dv_card")
       val w = Window.partitionBy(col("file_id")).orderBy(col("doc_id"))
-      s.read.parquet(dvs.map(d => s"$out/part-${"%05d".format(d._1)}.parquet"): _*)
+      // schema pinned (our own writer): no footer-inference pass (guide §6)
+      s.read.schema("doc_id BIGINT, text STRING")
+        .parquet(dvs.map(d => s"$out/part-${"%05d".format(d._1)}.parquet"): _*)
         .withColumn("file_id", expr(s"doc_id div $DocsPerFile"))
         .withColumn("row_idx", row_number().over(w).cast("long") - 1)
         .join(broadcast(deleted), col("file_id") === col("del_fid") &&

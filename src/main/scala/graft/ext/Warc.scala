@@ -231,6 +231,7 @@ object Warc {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
       .groupBy(expr(s"doc_id div $PerFile").as("wf"))
       .agg(sort_array(collect_list(
         struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))

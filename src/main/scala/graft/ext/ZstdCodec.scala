@@ -177,6 +177,7 @@ object ZstdCodec {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerShard")))
       .groupBy(expr(s"doc_id div $PerShard").as("shard"))
       .agg(sort_array(collect_list(
         struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
@@ -422,6 +423,7 @@ object ZstdCodec {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerShard")))
       .groupBy(expr(s"doc_id div $PerShard").as("wf"))
       .agg(sort_array(collect_list(
         struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
@@ -485,6 +487,7 @@ object ZstdCodec {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerDict")))
       .groupBy(expr(s"doc_id div $PerDict").as("shard"))
       .agg(sort_array(collect_list(
         struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
@@ -565,6 +568,7 @@ object ZstdCodec {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .transform(DecodeStage.spread(expr(s"doc_id div $PerShard")))
       .groupBy(expr(s"doc_id div $PerShard").as("wf"))
       .agg(sort_array(collect_list(
         struct(col("doc_id").as("_1"), col("text").as("_2")))).as("docs"))
