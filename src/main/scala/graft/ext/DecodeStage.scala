@@ -32,4 +32,30 @@ object DecodeStage {
     */
   def spread(key: Column)(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+  /** Streaming replacement for the readers'
+    * `groupBy(group).agg(sort_array(collect_list(...)))` decode feed
+    * (guide §5, r14): that aggregation buffers EVERY group of a partition
+    * in the ObjectHashAggregate at once — bounded at test scale, but at
+    * 100 TB the agg holds whole file groups' blobs on-heap per key.
+    * Callers instead [[spread]] on the group key, sortWithinPartitions on
+    * the sort column, and stream groups one at a time off the sorted run
+    * (which spills gracefully): rows of one group are consecutive
+    * whenever the group key is a function of the sort column that is
+    * monotone in it (`doc_id div N` over unique doc_ids — the readers'
+    * shape), and arrive already in `sort_array` order. Only ONE group's
+    * rows are materialized at any moment.
+    */
+  def groupConsecutive[R](it: Iterator[R], groupOf: R => Long): Iterator[(Long, Seq[R])] = {
+    val buf = it.buffered
+    new Iterator[(Long, Seq[R])] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): (Long, Seq[R]) = {
+        val g = groupOf(buf.head)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[R]
+        while (buf.hasNext && groupOf(buf.head) == g) rows += buf.next()
+        (g, rows.toSeq)
+      }
+    }
+  }
 }

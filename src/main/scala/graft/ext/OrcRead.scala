@@ -426,15 +426,26 @@ object OrcRead {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // STREAMING group decode (guide §5, r14): the old
+    // `groupBy(file).agg(sort_array(collect_list(...)))` buffered EVERY
+    // group of a partition in the ObjectHashAggregate simultaneously —
+    // bounded here (~100 docs/group) but at 100 TB the agg buffer holds a
+    // whole file group's blobs per key on-heap. Repartition on the same
+    // group key (the decode-stage sizing, DecodeStage.spread) +
+    // sortWithinPartitions(doc_id) makes each group's rows CONSECUTIVE
+    // and already in sort_array order (doc_id is unique and the group key
+    // is monotone in doc_id), so the decode streams ONE group at a time
+    // off a sort that spills gracefully. Rows and output are
+    // bit-identical to the collect_list form.
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
-      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
-      .as[(Long, Seq[(Long, String, String)])]
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.map { case (fileId, docs) =>
+        DecodeStage.groupConsecutive(it,
+          (r: (Long, String, String)) => java.lang.Math.floorDiv(r._1, PerFile))
+        .map { case (fileId, docs) =>
           val ctx = s"file $fileId"
           val bytes = OrcLite.writeViaOrcCoreOpt(docs, "ZLIB")
           val (m, cols) = readAllOrc(ctx, bytes)

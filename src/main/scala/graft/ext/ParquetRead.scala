@@ -628,12 +628,14 @@ object ParquetRead {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
-      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
-      .as[(Long, Seq[(Long, String, String)])]
+      // streaming group decode — one group buffered at a time, not the
+      // whole partition's groups in an agg buffer (DecodeStage.groupConsecutive)
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.map { case (fileId, docs) =>
+        DecodeStage.groupConsecutive(it,
+          (r: (Long, String, String)) => java.lang.Math.floorDiv(r._1, PerFile))
+        .map { case (fileId, docs) =>
           val ctx = s"file $fileId"
           val bytes = writeViaParquetMr(docs)
           val (m, cols) = readAll(ctx, bytes)
@@ -752,12 +754,14 @@ object ParquetRead {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
-      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
-      .as[(Long, Seq[(Long, String, String)])]
+      // streaming group decode — one group buffered at a time, not the
+      // whole partition's groups in an agg buffer (DecodeStage.groupConsecutive)
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.map { case (fileId, docs) =>
+        DecodeStage.groupConsecutive(it,
+          (r: (Long, String, String)) => java.lang.Math.floorDiv(r._1, PerFile))
+        .map { case (fileId, docs) =>
           val ctx = s"file $fileId"
           val bytes = writeViaParquetMr(docs, v2 = true, dictionary = false)
           val (m, cols) = readAll(ctx, bytes)
@@ -815,12 +819,14 @@ object ParquetRead {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .transform(DecodeStage.spread(expr(s"doc_id div $PerFile")))
-      .groupBy(expr(s"doc_id div $PerFile").as("file_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
-        col("text").as("_2"), col("lang").as("_3")))).as("docs"))
-      .as[(Long, Seq[(Long, String, String)])]
+      // streaming group decode — one group buffered at a time, not the
+      // whole partition's groups in an agg buffer (DecodeStage.groupConsecutive)
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.flatMap { case (fileId, docs) =>
+        DecodeStage.groupConsecutive(it,
+          (r: (Long, String, String)) => java.lang.Math.floorDiv(r._1, PerFile))
+        .flatMap { case (fileId, docs) =>
           Seq("ZSTD", "LZ4_RAW", "LZ4").map { codecName =>
             val ctx = s"file $fileId/$codecName"
             val bytes = writeViaParquetMr(docs, codecName = codecName)

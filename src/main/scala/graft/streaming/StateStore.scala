@@ -583,7 +583,7 @@ object StateStore {
       listBuckets(spark, s"$staging/$name")
     }
 
-    val mainPointers = tables.map { t =>
+    def stageMain(t: TableSpec): (String, Map[Int, Long]) = {
       val df = tableOf(st, t.name).withColumn("pt", bucket(t.bucketCols, cfg.buckets))
       val written: Set[Int] =
         if (full) { if (provablyNoRows(df)) Set.empty else writeDir(df, t.name) }
@@ -598,14 +598,14 @@ object StateStore {
         if (full) Map.empty[Int, Long]
         else prev.get.pointers.getOrElse(t.name, Map.empty) -- touched(t.name)
       t.name -> (inherited ++ written.map(_ -> version).toMap)
-    }.toMap
+    }
 
     // reverse index: full write projects it from parent_of; an incremental
     // write read-modify-writes ONLY the touched index buckets — old keys of
     // those buckets (edge keys never change, so no anti-join is needed)
     // union the batch's changed edge keys, distinct
     val idxKeys = st.parentOf.select(col("child_id"), col("parent_id"))
-    val idxPointers: Map[Int, Long] =
+    def stageIdx(): Map[Int, Long] =
       if (full) {
         if (provablyNoRows(idxKeys)) Map.empty
         else {
@@ -632,6 +632,25 @@ object StateStore {
           written.map(_ -> version).toMap
       }
 
+    // stage every table concurrently (guide §2.6): each staging is
+    // independent (own staging subdir, pointer math reads only immutable
+    // `prev`/`touched`), and commit() below runs only after all complete.
+    // The per-call pool's threads inherit this caller's thread-local job
+    // group/description; the fold's serial per-batch latency drops by the
+    // overlapped actions' scheduling gaps.
+    val stagePool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tables.size + 1, 5))
+    implicit val stageEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(stagePool)
+    val (mainPointers, idxPointers) =
+      try {
+        val mainsF = scala.concurrent.Future.traverse(tables)(t =>
+          scala.concurrent.Future(stageMain(t)))
+        val idxF = scala.concurrent.Future(stageIdx())
+        scala.concurrent.Await.result(
+          mainsF.zip(idxF).map { case (m, i) => (m.toMap, i) },
+          scala.concurrent.duration.Duration.Inf)
+      } finally stagePool.shutdown()
     val pointers = mainPointers + (idxTable.name -> idxPointers)
     // dir tokens for every version the pointers still reference: inherited
     // from the predecessor's manifest, plus THIS version's writer-unique

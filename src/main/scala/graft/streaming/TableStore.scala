@@ -159,7 +159,8 @@ object TableStore {
     // per-write sig read-back job AND the written-bucket directory
     // listing both collapse into the one write action (guide §1.2 fewer
     // passes; the read-back was fixed per-commit latency at every scale).
-    val stagedStats = scala.collection.mutable.Map.empty[String, Map[Int, (Long, Long)]]
+    // concurrent: staging runs one thread per table (stageTable below)
+    val stagedStats = scala.collection.concurrent.TrieMap.empty[String, Map[Int, (Long, Long)]]
     def writeDir(df: DataFrame, name: String): Set[Int] = {
       // hash functions reject map-typed inputs: sign over the hashable
       // columns only (a table that is ALL maps degrades to the
@@ -190,7 +191,15 @@ object TableStore {
     }
     def provablyNoRows(df: DataFrame): Boolean = df.rdd.getNumPartitions == 0
 
-    val pointers: Pointers = specs.map { t =>
+    // Each table's staging is independent (own staging subdir, own
+    // election, own observed stats) and the commit below only runs after
+    // EVERY table completes — so multi-table versions stage their tables
+    // CONCURRENTLY (guide §2.6: overlap independent jobs so the next
+    // action's tasks back-fill the scheduler latency and task tail of the
+    // current one). The pool is created per call, so its threads inherit
+    // this caller's thread-local job group/description; single-table
+    // writes skip the pool entirely.
+    def stageTable(t: Spec): (String, Map[Int, Long]) = {
       val keyBucket = StateStore.bucket(t.bucketCols, cfg.buckets)
       val inherited = prev.map(_.pointers.getOrElse(t.name, Map.empty[Int, Long]))
         .getOrElse(Map.empty)
@@ -269,7 +278,20 @@ object TableStore {
             (inherited -- touched) ++ written.map(_ -> version).toMap
           } finally cached.foreach(_.unpersist(blocking = false))
       })
-    }.toMap
+    }
+    val pointers: Pointers =
+      if (specs.size == 1) Map(stageTable(specs.head))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(specs.size, 4))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(specs)(t =>
+            scala.concurrent.Future(stageTable(t))),
+          scala.concurrent.duration.Duration.Inf).toMap
+        finally pool.shutdown()
+      }
 
     val refVers = pointers.valuesIterator.flatMap(_.valuesIterator).toSet
     val dirs: Map[Long, String] =
