@@ -435,19 +435,50 @@ object ExtQueries {
        |FROM p JOIN n na ON na.source = p.source_a
        |       JOIN n nb ON nb.source = p.source_b
        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
-    val ss = Dedup.corpusShingles(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), explode(col("hs")).as("h"))
-      .distinct()
+    // Sources are dozens, not corpus-scale (see the roll-up note above),
+    // so each source gets one BIT of a long and the corpus-sized work
+    // collapses to ONE codegen exchange of (h: long, bit: long) with a
+    // bit_or per shingle hash — bit_or is idempotent, so the old
+    // SELECT DISTINCT pass is subsumed, and the old h ⋈ h self-join
+    // (a second corpus-scale exchange plus an n_pairs-per-hash join
+    // fan-out) is replaced by aggregating the DISTINCT source-bitmasks,
+    // a frame bounded by min(n_distinct_h, 2^n_sources) rows. The bit
+    // index is the source's rank in its sorted dictionary, so bit tests
+    // reproduce exactly the old `a.source < b.source` pairs. Bounded
+    // driver collect per the engine's loud-require pattern.
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val srcNames = docs.select(col("source")).distinct().orderBy(col("source"))
+      .collect().map(_.getString(0))
+    require(srcNames.length <= 63,
+      s"source-overlap bitmask supports <=63 sources, got ${srcNames.length}")
+    import s.implicits._
+    val dict = srcNames.toSeq.zipWithIndex.toDF("source", "bit")
+    val masks = Dedup.corpusShingles(s, dir)
+      .join(docs, "doc_id")
+      .join(broadcast(dict), "source")
+      .select(explode(col("hs")).as("h"),
+        expr("shiftleft(1L, bit)").as("b"))
+      .groupBy(col("h")).agg(expr("bit_or(b)").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ss.count() // eager barrier — see Dedup.lshJaccardPairs
-    val n = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    ss.as("a").join(ss.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(n.toDF("source_a", "n_a")), "source_a")
-      .join(broadcast(n.toDF("source_b", "n_b")), "source_b")
+    masks.count() // eager barrier — see Dedup.lshJaccardPairs
+    // Equi-joins and Generates only from here down (a non-equi bit-test
+    // join would plan BroadcastNestedLoopJoin — interpreted predicate
+    // over masks × dict, measured 5× this shape).
+    val withBits = masks.select(col("cnt"),
+        expr(s"filter(sequence(0, ${srcNames.length - 1})," +
+          " i -> (shiftright(m, i) & 1L) = 1L)").as("bits"))
+      .select(col("cnt"), col("bits"), explode(col("bits")).as("bit_a"))
+    val n = withBits.groupBy(col("bit_a")).agg(sum(col("cnt")).as("n_sh"))
+    withBits
+      .select(col("cnt"), col("bit_a"),
+        explode(filter(col("bits"), j => j > col("bit_a"))).as("bit_b"))
+      .groupBy(col("bit_a"), col("bit_b"))
+      .agg(sum(col("cnt")).as("n_common"))
+      .join(broadcast(dict.toDF("source_a", "bit_a")), "bit_a")
+      .join(broadcast(dict.toDF("source_b", "bit_b")), "bit_b")
+      .join(broadcast(n.toDF("bit_a", "n_a")), "bit_a")
+      .join(broadcast(n.toDF("bit_b", "n_b")), "bit_b")
       .select(col("source_a"), col("source_b"), col("n_common"),
         col("n_a"), col("n_b"))
       .orderBy(col("source_a"), col("source_b"))
