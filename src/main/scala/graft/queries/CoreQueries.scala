@@ -644,8 +644,19 @@ object CoreQueries {
         val now = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
         val c = GraphOps.expireCascadeTracked(st,
           Synth.tombstones(s, dir).withColumn("ts", now))
-        val out = CascadeStored(c.state.assets.localCheckpoint(true),
-          c.state.parentOf.localCheckpoint(true))
+        // the two result checkpoints are independent scans of the cascade's
+        // persisted intermediates — overlap them (guide §2.6, the
+        // Synth.snap / store-staging pool pattern)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val out = try {
+          val fa = scala.concurrent.Future(c.state.assets.localCheckpoint(true))
+          val fp = scala.concurrent.Future(c.state.parentOf.localCheckpoint(true))
+          import scala.concurrent.{Await, duration}
+          CascadeStored(Await.result(fa, duration.Duration.Inf),
+            Await.result(fp, duration.Duration.Inf))
+        } finally pool.shutdown()
         c.cached.foreach(_.unpersist())
         out
       }

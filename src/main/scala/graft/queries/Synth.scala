@@ -89,9 +89,18 @@ object Synth {
 
   private def snap(spark: SparkSession, dir: String): Snap =
     snapCache.getOrBuild(spark, dir) { graft.Materialize.timed("synth_snapshot") {
-      def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
-      Snap(
-        assets = ck(Tables.events(spark, dir)
+      // the five aggregates are independent full-scan jobs; checkpoint
+      // them CONCURRENTLY (guide §2.6 — the serialized chain paid five
+      // sequential scan latencies). Pool threads inherit the caller's
+      // job group/description thread-locals like the store staging pools
+      // (TableStore.write / StateStore.commit).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def ck(df: => DataFrame): scala.concurrent.Future[DataFrame] =
+        scala.concurrent.Future(df.localCheckpoint(true))
+      try {
+        val assets = ck(Tables.events(spark, dir)
           .groupBy((col("user_id") % 50).as("k"))
           .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
           .select(
@@ -99,26 +108,31 @@ object Synth {
             lit("T").as("type"),
             concat(lit("a"), col("k").cast("string")).as("identifier"),
             col("first_seen"), col("last_seen"),
-            lit(graft.schema.Schemas.Unexpired).as("expiration"))),
-        teams = ck(Tables.events(spark, dir)
+            lit(graft.schema.Schemas.Unexpired).as("expiration")))
+        val teams = ck(Tables.events(spark, dir)
           .select(tId.as("id"), tId.as("identifier"))
-          .distinct()),
-        owns = ck(Tables.events(spark, dir)
+          .distinct())
+        val owns = ck(Tables.events(spark, dir)
           .groupBy(tId.as("team_id"), aId.as("asset_id"))
           .agg(min("ts").as("start_time"),
-            when(max("value") < 100, max("ts")).as("end_time"))),
-        parentOf = ck(Tables.events(spark, dir)
+            when(max("value") < 100, max("ts")).as("end_time")))
+        val parentOf = ck(Tables.events(spark, dir)
           .filter(col("user_id") % 10 =!= col("user_id") % 50)
           .groupBy(
             concat(lit("a"), (col("user_id") % 10).cast("string")).as("parent_id"),
             aId.as("child_id"))
           .agg(min("ts").as("first_seen"), max("ts").as("last_seen"))
-          .withColumn("expiration", lit(graft.schema.Schemas.Unexpired))),
-        tombstones = ck(Tables.events(spark, dir)
+          .withColumn("expiration", lit(graft.schema.Schemas.Unexpired)))
+        val tombstones = ck(Tables.events(spark, dir)
           .filter(col("event_type") === "error")
           .select(lit("T").as("asset_type"), aId.as("asset_identifier"),
             tId.as("team_identifier"))
-          .distinct()))
+          .distinct())
+        import scala.concurrent.{Await, duration}
+        def get(f: scala.concurrent.Future[DataFrame]): DataFrame =
+          Await.result(f, duration.Duration.Inf)
+        Snap(get(assets), get(teams), get(owns), get(parentOf), get(tombstones))
+      } finally pool.shutdown()
     }}
 
   def assets(spark: SparkSession, dir: String): DataFrame = snap(spark, dir).assets
