@@ -42,8 +42,18 @@ object Selection {
     */
   def kthSmallestBy(df: DataFrame, valueCol: String, ksOf: Long => Seq[Long],
       nBuckets: Int = 4096, directLimit: Long = 65536): (Long, Seq[Long]) = {
+    // once ranks diverge into different cells, each cell's sub-search is
+    // an independent range scan — overlap them (guide §2.6; the
+    // Synth.snap / store-staging pool pattern). Cached pool: the fan-out
+    // recursion blocks inside pool threads, so a bounded pool could
+    // deadlock; width is bounded by |ks| cells per level. Threads
+    // inherit the caller's job group/description thread-locals.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val v = col(valueCol)
     val base = df.select(v.as("v")).where(v.isNotNull)
+    try {
     val head = base.agg(min(col("v")), max(col("v")), count(lit(1))).head()
     val n = head.getLong(2)
     // empty (or all-NULL) input: no rank exists — callers get (0, empty)
@@ -97,7 +107,7 @@ object Selection {
             "histogram counts did not cover rank — concurrent mutation?")
           j
         }
-        grouped.toSeq.flatMap { case (j, rs) =>
+        val parts = grouped.toSeq.map { case (j, rs) =>
           val (b, c) = hist(j)
           val inCell = rs.map { case (k, i) => (k - prefix(j), i) }
           // the top cell's raw upper bound lo + (b+1)*width - 1 can exceed
@@ -107,11 +117,18 @@ object Selection {
           val cellHi = try {
             math.min(hi, Math.addExact(lo, Math.multiplyExact(b + 1, width) - 1))
           } catch { case _: ArithmeticException => hi }
-          rec(lo + b * width, cellHi, inCell, c)
+          () => rec(lo + b * width, cellHi, inCell, c)
+        }
+        if (parts.sizeIs == 1) parts.head()
+        else {
+          import scala.concurrent.{Await, Future, duration}
+          Await.result(Future.traverse(parts)(p => Future(p())),
+            duration.Duration.Inf).flatten
         }
       }
 
     val resolved = rec(lo0, hi0, ks.zipWithIndex, n).sortBy(_._1).map(_._2)
     (n, resolved)
+    } finally pool.shutdown()
   }
 }

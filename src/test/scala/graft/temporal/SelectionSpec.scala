@@ -69,6 +69,17 @@ class SelectionSpec extends AnyFunSuite with SparkSpec with Matchers {
     check(values, Seq(2L, 25000L, 50001L, 50002L), nBuckets = 8, directLimit = 16)
   }
 
+  test("wide rank fan-out (many diverged cells resolved concurrently) stays exact") {
+    // 16 ranks spread across the whole range with tiny buckets: after the
+    // first histogram level every rank lands in its own cell, so the
+    // concurrent per-cell sub-searches (r14: the fan-out overlaps
+    // independent range scans) must return positionally-exact values
+    val rnd = new scala.util.Random(7)
+    val values = Seq.fill(8000)(rnd.nextLong() % 100000000L)
+    val ks = (1 to 16).map(i => (i * 500L) - 250L)
+    check(values, ks, nBuckets = 16, directLimit = 8)
+  }
+
   test("out-of-range rank throws") {
     val df = (1L to 10L).toDF("v")
     an[IllegalArgumentException] should be thrownBy
